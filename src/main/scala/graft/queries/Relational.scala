@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.{decRevenue, decRevenueSql, decSum, decSumSql, t}
+
+/** Relational operator surface (SURVEY.md §2.3–§2.8) re-expressed as
+  * Catalyst-native DataFrame plans over the driver testdata, each with a
+  * DuckDB oracle.
+  *
+  * Design rules (scale + determinism):
+  *  - sums of doubles go through DECIMAL(18,2) so the value is
+  *    order-independent (100-TB shuffles reorder addends; decimal sums
+  *    are exact) — see [[graft.Tables.decSum]];
+  *  - every query ends in an ORDER BY on a unique key set, both here and
+  *    in the oracle, so row order is deterministic;
+  *  - dims are broadcast explicitly (nation/region/centroids), facts are
+  *    shuffled on their join keys only once.
+  */
+object Relational {
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  // SURVEY §2.6 A1/A3 + the flagship pricing-summary aggregate (q1_agg).
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    q("q1_agg")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            decSum($"l_quantity").as("sum_qty"),
+            decSum($"l_extendedprice").as("sum_base_price"),
+            decRevenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", $"sum_qty" / $"count_order")
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |${decSumSql("l_quantity")} AS sum_qty,
+         |${decSumSql("l_extendedprice")} AS sum_base_price,
+         |${decRevenueSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+         |COUNT(*) AS count_order,
+         |${decSumSql("l_quantity")} / COUNT(*) AS avg_qty
+         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // §2.1 S4 + §2.3 E7: scan with pushed filter + pruned projection.
+    q("q_filter_project")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_quantity" < 5 && $"l_shipdate" >= lit("1999-01-01").cast("timestamp"))
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity < 5 AND l_shipdate >= TIMESTAMP '1999-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // §2.7 O1/O2: top-N with deterministic tiebreak.
+    q("q_topn")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .limit(100)
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+
+    // §2.5 J1/J2 generalized: fact-to-fact shuffle join + broadcast dims.
+    q("q_join_agg")(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+        val o  = t(s, d, "orders")
+        val c  = t(s, d, "customer")
+        val n  = t(s, d, "nation")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(c, $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            decRevenue($"l_extendedprice", $"l_discount").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      s"""SELECT n_name, ${decRevenueSql("l_extendedprice", "l_discount")} AS revenue,
+         |COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // §2.5: left-semi (EXISTS).
+    q("q_semi_join")(
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter($"o_orderstatus" === "F")
+        c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // §2.5: left-anti (NOT EXISTS).
+    q("q_anti_join")(
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter($"o_orderstatus" === "F")
+        c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // §2.2 K2 / §2.5 J1: the upsert MERGE expressed as its relational
+    // core — full-outer join on the key, updates win per column.
+    q("q_merge_full_outer")(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        val target  = o.filter($"o_orderkey" % 3 === 0).as("tg")
+        val updates = o.filter($"o_orderkey" % 2 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 1.0).as("up")
+        target.join(updates, col("tg.o_orderkey") === col("up.o_orderkey"), "full_outer")
+          .select(
+            coalesce(col("up.o_orderkey"), col("tg.o_orderkey")).as("o_orderkey"),
+            coalesce(col("up.o_totalprice"), col("tg.o_totalprice")).as("o_totalprice"),
+            coalesce(col("up.o_orderstatus"), col("tg.o_orderstatus")).as("o_orderstatus"),
+            when(col("up.o_orderkey").isNotNull && col("tg.o_orderkey").isNotNull, "updated")
+              .when(col("up.o_orderkey").isNotNull, "inserted")
+              .otherwise("kept").as("merge_action"))
+          .orderBy($"o_orderkey")
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
+        |COALESCE(up.o_orderstatus, tg.o_orderstatus) AS o_orderstatus,
+        |CASE WHEN up.o_orderkey IS NOT NULL AND tg.o_orderkey IS NOT NULL THEN 'updated'
+        |     WHEN up.o_orderkey IS NOT NULL THEN 'inserted' ELSE 'kept' END AS merge_action
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // §2.7 W1: row_number — latest order per customer.
+    q("q_window_rownum")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+          .orderBy($"o_custkey")
+      },
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin),
+
+    // §2.7: running (prefix) aggregate per partition — decimal-exact.
+    q("q_window_running")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"l_suppkey")
+          .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .filter($"l_suppkey" < 100)
+          .withColumn("running_qty",
+            sum($"l_quantity".cast(DecimalType(18, 2))).over(w).cast("double"))
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+          .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 100
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+
+    // §2.7: rank + lag analytics.
+    q("q_window_lag_rank")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, d, "orders")
+          .withColumn("rk", rank().over(w))
+          .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+          .select($"o_custkey", $"o_orderkey", $"rk", $"prev_price")
+          .orderBy($"o_custkey", $"rk", $"o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        |rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk,
+        |lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, rk, o_orderkey""".stripMargin),
+
+    // Set operations (engine surface beyond the reference — Spark/DuckDB parity).
+    q("q_set_union")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer").filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+          .union(t(s, d, "orders").filter($"o_orderstatus" === "F").select($"o_custkey".as("c_custkey")))
+          .distinct()
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin),
+
+    q("q_set_intersect")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders").filter($"o_orderstatus" === "O").select($"o_custkey")
+          .intersect(t(s, d, "orders").filter($"o_orderstatus" === "F").select($"o_custkey"))
+          .orderBy($"o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin),
+
+    q("q_set_except")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer").select($"c_custkey")
+          .except(t(s, d, "orders").filter($"o_orderstatus" === "P").select($"o_custkey"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Multi-dim aggregates (free Spark surface; §2.6 note).
+    q("q_rollup")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), decSum($"l_quantity").as("qty"))
+          .select(
+            coalesce($"l_returnflag", lit("(all)")).as("flag"),
+            coalesce($"l_linestatus", lit("(all)")).as("status"),
+            $"n", $"qty")
+          .orderBy($"flag", $"status")
+      },
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS flag, COALESCE(l_linestatus, '(all)') AS status,
+         |COUNT(*) AS n, ${decSumSql("l_quantity")} AS qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin),
+
+    q("q_cube")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), decSum($"o_totalprice").as("total"))
+          .select(
+            coalesce($"o_orderstatus", lit("(all)")).as("status"),
+            coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+            $"n", $"total")
+          .orderBy($"status", $"priority")
+      },
+      s"""SELECT COALESCE(o_orderstatus, '(all)') AS status, COALESCE(o_orderpriority, '(all)') AS priority,
+         |COUNT(*) AS n, ${decSumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin),
+
+    // §2.4 T1: CASE bucketing (amount_category).
+    q("q_case_bucket")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .withColumn("price_category",
+            when($"o_totalprice" < 100000, "Low")
+              .when($"o_totalprice" < 300000, "Medium")
+              .otherwise("High"))
+          .groupBy($"price_category")
+          .agg(count(lit(1)).as("n"), decSum($"o_totalprice").as("total"))
+          .orderBy($"price_category")
+      },
+      s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'Low'
+         |WHEN o_totalprice < 300000 THEN 'Medium' ELSE 'High' END AS price_category,
+         |COUNT(*) AS n, ${decSumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY price_category""".stripMargin),
+
+    // §2.3 E3/E4: fallible casts (TRY_CAST semantics).
+    q("q_try_cast")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select(
+            $"o_orderkey",
+            expr("try_cast(cast(cast(o_totalprice as decimal(18,2)) as string) as decimal(18,2))").as("amt"),
+            expr("try_cast(o_orderpriority as decimal(18,2))").as("bad_amt"),
+            expr("try_cast(cast(cast(o_orderdate as date) as string) as date)").as("od"),
+            expr("try_cast(o_orderstatus as date)").as("bad_date"))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |TRY_CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DECIMAL(18,2)) AS amt,
+        |TRY_CAST(o_orderpriority AS DECIMAL(18,2)) AS bad_amt,
+        |TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS DATE) AS od,
+        |TRY_CAST(o_orderstatus AS DATE) AS bad_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // §2.3 E1/E2/E5/E6: trim / empty→NULL / reject blank key / default.
+    q("q_extract_clean")(
+      (s, d) => {
+        import s.implicits._
+        val raw = t(s, d, "customer")
+          .select(
+            $"c_custkey",
+            concat(lit("  "), $"c_name", lit("  ")).as("name_raw"),
+            when($"c_custkey" % 7 === 0, "   ").otherwise($"c_mktsegment").as("seg_raw"))
+        raw.select(
+            $"c_custkey",
+            when(trim($"name_raw") === "", null).otherwise(trim($"name_raw")).as("name"),
+            coalesce(when(trim($"seg_raw") === "", null).otherwise(trim($"seg_raw")), lit("UNKNOWN")).as("segment"))
+          .filter($"name".isNotNull)
+          .orderBy($"c_custkey")
+      },
+      """WITH raw AS (SELECT c_custkey, '  ' || c_name || '  ' AS name_raw,
+        |CASE WHEN c_custkey % 7 = 0 THEN '   ' ELSE c_mktsegment END AS seg_raw FROM customer)
+        |SELECT c_custkey, NULLIF(TRIM(name_raw), '') AS name,
+        |COALESCE(NULLIF(TRIM(seg_raw), ''), 'UNKNOWN') AS segment
+        |FROM raw WHERE NULLIF(TRIM(name_raw), '') IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin),
+
+    // §2.6: distinct aggregate.
+    q("q_count_distinct")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(countDistinct($"c_nationkey").as("n_nations"), count(lit(1)).as("n"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // §2.6 A2: COALESCE(MAX)+1 sequence pattern.
+    q("q_next_seq")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders").agg((coalesce(max($"o_orderkey"), lit(0L)) + 1L).as("next_run_number"))
+      },
+      "SELECT COALESCE(MAX(o_orderkey), 0) + 1 AS next_run_number FROM orders"),
+
+    // §2.6 A4: status-lattice rollup (run status from step statuses).
+    q("q_status_rollup")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(
+            sum(when($"o_orderstatus" === "F", 1).otherwise(0)).as("n_final"),
+            count(lit(1)).as("n_orders"),
+            min($"o_orderdate").as("first_order"),
+            max($"o_orderdate").as("last_order"))
+          .select(
+            $"o_custkey",
+            when($"n_final" === $"n_orders", "AllFinal")
+              .when($"n_final" > 0, "Mixed")
+              .otherwise("NoneFinal").as("status_rollup"),
+            $"n_orders", $"first_order", $"last_order")
+          .orderBy($"o_custkey")
+      },
+      """SELECT o_custkey,
+        |CASE WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = COUNT(*) THEN 'AllFinal'
+        |     WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0 THEN 'Mixed'
+        |     ELSE 'NoneFinal' END AS status_rollup,
+        |COUNT(*) AS n_orders, MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
+    // §2.10 C7 batch equivalent of the tumbling event-time window.
+    q("q_events_hourly")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), decSum($"value").as("total_value"))
+          .orderBy($"hour", $"event_type")
+      },
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+         |COUNT(*) AS n, ${decSumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+
+    // Sessionization (gap > 30 min) — lag + prefix-sum windows; the batch
+    // twin of the streaming state op in graft.streaming.
+    q("q_events_sessionize")(
+      (s, d) => {
+        import s.implicits._
+        val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run    = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+          .withColumn("is_new",
+            when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1).otherwise(0))
+          .withColumn("session_id", sum($"is_new").over(run))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"), min($"ts").as("session_start"), max($"ts").as("session_end"))
+          .orderBy($"user_id", $"session_id")
+      },
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin),
+
+    // JSON payload extraction (§1.3 RawPayload pattern).
+    q("q_json_extract")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .select($"event_id", get_json_object($"props", "$.k").cast("int").as("k"))
+          .orderBy($"event_id")
+      },
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  val oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}
