@@ -17,7 +17,9 @@ object SparkEntry {
 
   private lazy val all: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles)
+      (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
+      (_root_.graft.queries.TextOps.queries, _root_.graft.queries.TextOps.oracles),
+      (_root_.graft.queries.VectorOps.queries, _root_.graft.queries.VectorOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

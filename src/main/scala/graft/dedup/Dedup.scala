@@ -1,0 +1,113 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale design: every op is a hash-partitioned groupBy or an
+  * inverted-index equi-join — never an O(n²) cross join. MinHash-LSH
+  * banding turns near-dup search into a shuffle on band keys, so the
+  * candidate set (not the corpus square) bounds the work; that is the
+  * shape that survives 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup groups keyed by content hash: one row per distinct
+    * content with the surviving id (min) and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash parameters: k permutations of the 32-bit shingle hash
+    * under (a·h + b) mod p. p prime > 2^32; a,b small so a·h stays
+    * well under 2^63 (no overflow divergence across engines).
+    */
+  val MinhashP = 4294967311L
+  def perm(i: Int): (Long, Long) = (41L * i + 7L, 17L * i + 3L)
+
+  /** doc-level minhash signature: one row per doc, k columns mh00..mhNN. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(TextFns.shingles(col(textCol), shingleN)).as("shingle"))
+      .withColumn("hv", TextFns.hash32(col("shingle")))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      min((col("hv") * a + b) % MinhashP).as(f"mh$i%02d")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a signature frame: bands of `rowsPerBand`
+    * signature rows hashed to a band key; docs sharing any band key are
+    * candidate pairs. Returns (idCol_a, idCol_b, est_sim) where est_sim
+    * is the fraction of agreeing minhashes.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String,
+                        k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b).as("band_id"), md5(concat_ws("_", parts: _*)).as("band_hash")).as(s"b$b")
+    }
+    val banded = sig.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until nBands).map(b => col(s"b$b")): _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val sa = sig.toDF(sig.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val agree = (0 until k)
+      .map(i => when(col(f"a_mh$i%02d") === col(f"b_mh$i%02d"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .select(col("id_a"), col("id_b"), (agree.cast("double") / k).as("est_sim"))
+  }
+
+  /** Exact n-gram Jaccard for pairs sharing at least one shingle —
+    * inverted-index join, |common| via groupBy, sizes joined back in.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextFns.shingles(col(textCol), shingleN)).as("s"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
+  }
+
+  /** 48-bit simhash over token occurrences (md5-derived bit votes).
+    * Bitwise ops via exact pow-of-2 division so the identical value is
+    * derivable in any engine (no engine-specific hash).
+    */
+  def simhash48(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
+      .withColumn("hv", TextFns.hash48(col("w")))
+    val bits = tok
+      .select(col(idCol), col("hv"), explode(sequence(lit(0), lit(47))).as("b"))
+      .withColumn("vote",
+        when(expr("(hv div cast(pow(2, b) as bigint)) % 2") === 1, 1).otherwise(-1))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("score"))
+    bits.groupBy(col(idCol))
+      .agg(sum(when(col("score") > 0, expr("cast(pow(2, b) as bigint)")).otherwise(0L))
+        .as("simhash48"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus processing
+  * (language ID, quality scoring, token counting, fingerprinting,
+  * shingling, content hashing).
+  *
+  * Everything here is a pure `Column` expression built from codegen'd
+  * builtins — no UDFs — so whole-stage codegen stays intact and the
+  * ops scale linearly with the corpus on any number of executors.
+  */
+object TextFns {
+
+  /** Whitespace tokenization (the BPE-ish regex split). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Lowercased tokens for normalization-sensitive ops. */
+  def normTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** n-gram token shingles, distinct. Empty array for docs shorter than
+    * n tokens (kept deterministic — `sequence(1,0)` would descend).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** First 8 md5 hex digits as an unsigned 32-bit value in a long —
+    * a portable deterministic string hash (same value is derivable in
+    * any engine with md5, unlike xxhash/murmur variants).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 48-bit variant for simhash bit budgets. */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Count of stopword tokens (quality signal). */
+  def stopwordCount(text: Column): Column =
+    size(filter(normTokens(text), tk => tk.isin(stopwords: _*)))
+
+  /** Count of sentence punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Heuristic language scores: matches of per-language stopword
+    * regexes. [[langPredict]] picks the argmax (ties → English).
+    */
+  def englishHits(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(the|a|and|of|to|in|is)\\b"), lit(0)))
+
+  def spanishHits(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(el|la|de|los|y|en|que)\\b"), lit(0)))
+
+  def langPredict(text: Column): Column =
+    when(englishHits(text) >= spanishHits(text), "en").otherwise("es")
+
+  /** Order-insensitive document fingerprint: md5 over the sorted
+    * distinct lowercased token set. Near-identical bags of words
+    * collide — a cheap dedup key one level fuzzier than exact-text.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(normTokens(text)))))
+}

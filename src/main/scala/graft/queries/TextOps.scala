@@ -1,0 +1,261 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.dedup.Dedup
+import graft.functions.TextFns
+
+/** Text-analysis + deduplication operator surface over the `documents`
+  * table (the beyond-parity training-data ops), each with a DuckDB
+  * oracle that re-derives the exact same values (portable md5-based
+  * hashing — no engine-specific hash functions anywhere).
+  */
+object TextOps {
+
+  /** documents ∪ planted near-duplicates (first token dropped) —
+    * gives the fuzzy-dedup queries guaranteed positives.
+    */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select($"doc_id", $"text")
+    val mutated = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        expr("substring(text, locate(' ', text) + 1)").as("text"))
+    docs.union(mutated)
+  }
+
+  private val nearDupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** documents ∪ planted exact copies — positives for exact dedup. */
+  private def exactDupCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, d, "documents").select($"doc_id", $"text")
+    docs.union(docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+  }
+
+  // DuckDB twins of TextFns.shingles / TextFns.hash32 over a corpus CTE.
+  private def shingleSql(src: String) =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM $src),
+       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |  generate_series(1, len(tk) - 2),
+       |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       |  FROM toks WHERE len(tk) >= 3),
+       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh)""".stripMargin
+
+  private val K = 16
+  private def minhashAggSql: String = (0 until K).map { i =>
+    val (a, b) = Dedup.perm(i)
+    f"MIN((hv * $a + $b) %% ${Dedup.MinhashP}) AS mh$i%02d"
+  }.mkString(", ")
+
+  private def bandsSql: String = (0 until K / 2).map { b =>
+    val (m1, m2) = (f"mh${2 * b}%02d", f"mh${2 * b + 1}%02d")
+    s"SELECT doc_id, $b AS band_id, md5(concat_ws('_', $m1, $m2)) AS band_hash FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private def agreeSql: String = (0 until K)
+    .map(i => f"(CASE WHEN sa.mh$i%02d = sb.mh$i%02d THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // Exact dedup: hash-groupBy, one shuffle on the content hash.
+    q("q_dedup_exact")(
+      (s, d) => {
+        import s.implicits._
+        Dedup.exactGroups(exactDupCorpus(s, d), "doc_id", "text")
+          .orderBy($"text_hash")
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM corpus GROUP BY 1 ORDER BY text_hash""".stripMargin),
+
+    // Token counting (whitespace/BPE-ish regex).
+    q("q_token_count")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id", TextFns.tokenCount($"text").as("n_tokens"), $"n_chars")
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Quality scoring: length / punctuation / stopword signals.
+    q("q_text_quality")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(
+            $"doc_id",
+            length($"text").as("len"),
+            TextFns.tokenCount($"text").as("n_tokens"),
+            TextFns.punctCount($"text").as("n_punct"),
+            TextFns.stopwordCount($"text").as("n_stop"))
+          .withColumn("stop_ratio", round($"n_stop".cast("double") / $"n_tokens", 6))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, length(text) AS len,
+        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in'))) AS n_stop,
+        |round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |  / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Language-ID heuristic (stopword-hit argmax) vs the labeled lang.
+    q("q_lang_id")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select(
+            $"doc_id", $"lang",
+            TextFns.englishHits($"text").as("en_hits"),
+            TextFns.spanishHits($"text").as("es_hits"),
+            TextFns.langPredict($"text").as("lang_pred"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, lang,
+        |len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS en_hits,
+        |len(regexp_extract_all(lower(text), '\b(el|la|de|los|y|en|que)\b')) AS es_hits,
+        |CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+        |       >= len(regexp_extract_all(lower(text), '\b(el|la|de|los|y|en|que)\b'))
+        |     THEN 'en' ELSE 'es' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Bag-of-words fingerprint (order-insensitive dedup key).
+    q("q_fingerprint")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id", TextFns.fingerprint($"text").as("fingerprint"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |md5(array_to_string(list_sort(list_distinct(
+        |  string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Shingle stats (the substrate of the fuzzy-dedup family).
+    q("q_shingles")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id",
+            (TextFns.tokenCount($"text") - 2).as("n_shingle_positions"),
+            size(TextFns.shingles($"text", 3)).as("n_distinct_shingles"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |len(string_split_regex(trim(text), '\s+')) - 2 AS n_shingle_positions,
+        |len(list_distinct(list_transform(
+        |  generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+        |  i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |       string_split_regex(trim(text), '\s+')[i+2]))) AS n_distinct_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // MinHash signatures (16 portable permutations).
+    q("q_minhash_sig")(
+      (s, d) => {
+        import s.implicits._
+        Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text", K)
+          .orderBy($"doc_id")
+      },
+      s"""WITH ${shingleSql("documents")}
+         |SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // MinHash + LSH banding: near-dup candidate pairs over the planted
+    // corpus; est_sim = agreeing minhash fraction.
+    q("q_minhash_lsh_pairs")(
+      (s, d) => {
+        import s.implicits._
+        val sig = Dedup.minhashSignatures(nearDupCorpus(s, d), "doc_id", "text", K)
+        Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      s"""WITH $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |WHERE est_sim >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+
+    // Exact n-gram Jaccard via inverted-index join (top-200 pairs).
+    q("q_jaccard_pairs")(
+      (s, d) => {
+        import s.implicits._
+        Dedup.jaccardPairs(nearDupCorpus(s, d), "doc_id", "text")
+          .orderBy($"jaccard".desc, $"id_a", $"id_b")
+          .limit(200)
+      },
+      s"""WITH $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sized AS (SELECT doc_id AS id, s FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sized GROUP BY id),
+         |common AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS common
+         |  FROM sized x JOIN sized y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+         |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin),
+
+    // 48-bit SimHash (portable md5-derived bit votes).
+    q("q_simhash")(
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhash48(t(s, d, "documents"), "doc_id", "text")
+          .orderBy($"doc_id")
+      },
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 12)) AS BIGINT) AS hv FROM tok),
+        |b AS (SELECT unnest(generate_series(0, 47)) AS b),
+        |bits AS (SELECT doc_id, b.b,
+        |  SUM(CASE WHEN (hv // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS score
+        |  FROM h, b GROUP BY doc_id, b.b)
+        |SELECT doc_id,
+        |  SUM(CASE WHEN score > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash48
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata.
+    q("q_binary_meta")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id",
+            octet_length($"text").as("n_bytes"),
+            sha2($"text", 256).as("digest"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  val oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.sim.Similarity
+
+/** Similarity-search operator surface over the `embeddings` table
+  * (`embedding ARRAY<FLOAT>`, 64 dims). Oracles re-derive cosine in
+  * DuckDB with explicit double math; values rounded to 6 decimals so
+  * summation order can't flip a comparison.
+  */
+object VectorOps {
+
+  private val cosineSqlBody =
+    """list_sum(list_transform(generate_series(1, len(@B@)), i -> CAST(@A@[i] AS DOUBLE) * CAST(@B@[i] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(@A@, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(@B@, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"round(${cosineSqlBody.replace("@A@", a).replace("@B@", b)}, 6)"
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // Brute-force cosine top-5 for each of 5 query vectors — the ANN
+    // baseline (broadcast queries, map-only corpus scan).
+    q("q_cosine_topk")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(e.filter($"vec_id" < 5), e, "vec_id", "embedding", 5)
+          .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
+          .orderBy($"q_id", $"rn")
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |sims AS (SELECT q.q_id, e.vec_id, ${cosineSql("q.qv", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+         |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin),
+
+    // IVF-style cell assignment: nearest of 8 centroids per vector,
+    // rolled up to cell sizes (the scale path for ANN).
+    q("q_nearest_centroid")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        Similarity.assignToCentroids(e, e.filter($"vec_id" < 8), "vec_id", "embedding")
+          .groupBy($"centroid_id")
+          .agg(count(lit(1)).as("n_assigned"), round(sum($"sim"), 4).as("sim_mass"))
+          .orderBy($"centroid_id")
+      },
+      s"""WITH z AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |scored AS (SELECT e.vec_id AS id, z.centroid_id, ${cosineSql("e.embedding", "z.cv")} AS sim
+         |  FROM embeddings e, z),
+         |assigned AS (SELECT id, centroid_id, sim FROM (
+         |  SELECT id, centroid_id, sim,
+         |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid_id) AS rn
+         |  FROM scored) WHERE rn = 1)
+         |SELECT centroid_id, COUNT(*) AS n_assigned, round(SUM(sim), 4) AS sim_mass
+         |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin),
+
+    // Embedding near-dup pairs over a corpus with planted exact copies.
+    q("q_embed_neardup")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings").select($"vec_id", $"embedding")
+        val planted = e.filter($"vec_id" < 20)
+          .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+        Similarity.nearDupPairs(e.union(planted), "vec_id", "embedding", 0.999)
+          .orderBy($"vec_a", $"vec_b")
+      },
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  val oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}

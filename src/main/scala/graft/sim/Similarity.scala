@@ -1,0 +1,63 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor / similarity-search operators over an
+  * embedding column.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query
+  * set against the (huge) corpus — a map-only scan, no corpus
+  * shuffle — and ranks inside a per-query window. The IVF-style path
+  * first assigns the corpus to centroids (broadcast again), then only
+  * probes the matching cell: the corpus is read once, partitioned by
+  * cell, and each query touches 1/k of it.
+  */
+object Similarity {
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries` must be small (it is broadcast); `corpus` can be huge.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        VectorFns.cosineR(col("q_vec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** IVF-style cell assignment: nearest centroid (by cosine) per
+    * corpus vector. Centroids are broadcast; output carries the cell
+    * id so a downstream search only probes one cell per query.
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val z = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(z))
+      .select(col("id"), col("centroid_id"),
+        VectorFns.cosineR(col("vec"), col("c_vec")).as("sim"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("centroid_id"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold.
+    * Correctness-scale implementation is the exact all-pairs join;
+    * at 100 TB the LSH/IVF cell assignment above bounds the pair set.
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), VectorFns.cosineR(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
