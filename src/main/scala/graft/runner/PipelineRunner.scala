@@ -1,0 +1,121 @@
+package graft.runner
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.catalog.RunCatalog
+import graft.merge.MergeWriter
+import graft.ops.{Extract, Transform}
+import graft.sources.Ingest
+
+/** Run lifecycle: the sequential 4-step DAG with fail-fast, rows-
+  * affected capture, cancellation and per-run job groups
+  * (SURVEY.md §2.10 C1-C5, §3).
+  *
+  * Each step is one DataFrame transformation + one write action (the
+  * reference's stored-procedure shape, §3 closing note). Steps run on
+  * the cluster; only catalog bookkeeping happens on the driver.
+  */
+class PipelineRunner(spark: SparkSession, catalog: RunCatalog, workDir: String) {
+
+  private val landingDir  = s"$workDir/landing_orders"
+  private val stagingDir  = s"$workDir/staging_orders"
+  private val transDir    = s"$workDir/staging_orders_transformed"
+  private val rejectsDir  = s"$workDir/rejected_orders"
+  val targetDir           = s"$workDir/target_orders"
+
+  private val cancelled = ConcurrentHashMap.newKeySet[String]()
+
+  /** C4: cooperative cancellation — flag checked between steps, plus
+    * `cancelJobGroup` to interrupt in-flight stages of that run.
+    */
+  def cancel(runId: String): Unit = {
+    cancelled.add(runId)
+    spark.sparkContext.cancelJobGroup(s"run-$runId")
+  }
+
+  case class RunResult(runId: String, status: String, rowsPerStep: Map[String, Long])
+
+  /** Execute the 4 steps for one source file. Fail-fast: an exception
+    * marks the Running step Failed + the run Failed; later steps stay
+    * Pending (C1).
+    */
+  def run(sourcePath: String, pipelineName: String = "OrdersPipeline"): RunResult = {
+    val runId = catalog.startRun(pipelineName)
+    spark.sparkContext.setJobGroup(s"run-$runId", s"$pipelineName $runId", interruptOnCancel = true)
+    val rows = scala.collection.mutable.Map[String, Long]()
+    var step = 0
+    try {
+      val steps: Seq[(String, () => Long)] = Seq(
+        "Data Pull" -> (() => {
+          val df =
+            if (sourcePath.toLowerCase.endsWith(".json")) Ingest.readJson(spark, sourcePath, runId)
+            else Ingest.readCsv(spark, sourcePath, runId)
+          Ingest.writeLanding(df, landingDir)
+        }),
+        "Extract" -> (() => {
+          val extracted = Extract.extract(Ingest.readStage(spark, landingDir, runId)).cache()
+          val nRej = Extract.rejects(extracted).count()
+          if (nRej > 0) {
+            Extract.rejects(extracted).withColumn("rejected_in", lit("Extract"))
+              .write.mode("append").partitionBy("run_id").parquet(rejectsDir)
+            catalog.log(runId, "Warning", 2, s"$nRej rows rejected", Some("see rejected_orders"))
+          }
+          val out = Extract.clean(extracted)
+          out.write.mode("append").partitionBy("run_id").parquet(stagingDir)
+          val n = out.count()
+          extracted.unpersist()
+          n
+        }),
+        "Transform" -> (() => {
+          val transformed = Transform.transform(Ingest.readStage(spark, stagingDir, runId)).cache()
+          val nRej = Transform.rejects(transformed).count()
+          if (nRej > 0) {
+            Transform.rejects(transformed).withColumn("rejected_in", lit("Transform"))
+              .write.mode("append").partitionBy("run_id").parquet(rejectsDir)
+            catalog.log(runId, "Warning", 3, s"$nRej rows rejected (negative amount)", None)
+          }
+          val out = Transform.clean(transformed)
+          out.write.mode("append").partitionBy("run_id").parquet(transDir)
+          val n = out.count()
+          transformed.unpersist()
+          n
+        }),
+        "Migrate" -> (() => {
+          val updates = Ingest.readStage(spark, transDir, runId)
+            .select(col("order_id"), col("customer_id"), col("amount"), col("order_date"),
+              col("amount_category"), monotonically_increasing_id().as("_src_order"))
+          MergeWriter.merge(spark, targetDir, updates, "order_id", "_src_order")
+        }))
+
+      for (((name, body), i) <- steps.zipWithIndex) {
+        step = i + 1
+        if (cancelled.contains(runId)) {
+          catalog.updateStep(runId, step, "Cancelled")
+          catalog.finishRun(runId, "Cancelled")
+          catalog.log(runId, "Warning", step, "run cancelled")
+          return RunResult(runId, "Cancelled", rows.toMap)
+        }
+        catalog.updateStep(runId, step, "Running")
+        catalog.log(runId, "Info", step, s"$name started")
+        val n = body()
+        rows(name) = n
+        catalog.updateStep(runId, step, "Success", n)
+        catalog.log(runId, "Info", step, s"$name finished", Some(s"rows=$n"))
+      }
+      catalog.finishRun(runId, "Success")
+      RunResult(runId, "Success", rows.toMap)
+    } catch {
+      case e: Throwable =>
+        catalog.updateStep(runId, step, "Failed", 0L, Some(e.getMessage))
+        catalog.finishRun(runId, "Failed")
+        catalog.log(runId, "Error", step, "step failed", Some(String.valueOf(e.getMessage)))
+        RunResult(runId, "Failed", rows.toMap)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      cancelled.remove(runId)
+    }
+  }
+}

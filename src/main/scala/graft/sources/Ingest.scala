@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Step 1 (Data Pull): CSV/JSON ingestion into the landing stage
+  * (SURVEY.md §2.1 S1-S3, §2.2 K1).
+  *
+  * Headers/fields are matched case-insensitively against the canonical
+  * business columns (`OrderId`/`orderId`/`ORDERID` all accepted —
+  * reference `pull.js:31-33`, `PullStep.java:96-106`); extra columns
+  * are dropped, missing ones become NULL, every value lands as a
+  * trimmed-later string, and the whole source record is re-serialized
+  * into `raw_payload` (reference `pull.js:50`).
+  *
+  * Scale: file reads are distributed (Spark CSV/JSON readers), the
+  * landing write is partitioned by `run_id` so each downstream step
+  * prunes to exactly its run's slice.
+  */
+object Ingest {
+
+  /** Normalize whatever columns the source had to the canonical
+    * landing business columns: case-insensitive match, extras dropped,
+    * missing → NULL, everything cast to string.
+    */
+  private def canonicalize(df: DataFrame): DataFrame = {
+    val byCanonical: Map[String, String] = df.columns
+      .flatMap(c => Schemas.headerAliases.get(c.trim.toLowerCase).map(_ -> c))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+    val cols = Schemas.businessColumns.map { canon =>
+      byCanonical.get(canon)
+        .map(src => trim(col(s"`$src`").cast("string")).as(canon))
+        .getOrElse(lit(null).cast("string").as(canon))
+    }
+    df.select(col("raw_payload") +: cols: _*)
+  }
+
+  private def stamp(df: DataFrame, runId: String, sourceType: String): DataFrame =
+    df.select(
+      (lit(runId).as("run_id") +:
+        Schemas.businessColumns.map(col) :+
+        lit(sourceType).as("source_type") :+
+        col("raw_payload") :+
+        current_timestamp().as("loaded_at")): _*)
+
+  /** CSV scan (S1/S2): header row, quoted fields, empty lines skipped
+    * (Spark's reader does all three); `raw_payload` is the record
+    * re-serialized as JSON of the raw (pre-canonicalization) fields.
+    */
+  def readCsv(spark: SparkSession, path: String, runId: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    stamp(canonicalize(raw.withColumn("raw_payload", to_json(struct(raw.columns.map(col): _*)))),
+      runId, "CSV")
+  }
+
+  /** JSON scan (S3): array of flat objects; a single top-level object
+    * is one record (Spark's multiLine reader accepts both shapes —
+    * reference `pull.js:41` coerces object → 1-element list).
+    */
+  def readJson(spark: SparkSession, path: String, runId: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    stamp(canonicalize(raw.withColumn("raw_payload", to_json(struct(raw.columns.map(col): _*)))),
+      runId, "JSON")
+  }
+
+  /** Append to the landing store partitioned by run_id (K1) so
+    * run-scoped reads (S4) become partition pruning.
+    */
+  def writeLanding(df: DataFrame, landingDir: String): Long = {
+    val out = df.cache()
+    val n = out.count()
+    out.write.mode("append").partitionBy("run_id").parquet(landingDir)
+    out.unpersist()
+    n
+  }
+
+  /** Run-scoped stage scan (S4): partition-pruned read. */
+  def readStage(spark: SparkSession, stageDir: String, runId: String): DataFrame =
+    spark.read.parquet(stageDir).filter(col("run_id") === runId)
+}

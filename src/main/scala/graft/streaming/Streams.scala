@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.10 C7 + the planned-only
+  * event triggers, re-expressed Spark-first).
+  *
+  * - directory-watch ingestion: the streaming twin of the batch file
+  *   trigger (one upload = one micro-batch with Trigger.AvailableNow);
+  * - watermarked tumbling-window aggregation over event time;
+  * - stateful sessionization via flatMapGroupsWithState — the same
+  *   30-min-gap semantics as the batch `q_events_sessionize` query.
+  */
+object Streams {
+
+  /** Watch a landing directory for order CSVs (schema fixed up-front —
+    * streaming readers require it).
+    */
+  def ordersFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .schema("order_id STRING, customer_id STRING, amount STRING, order_date STRING")
+      .csv(dir)
+
+  /** Tumbling event-time window with watermark (late data beyond the
+    * watermark is dropped deterministically).
+    */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, event_type: String)
+  case class SessionState(sessionId: Long, lastTs: Long, count: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long)
+
+  /** 30-min-gap sessionization with explicit state. Emits the session
+    * row each time a session closes (next event starts a new one).
+    * State per user is O(1) — this shape survives unbounded streams.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          var st = state.getOption.getOrElse(SessionState(1L, Long.MinValue, 0L))
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st.lastTs != Long.MinValue && t - st.lastTs > gapMs) {
+              closed += SessionOut(userId, st.sessionId, st.count)
+              st = SessionState(st.sessionId + 1, t, 1L)
+            } else {
+              st = st.copy(lastTs = t, count = st.count + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{TextFns, VectorFns}
+import graft.sim.Similarity
+
+/** Semantics tests for the training-data operators (dedup family,
+  * text analysis, similarity search) on small controlled inputs.
+  */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups by content, keeps min id") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "text")
+    val g = Dedup.exactGroups(df, "id", "text")
+    assert(g.count() == 2)
+    val dup = g.filter($"n_dups" === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("shingles: 3-grams, distinct, short docs empty") {
+    val df = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("text")
+      .select(TextFns.shingles($"text", 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("minhash: identical docs share full signature; near-dups agree on most rows") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text").cache()
+    val rows = sig.orderBy($"doc_id").collect()
+    val s1 = rows(0).toSeq.drop(1); val s2 = rows(1).toSeq.drop(1)
+    val s3 = rows(2).toSeq.drop(1); val s4 = rows(3).toSeq.drop(1)
+    assert(s1 == s2)
+    val agree13 = s1.zip(s3).count { case (a, b) => a == b }
+    val agree14 = s1.zip(s4).count { case (a, b) => a == b }
+    assert(agree13 > agree14)
+    assert(agree14 == 0)
+
+    val pairs = Dedup.lshCandidatePairs(sig, "doc_id")
+    val exact = pairs.filter($"id_a" === 1 && $"id_b" === 2).select($"est_sim").as[Double].head()
+    assert(exact == 1.0)
+    assert(pairs.filter($"id_a" === 1 && $"id_b" === 4).count() == 0)
+  }
+
+  test("jaccard pairs: exact overlap arithmetic") {
+    // doc1/doc2 shingles: {a b c, b c d} vs {a b c} → J = 1/2
+    val df = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val j = Dedup.jaccardPairs(df, "doc_id", "text").head()
+    assert(j.getAs[Double]("jaccard") == 0.5)
+  }
+
+  test("simhash: identical → equal, disjoint vocab → distant") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val s = Dedup.simhash48(df, "doc_id", "text").orderBy($"doc_id")
+      .select($"simhash48").as[Long].collect()
+    assert(s(0) == s(1))
+    assert(java.lang.Long.bitCount(s(0) ^ s(2)) > 8)
+  }
+
+  test("cosine + top-k: orthogonal/parallel vectors rank correctly") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val sim = vecs.select(VectorFns.cosineR(
+      array(lit(1f), lit(0f), lit(0f)).cast("array<float>"), $"embedding").as("s"), $"vec_id")
+      .orderBy($"vec_id").select($"s").as[Double].collect()
+    assert(sim(0) == 1.0 && sim(2) == 0.0 && sim(3) == -1.0)
+
+    val topk = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+    val ids = topk.orderBy($"rn").select($"id").as[Long].collect().toSeq
+    assert(ids == Seq(1L, 2L))
+  }
+
+  test("centroid assignment picks the nearest cell") {
+    val corpus = Seq(
+      (10L, Array(1f, 0.1f)), (11L, Array(0.1f, 1f)), (12L, Array(0.9f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.assignToCentroids(corpus, centroids, "vec_id", "embedding")
+    val m = assigned.select($"id", $"centroid_id").as[(Long, Long)].collect().toMap
+    assert(m == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+
+  test("text functions: token count, punct, stopwords, lang heuristic") {
+    val df = Seq(Tuple1("the cat, and the dog! went to town.")).toDF("text")
+    val r = df.select(
+      TextFns.tokenCount($"text").as("nt"),
+      TextFns.punctCount($"text").as("np"),
+      TextFns.stopwordCount($"text").as("ns"),
+      TextFns.langPredict($"text").as("lang")).head()
+    assert(r.getAs[Int]("nt") == 8)
+    assert(r.getAs[Int]("np") == 3)
+    assert(r.getAs[Int]("ns") == 4) // the, and, the, to
+    assert(r.getAs[String]("lang") == "en")
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.merge.MergeWriter
+import graft.ops.{Extract, Transform}
+import graft.scheduler.Schedules
+
+/** Unit + property tests for the operator semantics locked in
+  * SURVEY.md §2.9 (bucket edges, try_cast, merge idempotence,
+  * schedule next-run clamping).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def landing(rows: (String, String, String, String)*) =
+    rows.toSeq.toDF("order_id", "customer_id", "amount", "order_date")
+      .withColumn("run_id", lit("r1"))
+      .withColumn("source_type", lit("CSV"))
+      .withColumn("raw_payload", lit("{}"))
+      .withColumn("loaded_at", current_timestamp())
+
+  test("amount_category boundary values 49.99/50/199.99/200") {
+    val df = Seq(49.99, 50.0, 199.99, 200.0).toDF("amount")
+      .withColumn("c", Transform.amountCategory($"amount"))
+    assert(df.select($"c").as[String].collect().toSeq ==
+      Seq("Low", "Medium", "Medium", "High"))
+  }
+
+  test("extract: trim, empty→null, UNKNOWN default, strict date, try_cast amount") {
+    val ext = Extract.extract(landing(
+      ("  ORD-1  ", "  C1  ", " 12.345 ", "2024-02-29"),  // valid leap date; amount rounds
+      ("ORD-2", "   ", "abc", "2024-01-01"),              // blank cust → UNKNOWN; bad amount
+      ("ORD-3", "C3", "5", "2024-13-01"),                 // bad month
+      ("   ", "C4", "1", "2024-01-01")))                  // blank key → dropped
+    assert(ext.count() == 3)
+    val r1 = ext.filter($"order_id" === "ORD-1").head()
+    assert(r1.getAs[java.math.BigDecimal]("amount").toPlainString == "12.35")
+    assert(r1.getAs[java.sql.Date]("order_date").toString == "2024-02-29")
+    val r2 = ext.filter($"order_id" === "ORD-2").head()
+    assert(r2.getAs[String]("customer_id") == "UNKNOWN")
+    assert(r2.getAs[String]("reject_reason") == "unparseable_amount")
+    assert(ext.filter($"order_id" === "ORD-3").head().getAs[String]("reject_reason") == "unparseable_date")
+  }
+
+  test("merge: updates win, inserts added, last-wins on duplicate batch keys, idempotent") {
+    val dir = Files.createTempDirectory("graft_merge").toString + "/target"
+    def batch(rows: (String, String, Int)*) =
+      rows.toSeq.toDF("order_id", "customer_id", "_src_order")
+        .select($"order_id", $"customer_id", $"_src_order")
+
+    MergeWriter.merge(spark, dir, batch(("K1", "A", 1), ("K2", "B", 2)), "order_id", "_src_order")
+    // K1 updated (duplicate in batch: last wins → "C2"), K3 inserted
+    MergeWriter.merge(spark, dir,
+      batch(("K1", "C1", 1), ("K1", "C2", 2), ("K3", "D", 3)), "order_id", "_src_order")
+    val t = MergeWriter.readTarget(spark, dir).get
+    val m = t.select($"order_id", $"customer_id").as[(String, String)].collect().toMap
+    assert(m == Map("K1" -> "C2", "K2" -> "B", "K3" -> "D"))
+
+    // idempotence: merge(merge(T,S),S) == merge(T,S) on data columns
+    MergeWriter.merge(spark, dir,
+      batch(("K1", "C1", 1), ("K1", "C2", 2), ("K3", "D", 3)), "order_id", "_src_order")
+    val t2 = MergeWriter.readTarget(spark, dir).get
+    assert(t2.select($"order_id", $"customer_id").as[(String, String)].collect().toMap == m)
+    assert(MergeWriter.currentVersion(dir) == 2)
+  }
+
+  test("schedule next-run: daily rollover, weekly day pick, monthly clamp") {
+    import java.time.LocalDateTime
+    val now = LocalDateTime.of(2026, 1, 31, 12, 0)
+    assert(Schedules.computeNextRun("daily", "13:30", 0, 0, now) ==
+      LocalDateTime.of(2026, 1, 31, 13, 30))
+    assert(Schedules.computeNextRun("daily", "09:00", 0, 0, now) ==
+      LocalDateTime.of(2026, 2, 1, 9, 0))
+    // 2026-01-31 is a Saturday; next Sunday (dow=0) is Feb 1
+    assert(Schedules.computeNextRun("weekly", "08:00", 0, 0, now) ==
+      LocalDateTime.of(2026, 2, 1, 8, 0))
+    // monthly day 31 at 11:00 already past on Jan 31 → Feb clamps to 28
+    assert(Schedules.computeNextRun("monthly", "11:00", 0, 31, now) ==
+      LocalDateTime.of(2026, 2, 28, 11, 0))
+    assert(Schedules.computeNextRun("monthly", "13:00", 0, 31, now) ==
+      LocalDateTime.of(2026, 1, 31, 13, 0))
+  }
+
+  test("property: extract output keys are never blank and amounts parse or reject") {
+    val amounts = Gen.oneOf(Gen.choose(-500.0, 500.0).map(_.toString), Gen.const("junk"), Gen.const(""))
+    val gen = Gen.listOfN(40, amounts)
+    val amts = (1 to 5).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i))).flatten
+    val rows = amts.zipWithIndex.map { case (a, i) => (s"K$i", "C", a, "2024-01-01") }
+    val ext = Extract.extract(landing(rows: _*))
+    val out = ext.select($"order_id", $"amount", $"reject_reason")
+      .as[(String, Option[BigDecimal], Option[String])].collect()
+    assert(out.length == rows.length)
+    out.foreach { case (k, amt, rej) =>
+      assert(k.nonEmpty)
+      assert(amt.isDefined != rej.contains("unparseable_amount"))
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.RunCatalog
+import graft.merge.MergeWriter
+import graft.runner.PipelineRunner
+
+/** Golden end-to-end runs over the reference fixture shapes
+  * (FIXTURES.md §1-§3): CSV/JSON, messy headers, bad data, upsert
+  * rerun idempotence, catalog statuses.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDirs(): (String, RunCatalog, PipelineRunner) = {
+    val work = Files.createTempDirectory("graft_pipe").toString
+    val cat = new RunCatalog(spark, s"$work/catalog")
+    (work, cat, new PipelineRunner(spark, cat, work))
+  }
+
+  private def writeFixture(name: String, content: String): String = {
+    val f = Files.createTempDirectory("graft_fix").resolve(name)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  val sampleCsv: String =
+    """OrderId,CustomerId,Amount,OrderDate
+      |ORD-001,C101,99.50,2025-01-15
+      |ORD-002,C102,25.00,2025-01-16
+      |ORD-003,C103,350.00,2025-01-17
+      |ORD-004,,49.99,2025-01-18
+      |ORD-005,C105,200.00,2025-01-19
+      |""".stripMargin
+
+  test("CSV run end-to-end: categories, UNKNOWN default, catalog Success") {
+    val (work, cat, runner) = freshDirs()
+    val res = runner.run(writeFixture("sample.csv", sampleCsv))
+    assert(res.status == "Success")
+    assert(res.rowsPerStep("Data Pull") == 5)
+    assert(res.rowsPerStep("Extract") == 5)
+    assert(res.rowsPerStep("Migrate") == 5)
+
+    val target = MergeWriter.readTarget(spark, runner.targetDir).get
+    val cats = target.select($"order_id", $"amount_category").as[(String, String)]
+      .collect().toMap
+    assert(cats == Map("ORD-001" -> "Medium", "ORD-002" -> "Low", "ORD-003" -> "High",
+      "ORD-004" -> "Low", "ORD-005" -> "High")) // 200.00 is High (>= 200 edge)
+    val unknown = target.filter($"order_id" === "ORD-004")
+      .select($"customer_id").as[String].head()
+    assert(unknown == "UNKNOWN")
+
+    val steps = cat.steps(res.runId).select($"status").as[String].collect()
+    assert(steps.forall(_ == "Success"))
+  }
+
+  test("case-insensitive headers and JSON source") {
+    val (_, _, runner) = freshDirs()
+    val messy = writeFixture("messy.csv",
+      "orderid,CUSTOMERID,amount,orderDate\nORD-X,C1,10,2025-01-01\n")
+    assert(runner.run(messy).status == "Success")
+
+    val json = writeFixture("orders.json",
+      """[{"OrderId":"ORD-J1","CustomerId":"C201","Amount":120.0,"OrderDate":"2025-02-01"},
+        |{"OrderId":"ORD-J2","CustomerId":"C202","Amount":35.5,"OrderDate":"2025-02-02"}]""".stripMargin)
+    val res = runner.run(json)
+    assert(res.status == "Success")
+    assert(res.rowsPerStep("Data Pull") == 2)
+  }
+
+  test("rerun same file is idempotent on the target (upsert, not append)") {
+    val (_, _, runner) = freshDirs()
+    val f = writeFixture("sample.csv", sampleCsv)
+    assert(runner.run(f).status == "Success")
+    val v1 = MergeWriter.readTarget(spark, runner.targetDir).get.count()
+    assert(runner.run(f).status == "Success")
+    val v2 = MergeWriter.readTarget(spark, runner.targetDir).get.count()
+    assert(v1 == 5 && v2 == 5)
+  }
+
+  test("bad data: blank keys dropped, garbage amount/date rejected, negative amount rejected") {
+    val (work, cat, runner) = freshDirs()
+    val bad = writeFixture("bad.csv",
+      """OrderId,CustomerId,Amount,OrderDate
+        |ORD-001,C1,25.50,2024-01-02
+        |ORD-002,C2,-1,2024-01-03
+        |ORD-003,C3,150,2024-01-04
+        |,C4,10,2024-01-05
+        |ORD-005,C5,garbage,2024-01-06
+        |ORD-006,C6,10,not-a-date
+        |""".stripMargin)
+    val res = runner.run(bad)
+    assert(res.status == "Success")
+    assert(res.rowsPerStep("Data Pull") == 6)
+    assert(res.rowsPerStep("Extract") == 3)   // blank key dropped; 2 rejects
+    assert(res.rowsPerStep("Transform") == 2) // negative amount rejected
+    assert(res.rowsPerStep("Migrate") == 2)
+
+    val rejects = spark.read.parquet(s"$work/rejected_orders")
+    assert(rejects.count() == 3)
+    val reasons = rejects.select($"reject_reason").as[String].collect().sorted
+    assert(reasons.toSeq == Seq("negative_amount", "unparseable_amount", "unparseable_date"))
+    // the rejects produced Warning logs
+    assert(cat.listLogs(runId = Some(res.runId), level = Some("Warning")).count() == 2)
+  }
+
+  test("catalog queries: listRuns filters, status rollup, run detail") {
+    val (_, cat, runner) = freshDirs()
+    val res = runner.run(writeFixture("s.csv", sampleCsv))
+    assert(cat.listRuns(status = Some("Success")).count() == 1)
+    assert(cat.listRuns(status = Some("Failed")).count() == 0)
+    val rollup = cat.runStatusRollup().filter($"run_id" === res.runId)
+      .select($"rollup_status").as[String].head()
+    assert(rollup == "Success")
+    val detail = cat.runDetail(res.runId).select(size($"steps")).as[Int].head()
+    assert(detail == 4)
+  }
+}

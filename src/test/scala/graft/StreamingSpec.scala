@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams
+
+/** Structured Streaming semantics driven synchronously via
+  * MemoryStream + processAllAvailable.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("file-stream ingestion picks up landing files (AvailableNow)") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.csv"),
+      "order_id,customer_id,amount,order_date\nO1,C1,10,2024-01-01\nO2,C2,20,2024-01-02\n")
+    val q = Streams.ordersFileStream(spark, dir)
+      .writeStream.format("memory").queryName("orders_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("orders_stream").count() == 2)
+  }
+
+  test("watermarked hourly window aggregates by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.hourlyEventCounts(df)
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    mem.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(70), "view", 5.0))
+    // advance watermark far enough to close the first hour window
+    mem.addData((ts(400), "view", 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("hourly").filter($"event_type" === "click").collect()
+    assert(closed.length == 1)
+    assert(closed(0).getAs[Long]("n") == 2)
+    q.stop()
+  }
+
+  test("stateful sessionization closes sessions on 30-min gaps across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val q = Streams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    mem.addData(Streams.Event(1L, ts(0), "a"), Streams.Event(1L, ts(5), "b"))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() == 0) // session still open
+    mem.addData(Streams.Event(1L, ts(60), "c"))  // 55-min gap closes session 1
+    q.processAllAvailable()
+    val rows = spark.table("sessions").as[Streams.SessionOut].collect()
+    assert(rows.length == 1)
+    assert(rows(0) == Streams.SessionOut(1L, 1L, 2L))
+    q.stop()
+  }
+}
