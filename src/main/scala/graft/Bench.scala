@@ -1,23 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"queries":{...}}.
+  *
+  * Timing materializes the full physical plan via
+  * `queryExecution.toRdd.count()` — a plain `df.count()` would let
+  * Catalyst prune away the expensive projections being measured.
+  */
 object Bench {
+
+  /** Headline set: one representative per operator family (agg, big
+    * join, window, top-n, sessionization, fuzzy dedup, ANN, simhash).
+    */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_join_agg", "q_topn", "q_window_rownum", "q_window_running",
+    "q_events_sessionize", "q_dedup_exact", "q_minhash_lsh_pairs",
+    "q_jaccard_pairs", "q_simhash", "q_cosine_topk", "q_nearest_centroid")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val names = headline.filter(SparkEntry.queries.contains)
+    // JVM/codegen warmup at the smallest scale so the timed loop
+    // measures steady-state throughput, not JIT compilation.
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    spark.sharedState.cacheManager.clearCache()
+    val results = names.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // per-query caches (signature/shingle frames) must not leak into
+      // the next measurement
+      spark.sharedState.cacheManager.clearCache()
+      name -> dt
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

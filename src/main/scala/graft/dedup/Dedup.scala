@@ -32,8 +32,11 @@ object Dedup {
   /** doc-level minhash signature: one row per doc, k columns mh00..mhNN. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, shingleN: Int = 3): DataFrame = {
+    // non-distinct positions: MIN over the shingle multiset == MIN over
+    // the set, so the O(n²) per-row distinct is pure waste here
     val exploded = df
-      .select(col(idCol), explode(TextFns.shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(TextFns.shinglePositions(col("tk"), shingleN)).as("shingle"))
       .withColumn("hv", TextFns.hash32(col("shingle")))
     val aggs = (0 until k).map { i =>
       val (a, b) = perm(i)
@@ -47,8 +50,12 @@ object Dedup {
     * candidate pairs. Returns (idCol_a, idCol_b, est_sim) where est_sim
     * is the fraction of agreeing minhashes.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String,
+  def lshCandidatePairs(sigIn: DataFrame, idCol: String,
                         k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // The signature frame feeds four branches (two band sides, two
+    // agreement sides): cache it — at scale, signatures are a
+    // materialized table computed once per corpus.
+    val sig = sigIn.cache()
     val nBands = k / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
@@ -79,11 +86,24 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(TextFns.shingles(col(textCol), shingleN)).as("s"))
+    // Join on the 48-bit shingle hash, not the shingle string: same
+    // result (collision odds ~1e-7 at 1e5 shingles), a fraction of the
+    // shuffle bytes. The exploded frame feeds three branches (sizes +
+    // both join sides) — cache it, mirroring the materialize-once
+    // shape this takes at scale.
+    // positional explode + shuffle dedup (groupBy) — parallel and
+    // skew-free, vs the per-row quadratic array_distinct
+    val sh = df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("tk"))
+      .select(col("id"), explode(TextFns.shinglePositions(col("tk"), shingleN)).as("s"))
+      .groupBy(col("id"), TextFns.hash48(col("s")).as("hv")).agg(lit(1))
+      .select(col("id"), col("hv"))
+      .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+    // pinned shuffle-hash: the posting-list self-join has heavy key
+    // duplication, where a broadcast hash build is both slower and
+    // unstable (AQE flips strategies run to run)
+    val common = sh.as("x").join(sh.as("y").hint("shuffle_hash"),
+        col("x.hv") === col("y.hv") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     common
@@ -98,16 +118,16 @@ object Dedup {
     * derivable in any engine (no engine-specific hash).
     */
   def simhash48(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // One groupBy with 48 conditional-sum aggregates — not a 48×-row
+    // bit explode (48× less shuffle for the same bit votes).
     val tok = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
       .withColumn("hv", TextFns.hash48(col("w")))
-    val bits = tok
-      .select(col(idCol), col("hv"), explode(sequence(lit(0), lit(47))).as("b"))
-      .withColumn("vote",
-        when(expr("(hv div cast(pow(2, b) as bigint)) % 2") === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("score"))
-    bits.groupBy(col(idCol))
-      .agg(sum(when(col("score") > 0, expr("cast(pow(2, b) as bigint)")).otherwise(0L))
-        .as("simhash48"))
+    val votes = (0 until 48).map { b =>
+      sum(when(shiftright(col("hv"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 48).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash48"))
   }
 }

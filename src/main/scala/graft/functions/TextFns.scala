@@ -21,16 +21,38 @@ object TextFns {
   /** Lowercased tokens for normalization-sensitive ops. */
   def normTokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** n-gram token shingles, distinct. Empty array for docs shorter than
-    * n tokens (kept deterministic — `sequence(1,0)` would descend).
+  /** n-gram shingles over an already-materialized token array column,
+    * distinct. Empty array for docs shorter than n tokens (kept
+    * deterministic — `sequence(1,0)` would descend).
+    *
+    * Callers MUST pass an attribute (a projected column), not the
+    * `tokens(...)` expression inline: `element_at` inside the lambda
+    * re-evaluates its array child per element, so an inline split
+    * re-runs the regex ~3× per shingle position (measured 20× slowdown
+    * on the dedup pipeline).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Non-distinct positional shingles — for consumers where duplicate
+    * shingles are harmless (MinHash: min over a multiset equals min
+    * over the set) or deduped later by a shuffle (`groupBy` beats the
+    * O(positions²) per-row `array_distinct` compare loop).
+    */
+  def shinglePositions(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Convenience one-shot form for single-use contexts (tests, per-doc
+    * stats). Hot paths should project `tokens` first — see
+    * [[shinglesOfTokens]].
+    */
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
 
   /** First 8 md5 hex digits as an unsigned 32-bit value in a long —
     * a portable deterministic string hash (same value is derivable in

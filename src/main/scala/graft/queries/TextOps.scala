@@ -214,10 +214,10 @@ object TextOps {
       },
       s"""WITH $nearDupCorpusSql,
          |${shingleSql("corpus")},
-         |sized AS (SELECT doc_id AS id, s FROM sh),
+         |sized AS (SELECT doc_id AS id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM sh),
          |sizes AS (SELECT id, COUNT(*) AS sz FROM sized GROUP BY id),
          |common AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS common
-         |  FROM sized x JOIN sized y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2)
+         |  FROM sized x JOIN sized y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2)
          |SELECT id_a, id_b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
          |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin),
