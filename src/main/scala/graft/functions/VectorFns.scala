@@ -2,24 +2,27 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.plans.{DotProductF32, NormSqF32}
 
 /** Embedding-vector column functions over `ARRAY<FLOAT>` columns.
   *
   * All math is promoted to double before accumulation (float
-  * accumulation order is not portable) and built from codegen-friendly
-  * higher-order builtins — no UDF serialization on the hot path.
+  * accumulation order is not portable). Backed by the native codegen'd
+  * expressions in [[graft.plans]] — a tight primitive loop inside
+  * whole-stage codegen, no per-element lambda dispatch, no UDF
+  * serialization.
   */
 object VectorFns {
 
-  /** Dot product in double precision. */
+  /** Dot product in double precision (native codegen). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(DotProductF32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Squared L2 norm in double precision. */
+  /** Squared L2 norm in double precision (native codegen). */
   def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    ColumnBridge.column(NormSqF32(ColumnBridge.expression(a)))
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
