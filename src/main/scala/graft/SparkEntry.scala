@@ -19,7 +19,8 @@ object SparkEntry {
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
       (_root_.graft.queries.TextOps.queries, _root_.graft.queries.TextOps.oracles),
-      (_root_.graft.queries.VectorOps.queries, _root_.graft.queries.VectorOps.oracles)
+      (_root_.graft.queries.VectorOps.queries, _root_.graft.queries.VectorOps.oracles),
+      (_root_.graft.queries.MediaOps.queries, _root_.graft.queries.MediaOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

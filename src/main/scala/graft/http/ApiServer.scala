@@ -1,0 +1,120 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.concurrent.ExecutionContext
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+
+import graft.catalog.RunCatalog
+import graft.runner.PipelineRunner
+
+/** REST monitoring + trigger API (SURVEY.md §2.8 endpoints, §2.10
+  * C2/C4/C5), on the JDK's built-in HttpServer — zero extra deps.
+  *
+  *   GET  /runs?pipelineName=&status=     top-100 newest runs
+  *   GET  /runs/{id}                      run header + steps
+  *   GET  /runs/{id}/logs                 logs for one run
+  *   GET  /logs?runId=&level=&limit=      capped log stream (≤2000)
+  *   POST /pipeline/upload?filename=      raw body → landing file (10 MB cap)
+  *   POST /pipeline/trigger?filePath=     background run → 201 {"runId"}
+  *   POST /runs/{id}/cancel               cooperative cancel
+  *   POST /admin/sweep-timeouts?hours=    mark stale Running runs failed
+  *
+  * The coordination channel is the catalog (exactly the reference's
+  * design: the API reads what the background run writes).
+  */
+class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
+                uploadDir: String, port: Int = 0) {
+
+  private implicit val ec: ExecutionContext = ExecutionContext.global
+  private val MaxUploadBytes = 10 * 1024 * 1024
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def jsonRows(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.add("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length)
+    x.getResponseBody.write(bytes)
+    x.close()
+  }
+
+  private def query(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getQuery).map(_.split("&").toSeq
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
+  private def handle(path: String, method: String, x: HttpExchange): Unit = {
+    val q = query(x)
+    (method, path.stripSuffix("/").split("/").toList.drop(1)) match {
+      case ("GET", List("runs")) =>
+        respond(x, 200, jsonRows(catalog.listRuns(q.get("pipelineName"), q.get("status"))))
+      case ("GET", List("runs", id)) =>
+        val runs = catalog.listRuns().filter(org.apache.spark.sql.functions.col("run_id") === id)
+        if (runs.isEmpty) respond(x, 404, """{"error":"not found"}""")
+        else respond(x, 200,
+          s"""{"run":${jsonRows(runs)},"steps":${jsonRows(catalog.steps(id))}}""")
+      case ("GET", List("runs", id, "logs")) =>
+        respond(x, 200, jsonRows(catalog.listLogs(runId = Some(id))))
+      case ("GET", List("logs")) =>
+        respond(x, 200, jsonRows(catalog.listLogs(q.get("runId"), q.get("level"),
+          q.get("limit").map(_.toInt).getOrElse(500))))
+      case ("POST", List("pipeline", "upload")) =>
+        val name = q.getOrElse("filename", s"upload_${System.currentTimeMillis}.csv")
+        val ext = name.split("\\.").last.toLowerCase
+        if (ext != "csv" && ext != "json") {
+          respond(x, 400, """{"error":"only .csv/.json accepted"}""")
+        } else {
+          val body = x.getRequestBody.readNBytes(MaxUploadBytes + 1)
+          if (body.length > MaxUploadBytes) respond(x, 413, """{"error":"upload too large"}""")
+          else {
+            Files.createDirectories(Paths.get(uploadDir))
+            val dest = Paths.get(uploadDir, s"upload_${System.currentTimeMillis}.$ext")
+            Files.write(dest, body)
+            respond(x, 201, s"""{"filePath":"${dest.toString}"}""")
+          }
+        }
+      case ("POST", List("pipeline", "trigger")) =>
+        q.get("filePath") match {
+          case None => respond(x, 400, """{"error":"filePath required"}""")
+          case Some(fp) if !Files.exists(Paths.get(fp)) =>
+            respond(x, 400, """{"error":"no such file"}""")
+          case Some(fp) =>
+            val (runId, _) = runner.runAsync(fp, q.getOrElse("pipelineName", "OrdersPipeline"))
+            respond(x, 201, s"""{"runId":"$runId"}""")
+        }
+      case ("POST", List("runs", id, "cancel")) =>
+        runner.cancel(id)
+        respond(x, 202, s"""{"runId":"$id","status":"cancel requested"}""")
+      case ("POST", List("admin", "sweep-timeouts")) =>
+        val swept = catalog.sweepTimeouts(q.get("hours").map(_.toInt).getOrElse(6))
+        respond(x, 200, s"""{"swept":${swept.size}}""")
+      case _ => respond(x, 404, """{"error":"not found"}""")
+    }
+  }
+
+  server.createContext("/", (x: HttpExchange) =>
+    try handle(x.getRequestURI.getPath, x.getRequestMethod, x)
+    catch {
+      case e: Throwable =>
+        try respond(x, 500, s"""{"error":${"\"" + String.valueOf(e.getMessage).replace("\"", "'") + "\""}}""")
+        catch { case _: Throwable => () }
+    })
+
+  def start(): ApiServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

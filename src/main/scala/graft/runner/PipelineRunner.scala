@@ -42,9 +42,23 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, workDir: String) 
     * marks the Running step Failed + the run Failed; later steps stay
     * Pending (C1).
     */
-  def run(sourcePath: String, pipelineName: String = "OrdersPipeline"): RunResult = {
+  def run(sourcePath: String, pipelineName: String = "OrdersPipeline"): RunResult =
+    runWithId(catalog.startRun(pipelineName), sourcePath)
+
+  /** Background execution (C2): run header + pending steps are created
+    * synchronously (visible to pollers immediately, reference
+    * `api/server.js:178-195`), the steps execute on the passed
+    * ExecutionContext.
+    */
+  def runAsync(sourcePath: String, pipelineName: String = "OrdersPipeline")
+              (implicit ec: scala.concurrent.ExecutionContext)
+      : (String, scala.concurrent.Future[RunResult]) = {
     val runId = catalog.startRun(pipelineName)
-    spark.sparkContext.setJobGroup(s"run-$runId", s"$pipelineName $runId", interruptOnCancel = true)
+    (runId, scala.concurrent.Future(runWithId(runId, sourcePath)))
+  }
+
+  private def runWithId(runId: String, sourcePath: String): RunResult = {
+    spark.sparkContext.setJobGroup(s"run-$runId", s"pipeline run $runId", interruptOnCancel = true)
     val rows = scala.collection.mutable.Map[String, Long]()
     var step = 0
     try {

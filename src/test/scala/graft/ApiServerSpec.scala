@@ -1,0 +1,65 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.catalog.RunCatalog
+import graft.http.ApiServer
+import graft.runner.PipelineRunner
+
+/** Drives the REST surface over a real socket: upload → trigger →
+  * poll → logs → cancel/sweep.
+  */
+class ApiServerSpec extends SparkSpec {
+
+  private val client = HttpClient.newHttpClient()
+  private def get(url: String) =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET.build(), HttpResponse.BodyHandlers.ofString())
+  private def post(url: String, body: String = "") =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(), HttpResponse.BodyHandlers.ofString())
+
+  test("upload → trigger → poll to Success → logs; error paths") {
+    val work = Files.createTempDirectory("graft_api").toString
+    val catalog = new RunCatalog(spark, s"$work/catalog")
+    val runner = new PipelineRunner(spark, catalog, work)
+    val api = new ApiServer(catalog, runner, s"$work/uploads").start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val csv = "OrderId,CustomerId,Amount,OrderDate\nA-1,C1,10,2024-01-01\nA-2,C2,300,2024-01-02\n"
+      val up = post(s"$base/pipeline/upload?filename=x.csv", csv)
+      assert(up.statusCode() == 201 && up.body().contains("filePath"))
+      val fp = up.body().split("\"")(3)
+
+      val trig = post(s"$base/pipeline/trigger?filePath=$fp")
+      assert(trig.statusCode() == 201)
+      val runId = trig.body().split("\"")(3)
+
+      // poll the catalog through the API until the background run lands
+      var status = ""
+      val deadline = System.currentTimeMillis() + 120000
+      while (status != "Success" && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val detail = get(s"$base/runs/$runId")
+        if (detail.statusCode() == 200 && detail.body().contains("\"status\":\"Success\"")
+          && !detail.body().contains("\"Pending\"") && !detail.body().contains("\"Running\""))
+          status = "Success"
+      }
+      assert(status == "Success")
+
+      val logs = get(s"$base/runs/$runId/logs")
+      assert(logs.statusCode() == 200 && logs.body().contains("Migrate"))
+
+      val list = get(s"$base/runs?status=Success")
+      assert(list.statusCode() == 200 && list.body().contains(runId))
+
+      // error paths
+      assert(post(s"$base/pipeline/trigger?filePath=/nope.csv").statusCode() == 400)
+      assert(post(s"$base/pipeline/upload?filename=x.exe").statusCode() == 400)
+      assert(get(s"$base/runs/does-not-exist").statusCode() == 404)
+      assert(get(s"$base/nope").statusCode() == 404)
+      assert(post(s"$base/admin/sweep-timeouts?hours=6").statusCode() == 200)
+    } finally api.stop()
+  }
+}
