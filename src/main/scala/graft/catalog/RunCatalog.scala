@@ -42,8 +42,15 @@ class RunCatalog(spark: SparkSession, val dir: String) {
     n
   }
 
+  // one writer at a time per catalog: concurrent appends to the same
+  // parquet dir race on the committer's shared _temporary staging dir
+  // (the runner's logger vs the progress flusher, §2.10 C3)
+  private val writeLock = new Object
+
   private def append[T <: Product : org.apache.spark.sql.Encoder](rows: Seq[T], path: String): Unit =
-    rows.toDS().coalesce(1).write.mode("append").parquet(path)
+    writeLock.synchronized {
+      rows.toDS().coalesce(1).write.mode("append").parquet(path)
+    }
 
   /** Create run header (Running) + one Pending step row per step
     * (reference `orchestrator/index.js:32-51`).

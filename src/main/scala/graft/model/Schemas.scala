@@ -78,15 +78,3 @@ case class LogEntry(
     step_number: Int,
     message: String,
     details: Option[String])
-
-case class Schedule(
-    schedule_id: String,
-    name: String,
-    schedule_type: String, // daily | weekly | monthly
-    run_at_time: String,   // "HH:mm"
-    day_of_week: Int,      // 0-6, weekly only
-    day_of_month: Int,     // 1-31, monthly only (clamped to month length)
-    source_path: String,
-    enabled: Boolean,
-    last_run_at: Option[java.sql.Timestamp],
-    next_run_at: Option[java.sql.Timestamp])
