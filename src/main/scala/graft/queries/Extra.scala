@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{decSum, decSumSql, t}
+
+/** Coverage-completing queries: the remaining testdata tables
+  * (part, supplier, region), scalar string/date function surface, and
+  * aggregate-join shapes (above-average filter, median).
+  */
+object Extra {
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // lineitem ⋈ part ⋈ supplier — broadcast both dims.
+    q("q_part_supplier")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")), $"l_partkey" === $"p_partkey")
+          .join(broadcast(t(s, d, "supplier")), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            decSum($"l_extendedprice").as("total_price"),
+            countDistinct($"s_suppkey").as("n_suppliers"))
+          .orderBy($"p_brand")
+      },
+      s"""SELECT p_brand, COUNT(*) AS n_items, ${decSumSql("l_extendedprice")} AS total_price,
+         |COUNT(DISTINCT s_suppkey) AS n_suppliers
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // region ⋈ nation ⋈ customer — the full dimension chain.
+    q("q_region_rollup")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_customers"),
+            countDistinct($"n_nationkey").as("n_nations"),
+            decSum($"c_acctbal").as("total_balance"))
+          .orderBy($"r_name")
+      },
+      s"""SELECT r_name, COUNT(*) AS n_customers, COUNT(DISTINCT n_nationkey) AS n_nations,
+         |${decSumSql("c_acctbal")} AS total_balance
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // scalar string functions over part.
+    q("q_string_funcs")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "part")
+          .select(
+            $"p_partkey",
+            upper($"p_name").as("name_upper"),
+            substring($"p_type", 1, 5).as("type_prefix"),
+            length($"p_name").as("name_len"),
+            regexp_replace($"p_name", "a", "@").as("name_subst"),
+            lpad($"p_brand", 12, "_").as("brand_padded"),
+            concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
+          .orderBy($"p_partkey")
+      },
+      """SELECT p_partkey, upper(p_name) AS name_upper, substr(p_type, 1, 5) AS type_prefix,
+        |length(p_name) AS name_len, regexp_replace(p_name, 'a', '@', 'g') AS name_subst,
+        |lpad(p_brand, 12, '_') AS brand_padded, concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // scalar date/time functions over orders.
+    q("q_date_funcs")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").as("y"),
+            month($"o_orderdate").as("m"),
+            dayofmonth($"o_orderdate").as("dom"),
+            quarter($"o_orderdate").as("q"),
+            date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+            datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date")).as("days_to_2002"))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey, CAST(date_part('year', o_orderdate) AS INT) AS y,
+        |CAST(date_part('month', o_orderdate) AS INT) AS m,
+        |CAST(date_part('day', o_orderdate) AS INT) AS dom,
+        |CAST(date_part('quarter', o_orderdate) AS INT) AS q,
+        |CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |CAST(DATE '2002-01-01' - CAST(o_orderdate AS DATE) AS INT) AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // orders above their customer's average — aggregate-then-join
+    // (the decorrelated form of a correlated scalar subquery).
+    q("q_above_avg")(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val avgs = o.groupBy($"o_custkey".as("k"))
+          .agg((decSum($"o_totalprice") / count(lit(1))).as("avg_price"))
+        o.join(avgs, $"o_custkey" === $"k")
+          .filter($"o_totalprice" > $"avg_price")
+          // raw double avg: both engines divide the identical exact-decimal
+          // sum by the identical count — bit-equal without rounding
+          // (round() would diverge on .xxxx5 ties)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"avg_price")
+          .orderBy($"o_orderkey")
+      },
+      s"""WITH avgs AS (SELECT o_custkey AS k, ${decSumSql("o_totalprice")} / COUNT(*) AS avg_price
+         |FROM orders GROUP BY o_custkey)
+         |SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+         |FROM orders JOIN avgs ON o_custkey = k
+         |WHERE o_totalprice > avg_price ORDER BY o_orderkey""".stripMargin),
+
+    // median (interpolated) per segment — decimal-cast for determinism.
+    q("q_median")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_balance"),
+            count(lit(1)).as("n"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5), 4) AS median_balance, COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  val oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}
