@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as builtins, composed from
+  * existing operators (preference (a) in the custom-operator ladder —
+  * no custom SparkPlan needed; the compositions shuffle once and
+  * scale).
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the latest right row whose
+    * `rightTs <= leftTs` within the same `keys` group (the
+    * time-series/backfill join).
+    *
+    * Implementation: tag + union + running `last(_, ignoreNulls)`
+    * window ordered by (ts, tag) — right rows sort before left rows at
+    * equal timestamps, so equality matches (>= semantics, like ASOF
+    * JOIN in DuckDB/kdb).
+    *
+    * Scale: ONE shuffle on `keys` (the union is map-side); no range
+    * explosion, no per-row probe. Right rows must be unique per
+    * (keys, rightTs) — pre-dedupe if not (latest-wins).
+    *
+    * Output: all left columns + the requested right columns (carried
+    * values, null when no prior right row exists).
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String,
+           rightCols: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carriedTs = "_asof_right_ts"
+
+    val taggedRight = right.select(
+      (keys.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_tag") :+ col(rightTs).as(carriedTs)) ++
+        rightCols.map { case (src, dst) => col(src).as(dst) } ++
+        leftCols.filterNot(c => keys.contains(c)).map(c => lit(null).as(s"_l_$c")): _*)
+    val taggedLeft = left.select(
+      (keys.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_tag") :+ lit(null).cast(
+        right.schema(rightTs).dataType).as(carriedTs)) ++
+        rightCols.map { case (src, dst) => lit(null).cast(right.schema(src).dataType).as(dst) } ++
+        leftCols.filterNot(c => keys.contains(c)).map(c => col(c).as(s"_l_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn(carriedTs, last(col(carriedTs), ignoreNulls = true).over(w))
+      .withColumns(rightCols.values.map(dst =>
+        dst -> last(col(dst), ignoreNulls = true).over(w)).toMap)
+
+    carried.filter(col("_tag") === 1)
+      .select(
+        (keys.map(col) ++
+          leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) :+
+          col(carriedTs).as("asof_ts")) ++
+        rightCols.values.map(col): _*)
+  }
+
+  /** Bucketed range join: pairs (l, r) with the same `keys` and
+    * `rightTs` in `(leftTs + lowerUs, leftTs + upperUs]` (microsecond
+    * offsets).
+    *
+    * Scale: instead of an inequality join (which Spark plans as a
+    * broadcast-nested-loop at cluster scale), both sides bucket by
+    * `ceil(range width)`; the left side explodes to the 2 candidate
+    * buckets, the join is an equi-join on (keys, bucket) and the exact
+    * range is a post-filter. Work is proportional to true matches, not
+    * |L|×|R|.
+    */
+  def bucketedRangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String,
+                        lowerUs: Long, upperUs: Long): DataFrame = {
+    require(upperUs > lowerUs, "empty range")
+    val width = upperUs - lowerUs
+    // exact integer division — `/` on longs is double division and can
+    // flip a bucket at quotient boundaries
+    val l = left.withColumn("_lus", unix_micros(col(leftTs)))
+      .withColumn("_bucket",
+        explode(array(expr(s"(_lus + $lowerUs) div $width"),
+          expr(s"(_lus + $upperUs) div $width"))))
+      .dropDuplicates(left.columns.toSeq :+ "_bucket")
+    val r = right.withColumn("_rus", unix_micros(col(rightTs)))
+      .withColumn("_bucket", expr(s"_rus div $width"))
+    val joined = l.as("l").join(r.as("r"),
+      keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+        col("l._bucket") === col("r._bucket") &&
+        col("r._rus") > col("l._lus") + lowerUs &&
+        col("r._rus") <= col("l._lus") + upperUs)
+    joined.select(
+      keys.map(k => col(s"l.$k").as(k)) ++
+        left.columns.filterNot(keys.contains).map(c => col(s"l.$c").as(c)) ++
+        right.columns.filterNot(c => keys.contains(c)).map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+}
