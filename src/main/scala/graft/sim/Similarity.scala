@@ -48,6 +48,48 @@ object Similarity {
       .select(col("id"), col("centroid_id"), col("sim"))
   }
 
+  /** Signed-random-projection LSH: bucket vectors by the sign pattern
+    * of `nPlanes` hyperplane dot products, then search only within the
+    * query's bucket. Planes are derived deterministically (md5-seeded
+    * values per (plane, dim)), so signatures are reproducible across
+    * runs and engines.
+    *
+    * The scale path for ANN: candidate generation is an equi-join on
+    * the bucket key (one shuffle), recall is tunable via nPlanes
+    * (fewer planes → bigger buckets → higher recall, more compute).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    // deterministic pseudo-random hyperplanes in [-0.5, 0.5), one set
+    // per table (multi-table LSH: recall ≈ 1-(1-p^bits)^tables)
+    def plane(t: Int, p: Int): Array[Float] = Array.tabulate(dim) { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"table-$t-plane-$p-dim-$i".getBytes("UTF-8"))
+      (java.lang.Byte.toUnsignedInt(h(0)) * 256 + java.lang.Byte.toUnsignedInt(h(1))) / 65536.0f - 0.5f
+    }
+    def signature(t: Int, vec: Column): Column =
+      (0 until bitsPerTable).map { p =>
+        val planeCol = array(plane(t, p).map(v => lit(v)): _*).cast("array<float>")
+        when(VectorFns.dot(planeCol, vec) >= 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _) + lit(t.toLong << 32) // disjoint bucket space per table
+
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        explode(array((0 until nTables).map(t => signature(t, col(vec))): _*)).as("bucket"))
+
+    val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec")
+    val q = bucketed(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec")
+    val candidates = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("q_vec"), col("id"), col("vec"))
+      .dropDuplicates("q_id", "id")
+    val sims = candidates
+      .select(col("q_id"), col("id"), VectorFns.cosineR(col("q_vec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold.
     * Correctness-scale implementation is the exact all-pairs join;
     * at 100 TB the LSH/IVF cell assignment above bounds the pair set.

@@ -104,4 +104,22 @@ class DedupSimSpec extends SparkSpec {
     assert(r.getAs[Int]("ns") == 4) // the, and, the, to
     assert(r.getAs[String]("lang") == "en")
   }
+
+  test("LSH-bucketed top-k: same-bucket neighbors found, signature deterministic") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 3)
+    val r1 = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3)
+      .select($"q_id", $"rn", $"id").as[(Long, Int, Long)].collect().toSet
+    val r2 = Similarity.lshTopK(q, e, "vec_id", "embedding", k = 3)
+      .select($"q_id", $"rn", $"id").as[(Long, Int, Long)].collect().toSet
+    assert(r1 == r2 && r1.nonEmpty)
+    // buckets partition the corpus: with 8 planes over random vectors
+    // each bucket is much smaller than the corpus
+    val bruteTop1 = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 1)
+      .select($"q_id", $"id").as[(Long, Long)].collect().toMap
+    val lshTop = r1.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    // recall check (not exactness — LSH is approximate): at least one
+    // query's true nearest neighbor lands in its bucket
+    assert(lshTop.exists { case (qid, ids) => bruteTop1.get(qid).exists(ids.contains) })
+  }
 }
