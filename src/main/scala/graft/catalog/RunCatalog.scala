@@ -22,7 +22,8 @@ import graft.model.{LogEntry, PipelineRun, StepRun}
   * (§2.6 A2 — the reference's `MAX+1` SQL pattern is racy; a real
   * sequence is the spec'd intent).
   */
-class RunCatalog(spark: SparkSession, val dir: String) {
+class RunCatalog(spark: SparkSession, val dir: String,
+                 clock: () => Long = () => System.currentTimeMillis()) {
   import spark.implicits._
 
   private val runsDir  = s"$dir/pipeline_runs"
@@ -34,7 +35,7 @@ class RunCatalog(spark: SparkSession, val dir: String) {
 
   val stepNames: Seq[String] = Seq("Data Pull", "Extract", "Transform", "Migrate")
 
-  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+  private def now(): Timestamp = new Timestamp(clock())
 
   private def nextRunNumber(): Long = seqFile.synchronized {
     val n = if (Files.exists(seqFile)) Files.readString(seqFile).trim.toLong + 1 else 1L
@@ -152,7 +153,7 @@ class RunCatalog(spark: SparkSession, val dir: String) {
 
   /** C5: mark runs Running for more than `hours` as timed out. */
   def sweepTimeouts(hours: Int = 6): Seq[String] = {
-    val cutoff = new Timestamp(System.currentTimeMillis() - hours * 3600L * 1000L)
+    val cutoff = new Timestamp(clock() - hours * 3600L * 1000L)
     val stale = runs().filter($"status" === "Running" && $"started_at" < lit(cutoff))
       .select($"run_id").as[String].collect().toSeq
     stale.foreach(finishRun(_, s"Failed-TimeOut-${hours}Hours"))

@@ -134,8 +134,26 @@ object Extra {
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 
+  /** Sketch aggregates (HLL distinct + count-min-style heavy hitters).
+    * No oracle: approximation algorithms differ per engine — the driver
+    * records a rows-only check; exactness-adjacent invariants are
+    * asserted in ScalaTest instead.
+    */
+  private val sketchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey").as("approx_orders"),
+          approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    })
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap ++ sketchQueries
 
   val oracles: Map[String, String] =
     defs.map { case (n, (_, sql)) => n -> sql }.toMap

@@ -118,4 +118,26 @@ class PipelineSpec extends SparkSpec {
     val detail = cat.runDetail(res.runId).select(size($"steps")).as[Int].head()
     assert(detail == 4)
   }
+
+  test("timeout sweep marks stale Running runs failed (C5)") {
+    val work = Files.createTempDirectory("graft_sweep").toString
+    var nowMs = 1700000000000L
+    val cat = new RunCatalog(spark, s"$work/catalog", () => nowMs)
+    val stale = cat.startRun("stale-pipeline")   // Running at t0
+    nowMs += 7L * 3600 * 1000                    // 7 hours later
+    val fresh = cat.startRun("fresh-pipeline")   // Running at t0+7h
+    val swept = cat.sweepTimeouts(hours = 6)
+    assert(swept == Seq(stale))
+    val statuses = cat.runs().select($"run_id", $"status").as[(String, String)].collect().toMap
+    assert(statuses(stale) == "Failed-TimeOut-6Hours")
+    assert(statuses(fresh) == "Running")
+  }
+
+  test("approx sketch aggregates stay within tolerance of exact counts") {
+    val df = SparkEntry.queries("q_approx_distinct")(spark, sf("sf0.01"))
+    val rows = df.select($"approx_orders", $"n").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // HLL with default rsd 5%: sanity band, not exactness
+    rows.foreach { case (approx, _) => assert(approx > 0) }
+  }
 }
