@@ -84,4 +84,34 @@ object MergeWriter {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     affected
   }
+
+  /** Retention: drop snapshots older than the newest `keep` versions.
+    * Never touches the current version; safe to run any time after a
+    * merge (readers resolve the pointer before listing files, and the
+    * pointer only ever moves forward).
+    */
+  def vacuum(targetDir: String, keep: Int = 2): Seq[Int] = {
+    val cur = currentVersion(targetDir)
+    if (cur < 0) return Seq.empty
+    val dir = Paths.get(targetDir)
+    val removable = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt)
+      .filter(v => v <= cur - keep)
+      .toSeq.sorted
+    removable.foreach { v =>
+      val root = dir.resolve(s"v$v")
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
+    removable
+  }
+
+  private implicit class IterAdapter[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
 }

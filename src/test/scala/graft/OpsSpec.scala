@@ -100,4 +100,16 @@ class OpsSpec extends SparkSpec {
       assert(amt.isDefined != rej.contains("unparseable_amount"))
     }
   }
+
+  test("merge vacuum keeps the newest snapshots and the pointer stays valid") {
+    val dir = Files.createTempDirectory("graft_vac").toString + "/target"
+    def batch(k: String) = Seq((k, "v", 1)).toDF("order_id", "customer_id", "_src_order")
+    (1 to 5).foreach(i => MergeWriter.merge(spark, dir, batch(s"K$i"), "order_id", "_src_order"))
+    assert(MergeWriter.currentVersion(dir) == 4)
+    val removed = MergeWriter.vacuum(dir, keep = 2)
+    assert(removed == Seq(0, 1, 2))
+    // current snapshot still reads fine with all 5 keys
+    assert(MergeWriter.readTarget(spark, dir).get.count() == 5)
+    assert(MergeWriter.vacuum(dir, keep = 2).isEmpty) // idempotent
+  }
 }
