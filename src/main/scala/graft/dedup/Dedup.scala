@@ -33,11 +33,11 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, shingleN: Int = 3): DataFrame = {
     // non-distinct positions: MIN over the shingle multiset == MIN over
-    // the set, so the O(n²) per-row distinct is pure waste here
+    // the set, so the O(n²) per-row distinct is pure waste here; the
+    // native one-pass hasher avoids per-element lambda dispatch
     val exploded = df
       .select(col(idCol), TextFns.tokens(col(textCol)).as("tk"))
-      .select(col(idCol), explode(TextFns.shinglePositions(col("tk"), shingleN)).as("shingle"))
-      .withColumn("hv", TextFns.hash32(col("shingle")))
+      .select(col(idCol), explode(TextFns.shingleHashes32(col("tk"), shingleN)).as("hv"))
     val aggs = (0 until k).map { i =>
       val (a, b) = perm(i)
       min((col("hv") * a + b) % MinhashP).as(f"mh$i%02d")
@@ -92,10 +92,10 @@ object Dedup {
     // both join sides) — cache it, mirroring the materialize-once
     // shape this takes at scale.
     // positional explode + shuffle dedup (groupBy) — parallel and
-    // skew-free, vs the per-row quadratic array_distinct
+    // skew-free, vs the per-row quadratic array_distinct; native hasher
     val sh = df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("tk"))
-      .select(col("id"), explode(TextFns.shinglePositions(col("tk"), shingleN)).as("s"))
-      .groupBy(col("id"), TextFns.hash48(col("s")).as("hv")).agg(lit(1))
+      .select(col("id"), explode(TextFns.shingleHashes48(col("tk"), shingleN)).as("hv"))
+      .groupBy(col("id"), col("hv")).agg(lit(1))
       .select(col("id"), col("hv"))
       .cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))

@@ -65,6 +65,23 @@ object TextFns {
   def hash48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
+  /** Native one-pass shingle hashing (tokens array → array of md5-
+    * derived shingle hashes). Values identical to
+    * `hashNN(concat_ws(" ", shingle))` but computed in a tight loop —
+    * see [[graft.plans.ShingleHash48]].
+    */
+  def shingleHashes48(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ShingleHash48(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens),
+        org.apache.spark.sql.catalyst.expressions.Literal(n), hexBytes = 6))
+
+  def shingleHashes32(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.ShingleHash48(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens),
+        org.apache.spark.sql.catalyst.expressions.Literal(n), hexBytes = 4))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Count of stopword tokens (quality signal). */

@@ -1,0 +1,65 @@
+package graft.plans
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native n-gram shingle hashing: token array → array of 48-bit
+  * md5-derived shingle hashes (`hash48(concat_ws(" ", t_i..t_{i+n-1}))`
+  * for every position), in one pass per row.
+  *
+  * Replaces a `transform(sequence(...), i -> concat_ws(element_at...))`
+  * + per-shingle `conv(substring(md5(...)))` chain: the HOF formulation
+  * re-evaluates children per element and churns UTF8Strings, which made
+  * the dedup pipelines the most CPU-steal-sensitive stage in the
+  * engine. Values are IDENTICAL to the composed form (same md5, same
+  * hex-prefix-to-long), so DuckDB oracles don't change.
+  */
+case class ShingleHash48(child: Expression, n: Expression, hexBytes: Int = 6)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = n
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash48"
+
+  override def nullSafeEval(arr: Any, nAny: Any): Any = {
+    val tokens = arr.asInstanceOf[ArrayData]
+    val ng = nAny.asInstanceOf[Int]
+    val count = tokens.numElements()
+    if (count < ng) return new GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = Array.tabulate(count)(i => tokens.getUTF8String(i))
+    val out = new Array[Long](count - ng + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= count - ng) {
+      sb.setLength(0)
+      var j = 0
+      while (j < ng) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      // first 2*hexBytes hex digits, big-endian (12 hex = 48-bit default)
+      var hv = 0L
+      var b = 0
+      while (b < hexBytes) {
+        hv = (hv << 8) | (digest(b) & 0xffL)
+        b += 1
+      }
+      out(i) = hv
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, n = newRight)
+}

@@ -33,8 +33,7 @@ object TextOps2 {
       val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 7)
       t(s, d, "documents")
         .select($"doc_id", TextFns.tokens($"text").as("tk"))
-        .select($"doc_id", posexplode(TextFns.shinglePositions($"tk", 3)).as(Seq("pos", "sh")))
-        .select($"doc_id", $"pos", TextFns.hash48($"sh").as("hv"))
+        .select($"doc_id", posexplode(TextFns.shingleHashes48($"tk", 3)).as(Seq("pos", "hv")))
         .withColumn("wmin", min($"hv").over(w))
         .select($"doc_id", $"wmin".as("fingerprint"))
         .distinct()
