@@ -17,7 +17,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_topn", "q_window_rownum", "q_window_running",
     "q_events_sessionize", "q_dedup_exact", "q_minhash_lsh_pairs",
-    "q_jaccard_pairs", "q_simhash", "q_cosine_topk", "q_nearest_centroid")
+    "q_jaccard_pairs", "q_simhash", "q_cosine_topk", "q_nearest_centroid",
+    "q_asof_join", "q_range_join", "q_winnow")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

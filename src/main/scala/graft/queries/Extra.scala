@@ -120,6 +120,39 @@ object Extra {
          |FROM orders JOIN avgs ON o_custkey = k
          |WHERE o_totalprice > avg_price ORDER BY o_orderkey""".stripMargin),
 
+    // conditional-aggregation pivot (status columns per priority).
+    q("q_pivot")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot($"o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select($"o_orderpriority",
+            coalesce($"F", lit(0L)).as("n_f"),
+            coalesce($"O", lit(0L)).as("n_o"),
+            coalesce($"P", lit(0L)).as("n_p"))
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // fixed-width histogram over order totals.
+    q("q_histogram")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy(floor($"o_totalprice" / 50000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"), decSum($"o_totalprice").as("total"))
+          .orderBy($"bucket")
+      },
+      s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         |COUNT(*) AS n, ${decSumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+
     // median (interpolated) per segment — decimal-cast for determinism.
     q("q_median")(
       (s, d) => {
