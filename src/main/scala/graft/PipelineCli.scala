@@ -30,8 +30,10 @@ object PipelineCli {
 
     val catalog = new RunCatalog(spark, s"$workDir/catalog")
     val runner = new PipelineRunner(spark, catalog, workDir)
+    val t0 = System.nanoTime()
     val res = runner.run(source)
-    println(s"run=${res.runId} status=${res.status} rows=${res.rowsPerStep}")
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"run=${res.runId} status=${res.status} seconds=$secs%.2f rows=${res.rowsPerStep}")
     catalog.steps(res.runId)
       .select("step_number", "step_name", "status", "rows_affected").show(false)
     MergeWriter.readTarget(spark, runner.targetDir).foreach { t =>

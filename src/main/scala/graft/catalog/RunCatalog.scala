@@ -12,11 +12,12 @@ import graft.model.{LogEntry, PipelineRun, StepRun}
 /** Run-control catalog (SURVEY.md §1.1 control tables, §2.2 K3/K4,
   * §2.8 query surface).
   *
-  * Driver-side metadata store: runs/steps/logs as parquet append
-  * tables under a work dir. This is deliberately NOT a distributed
-  * dataset — catalog rows are tiny and written by the driver; only the
-  * *queries* over them are Spark plans (so the same API works when the
-  * catalog grows to millions of runs).
+  * Driver-side metadata store: runs/steps/logs as NDJSON append logs
+  * under a work dir. Writes are plain driver-side file appends
+  * (microseconds — the reference's DB-write equivalent; a Spark write
+  * job per status transition cost seconds of fixed overhead per run);
+  * only the *queries* over the stores are Spark plans, so the same API
+  * works when the catalog grows to millions of runs.
   *
   * RunNumber is a driver-side synchronized counter persisted to a file
   * (§2.6 A2 — the reference's `MAX+1` SQL pattern is racy; a real
@@ -31,7 +32,16 @@ class RunCatalog(spark: SparkSession, val dir: String,
   private val logsDir  = s"$dir/pipeline_logs"
   private val seqFile  = Paths.get(dir, "_run_number")
 
-  Files.createDirectories(Paths.get(dir))
+  Seq(runsDir, stepsDir, logsDir).foreach(d => Files.createDirectories(Paths.get(d)))
+
+  private val runsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "run_id STRING, run_number BIGINT, pipeline_name STRING, status STRING, " +
+      "started_at TIMESTAMP, finished_at TIMESTAMP")
+  private val stepsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "run_id STRING, step_number INT, step_name STRING, status STRING, " +
+      "rows_affected BIGINT, error_message STRING, started_at TIMESTAMP, finished_at TIMESTAMP")
+  private val logsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "run_id STRING, log_at TIMESTAMP, level STRING, step_number INT, message STRING, details STRING")
 
   val stepNames: Seq[String] = Seq("Data Pull", "Extract", "Transform", "Migrate")
 
@@ -43,24 +53,62 @@ class RunCatalog(spark: SparkSession, val dir: String,
     n
   }
 
-  // one writer at a time per catalog: concurrent appends to the same
-  // parquet dir race on the committer's shared _temporary staging dir
-  // (the runner's logger vs the progress flusher, §2.10 C3)
+  // one writer at a time per catalog (the runner's logger vs the
+  // progress flusher, §2.10 C3); appends are atomic whole-file creates
   private val writeLock = new Object
 
-  private def append[T <: Product : org.apache.spark.sql.Encoder](rows: Seq[T], path: String): Unit =
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def jts(t: Timestamp): String =
+    jstr(java.time.format.DateTimeFormatter.ISO_INSTANT.format(t.toInstant))
+
+  private def jsonLines(rows: Seq[Map[String, Option[String]]], dirPath: String): Unit =
     writeLock.synchronized {
-      rows.toDS().coalesce(1).write.mode("append").parquet(path)
+      val body = rows.map(_.collect { case (k, Some(v)) => s"${jstr(k)}:$v" }
+        .mkString("{", ",", "}")).mkString("", "\n", "\n")
+      Files.writeString(
+        Paths.get(dirPath, s"append-${System.nanoTime}-${UUID.randomUUID().toString.take(8)}.json"),
+        body, java.nio.file.StandardOpenOption.CREATE_NEW)
     }
+
+  private def readStore(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+      .json(path)
+
+  private def runRow(r: PipelineRun): Map[String, Option[String]] = Map(
+    "run_id" -> Some(jstr(r.run_id)), "run_number" -> Some(r.run_number.toString),
+    "pipeline_name" -> Some(jstr(r.pipeline_name)), "status" -> Some(jstr(r.status)),
+    "started_at" -> Some(jts(r.started_at)), "finished_at" -> r.finished_at.map(jts))
+
+  private def stepRow(r: StepRun): Map[String, Option[String]] = Map(
+    "run_id" -> Some(jstr(r.run_id)), "step_number" -> Some(r.step_number.toString),
+    "step_name" -> Some(jstr(r.step_name)), "status" -> Some(jstr(r.status)),
+    "rows_affected" -> Some(r.rows_affected.toString),
+    "error_message" -> r.error_message.map(jstr),
+    "started_at" -> r.started_at.map(jts), "finished_at" -> r.finished_at.map(jts))
+
+  private def logRow(r: LogEntry): Map[String, Option[String]] = Map(
+    "run_id" -> Some(jstr(r.run_id)), "log_at" -> Some(jts(r.log_at)),
+    "level" -> Some(jstr(r.level)), "step_number" -> Some(r.step_number.toString),
+    "message" -> Some(jstr(r.message)), "details" -> r.details.map(jstr))
 
   /** Create run header (Running) + one Pending step row per step
     * (reference `orchestrator/index.js:32-51`).
     */
   def startRun(pipelineName: String): String = {
     val runId = UUID.randomUUID().toString
-    append(Seq(PipelineRun(runId, nextRunNumber(), pipelineName, "Running", now(), None)), runsDir)
-    append(stepNames.zipWithIndex.map { case (name, i) =>
-      StepRun(runId, i + 1, name, "Pending", 0L, None, None, None)
+    jsonLines(Seq(runRow(PipelineRun(runId, nextRunNumber(), pipelineName, "Running", now(), None))), runsDir)
+    jsonLines(stepNames.zipWithIndex.map { case (name, i) =>
+      stepRow(StepRun(runId, i + 1, name, "Pending", 0L, None, None, None))
     }, stepsDir)
     runId
   }
@@ -73,17 +121,17 @@ class RunCatalog(spark: SparkSession, val dir: String,
   def updateStep(runId: String, stepNumber: Int, status: String,
                  rowsAffected: Long = 0L, error: Option[String] = None): Unit = {
     val ts = Some(now())
-    append(Seq(StepRun(runId, stepNumber, stepNames(stepNumber - 1), status, rowsAffected,
+    jsonLines(Seq(stepRow(StepRun(runId, stepNumber, stepNames(stepNumber - 1), status, rowsAffected,
       error, if (status == "Running") ts else None,
-      if (status == "Success" || status == "Failed" || status == "Cancelled") ts else None)), stepsDir)
+      if (status == "Success" || status == "Failed" || status == "Cancelled") ts else None))), stepsDir)
   }
 
   def finishRun(runId: String, status: String): Unit =
-    append(Seq(PipelineRun(runId, -1L, "", status, now(), Some(now()))), runsDir)
+    jsonLines(Seq(runRow(PipelineRun(runId, -1L, "", status, now(), Some(now())))), runsDir)
 
   def log(runId: String, level: String, stepNumber: Int, message: String,
           details: Option[String] = None): Unit =
-    append(Seq(LogEntry(runId, now(), level, stepNumber, message, details)), logsDir)
+    jsonLines(Seq(logRow(LogEntry(runId, now(), level, stepNumber, message, details))), logsDir)
 
   // ---- query surface (§2.8) -------------------------------------------
 
@@ -100,7 +148,7 @@ class RunCatalog(spark: SparkSession, val dir: String,
   }
 
   def runs(): DataFrame = {
-    val raw = spark.read.parquet(runsDir)
+    val raw = readStore(runsDir, runsSchema)
     // resolve append-log: the run header carries run_number/name; the
     // finish marker (run_number = -1) carries final status + finished_at
     val headers = raw.filter($"run_number" > 0)
@@ -111,7 +159,7 @@ class RunCatalog(spark: SparkSession, val dir: String,
   }
 
   def steps(runId: String): DataFrame =
-    latestPerKey(spark.read.parquet(stepsDir).filter($"run_id" === runId),
+    latestPerKey(readStore(stepsDir, stepsSchema).filter($"run_id" === runId),
       Seq("run_id", "step_number"))
       .orderBy($"step_number") // O3
 
@@ -126,7 +174,7 @@ class RunCatalog(spark: SparkSession, val dir: String,
   /** GET /logs — filters + capped top-N newest (O2: default 500, max 2000). */
   def listLogs(runId: Option[String] = None, level: Option[String] = None,
                limit: Int = 500): DataFrame = {
-    var df = spark.read.parquet(logsDir)
+    var df = readStore(logsDir, logsSchema)
     runId.foreach(r => df = df.filter($"run_id" === r))
     level.foreach(l => df = df.filter($"level" === l))
     df.orderBy($"log_at".desc).limit(math.min(limit, 2000))
@@ -141,7 +189,7 @@ class RunCatalog(spark: SparkSession, val dir: String,
 
   /** A4 status rollup across steps + C5 timeout sweep predicate. */
   def runStatusRollup(): DataFrame = {
-    val s = latestPerKey(spark.read.parquet(stepsDir), Seq("run_id", "step_number"))
+    val s = latestPerKey(readStore(stepsDir, stepsSchema), Seq("run_id", "step_number"))
     s.groupBy($"run_id").agg(
       min($"started_at").as("started"),
       max($"finished_at").as("finished"),

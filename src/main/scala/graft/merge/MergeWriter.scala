@@ -60,11 +60,17 @@ object MergeWriter {
       .drop("_rn", orderCol)
       .withColumn("migrated_at", current_timestamp())
 
+    // affected count (size of the deduped update batch, the reference's
+    // MERGE @@ROWCOUNT) rides on the snapshot-write job via an
+    // Observation — no separate counting pass
+    val obs = new org.apache.spark.sql.Observation()
+    val dedupedObs = deduped.observe(obs, count(lit(1)).as("n_updates"))
+
     val merged = readTarget(spark, targetDir) match {
-      case None => deduped
+      case None => dedupedObs
       case Some(target) =>
         val t = target.as("t")
-        val u = deduped.as("u")
+        val u = dedupedObs.as("u")
         val outCols =
           coalesce(col(s"u.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
           dataCols.map(c => coalesce(col(s"u.$c"), col(s"t.$c")).as(c)).toSeq :+
@@ -73,16 +79,29 @@ object MergeWriter {
           .select(outCols: _*)
     }
 
-    val affected = deduped.count()
     val next = currentVersion(targetDir) + 1
     merged.write.mode("overwrite").parquet(s"$targetDir/v$next")
 
-    // atomic pointer swap: write-tmp + ATOMIC_MOVE rename
+    // atomic pointer swap: write-tmp + ATOMIC_MOVE rename (before any
+    // metric resolution — the snapshot is live once written)
     val tmp = Paths.get(targetDir, s"_CURRENT.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointerFile(targetDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    affected
+
+    // non-blocking metric fetch: inside foreachBatch the observation
+    // machinery misbehaves (no listener event, or a schemaless metrics
+    // row that NPEs getOrEmpty) — poll briefly and treat ANY failure as
+    // absent, then fall back to counting the batch
+    import org.apache.spark.sql.graftbridge.ColumnBridge.observedMetrics
+    def safeMetrics: Map[String, Any] =
+      scala.util.Try(observedMetrics(obs)).getOrElse(Map.empty)
+    val deadline = System.currentTimeMillis + 500
+    var metrics = safeMetrics
+    while (metrics.isEmpty && System.currentTimeMillis < deadline) {
+      Thread.sleep(50); metrics = safeMetrics
+    }
+    metrics.get("n_updates").map(_.asInstanceOf[Long]).getOrElse(deduped.count())
   }
 
   /** Retention: drop snapshots older than the newest `keep` versions.

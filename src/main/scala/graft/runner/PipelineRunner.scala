@@ -69,33 +69,42 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, workDir: String) 
             else Ingest.readCsv(spark, sourcePath, runId)
           Ingest.writeLanding(df, landingDir)
         }),
+        // clean rows write in ONE pass with counts riding on an
+        // Observation; the rejects write (a cheap filtered re-read)
+        // only runs when the observed reject count is non-zero.
         "Extract" -> (() => {
-          val extracted = Extract.extract(Ingest.readStage(spark, landingDir, runId)).cache()
-          val nRej = Extract.rejects(extracted).count()
+          val obs = new org.apache.spark.sql.Observation()
+          Extract.clean(
+            Extract.extract(Ingest.readStage(spark, landingDir, runId))
+              .observe(obs,
+                sum(when(col("reject_reason").isNotNull, 1L).otherwise(0L)).as("n_rej"),
+                sum(when(col("reject_reason").isNull, 1L).otherwise(0L)).as("n_clean")))
+            .write.mode("append").partitionBy("run_id").parquet(stagingDir)
+          val nRej = Option(obs.get("n_rej")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
           if (nRej > 0) {
-            Extract.rejects(extracted).withColumn("rejected_in", lit("Extract"))
+            Extract.rejects(Extract.extract(Ingest.readStage(spark, landingDir, runId)))
+              .withColumn("rejected_in", lit("Extract"))
               .write.mode("append").partitionBy("run_id").parquet(rejectsDir)
             catalog.log(runId, "Warning", 2, s"$nRej rows rejected", Some("see rejected_orders"))
           }
-          val out = Extract.clean(extracted)
-          out.write.mode("append").partitionBy("run_id").parquet(stagingDir)
-          val n = out.count()
-          extracted.unpersist()
-          n
+          Option(obs.get("n_clean")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
         }),
         "Transform" -> (() => {
-          val transformed = Transform.transform(Ingest.readStage(spark, stagingDir, runId)).cache()
-          val nRej = Transform.rejects(transformed).count()
+          val obs = new org.apache.spark.sql.Observation()
+          Transform.clean(
+            Transform.transform(Ingest.readStage(spark, stagingDir, runId))
+              .observe(obs,
+                sum(when(col("reject_reason").isNotNull, 1L).otherwise(0L)).as("n_rej"),
+                sum(when(col("reject_reason").isNull, 1L).otherwise(0L)).as("n_clean")))
+            .write.mode("append").partitionBy("run_id").parquet(transDir)
+          val nRej = Option(obs.get("n_rej")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
           if (nRej > 0) {
-            Transform.rejects(transformed).withColumn("rejected_in", lit("Transform"))
+            Transform.rejects(Transform.transform(Ingest.readStage(spark, stagingDir, runId)))
+              .withColumn("rejected_in", lit("Transform"))
               .write.mode("append").partitionBy("run_id").parquet(rejectsDir)
             catalog.log(runId, "Warning", 3, s"$nRej rows rejected (negative amount)", None)
           }
-          val out = Transform.clean(transformed)
-          out.write.mode("append").partitionBy("run_id").parquet(transDir)
-          val n = out.count()
-          transformed.unpersist()
-          n
+          Option(obs.get("n_clean")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
         }),
         "Migrate" -> (() => {
           val updates = Ingest.readStage(spark, transDir, runId)

@@ -71,14 +71,14 @@ object Ingest {
   }
 
   /** Append to the landing store partitioned by run_id (K1) so
-    * run-scoped reads (S4) become partition pruning.
+    * run-scoped reads (S4) become partition pruning. The row count
+    * rides on the write job via an Observation — no second pass.
     */
   def writeLanding(df: DataFrame, landingDir: String): Long = {
-    val out = df.cache()
-    val n = out.count()
-    out.write.mode("append").partitionBy("run_id").parquet(landingDir)
-    out.unpersist()
-    n
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("run_id").parquet(landingDir)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Run-scoped stage scan (S4): partition-pruned read. */

@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking Observation read (`getOrEmpty` is private[spark]).
+    * Empty until the observed action's listener has fired — and it
+    * never fires for actions run inside foreachBatch, where callers
+    * must fall back to a count.
+    */
+  def observedMetrics(o: org.apache.spark.sql.Observation): Map[String, Any] =
+    o.getOrEmpty
 }
