@@ -23,11 +23,21 @@ object Extract {
   private def emptyToNull(c: Column): Column =
     when(trim(c) === "", null).otherwise(trim(c))
 
+  /** Accepted order_date formats, tried in order (§2.9 #4: strict ISO
+    * first, configurable list after).
+    */
+  val DefaultDateFormats: Seq[String] = Seq("yyyy-MM-dd", "yyyy/MM/dd", "MM/dd/yyyy")
+
+  private def tryDateMulti(c: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(f => try_to_date(c, f)): _*)
+
   /** E1-E7 on a landing frame. Output = staging columns + `reject_reason`
     * (null = clean). Callers split on it: clean rows → staging,
     * reject rows → the rejects store.
     */
-  def extract(landing: DataFrame): DataFrame =
+  def extract(landing: DataFrame): DataFrame = extract(landing, DefaultDateFormats)
+
+  def extract(landing: DataFrame, dateFormats: Seq[String]): DataFrame =
     landing
       // E5: reject-blank-key filter (row dropped entirely, not rejected —
       // reference `003_sp_extract.sql:24` excludes them from the insert).
@@ -37,7 +47,7 @@ object Extract {
         trim(col("order_id")).as("order_id"),                                   // E1
         coalesce(emptyToNull(col("customer_id")), lit("UNKNOWN")).as("customer_id"), // E2+E6
         expr("try_cast(trim(amount) as decimal(18,2))").as("amount"),           // E3
-        expr("try_to_date(trim(order_date))").as("order_date"),                 // E4
+        tryDateMulti(trim(col("order_date")), dateFormats).as("order_date"),    // E4
         current_timestamp().as("extracted_at"))                                 // E7 projection
       .withColumn("reject_reason",
         when(col("amount").isNull, "unparseable_amount")

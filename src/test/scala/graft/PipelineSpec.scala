@@ -140,4 +140,38 @@ class PipelineSpec extends SparkSpec {
     // HLL with default rsd 5%: sanity band, not exactness
     rows.foreach { case (approx, _) => assert(approx > 0) }
   }
+
+  test("quoted CSV fields with embedded commas and single-object JSON are ingested") {
+    val (_, _, runner) = freshDirs()
+    val quoted = writeFixture("quoted.csv",
+      "OrderId,CustomerId,Amount,OrderDate\n\"ORD-Q1\",\"C, with comma\",10,2024-01-01\n")
+    val res = runner.run(quoted)
+    assert(res.status == "Success" && res.rowsPerStep("Data Pull") == 1)
+    val t1 = MergeWriter.readTarget(spark, runner.targetDir).get
+    assert(t1.filter($"order_id" === "ORD-Q1").select($"customer_id").as[String].head() == "C, with comma")
+
+    // single top-level object (not array) coerced to one record
+    val single = writeFixture("one.json",
+      """{"OrderId":"ORD-ONE","CustomerId":"C9","Amount":42.0,"OrderDate":"2024-03-03"}""")
+    val r2 = runner.run(single)
+    assert(r2.status == "Success" && r2.rowsPerStep("Data Pull") == 1)
+  }
+
+  test("extract accepts the configured date-format list") {
+    import graft.ops.Extract
+    val landing = Seq(
+      ("D1", "C", "1", "2024-01-31"),
+      ("D2", "C", "1", "2024/02/29"),
+      ("D3", "C", "1", "03/15/2024"),
+      ("D4", "C", "1", "31-01-2024")).toDF("order_id", "customer_id", "amount", "order_date")
+      .withColumn("run_id", lit("r")).withColumn("source_type", lit("CSV"))
+      .withColumn("raw_payload", lit("{}")).withColumn("loaded_at", current_timestamp())
+    val out = Extract.extract(landing)
+      .select($"order_id", $"order_date".cast("string"), $"reject_reason").collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(out("D1") == (Some("2024-01-31"), None))
+    assert(out("D2") == (Some("2024-02-29"), None))
+    assert(out("D3") == (Some("2024-03-15"), None))
+    assert(out("D4") == (None, Some("unparseable_date")))
+  }
 }
