@@ -222,6 +222,34 @@ object TextOps {
          |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin),
 
+    // End-to-end dedup decision: near-dup clusters from LSH (est_sim ≥
+    // 0.5) resolved min-id-wins — the drop list a training pipeline
+    // actually consumes.
+    q("q_dedup_decision")(
+      (s, d) => {
+        import s.implicits._
+        val sig = Dedup.minhashSignatures(nearDupCorpus(s, d), "doc_id", "text", K)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5)
+        pairs.select($"id_b".as("drop_id"), $"id_a".as("keep_candidate"))
+          .groupBy($"drop_id")
+          .agg(min($"keep_candidate").as("kept_for"), count(lit(1)).as("n_links"))
+          .orderBy($"drop_id")
+      },
+      s"""WITH $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5)
+         |SELECT id_b AS drop_id, MIN(id_a) AS kept_for, COUNT(*) AS n_links
+         |FROM pairs GROUP BY id_b ORDER BY drop_id""".stripMargin),
+
     // 48-bit SimHash (portable md5-derived bit votes).
     q("q_simhash")(
       (s, d) => {
