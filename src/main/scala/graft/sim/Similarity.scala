@@ -58,25 +58,32 @@ object Similarity {
     * the bucket key (one shuffle), recall is tunable via nPlanes
     * (fewer planes → bigger buckets → higher recall, more compute).
     */
+  /** Deterministic pseudo-random hyperplanes in [-0.5, 0.5), one set
+    * per table (multi-table LSH: recall ≈ 1-(1-p^bits)^tables).
+    */
+  private def srpPlane(t: Int, p: Int, dim: Int): Array[Float] = Array.tabulate(dim) { i =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"table-$t-plane-$p-dim-$i".getBytes("UTF-8"))
+    (java.lang.Byte.toUnsignedInt(h(0)) * 256 + java.lang.Byte.toUnsignedInt(h(1))) / 65536.0f - 0.5f
+  }
+
+  private def srpSignature(t: Int, vec: Column, bitsPerTable: Int, dim: Int): Column =
+    (0 until bitsPerTable).map { p =>
+      val planeCol = array(srpPlane(t, p, dim).map(v => lit(v)): _*).cast("array<float>")
+      when(VectorFns.dot(planeCol, vec) >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _) + lit(t.toLong << 32) // disjoint bucket space per table
+
+  private def srpBucketed(df: DataFrame, id: String, vec: String,
+                          nTables: Int, bitsPerTable: Int, dim: Int): DataFrame =
+    df.select(col(id), col(vec),
+      explode(array((0 until nTables).map(t =>
+        srpSignature(t, col(vec), bitsPerTable, dim)): _*)).as("bucket"))
+
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
-    // deterministic pseudo-random hyperplanes in [-0.5, 0.5), one set
-    // per table (multi-table LSH: recall ≈ 1-(1-p^bits)^tables)
-    def plane(t: Int, p: Int): Array[Float] = Array.tabulate(dim) { i =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"table-$t-plane-$p-dim-$i".getBytes("UTF-8"))
-      (java.lang.Byte.toUnsignedInt(h(0)) * 256 + java.lang.Byte.toUnsignedInt(h(1))) / 65536.0f - 0.5f
-    }
-    def signature(t: Int, vec: Column): Column =
-      (0 until bitsPerTable).map { p =>
-        val planeCol = array(plane(t, p).map(v => lit(v)): _*).cast("array<float>")
-        when(VectorFns.dot(planeCol, vec) >= 0, lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _) + lit(t.toLong << 32) // disjoint bucket space per table
-
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id), col(vec),
-        explode(array((0 until nTables).map(t => signature(t, col(vec))): _*)).as("bucket"))
+      srpBucketed(df, id, vec, nTables, bitsPerTable, dim)
 
     val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), "id", "vec")
     val q = bucketed(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_id", "q_vec")
@@ -90,9 +97,28 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Near-dup pairs via LSH blocking — the scale path: candidates are
+    * pairs sharing any SRP bucket (near-identical vectors share ALL
+    * buckets, so recall at high thresholds ≈ 1), verified by exact
+    * cosine. Work ∝ bucket collisions, not |corpus|².
+    */
+  def nearDupPairsLSH(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double,
+                      nTables: Int = 8, bitsPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val b = srpBucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      "id", "vec", nTables, bitsPerTable, dim)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("a.vec").as("va"),
+        col("b.id").as("vec_b"), col("b.vec").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), VectorFns.cosineR(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold.
     * Correctness-scale implementation is the exact all-pairs join;
-    * at 100 TB the LSH/IVF cell assignment above bounds the pair set.
+    * at 100 TB [[nearDupPairsLSH]] bounds the pair set.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {

@@ -122,4 +122,19 @@ class DedupSimSpec extends SparkSpec {
     // query's true nearest neighbor lands in its bucket
     assert(lshTop.exists { case (qid, ids) => bruteTop1.get(qid).exists(ids.contains) })
   }
+
+  test("LSH near-dup pairs find all planted copies that exact search finds") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = e.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = e.union(planted)
+    val exact = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.999)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLSH(corpus, "vec_id", "embedding", 0.999)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 10)
+    // exact copies share every bucket, so LSH recall at 0.999 is total
+    assert(lsh == exact)
+  }
 }
