@@ -29,7 +29,12 @@ object ServeCli {
 
     val catalog = new RunCatalog(spark, s"$workDir/catalog")
     val runner = new PipelineRunner(spark, catalog, workDir)
-    val api = new ApiServer(catalog, runner, s"$workDir/uploads", port).start()
+    val progress = new graft.runner.ProgressListener(catalog)
+    spark.sparkContext.addSparkListener(progress)
+    val schedules = new graft.scheduler.ScheduleRunner(
+      s"$workDir/schedules", sc => runner.run(sc.sourcePath, sc.name)).start()
+    val api = new ApiServer(catalog, runner, s"$workDir/uploads", port,
+      Some(schedules), Some(progress)).start()
     println(s"graft api listening on http://127.0.0.1:${api.boundPort}")
     Thread.currentThread().join()
   }

@@ -28,7 +28,9 @@ import graft.runner.PipelineRunner
   * design: the API reads what the background run writes).
   */
 class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
-                uploadDir: String, port: Int = 0) {
+                uploadDir: String, port: Int = 0,
+                schedules: Option[graft.scheduler.ScheduleRunner] = None,
+                progress: Option[graft.runner.ProgressListener] = None) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
   private val MaxUploadBytes = 10 * 1024 * 1024
@@ -100,6 +102,35 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
       case ("POST", List("runs", id, "cancel")) =>
         runner.cancel(id)
         respond(x, 202, s"""{"runId":"$id","status":"cancel requested"}""")
+      case ("GET", List("runs", id, "progress")) =>
+        val n = progress.map(_.recordsProcessed(id)).getOrElse(0L)
+        respond(x, 200, s"""{"runId":"$id","recordsProcessed":$n}""")
+      // schedule CRUD (C6 — reference ApiServlet schedules endpoints)
+      case ("GET", List("schedules")) =>
+        val rows = schedules.map(_.list()).getOrElse(Seq.empty).map { sc =>
+          s"""{"scheduleId":"${sc.scheduleId}","name":"${sc.name}","scheduleType":"${sc.scheduleType}",""" +
+            s""""runAtTime":"${sc.runAtTime}","enabled":${sc.enabled},""" +
+            s""""nextRunAt":${sc.nextRunAt.map(v => "\"" + v + "\"").getOrElse("null")}}"""
+        }
+        respond(x, 200, rows.mkString("[", ",", "]"))
+      case ("POST", List("schedules")) =>
+        (schedules, q.get("name"), q.get("scheduleType"), q.get("runAtTime"), q.get("sourcePath")) match {
+          case (Some(sr), Some(n), Some(st), Some(at), Some(sp)) =>
+            val sc = sr.create(n, st, at,
+              q.get("dayOfWeek").map(_.toInt).getOrElse(0),
+              q.get("dayOfMonth").map(_.toInt).getOrElse(1), sp)
+            respond(x, 201, s"""{"scheduleId":"${sc.scheduleId}"}""")
+          case _ => respond(x, 400, """{"error":"name, scheduleType, runAtTime, sourcePath required"}""")
+        }
+      case ("POST", List("schedules", id, "enable")) =>
+        schedules.foreach(_.setEnabled(id, enabled = true))
+        respond(x, 200, s"""{"scheduleId":"$id","enabled":true}""")
+      case ("POST", List("schedules", id, "disable")) =>
+        schedules.foreach(_.setEnabled(id, enabled = false))
+        respond(x, 200, s"""{"scheduleId":"$id","enabled":false}""")
+      case ("POST", List("schedules", id, "delete")) =>
+        schedules.foreach(_.delete(id))
+        respond(x, 200, s"""{"scheduleId":"$id","deleted":true}""")
       case ("POST", List("admin", "sweep-timeouts")) =>
         val swept = catalog.sweepTimeouts(q.get("hours").map(_.toInt).getOrElse(6))
         respond(x, 200, s"""{"swept":${swept.size}}""")

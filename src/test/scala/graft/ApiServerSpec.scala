@@ -62,4 +62,34 @@ class ApiServerSpec extends SparkSpec {
       assert(post(s"$base/admin/sweep-timeouts?hours=6").statusCode() == 200)
     } finally api.stop()
   }
+
+  test("schedule CRUD and progress endpoints") {
+    val work = Files.createTempDirectory("graft_api2").toString
+    val catalog = new RunCatalog(spark, s"$work/catalog")
+    val runner = new PipelineRunner(spark, catalog, work)
+    val sr = new graft.scheduler.ScheduleRunner(s"$work/schedules", _ => ())
+    val api = new ApiServer(catalog, runner, s"$work/uploads",
+      schedules = Some(sr), progress = Some(new graft.runner.ProgressListener(catalog))).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val created = post(s"$base/schedules?name=nightly&scheduleType=daily&runAtTime=09:30&sourcePath=/tmp/x.csv")
+      assert(created.statusCode() == 201)
+      val id = created.body().split("\"")(3)
+
+      val listed = get(s"$base/schedules")
+      assert(listed.statusCode() == 200 && listed.body().contains("nightly")
+        && listed.body().contains("\"enabled\":true"))
+
+      assert(post(s"$base/schedules/$id/disable").statusCode() == 200)
+      assert(get(s"$base/schedules").body().contains("\"enabled\":false"))
+      assert(post(s"$base/schedules/$id/enable").statusCode() == 200)
+      assert(post(s"$base/schedules/$id/delete").statusCode() == 200)
+      assert(get(s"$base/schedules").body() == "[]")
+
+      assert(post(s"$base/schedules?name=incomplete").statusCode() == 400)
+
+      val prog = get(s"$base/runs/some-run/progress")
+      assert(prog.statusCode() == 200 && prog.body().contains("\"recordsProcessed\":0"))
+    } finally api.stop()
+  }
 }
