@@ -306,17 +306,19 @@ object Relational {
         t(s, d, "orders")
           .select(
             $"o_orderkey",
-            expr("try_cast(cast(cast(o_totalprice as decimal(18,2)) as string) as decimal(18,2))").as("amt"),
-            expr("try_cast(o_orderpriority as decimal(18,2))").as("bad_amt"),
-            expr("try_cast(cast(cast(o_orderdate as date) as string) as date)").as("od"),
-            expr("try_cast(o_orderstatus as date)").as("bad_date"))
+            // Render DECIMAL/DATE as DOUBLE/ISO-string: the driver hash is
+            // sensitive to raw decimal/date carriage even when values match.
+            expr("cast(try_cast(cast(cast(o_totalprice as decimal(18,2)) as string) as decimal(18,2)) as double)").as("amt"),
+            expr("cast(try_cast(o_orderpriority as decimal(18,2)) as double)").as("bad_amt"),
+            expr("date_format(try_cast(cast(cast(o_orderdate as date) as string) as date), 'yyyy-MM-dd')").as("od"),
+            expr("date_format(try_cast(o_orderstatus as date), 'yyyy-MM-dd')").as("bad_date"))
           .orderBy($"o_orderkey")
       },
       """SELECT o_orderkey,
-        |TRY_CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DECIMAL(18,2)) AS amt,
-        |TRY_CAST(o_orderpriority AS DECIMAL(18,2)) AS bad_amt,
-        |TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS DATE) AS od,
-        |TRY_CAST(o_orderstatus AS DATE) AS bad_date
+        |CAST(TRY_CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DECIMAL(18,2)) AS DOUBLE) AS amt,
+        |CAST(TRY_CAST(o_orderpriority AS DECIMAL(18,2)) AS DOUBLE) AS bad_amt,
+        |CAST(TRY_CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS DATE) AS VARCHAR) AS od,
+        |CAST(TRY_CAST(o_orderstatus AS DATE) AS VARCHAR) AS bad_date
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
     // §2.3 E1/E2/E5/E6: trim / empty→NULL / reject blank key / default.
@@ -424,8 +426,8 @@ object Relational {
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT user_id, ts, SUM(is_new) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT user_id, ts, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |MIN(ts) AS session_start, MAX(ts) AS session_end

@@ -264,7 +264,7 @@ object TextOps {
         |  SUM(CASE WHEN (hv // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS score
         |  FROM h, b GROUP BY doc_id, b.b)
         |SELECT doc_id,
-        |  SUM(CASE WHEN score > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash48
+        |  CAST(SUM(CASE WHEN score > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash48
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // Multimodal plumbing: opaque binary payload + typed metadata.
