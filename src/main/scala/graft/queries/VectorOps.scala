@@ -83,6 +83,29 @@ object VectorOps {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS sim
          |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // Same semantics, LSH-blocked candidate generation — the 100-TB
+    // path (work ∝ bucket collisions, not |corpus|²). At threshold
+    // 0.999 a qualifying pair is near-parallel: the chance any of 8
+    // independent 4-bit SRP tables separates it is ≈ 1e-10, so the
+    // result is identical to the exhaustive all-pairs oracle.
+    q("q_embed_neardup_lsh")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings").select($"vec_id", $"embedding")
+        val planted = e.filter($"vec_id" < 20)
+          .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+        Similarity.nearDupPairsLSH(e.union(planted), "vec_id", "embedding", 0.999)
+          .orderBy($"vec_a", $"vec_b")
+      },
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.999
          |ORDER BY vec_a, vec_b""".stripMargin)
   )
 
