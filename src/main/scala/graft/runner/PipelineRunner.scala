@@ -132,10 +132,15 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, workDir: String) 
       RunResult(runId, "Success", rows.toMap)
     } catch {
       case e: Throwable =>
-        catalog.updateStep(runId, step, "Failed", 0L, Some(e.getMessage))
-        catalog.finishRun(runId, "Failed")
-        catalog.log(runId, "Error", step, "step failed", Some(String.valueOf(e.getMessage)))
-        RunResult(runId, "Failed", rows.toMap)
+        // A cancel() mid-stage interrupts the Spark job and surfaces
+        // here as an exception — record Cancelled, not Failed
+        // (reference java_code PipelineRunner.java:205-210).
+        val status = if (cancelled.contains(runId)) "Cancelled" else "Failed"
+        catalog.updateStep(runId, step, status, 0L, Some(String.valueOf(e.getMessage)))
+        catalog.finishRun(runId, status)
+        val (lvl, msg) = if (status == "Cancelled") ("Warning", "run cancelled") else ("Error", "step failed")
+        catalog.log(runId, lvl, step, msg, Some(String.valueOf(e.getMessage)))
+        RunResult(runId, status, rows.toMap)
     } finally {
       spark.sparkContext.clearJobGroup()
       cancelled.remove(runId)

@@ -157,6 +157,31 @@ class PipelineSpec extends SparkSpec {
     assert(r2.status == "Success" && r2.rowsPerStep("Data Pull") == 1)
   }
 
+  test("cancel during a running stage records Cancelled, not Failed (C4)") {
+    val (_, cat, runner) = freshDirs()
+    // Big enough that the run is still in flight when cancel lands.
+    val f = Files.createTempDirectory("graft_cancel").resolve("big.csv")
+    val w = Files.newBufferedWriter(f)
+    w.write("OrderId,CustomerId,Amount,OrderDate\n")
+    (1 to 1500000).foreach(i => w.write(s"ORD-$i,C${i % 997},${i % 500}.25,2025-01-15\n"))
+    w.close()
+
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (runId, fut) = runner.runAsync(f.toString)
+    // Bias toward the mid-stage (exception) path: wait for step 1 to be
+    // Running before cancelling. Either path must record Cancelled.
+    val deadline = System.currentTimeMillis() + 15000
+    while (System.currentTimeMillis() < deadline &&
+      cat.steps(runId).filter($"status" === "Running").isEmpty) Thread.sleep(100)
+    runner.cancel(runId)
+    val res = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(120, "s"))
+    assert(res.status == "Cancelled")
+    val runStatus = cat.runs().filter($"run_id" === runId).select($"status").as[String].head()
+    assert(runStatus == "Cancelled")
+    val stepStatuses = cat.steps(runId).select($"status").as[String].collect().toSet
+    assert(!stepStatuses.contains("Failed"))
+  }
+
   test("extract accepts the configured date-format list") {
     import graft.ops.Extract
     val landing = Seq(
