@@ -89,19 +89,8 @@ object MergeWriter {
     Files.move(tmp, pointerFile(targetDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
-    // non-blocking metric fetch: inside foreachBatch the observation
-    // machinery misbehaves (no listener event, or a schemaless metrics
-    // row that NPEs getOrEmpty) — poll briefly and treat ANY failure as
-    // absent, then fall back to counting the batch
-    import org.apache.spark.sql.graftbridge.ColumnBridge.observedMetrics
-    def safeMetrics: Map[String, Any] =
-      scala.util.Try(observedMetrics(obs)).getOrElse(Map.empty)
-    val deadline = System.currentTimeMillis + 500
-    var metrics = safeMetrics
-    while (metrics.isEmpty && System.currentTimeMillis < deadline) {
-      Thread.sleep(50); metrics = safeMetrics
-    }
-    metrics.get("n_updates").map(_.asInstanceOf[Long]).getOrElse(deduped.count())
+    // non-blocking metric fetch with a count fallback (see Metrics)
+    graft.util.Metrics.long(obs, "n_updates", deduped.count())
   }
 
   /** Retention: drop snapshots older than the newest `keep` versions.

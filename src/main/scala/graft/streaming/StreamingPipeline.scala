@@ -26,33 +26,36 @@ class StreamingPipeline(spark: SparkSession, catalog: RunCatalog, workDir: Strin
   /** One micro-batch = one run: the batch dataframe is the landing
     * slice; steps run synchronously inside foreachBatch.
     */
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+  private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val runId = catalog.startRun(s"StreamingOrders")
     try {
-      catalog.updateStep(runId, 1, "Running")
+      // All four stages fuse into the single merge-write action; the
+      // per-stage row counts ride on Observations resolved afterwards
+      // (count fallback only if a metric never arrives) — one source
+      // scan per micro-batch instead of one per stage.
+      val (obsL, obsE, obsT) = (new org.apache.spark.sql.Observation(),
+        new org.apache.spark.sql.Observation(), new org.apache.spark.sql.Observation())
+      (1 to 4).foreach(catalog.updateStep(runId, _, "Running"))
       val landing = batch
         .withColumn("run_id", lit(runId))
         .withColumn("source_type", lit("STREAM"))
         .withColumn("raw_payload", to_json(struct(batch.columns.map(col): _*)))
         .withColumn("loaded_at", current_timestamp())
-      val n = landing.count()
-      catalog.updateStep(runId, 1, "Success", n)
-
-      catalog.updateStep(runId, 2, "Running")
+        .observe(obsL, count(lit(1)).as("n"))
       val extracted = Extract.clean(Extract.extract(landing))
-      catalog.updateStep(runId, 2, "Success", extracted.count())
-
-      catalog.updateStep(runId, 3, "Running")
+        .observe(obsE, count(lit(1)).as("n"))
       val transformed = Transform.clean(Transform.transform(extracted))
-      catalog.updateStep(runId, 3, "Success", transformed.count())
-
-      catalog.updateStep(runId, 4, "Running")
+        .observe(obsT, count(lit(1)).as("n"))
       val affected = MergeWriter.merge(spark, targetDir,
         transformed.select(col("order_id"), col("customer_id"), col("amount"),
           col("order_date"), col("amount_category"),
           monotonically_increasing_id().as("_src_order")),
         "order_id", "_src_order")
+      import graft.util.Metrics
+      catalog.updateStep(runId, 1, "Success", Metrics.long(obsL, "n", landing.count()))
+      catalog.updateStep(runId, 2, "Success", Metrics.long(obsE, "n", extracted.count()))
+      catalog.updateStep(runId, 3, "Success", Metrics.long(obsT, "n", transformed.count()))
       catalog.updateStep(runId, 4, "Success", affected)
       catalog.finishRun(runId, "Success")
     } catch {

@@ -39,6 +39,41 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(cat.listRuns(status = Some("Success")).count() == 2)
   }
 
+  test("micro-batch fuses all stages into one action (counts ride on Observations)") {
+    val work = Files.createTempDirectory("graft_spipe1").toString
+    val cat = new RunCatalog(spark, s"$work/catalog")
+    val pipe = new StreamingPipeline(spark, cat, work)
+    val batch = Seq(
+      ("S-1", "C1", "25", "2024-01-01"),
+      ("S-2", "C2", "250", "2024-01-02"),
+      ("S-3", "C3", "-5", "2024-01-03")) // rejected in Transform
+      .toDF("order_id", "customer_id", "amount", "order_date")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      pipe.processBatch(batch, 0L)
+      // listener delivery is async; wait for the count to go quiet
+      var (prev, cur) = (-1, jobs.get())
+      while (prev != cur) { Thread.sleep(300); prev = cur; cur = jobs.get() }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // isEmpty + the single fused merge-write action (AQE may split the
+    // dedup shuffle into a second job). The pre-fusion shape ran three
+    // extra per-stage count actions on top.
+    assert(jobs.get() <= 4, s"expected a fused single-action batch, saw ${jobs.get()} jobs")
+
+    val target = MergeWriter.readTarget(spark, s"$work/target_orders").get
+    assert(target.count() == 2)
+    val stepRows = cat.steps(cat.listRuns().select($"run_id").as[String].head())
+      .select($"step_number", $"rows_affected").as[(Int, Long)].collect().toMap
+    assert(stepRows == Map(1 -> 3L, 2 -> 3L, 3 -> 2L, 4 -> 2L))
+  }
+
   test("salted join and salted aggregate match their unsalted equivalents") {
     // heavy skew: 90% of rows share one key
     val skewed = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toDouble))
