@@ -1,6 +1,6 @@
 package graft.merge
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,20 +16,32 @@ import org.apache.spark.sql.expressions.Window
   *  - duplicate keys inside one batch: last-wins (SQLite behavior;
   *    T-SQL MERGE would error — dedup first is the superset behavior).
   *
-  * Implementation: versioned snapshots. The current target is
-  * `<dir>/v<N>`; a merge reads v<N>, full-outer-joins the (deduped)
-  * updates on the key, coalesces per column (updates win), writes
-  * `v<N+1>`, then atomically swaps a pointer file. Readers resolve the
-  * pointer, so a crash mid-write leaves the old version intact
-  * (last-good pointer, §7.4).
+  * Implementation: versioned, hash-bucketed snapshots. Rows live in
+  * bucket directories `v<N>/data/_bucket=<b>` with
+  * `b = pmod(hash(key), B)`; each version carries a `_MANIFEST`
+  * mapping every bucket to the version directory that physically holds
+  * its current rows. A merge reads ONLY the buckets its update keys
+  * hash into, full-outer-joins them with the (deduped) updates,
+  * rewrites just those buckets under `v<N+1>`, and points the
+  * untouched buckets at their existing files — merge I/O is
+  * O(touched buckets), not O(|target|): a 1k-row upsert against a
+  * 100 TB target rewrites ~1k/B-th of it. An atomic `_CURRENT`
+  * pointer swap publishes the manifest, so a crash mid-write leaves
+  * the old version intact (last-good pointer, §7.4).
   *
-  * Scale: the join shuffles both sides by the key once; Catalyst
-  * broadcasts the update side automatically when it is small. One
-  * writer at a time (the runner serializes migrates — §7.4).
+  * Scale: the join shuffles the touched buckets and the update batch
+  * by the key once; Catalyst broadcasts the update side automatically
+  * when it is small. One writer at a time (the runner serializes
+  * migrates — §7.4). `B` is fixed at first write (stored in
+  * `_BUCKETS`); size it so |target|/B fits an executor comfortably.
   */
 object MergeWriter {
 
+  val DefaultBuckets = 32
+
   private def pointerFile(targetDir: String) = Paths.get(targetDir, "_CURRENT")
+  private def bucketsFile(targetDir: String) = Paths.get(targetDir, "_BUCKETS")
+  private def manifestFile(targetDir: String, v: Int) = Paths.get(targetDir, s"v$v", "_MANIFEST")
 
   /** Current snapshot version, or -1 if the target is empty. */
   def currentVersion(targetDir: String): Int = {
@@ -37,10 +49,40 @@ object MergeWriter {
     if (Files.exists(p)) Files.readString(p).trim.toInt else -1
   }
 
+  /** Bucket count fixed at first write; None before any merge. */
+  def numBuckets(targetDir: String): Option[Int] = bucketMeta(targetDir).map(_._1)
+
+  /** (bucket count, key column) recorded at first merge. */
+  private def bucketMeta(targetDir: String): Option[(Int, String)] = {
+    val p = bucketsFile(targetDir)
+    if (!Files.exists(p)) None
+    else {
+      val parts = Files.readString(p).trim.split("\t")
+      Some((parts(0).toInt, parts(1)))
+    }
+  }
+
+  /** bucket → path (relative to targetDir) for version `v`. Legacy
+    * (pre-manifest) versions are self-contained single directories,
+    * reported as bucket -1.
+    */
+  private def manifest(targetDir: String, v: Int): Map[Int, String] = {
+    val m = manifestFile(targetDir, v)
+    if (!Files.exists(m)) Map(-1 -> s"v$v")
+    else Files.readAllLines(m).iterator().asScala.filter(_.nonEmpty).map { line =>
+      val Array(b, rel) = line.split("\t", 2)
+      b.toInt -> rel
+    }.toMap
+  }
+
   /** Read the current target snapshot; None when no version exists. */
   def readTarget(spark: SparkSession, targetDir: String): Option[DataFrame] = {
     val v = currentVersion(targetDir)
-    if (v < 0) None else Some(spark.read.parquet(s"$targetDir/v$v"))
+    if (v < 0) None
+    else {
+      val paths = manifest(targetDir, v).values.map(rel => s"$targetDir/$rel").toSeq.sorted
+      Some(spark.read.parquet(paths: _*))
+    }
   }
 
   /** Upsert `updates` into the target by `keyCol`. `orderCol` breaks
@@ -49,8 +91,13 @@ object MergeWriter {
     * dedup, mirroring the reference's MERGE @@ROWCOUNT).
     */
   def merge(spark: SparkSession, targetDir: String, updates: DataFrame,
-            keyCol: String, orderCol: String): Long = {
+            keyCol: String, orderCol: String, buckets: Int = DefaultBuckets): Long = {
     Files.createDirectories(Paths.get(targetDir))
+    val nB = bucketMeta(targetDir) match {
+      case Some((b, _)) => b
+      case None =>
+        Files.writeString(bucketsFile(targetDir), s"$buckets\t$keyCol"); buckets
+    }
     val dataCols = updates.columns.filter(c => c != keyCol && c != orderCol)
 
     // last-wins dedup inside the batch (reference `migrate.js:10-15`)
@@ -60,54 +107,122 @@ object MergeWriter {
       .drop("_rn", orderCol)
       .withColumn("migrated_at", current_timestamp())
 
-    // affected count (size of the deduped update batch, the reference's
-    // MERGE @@ROWCOUNT) rides on the snapshot-write job via an
+    // affected count rides on the bucket-discovery job via an
     // Observation — no separate counting pass
     val obs = new org.apache.spark.sql.Observation()
     val dedupedObs = deduped.observe(obs, count(lit(1)).as("n_updates"))
+      .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nB)))
+      .persist()
 
-    val merged = readTarget(spark, targetDir) match {
-      case None => dedupedObs
-      case Some(target) =>
-        val t = target.as("t")
+    // ONE pass over the (possibly expensive) update chain: this action
+    // both materializes the cache and yields the touched bucket set.
+    val touched = dedupedObs.select(col("_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val affected = graft.util.Metrics.long(obs, "n_updates", dedupedObs.count())
+
+    val cur = currentVersion(targetDir)
+    val next = cur + 1
+    val oldManifest = if (cur < 0) Map.empty[Int, String] else manifest(targetDir, cur)
+    val legacy = oldManifest.contains(-1)
+
+    // old rows the merge must look at: touched buckets only (a legacy
+    // self-contained snapshot has no bucket layout — read and rewrite
+    // all of it once, migrating to the bucketed form)
+    val oldPaths =
+      if (legacy) oldManifest.values.map(rel => s"$targetDir/$rel").toSeq
+      else oldManifest.filter { case (b, _) => touched.contains(b) }
+        .values.toSet.map((rel: String) => s"$targetDir/$rel").toSeq.sorted
+
+    val merged =
+      if (oldPaths.isEmpty) dedupedObs
+      else {
+        val target = spark.read.parquet(oldPaths: _*)
+        val oldCols = target.columns
+        val t = (if (oldCols.contains("_bucket")) target else target
+          .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nB)))).as("t")
         val u = dedupedObs.as("u")
         val outCols =
           coalesce(col(s"u.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
           dataCols.map(c => coalesce(col(s"u.$c"), col(s"t.$c")).as(c)).toSeq :+
-          coalesce(col("u.migrated_at"), col("t.migrated_at")).as("migrated_at")
-        t.join(u, col(s"t.$keyCol") === col(s"u.$keyCol"), "full_outer")
+          coalesce(col("u.migrated_at"), col("t.migrated_at")).as("migrated_at") :+
+          coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
+        val joined = t.join(u, col(s"t.$keyCol") === col(s"u.$keyCol"), "full_outer")
           .select(outCols: _*)
-    }
+        // legacy migration keeps every row; bucketed merge only carries
+        // rows of touched buckets (untouched buckets stay where they are)
+        if (legacy) joined else joined.filter(col("_bucket").isin(touched.toSeq: _*))
+      }
 
-    val next = currentVersion(targetDir) + 1
-    merged.write.mode("overwrite").parquet(s"$targetDir/v$next")
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
+    dedupedObs.unpersist()
 
-    // atomic pointer swap: write-tmp + ATOMIC_MOVE rename (before any
-    // metric resolution — the snapshot is live once written)
+    // manifest: rewritten buckets point here, untouched buckets carry
+    // their old location forward
+    val written = listBucketDirs(Paths.get(targetDir, s"v$next", "data"))
+    val carried =
+      if (legacy) Map.empty[Int, String]
+      else oldManifest.filter { case (b, _) => b >= 0 && !written.contains(b) }
+    val entries = (carried ++ written.map(b => b -> s"v$next/data/_bucket=$b")).toSeq.sorted
+    Files.writeString(manifestFile(targetDir, next),
+      entries.map { case (b, rel) => s"$b\t$rel" }.mkString("", "\n", "\n"))
+
+    // atomic pointer swap: write-tmp + ATOMIC_MOVE rename
     val tmp = Paths.get(targetDir, s"_CURRENT.tmp$next")
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointerFile(targetDir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
-    // non-blocking metric fetch with a count fallback (see Metrics)
-    graft.util.Metrics.long(obs, "n_updates", deduped.count())
+    affected
   }
 
-  /** Retention: drop snapshots older than the newest `keep` versions.
-    * Never touches the current version; safe to run any time after a
-    * merge (readers resolve the pointer before listing files, and the
-    * pointer only ever moves forward).
+  private def listBucketDirs(dataDir: Path): Set[Int] =
+    if (!Files.exists(dataDir)) Set.empty
+    else Files.list(dataDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("_bucket=") => s.stripPrefix("_bucket=").toInt }
+      .toSet
+
+  /** Rewrite every bucket into one self-contained version (releases
+    * the cross-version references a long merge chain accumulates, so
+    * vacuum can reclaim old versions). Run periodically, like any
+    * compaction job.
+    */
+  def compact(spark: SparkSession, targetDir: String): Unit = {
+    val cur = currentVersion(targetDir)
+    if (cur < 0) return
+    val (nB, keyCol) = bucketMeta(targetDir).getOrElse(return)
+    val keyed = readTarget(spark, targetDir).get
+      .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nB)))
+    val next = cur + 1
+    keyed.write.mode("overwrite")
+      .partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
+    val written = listBucketDirs(Paths.get(targetDir, s"v$next", "data"))
+    Files.writeString(manifestFile(targetDir, next),
+      written.toSeq.sorted.map(b => s"$b\tv$next/data/_bucket=$b").mkString("", "\n", "\n"))
+    val tmp = Paths.get(targetDir, s"_CURRENT.tmp$next")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointerFile(targetDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Retention: drop version directories that are (a) older than the
+    * newest `keep` versions AND (b) not referenced by any kept
+    * version's manifest (bucket entries may point across versions).
+    * Never touches the current version; safe any time after a merge.
     */
   def vacuum(targetDir: String, keep: Int = 2): Seq[Int] = {
     val cur = currentVersion(targetDir)
     if (cur < 0) return Seq.empty
     val dir = Paths.get(targetDir)
-    val removable = java.nio.file.Files.list(dir).iterator().asScala
+    val all = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("v\\d+"))
       .map(_.drop(1).toInt)
-      .filter(v => v <= cur - keep)
       .toSeq.sorted
+    val kept = all.filter(v => v > cur - keep)
+    val referenced = kept.flatMap(v => manifest(targetDir, v).values)
+      .flatMap(rel => "^v(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)).toSet
+    val removable = all.filter(v => v <= cur - keep && !referenced.contains(v))
     removable.foreach { v =>
       val root = dir.resolve(s"v$v")
       Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -101,15 +101,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("merge vacuum keeps the newest snapshots and the pointer stays valid") {
+  test("merge vacuum never drops referenced versions; compact releases them") {
     val dir = Files.createTempDirectory("graft_vac").toString + "/target"
     def batch(k: String) = Seq((k, "v", 1)).toDF("order_id", "customer_id", "_src_order")
     (1 to 5).foreach(i => MergeWriter.merge(spark, dir, batch(s"K$i"), "order_id", "_src_order"))
     assert(MergeWriter.currentVersion(dir) == 4)
-    val removed = MergeWriter.vacuum(dir, keep = 2)
-    assert(removed == Seq(0, 1, 2))
-    // current snapshot still reads fine with all 5 keys
+    // single-key merges leave earlier versions referenced by the kept
+    // manifests — vacuum must not reclaim them out from under readers
+    MergeWriter.vacuum(dir, keep = 2)
     assert(MergeWriter.readTarget(spark, dir).get.count() == 5)
-    assert(MergeWriter.vacuum(dir, keep = 2).isEmpty) // idempotent
+    // compact rewrites all buckets into one self-contained version;
+    // the old versions become unreferenced and reclaimable
+    MergeWriter.compact(spark, dir)
+    assert(MergeWriter.vacuum(dir, keep = 1).nonEmpty)
+    assert(MergeWriter.readTarget(spark, dir).get.count() == 5)
+    assert(MergeWriter.vacuum(dir, keep = 1).isEmpty) // idempotent
+  }
+
+  test("upsert of few keys rewrites only the touched buckets (K2 at scale)") {
+    val dir = Files.createTempDirectory("graft_bkt").toString + "/target"
+    val init = (1 to 100).map(i => (s"K$i", "A", i)).toDF("order_id", "customer_id", "_src_order")
+    MergeWriter.merge(spark, dir, init, "order_id", "_src_order", buckets = 8)
+    val v0Buckets = new java.io.File(s"$dir/v0/data").listFiles()
+      .map(_.getName).filter(_.startsWith("_bucket=")).toSet
+    assert(v0Buckets.size > 1) // 100 keys spread over several buckets
+
+    // one-key upsert: the new version physically holds ONE bucket and
+    // points every other bucket at the previous version's files
+    MergeWriter.merge(spark, dir,
+      Seq(("K1", "B", 1)).toDF("order_id", "customer_id", "_src_order"),
+      "order_id", "_src_order")
+    val v1Buckets = new java.io.File(s"$dir/v1/data").listFiles()
+      .map(_.getName).filter(_.startsWith("_bucket=")).toSet
+    assert(v1Buckets.size == 1, s"expected 1 rewritten bucket, got $v1Buckets")
+    val manifest = Files.readAllLines(java.nio.file.Paths.get(s"$dir/v1/_MANIFEST"))
+    val carried = manifest.stream().filter(_.contains("\tv0/")).count()
+    assert(carried == v0Buckets.size - 1)
+
+    val t = MergeWriter.readTarget(spark, dir).get
+    assert(t.count() == 100)
+    assert(t.filter($"order_id" === "K1").select($"customer_id").as[String].head() == "B")
+    assert(t.filter($"order_id" === "K2").select($"customer_id").as[String].head() == "A")
   }
 }

@@ -62,10 +62,12 @@ class StreamingPipelineSpec extends SparkSpec {
       while (prev != cur) { Thread.sleep(300); prev = cur; cur = jobs.get() }
     } finally spark.sparkContext.removeSparkListener(listener)
 
-    // isEmpty + the single fused merge-write action (AQE may split the
-    // dedup shuffle into a second job). The pre-fusion shape ran three
-    // extra per-stage count actions on top.
-    assert(jobs.get() <= 4, s"expected a fused single-action batch, saw ${jobs.get()} jobs")
+    // isEmpty + the merge's bucket-discovery pass (materializes the
+    // update chain into cache; AQE splits its shuffle) + the bucket
+    // write (reads the cache). ONE scan of the stage chain in total —
+    // the pre-fusion shape ran three extra per-stage count actions
+    // (8+ jobs) on top.
+    assert(jobs.get() <= 6, s"expected a fused single-scan batch, saw ${jobs.get()} jobs")
 
     val target = MergeWriter.readTarget(spark, s"$work/target_orders").get
     assert(target.count() == 2)
