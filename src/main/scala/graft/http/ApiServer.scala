@@ -15,13 +15,17 @@ import graft.runner.PipelineRunner
 /** REST monitoring + trigger API (SURVEY.md §2.8 endpoints, §2.10
   * C2/C4/C5), on the JDK's built-in HttpServer — zero extra deps.
   *
+  *   GET  /  or  /ui                      monitoring page (2s polling)
   *   GET  /runs?pipelineName=&status=     top-100 newest runs
   *   GET  /runs/{id}                      run header + steps
   *   GET  /runs/{id}/logs                 logs for one run
+  *   GET  /runs/{id}/progress             {recordsProcessed, rowsTotal}
   *   GET  /logs?runId=&level=&limit=      capped log stream (≤2000)
-  *   POST /pipeline/upload?filename=      raw body → landing file (10 MB cap)
+  *   POST /pipeline/upload?filename=      raw or multipart/form-data body
+  *                                        → landing file (10 MB cap)
   *   POST /pipeline/trigger?filePath=     background run → 201 {"runId"}
   *   POST /runs/{id}/cancel               cooperative cancel
+  *   POST /schedules/{id}/update?name=&scheduleType=&runAtTime=&...
   *   POST /admin/sweep-timeouts?hours=    mark stale Running runs failed
   *
   * The coordination channel is the catalog (exactly the reference's
@@ -43,9 +47,10 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
   private def jsonRows(df: DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
 
-  private def respond(x: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(x: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    x.getResponseHeaders.add("Content-Type", "application/json")
+    x.getResponseHeaders.add("Content-Type", contentType)
     x.sendResponseHeaders(code, bytes.length)
     x.getResponseBody.write(bytes)
     x.close()
@@ -66,28 +71,42 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
       case ("GET", List("runs")) =>
         respond(x, 200, jsonRows(catalog.listRuns(q.get("pipelineName"), q.get("status"))))
       case ("GET", List("runs", id)) =>
-        val runs = catalog.listRuns().filter(org.apache.spark.sql.functions.col("run_id") === id)
-        if (runs.isEmpty) respond(x, 404, """{"error":"not found"}""")
-        else respond(x, 200,
-          s"""{"run":${jsonRows(runs)},"steps":${jsonRows(catalog.steps(id))}}""")
+        val runs = jsonRows(
+          catalog.listRuns().filter(org.apache.spark.sql.functions.col("run_id") === id))
+        if (runs == "[]") respond(x, 404, """{"error":"not found"}""")
+        else respond(x, 200, s"""{"run":$runs,"steps":${jsonRows(catalog.steps(id))}}""")
       case ("GET", List("runs", id, "logs")) =>
         respond(x, 200, jsonRows(catalog.listLogs(runId = Some(id))))
       case ("GET", List("logs")) =>
         respond(x, 200, jsonRows(catalog.listLogs(q.get("runId"), q.get("level"),
           q.get("limit").map(_.toInt).getOrElse(500))))
       case ("POST", List("pipeline", "upload")) =>
-        val name = q.getOrElse("filename", s"upload_${System.currentTimeMillis}.csv")
-        val ext = name.split("\\.").last.toLowerCase
-        if (ext != "csv" && ext != "json") {
-          respond(x, 400, """{"error":"only .csv/.json accepted"}""")
-        } else {
-          val body = x.getRequestBody.readNBytes(MaxUploadBytes + 1)
-          if (body.length > MaxUploadBytes) respond(x, 413, """{"error":"upload too large"}""")
-          else {
-            Files.createDirectories(Paths.get(uploadDir))
-            val dest = Paths.get(uploadDir, s"upload_${System.currentTimeMillis}.$ext")
-            Files.write(dest, body)
-            respond(x, 201, s"""{"filePath":"${dest.toString}"}""")
+        val rawBody = x.getRequestBody.readNBytes(MaxUploadBytes + 1)
+        if (rawBody.length > MaxUploadBytes) respond(x, 413, """{"error":"upload too large"}""")
+        else {
+          val contentType = Option(x.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+          // browser-form multipart (reference multer / ServletFileUpload
+          // parity): extract the file part instead of saving the MIME
+          // framing as file content; a malformed multipart body is a 400
+          val parsed: Either[String, (String, Array[Byte])] =
+            if (contentType.toLowerCase.startsWith("multipart/form-data")) {
+              Multipart.firstFilePart(contentType, rawBody)
+                .toRight("malformed multipart body or no file part")
+            } else {
+              Right(q.getOrElse("filename", s"upload_${System.currentTimeMillis}.csv") -> rawBody)
+            }
+          parsed match {
+            case Left(err) => respond(x, 400, s"""{"error":"$err"}""")
+            case Right((name, body)) =>
+              val ext = name.split("\\.").last.toLowerCase
+              if (ext != "csv" && ext != "json") {
+                respond(x, 400, """{"error":"only .csv/.json accepted"}""")
+              } else {
+                Files.createDirectories(Paths.get(uploadDir))
+                val dest = Paths.get(uploadDir, s"upload_${System.currentTimeMillis}.$ext")
+                Files.write(dest, body)
+                respond(x, 201, s"""{"filePath":"${dest.toString}"}""")
+              }
           }
         }
       case ("POST", List("pipeline", "trigger")) =>
@@ -104,7 +123,17 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
         respond(x, 202, s"""{"runId":"$id","status":"cancel requested"}""")
       case ("GET", List("runs", id, "progress")) =>
         val n = progress.map(_.recordsProcessed(id)).getOrElse(0L)
-        respond(x, 200, s"""{"runId":"$id","recordsProcessed":$n}""")
+        // denominator for a progress bar (reference StepProgress
+        // RowsProcessed/RowsTotal pair): the run's batch size, known
+        // once Data Pull commits its count
+        val total = scala.util.Try {
+          import org.apache.spark.sql.functions.col
+          catalog.steps(id)
+            .filter(col("step_number") === 1 && col("status") === "Success")
+            .select(col("rows_affected")).collect()
+            .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+        }.getOrElse(0L)
+        respond(x, 200, s"""{"runId":"$id","recordsProcessed":$n,"rowsTotal":$total}""")
       // schedule CRUD (C6 — reference ApiServlet schedules endpoints)
       case ("GET", List("schedules")) =>
         val rows = schedules.map(_.list()).getOrElse(Seq.empty).map { sc =>
@@ -122,6 +151,20 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
             respond(x, 201, s"""{"scheduleId":"${sc.scheduleId}"}""")
           case _ => respond(x, 400, """{"error":"name, scheduleType, runAtTime, sourcePath required"}""")
         }
+      case ("POST", List("schedules", id, "update")) =>
+        schedules.flatMap(sr => sr.get(id).map(sr -> _)) match {
+          case Some((sr, s0)) =>
+            val s1 = s0.copy(
+              name = q.getOrElse("name", s0.name),
+              scheduleType = q.getOrElse("scheduleType", s0.scheduleType),
+              runAtTime = q.getOrElse("runAtTime", s0.runAtTime),
+              dayOfWeek = q.get("dayOfWeek").map(_.toInt).getOrElse(s0.dayOfWeek),
+              dayOfMonth = q.get("dayOfMonth").map(_.toInt).getOrElse(s0.dayOfMonth),
+              sourcePath = q.getOrElse("sourcePath", s0.sourcePath))
+            sr.update(s1) // recomputes nextRunAt from the new fields
+            respond(x, 200, s"""{"scheduleId":"$id","updated":true}""")
+          case None => respond(x, 404, """{"error":"not found"}""")
+        }
       case ("POST", List("schedules", id, "enable")) =>
         schedules.foreach(_.setEnabled(id, enabled = true))
         respond(x, 200, s"""{"scheduleId":"$id","enabled":true}""")
@@ -134,6 +177,10 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
       case ("POST", List("admin", "sweep-timeouts")) =>
         val swept = catalog.sweepTimeouts(q.get("hours").map(_.toInt).getOrElse(6))
         respond(x, 200, s"""{"swept":${swept.size}}""")
+      // monitoring GUI (reference web/src/pages RunList+RunDetail with
+      // 2s polling, RunDetail.jsx:67-96 — same poll loop, one page)
+      case ("GET", Nil) | ("GET", List("ui")) =>
+        respond(x, 200, ApiServer.statusPage, "text/html; charset=utf-8")
       case _ => respond(x, 404, """{"error":"not found"}""")
     }
   }
@@ -148,4 +195,47 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
 
   def start(): ApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)
+}
+
+object ApiServer {
+  /** Single-page monitor: run list + selected-run detail/progress,
+    * refreshed every 2s from the JSON endpoints above.
+    */
+  private[http] val statusPage: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"><title>graft pipeline monitor</title>
+      |<style>
+      |body{font-family:system-ui,sans-serif;margin:2rem;background:#fafafa}
+      |table{border-collapse:collapse;width:100%;background:#fff}
+      |th,td{border:1px solid #ddd;padding:6px 10px;text-align:left;font-size:14px}
+      |th{background:#f0f0f0}
+      |tr.sel{background:#eef6ff}
+      |tr{cursor:pointer}
+      |.Success{color:#1a7f37}.Failed{color:#d1242f}.Running{color:#9a6700}.Cancelled{color:#656d76}
+      |pre{background:#fff;border:1px solid #ddd;padding:10px;overflow:auto}
+      |</style></head><body>
+      |<h2>Pipeline runs</h2>
+      |<table><thead><tr><th>run</th><th>pipeline</th><th>status</th>
+      |<th>started</th><th>finished</th></tr></thead>
+      |<tbody id="runs"></tbody></table>
+      |<h3>Run detail</h3><pre id="detail">select a run</pre>
+      |<script>
+      |let sel = null;
+      |async function refresh() {
+      |  const runs = await (await fetch('/runs')).json();
+      |  document.getElementById('runs').innerHTML = runs.map(r =>
+      |    `<tr class="${r.run_id===sel?'sel':''}" onclick="pick('${r.run_id}')">` +
+      |    `<td>${r.run_id}</td><td>${r.pipeline_name||''}</td>` +
+      |    `<td class="${r.status||''}">${r.status||''}</td>` +
+      |    `<td>${r.started_at||''}</td><td>${r.finished_at||''}</td></tr>`).join('');
+      |  if (sel) {
+      |    const d = await (await fetch('/runs/' + sel)).json();
+      |    const p = await (await fetch('/runs/' + sel + '/progress')).json();
+      |    document.getElementById('detail').textContent =
+      |      JSON.stringify({run: d.run, steps: d.steps, progress: p}, null, 2);
+      |  }
+      |}
+      |function pick(id) { sel = id; refresh(); }
+      |refresh(); setInterval(refresh, 2000);
+      |</script></body></html>""".stripMargin
 }

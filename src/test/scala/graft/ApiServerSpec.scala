@@ -51,6 +51,10 @@ class ApiServerSpec extends SparkSpec {
       val logs = get(s"$base/runs/$runId/logs")
       assert(logs.statusCode() == 200 && logs.body().contains("Migrate"))
 
+      // rowsTotal denominator = Data Pull batch size from the catalog
+      val prog = get(s"$base/runs/$runId/progress")
+      assert(prog.statusCode() == 200 && prog.body().contains("\"rowsTotal\":2"))
+
       val list = get(s"$base/runs?status=Success")
       assert(list.statusCode() == 200 && list.body().contains(runId))
 
@@ -89,7 +93,89 @@ class ApiServerSpec extends SparkSpec {
       assert(post(s"$base/schedules?name=incomplete").statusCode() == 400)
 
       val prog = get(s"$base/runs/some-run/progress")
-      assert(prog.statusCode() == 200 && prog.body().contains("\"recordsProcessed\":0"))
+      assert(prog.statusCode() == 200 && prog.body().contains("\"recordsProcessed\":0")
+        && prog.body().contains("\"rowsTotal\":0"))
+    } finally api.stop()
+  }
+
+  test("schedule update route changes fields and recomputes nextRunAt") {
+    val work = Files.createTempDirectory("graft_api3").toString
+    val catalog = new RunCatalog(spark, s"$work/catalog")
+    val runner = new PipelineRunner(spark, catalog, work)
+    val sr = new graft.scheduler.ScheduleRunner(s"$work/schedules", _ => ())
+    val api = new ApiServer(catalog, runner, s"$work/uploads", schedules = Some(sr)).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val created = post(s"$base/schedules?name=n1&scheduleType=daily&runAtTime=09:30&sourcePath=/tmp/x.csv")
+      val id = created.body().split("\"")(3)
+      val upd = post(s"$base/schedules/$id/update?name=n2&scheduleType=weekly&runAtTime=08:00&dayOfWeek=3")
+      assert(upd.statusCode() == 200 && upd.body().contains("\"updated\":true"))
+      val s = sr.get(id).get
+      assert(s.name == "n2" && s.scheduleType == "weekly"
+        && s.runAtTime == "08:00" && s.dayOfWeek == 3)
+      assert(s.nextRunAt.exists(_.getDayOfWeek.getValue % 7 == 3)) // a Wednesday
+      assert(s.sourcePath == "/tmp/x.csv") // untouched field preserved
+      assert(post(s"$base/schedules/nope/update?name=z").statusCode() == 404)
+    } finally api.stop()
+  }
+
+  test("multipart/form-data upload extracts the file part; raw body still works") {
+    val work = Files.createTempDirectory("graft_api4").toString
+    val catalog = new RunCatalog(spark, s"$work/catalog")
+    val runner = new PipelineRunner(spark, catalog, work)
+    val api = new ApiServer(catalog, runner, s"$work/uploads").start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val csv = "OrderId,CustomerId,Amount,OrderDate\nM-1,C1,10,2024-01-01\n"
+      val boundary = "----graftTestBoundary42"
+      val body =
+        s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"note\"\r\n\r\nhello\r\n" +
+        s"--$boundary\r\n" +
+        "Content-Disposition: form-data; name=\"file\"; filename=\"orders.csv\"\r\n" +
+        "Content-Type: text/csv\r\n\r\n" +
+        csv + "\r\n" +
+        s"--$boundary--\r\n"
+      val up = client.send(HttpRequest.newBuilder(URI.create(s"$base/pipeline/upload"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(up.statusCode() == 201, up.body())
+      val fp = up.body().split("\"")(3)
+      // saved file is the part content, not the MIME framing
+      assert(Files.readString(java.nio.file.Paths.get(fp)) == csv)
+
+      // a multipart body with no file part is rejected
+      val nofile = client.send(HttpRequest.newBuilder(URI.create(s"$base/pipeline/upload"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"--$boundary\r\nContent-Disposition: form-data; name=\"note\"\r\n\r\nx\r\n--$boundary--\r\n"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(nofile.statusCode() == 400)
+
+      // non-.csv/.json part filename rejected
+      val exe = client.send(HttpRequest.newBuilder(URI.create(s"$base/pipeline/upload"))
+        .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          s"--$boundary\r\nContent-Disposition: form-data; name=\"file\"; filename=\"x.exe\"\r\n\r\nMZ\r\n--$boundary--\r\n"))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(exe.statusCode() == 400)
+    } finally api.stop()
+  }
+
+  test("status page serves html wired to the run endpoints") {
+    val work = Files.createTempDirectory("graft_api5").toString
+    val catalog = new RunCatalog(spark, s"$work/catalog")
+    val runner = new PipelineRunner(spark, catalog, work)
+    val api = new ApiServer(catalog, runner, s"$work/uploads").start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      for (url <- Seq(s"$base/", s"$base/ui")) {
+        val page = get(url)
+        assert(page.statusCode() == 200)
+        assert(page.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+        assert(page.body().contains("fetch('/runs')") && page.body().contains("/progress"))
+      }
     } finally api.stop()
   }
 }
