@@ -24,7 +24,8 @@ import graft.model.{LogEntry, PipelineRun, StepRun}
   * sequence is the spec'd intent).
   */
 class RunCatalog(spark: SparkSession, val dir: String,
-                 clock: () => Long = () => System.currentTimeMillis()) {
+                 clock: () => Long = () => System.currentTimeMillis(),
+                 compactThreshold: Int = 1000) {
   import spark.implicits._
 
   private val runsDir  = s"$dir/pipeline_runs"
@@ -70,7 +71,10 @@ class RunCatalog(spark: SparkSession, val dir: String,
   private def jts(t: Timestamp): String =
     jstr(java.time.format.DateTimeFormatter.ISO_INSTANT.format(t.toInstant))
 
-  private def jsonLines(rows: Seq[Map[String, Option[String]]], dirPath: String): Unit =
+  // appends since construction, per store dir — drives auto-compaction
+  private val appendCounts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  private def jsonLines(rows: Seq[Map[String, Option[String]]], dirPath: String): Unit = {
     writeLock.synchronized {
       val body = rows.map(_.collect { case (k, Some(v)) => s"${jstr(k)}:$v" }
         .mkString("{", ",", "}")).mkString("", "\n", "\n")
@@ -78,11 +82,65 @@ class RunCatalog(spark: SparkSession, val dir: String,
         Paths.get(dirPath, s"append-${System.nanoTime}-${UUID.randomUUID().toString.take(8)}.json"),
         body, java.nio.file.StandardOpenOption.CREATE_NEW)
     }
+    // K3 at scale: one tiny file per status transition means a
+    // million-run catalog lists a million files on every API read —
+    // roll appends into a parquet segment once enough pile up
+    val n = appendCounts.computeIfAbsent(dirPath, _ => new java.util.concurrent.atomic.AtomicInteger())
+    if (n.incrementAndGet() >= compactThreshold) {
+      n.set(0)
+      compactStore(dirPath, schemaFor(dirPath))
+    }
+  }
 
-  private def readStore(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema)
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
-      .json(path)
+  private def schemaFor(path: String): org.apache.spark.sql.types.StructType =
+    if (path == runsDir) runsSchema else if (path == stepsDir) stepsSchema else logsSchema
+
+  private def listStore(path: String): (Seq[String], Seq[String]) = {
+    val fs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty[java.io.File])
+    (fs.filter(f => f.isFile && f.getName.endsWith(".json")).map(_.getPath).toSeq,
+      fs.filter(f => f.isDirectory && f.getName.startsWith("segment-")).map(_.getPath).toSeq)
+  }
+
+  /** Append log + compacted segments, unioned. */
+  private def readStore(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (json, segs) = listStore(path)
+    val parts = Seq(
+      if (json.nonEmpty) Some(spark.read.schema(schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]XXX")
+        .json(json: _*)) else None,
+      if (segs.nonEmpty) Some(spark.read.schema(schema).parquet(segs: _*)) else None).flatten
+    parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+  }
+
+  /** Roll every NDJSON append (and any previous segment) into one new
+    * parquet segment, then delete the rolled files. Runs inline under
+    * the write lock (an occasional sub-second pause, amortized over
+    * `compactThreshold` microsecond appends). Crash-safe ordering: the
+    * new segment is fully written before any source file is deleted —
+    * a crash in between leaves duplicate rows, which the read-side
+    * latest-per-key resolution collapses.
+    */
+  private def compactStore(path: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    writeLock.synchronized {
+      val (json, oldSegs) = listStore(path)
+      if (json.isEmpty) return
+      val df = readStore(path, schema)
+      val seg = Paths.get(path, s"segment-${System.nanoTime}")
+      df.coalesce(1).write.mode("overwrite").parquet(seg.toString)
+      json.foreach(f => Files.deleteIfExists(Paths.get(f)))
+      oldSegs.foreach { s =>
+        Files.walk(Paths.get(s)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().forEachRemaining(p => Files.deleteIfExists(p))
+      }
+    }
+
+  /** Force a compaction pass over all three stores (maintenance hook;
+    * normally triggered automatically every `compactThreshold` appends).
+    */
+  def compact(): Unit =
+    Seq(runsDir -> runsSchema, stepsDir -> stepsSchema, logsDir -> logsSchema)
+      .foreach { case (d, s) => compactStore(d, s) }
 
   private def runRow(r: PipelineRun): Map[String, Option[String]] = Map(
     "run_id" -> Some(jstr(r.run_id)), "run_number" -> Some(r.run_number.toString),
@@ -153,6 +211,8 @@ class RunCatalog(spark: SparkSession, val dir: String,
     // finish marker (run_number = -1) carries final status + finished_at
     val headers = raw.filter($"run_number" > 0)
       .select($"run_id", $"run_number", $"pipeline_name", $"started_at")
+      .dropDuplicates("run_id") // a crash between segment write and
+      // append deletion can leave the same header in both stores
     val finals = latestPerKey(raw, Seq("run_id"))
       .select($"run_id", $"status", $"finished_at")
     headers.join(finals, Seq("run_id"), "left")

@@ -182,6 +182,36 @@ class PipelineSpec extends SparkSpec {
     assert(!stepStatuses.contains("Failed"))
   }
 
+  test("catalog auto-compaction bounds file count without changing query results") {
+    val work = Files.createTempDirectory("graft_compact").toString
+    val cat = new RunCatalog(spark, s"$work/catalog", compactThreshold = 100)
+    // 200 runs ≈ 1000 append files across the three stores pre-compaction
+    val runIds = (1 to 200).map { i =>
+      val id = cat.startRun(s"p${i % 3}")
+      cat.updateStep(id, 1, "Running")
+      cat.updateStep(id, 1, "Success", 10L)
+      cat.finishRun(id, if (i % 5 == 0) "Failed" else "Success")
+      cat.log(id, "Info", 1, s"msg $i")
+      id
+    }
+    cat.compact() // roll the sub-threshold remainder too
+    def fileCount(sub: String): Int =
+      Option(new java.io.File(s"$work/catalog/$sub").listFiles()).map(_.length).getOrElse(0)
+    for (store <- Seq("pipeline_runs", "step_runs", "pipeline_logs"))
+      assert(fileCount(store) <= 3, s"$store not compacted: ${fileCount(store)} files")
+
+    // query results identical to the logical append history
+    assert(cat.runs().count() == 200)
+    assert(cat.listRuns(status = Some("Failed")).count() == 40)
+    val steps = cat.steps(runIds.head).select($"status").as[String].collect()
+    assert(steps.head == "Success" && steps.length == 4)
+    assert(cat.listLogs(runId = Some(runIds.last)).count() == 1)
+    // appends after compaction still land and read back
+    val late = cat.startRun("late")
+    assert(cat.runs().count() == 201)
+    assert(cat.steps(late).count() == 4)
+  }
+
   test("extract accepts the configured date-format list") {
     import graft.ops.Extract
     val landing = Seq(
