@@ -12,6 +12,14 @@ import graft.functions.TextFns
   * banding turns near-dup search into a shuffle on band keys, so the
   * candidate set (not the corpus square) bounds the work; that is the
   * shape that survives 100 TB.
+  *
+  * Cache contract: [[lshCandidatePairs]] and [[jaccardPairs]] return
+  * plans over an internally `cache()`d frame (it feeds 2-3 branches of
+  * the same plan — the materialize-once shape these take at scale).
+  * After materializing the result, release it with
+  * `spark.sharedState.cacheManager.clearCache()` (or `unpersist` on
+  * your own frames) when running many queries in one session; the
+  * Verify/Bench mains do exactly that between queries.
   */
 object Dedup {
 
