@@ -48,6 +48,39 @@ object Similarity {
       .select(col("id"), col("centroid_id"), col("sim"))
   }
 
+  /** Cell assignment keeping the vector column — the probe-side shape
+    * of IVF search (corpus partitioned by cell, vectors in place).
+    */
+  private def assignCells(df: DataFrame, centroids: DataFrame,
+                          idCol: String, vecCol: String,
+                          outId: String, outVec: String): DataFrame = {
+    val c = df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+    val z = centroids.select(col(idCol).as("cell"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(z))
+      .select(col(outId), col(outVec), col("cell"),
+        VectorFns.cosineR(col(outVec), col("c_vec")).as("c_sim"))
+    val w = Window.partitionBy(col(outId)).orderBy(col("c_sim").desc, col("cell"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(outId), col(outVec), col("cell"))
+  }
+
+  /** IVF probe search: the corpus is assigned to centroid cells once
+    * (broadcast centroids, map-only), then each query scans ONLY its
+    * own nearest centroid's cell — an equi-join on the cell id, so a
+    * query touches |corpus|/|centroids| rows instead of the whole
+    * corpus. The queries frame must be small (it is broadcast).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cells = assignCells(corpus, centroids, idCol, vecCol, "id", "vec")
+    val qc = assignCells(queries, centroids, idCol, vecCol, "q_id", "q_vec")
+    val sims = cells.join(broadcast(qc), Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"), VectorFns.cosineR(col("q_vec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Signed-random-projection LSH: bucket vectors by the sign pattern
     * of `nPlanes` hyperplane dot products, then search only within the
     * query's bucket. Planes are derived deterministically (md5-seeded

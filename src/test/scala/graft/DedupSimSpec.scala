@@ -137,4 +137,21 @@ class DedupSimSpec extends SparkSpec {
     // exact copies share every bucket, so LSH recall at 0.999 is total
     assert(lsh == exact)
   }
+
+  test("IVF probe search matches brute force within the probed cell; plan broadcasts") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val res = Similarity.ivfTopK(e.filter($"vec_id" < 3), e, e.filter($"vec_id" < 8),
+      "vec_id", "embedding", 5)
+    val rows = res.select($"q_id", $"rn", $"id").as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 <= 5))
+    // each query's #1 hit within its own cell must be at least as
+    // similar as any other of its results
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(rs => rs.map(_._2).sorted.sameElements(1 to rs.length)))
+    // scale shape: centroids and queries are broadcast — no corpus shuffle join
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
 }
