@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFns
+
+/** Third text batch: the corpus-curation operators a training-data
+  * pipeline applies between dedup and tokenization — per-source caps,
+  * repetition filtering (the Gopher-style "fraction of duplicate
+  * tokens" signal), boilerplate/HTML stripping and PII scrubbing.
+  *
+  * The synthetic corpus has no markup or PII, so the strip/scrub
+  * queries plant deterministic markup/contact strings derived from
+  * doc_id on BOTH sides — the oracle checks the scrubbing transform
+  * itself, not the fixture.
+  */
+object TextOps3 {
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // Per-source document cap — domain balancing: keep the first 10
+    // docs of each source (the sf0.01 corpus has 25/source, so the
+    // cap binds). One shuffle on the cap key; at 100 TB the window is
+    // per-source-partition and never materializes a group.
+    q("q_source_cap")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        t(s, d, "documents")
+          .select($"doc_id", $"source")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 10)
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin),
+
+    // Token repetition ratio — the duplicate-token fraction quality
+    // signal. Map-only: per-row array ops, no shuffle.
+    q("q_repetition")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id", TextFns.tokens($"text").as("tk"))
+          .select($"doc_id",
+            size($"tk").as("n_tokens"),
+            size(array_distinct($"tk")).as("n_distinct"))
+          .withColumn("rep_ratio",
+            lit(1.0) - $"n_distinct".cast("double") / $"n_tokens")
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+        |1.0 - CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |  / len(string_split_regex(trim(text), '\s+')) AS rep_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // HTML/boilerplate strip: plant markup around the text, strip every
+    // tag, report raw vs clean lengths plus the cleaned text.
+    q("q_html_strip")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id",
+            concat(lit("<p id=\""), $"doc_id", lit("\"><b>"), $"text",
+              lit("</b></p> <br/>")).as("html"))
+          .select($"doc_id", length($"html").as("n_raw"),
+            regexp_replace($"html", "<[^>]+>", "").as("clean_text"))
+          .withColumn("n_clean", length($"clean_text"))
+          .orderBy($"doc_id")
+      },
+      """WITH tagged AS (SELECT doc_id,
+        |  concat('<p id="', doc_id, '"><b>', text, '</b></p> <br/>') AS html
+        |  FROM documents)
+        |SELECT doc_id, len(html) AS n_raw,
+        |regexp_replace(html, '<[^>]+>', '', 'g') AS clean_text,
+        |len(regexp_replace(html, '<[^>]+>', '', 'g')) AS n_clean
+        |FROM tagged ORDER BY doc_id""".stripMargin),
+
+    // PII scrub: plant a deterministic email + URL per doc, replace
+    // both with placeholder tokens (URLs first so the email regex
+    // cannot eat a URL userinfo part).
+    q("q_scrub_pii")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id",
+            concat($"text", lit(" contact user"), $"doc_id",
+              lit("@example.com or https://example.com/u/"), $"doc_id").as("dirty"))
+          .select($"doc_id",
+            regexp_replace(
+              regexp_replace($"dirty", "https?://\\S+", "<URL>"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>").as("scrubbed"))
+          .orderBy($"doc_id")
+      },
+      """WITH dirty AS (SELECT doc_id,
+        |  concat(text, ' contact user', doc_id, '@example.com or https://example.com/u/', doc_id) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |regexp_replace(
+        |  regexp_replace(dirty, 'https?://\S+', '<URL>', 'g'),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
+        |FROM dirty ORDER BY doc_id""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  val oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}
