@@ -36,6 +36,32 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup with bounded state: a row whose content
+    * hash was already seen within the watermark horizon is dropped,
+    * and hash state older than the watermark is expired — the
+    * unbounded-stream twin of `Dedup.exactGroups`, sized by the
+    * horizon rather than the corpus.
+    */
+  def dedupStream(df: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .withColumn("text_hash", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Stream-stream attribution join: each left event matched with the
+    * same user's right events inside [l.ts, l.ts + window]. The time
+    * bound plus watermarks let Spark expire join state on both sides
+    * — without them a stream-stream join buffers forever.
+    */
+  def attributionJoin(left: DataFrame, right: DataFrame,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$userCol = r.$userCol AND r.$tsCol >= l.$tsCol AND r.$tsCol <= l.$tsCol + INTERVAL $window"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
   case class SessionState(sessionId: Long, lastTs: Long, count: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long)

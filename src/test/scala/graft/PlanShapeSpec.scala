@@ -1,0 +1,40 @@
+package graft
+
+/** Physical-plan assertions for the scale-critical queries: the shapes
+  * the 100-TB design argument rests on must survive refactors —
+  * broadcasting dims, pushing filters to the scan, and never letting a
+  * dedup/ANN operator degrade to a cartesian product.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+
+  test("q_join_agg broadcasts the dimension side of the fact join") {
+    assert(plan("q_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q_filter_project pushes its predicates into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters: ["))
+    assert(!p.contains("PushedFilters: []"))
+  }
+
+  test("bucketed dedup/ANN paths never degrade to cartesian joins") {
+    for (name <- Seq("q_minhash_lsh_pairs", "q_jaccard_pairs",
+      "q_embed_neardup_lsh", "q_ivf_topk", "q_asof_join", "q_range_join")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
+      // broadcast nested loop is only acceptable for broadcasting a
+      // tiny constant side (the IVF centroid/query frames); never for
+      // pair generation over the corpus
+      if (!Seq("q_ivf_topk").contains(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plan has a BNL join")
+    }
+  }
+
+  test("q_topn is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topn")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}

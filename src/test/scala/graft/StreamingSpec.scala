@@ -43,6 +43,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming exact dedup drops in-horizon duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupStream(df, "ts", "text", watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    mem.addData((ts(0), 1L, "alpha beta"), (ts(1), 2L, "gamma"), (ts(2), 3L, "alpha beta"))
+    q.processAllAvailable()
+    // batch 2: duplicate of a batch-1 text within the horizon → dropped
+    mem.addData((ts(10), 4L, "alpha beta"), (ts(11), 5L, "delta"))
+    q.processAllAvailable()
+    val kept = spark.table("dedup_stream").select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L))
+    q.stop()
+  }
+
+  test("stream-stream attribution join matches within the window, expires outside") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val joined = Streams.attributionJoin(
+      clicks.toDF().toDF("ts", "user_id", "page"),
+      buys.toDF().toDF("ts", "user_id", "amount"))
+    val q = joined.select($"l.user_id", $"page", $"amount")
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    clicks.addData((ts(0), 1L, "home"), (ts(0), 2L, "search"))
+    buys.addData((ts(30), 1L, 9.99))   // within 1h of user 1's click
+    buys.addData((ts(300), 2L, 5.0))   // 5h later — outside the window
+    q.processAllAvailable()
+    val rows = spark.table("attrib").as[(Long, String, Double)].collect().toSet
+    assert(rows == Set((1L, "home", 9.99)))
+    q.stop()
+  }
+
   test("stateful sessionization closes sessions on 30-min gaps across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
