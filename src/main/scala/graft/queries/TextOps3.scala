@@ -110,7 +110,40 @@ object TextOps3 {
         |regexp_replace(
         |  regexp_replace(dirty, 'https?://\S+', '<URL>', 'g'),
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
-        |FROM dirty ORDER BY doc_id""".stripMargin)
+        |FROM dirty ORDER BY doc_id""".stripMargin),
+
+    // Corpus report: per (source, lang) doc/token/char rollup — the
+    // partial-aggregated one-shuffle summary a curation run publishes.
+    q("q_corpus_stats")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFns.tokenCount($"text").cast("long")).as("n_tokens"),
+            sum($"n_chars").as("sum_chars"),
+            max($"n_chars").as("max_chars"))
+          .orderBy($"source", $"lang")
+      },
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+
+    // Length deciles — curriculum/stratification bucketing: ntile over
+    // a deterministic total order (unique doc_id tie-break).
+    q("q_length_decile")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.orderBy($"n_chars", $"doc_id")
+        t(s, d, "documents")
+          .select($"doc_id", $"n_chars")
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, n_chars,
+        |ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

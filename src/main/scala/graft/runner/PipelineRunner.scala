@@ -110,7 +110,16 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, workDir: String) 
           val updates = Ingest.readStage(spark, transDir, runId)
             .select(col("order_id"), col("customer_id"), col("amount"), col("order_date"),
               col("amount_category"), monotonically_increasing_id().as("_src_order"))
-          MergeWriter.merge(spark, targetDir, updates, "order_id", "_src_order")
+          val n = MergeWriter.merge(spark, targetDir, updates, "order_id", "_src_order")
+          // routine target maintenance: periodically fold the bucket
+          // references into a self-contained version, then reclaim
+          // unreferenced snapshots; never fails the run
+          scala.util.Try {
+            val ver = MergeWriter.currentVersion(targetDir)
+            if (ver > 0 && ver % 16 == 0) MergeWriter.compact(spark, targetDir)
+            MergeWriter.vacuum(targetDir, keep = 3)
+          }
+          n
         }))
 
       for (((name, body), i) <- steps.zipWithIndex) {
