@@ -96,17 +96,16 @@ object Dedup {
                    shingleN: Int = 3): DataFrame = {
     // Join on the 48-bit shingle hash, not the shingle string: same
     // result (collision odds ~1e-7 at 1e5 shingles), a fraction of the
-    // shuffle bytes. The exploded frame feeds three branches (sizes +
-    // both join sides) — cache it, mirroring the materialize-once
-    // shape this takes at scale.
-    // positional explode + shuffle dedup (groupBy) — parallel and
-    // skew-free, vs the per-row quadratic array_distinct; native hasher
-    val sh = df.select(col(idCol).as("id"), TextFns.tokens(col(textCol)).as("tk"))
-      .select(col("id"), explode(TextFns.shingleHashes48(col("tk"), shingleN)).as("hv"))
-      .groupBy(col("id"), col("hv")).agg(lit(1))
-      .select(col("id"), col("hv"))
+    // shuffle bytes. Per-doc dedup happens map-side on the hash ARRAY
+    // (array_distinct hashes primitives — linear per row), so the
+    // posting list needs no groupBy shuffle and the per-doc sizes are
+    // a map-only projection. The exploded frame feeds both join sides
+    // — cache it, mirroring the materialize-once shape at scale.
+    val hashed = df.select(col(idCol).as("id"),
+        array_distinct(TextFns.shingleHashes48(TextFns.tokens(col(textCol)), shingleN)).as("hvs"))
       .cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sh = hashed.select(col("id"), explode(col("hvs")).as("hv"))
+    val sizes = hashed.select(col("id"), size(col("hvs")).cast("long").as("sz"))
     // pinned shuffle-hash: the posting-list self-join has heavy key
     // duplication, where a broadcast hash build is both slower and
     // unstable (AQE flips strategies run to run)
