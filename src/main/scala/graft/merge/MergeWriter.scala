@@ -90,8 +90,18 @@ object MergeWriter {
     * order). Returns rows affected (size of the update batch after
     * dedup, mirroring the reference's MERGE @@ROWCOUNT).
     */
+  // one writer per target at a time, ENFORCED in-process (the
+  // deployment shape is one server JVM, like the reference): without
+  // this, concurrent migrates race on the version pointer and lose an
+  // update. Cross-JVM writers would need a file lease on top.
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(targetDir: String): Object =
+    writeLocks.computeIfAbsent(Paths.get(targetDir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
   def merge(spark: SparkSession, targetDir: String, updates: DataFrame,
-            keyCol: String, orderCol: String, buckets: Int = DefaultBuckets): Long = {
+            keyCol: String, orderCol: String,
+            buckets: Int = DefaultBuckets): Long = lockFor(targetDir).synchronized {
     Files.createDirectories(Paths.get(targetDir))
     val nB = bucketMeta(targetDir) match {
       case Some((b, _)) => b
@@ -187,7 +197,7 @@ object MergeWriter {
     * vacuum can reclaim old versions). Run periodically, like any
     * compaction job.
     */
-  def compact(spark: SparkSession, targetDir: String): Unit = {
+  def compact(spark: SparkSession, targetDir: String): Unit = lockFor(targetDir).synchronized {
     val cur = currentVersion(targetDir)
     if (cur < 0) return
     val (nB, keyCol) = bucketMeta(targetDir).getOrElse(return)
@@ -210,7 +220,7 @@ object MergeWriter {
     * version's manifest (bucket entries may point across versions).
     * Never touches the current version; safe any time after a merge.
     */
-  def vacuum(targetDir: String, keep: Int = 2): Seq[Int] = {
+  def vacuum(targetDir: String, keep: Int = 2): Seq[Int] = lockFor(targetDir).synchronized {
     val cur = currentVersion(targetDir)
     if (cur < 0) return Seq.empty
     val dir = Paths.get(targetDir)

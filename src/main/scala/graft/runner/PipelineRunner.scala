@@ -67,41 +67,41 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, workDir: String) 
           val df =
             if (sourcePath.toLowerCase.endsWith(".json")) Ingest.readJson(spark, sourcePath, runId)
             else Ingest.readCsv(spark, sourcePath, runId)
-          Ingest.writeLanding(df, landingDir)
+          Ingest.writeLanding(df, landingDir, runId)
         }),
         // clean rows write in ONE pass with counts riding on an
         // Observation; the rejects write (a cheap filtered re-read)
         // only runs when the observed reject count is non-zero.
         "Extract" -> (() => {
           val obs = new org.apache.spark.sql.Observation()
-          Extract.clean(
+          Ingest.writeRunSlice(Extract.clean(
             Extract.extract(Ingest.readStage(spark, landingDir, runId))
               .observe(obs,
                 sum(when(col("reject_reason").isNotNull, 1L).otherwise(0L)).as("n_rej"),
-                sum(when(col("reject_reason").isNull, 1L).otherwise(0L)).as("n_clean")))
-            .write.mode("append").partitionBy("run_id").parquet(stagingDir)
+                sum(when(col("reject_reason").isNull, 1L).otherwise(0L)).as("n_clean"))),
+            stagingDir, runId)
           val nRej = Option(obs.get("n_rej")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
           if (nRej > 0) {
-            Extract.rejects(Extract.extract(Ingest.readStage(spark, landingDir, runId)))
-              .withColumn("rejected_in", lit("Extract"))
-              .write.mode("append").partitionBy("run_id").parquet(rejectsDir)
+            Ingest.writeRunSlice(
+              Extract.rejects(Extract.extract(Ingest.readStage(spark, landingDir, runId))),
+              rejectsDir, runId, subPartition = Some("rejected_in" -> "Extract"))
             catalog.log(runId, "Warning", 2, s"$nRej rows rejected", Some("see rejected_orders"))
           }
           Option(obs.get("n_clean")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
         }),
         "Transform" -> (() => {
           val obs = new org.apache.spark.sql.Observation()
-          Transform.clean(
+          Ingest.writeRunSlice(Transform.clean(
             Transform.transform(Ingest.readStage(spark, stagingDir, runId))
               .observe(obs,
                 sum(when(col("reject_reason").isNotNull, 1L).otherwise(0L)).as("n_rej"),
-                sum(when(col("reject_reason").isNull, 1L).otherwise(0L)).as("n_clean")))
-            .write.mode("append").partitionBy("run_id").parquet(transDir)
+                sum(when(col("reject_reason").isNull, 1L).otherwise(0L)).as("n_clean"))),
+            transDir, runId)
           val nRej = Option(obs.get("n_rej")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
           if (nRej > 0) {
-            Transform.rejects(Transform.transform(Ingest.readStage(spark, stagingDir, runId)))
-              .withColumn("rejected_in", lit("Transform"))
-              .write.mode("append").partitionBy("run_id").parquet(rejectsDir)
+            Ingest.writeRunSlice(
+              Transform.rejects(Transform.transform(Ingest.readStage(spark, stagingDir, runId))),
+              rejectsDir, runId, subPartition = Some("rejected_in" -> "Transform"))
             catalog.log(runId, "Warning", 3, s"$nRej rows rejected (negative amount)", None)
           }
           Option(obs.get("n_clean")).collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)

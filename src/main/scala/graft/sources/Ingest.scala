@@ -70,14 +70,33 @@ object Ingest {
       runId, "JSON")
   }
 
-  /** Append to the landing store partitioned by run_id (K1) so
-    * run-scoped reads (S4) become partition pruning. The row count
-    * rides on the write job via an Observation — no second pass.
+  /** One run's slice of a stage written as its own physical partition
+    * directory (`<stage>/run_id=<id>/...`), the `run_id` column
+    * restored by partition discovery on read. Writing the leaf
+    * directly (instead of partitionBy on the stage root) means
+    * concurrent runs never share an output path — a shared root
+    * write races on the job's `_temporary` staging dir, which is
+    * exactly how overlapping runs corrupt each other. Overwrite of
+    * the own leaf keeps retries idempotent.
     */
-  def writeLanding(df: DataFrame, landingDir: String): Long = {
+  def writeRunSlice(df: DataFrame, stageDir: String, runId: String,
+                    subPartition: Option[(String, String)] = None): Unit = {
+    val leaf = subPartition match {
+      case Some((k, v)) => s"$stageDir/run_id=$runId/$k=$v"
+      case None => s"$stageDir/run_id=$runId"
+    }
+    df.drop("run_id" +: subPartition.map(_._1).toSeq: _*)
+      .write.mode("overwrite").parquet(leaf)
+  }
+
+  /** Landing write (K1): per-run leaf dir so run-scoped reads (S4)
+    * are partition pruning and concurrent runs don't share a write
+    * path. The row count rides on the write job via an Observation —
+    * no second pass.
+    */
+  def writeLanding(df: DataFrame, landingDir: String, runId: String): Long = {
     val obs = new org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").partitionBy("run_id").parquet(landingDir)
+    writeRunSlice(df.observe(obs, count(lit(1)).as("n")), landingDir, runId)
     obs.get("n").asInstanceOf[Long]
   }
 

@@ -182,6 +182,24 @@ class PipelineSpec extends SparkSpec {
     assert(!stepStatuses.contains("Failed"))
   }
 
+  test("two concurrent runs both succeed and both land in the target (C2 overlap)") {
+    val (_, cat, runner) = freshDirs()
+    def fixture(prefix: String): String = writeFixture(s"$prefix.csv",
+      "OrderId,CustomerId,Amount,OrderDate\n" +
+        (1 to 2000).map(i => s"$prefix-$i,C${i % 13},${i % 300}.75,2025-03-01").mkString("\n") + "\n")
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, duration}
+    val (_, fut1) = runner.runAsync(fixture("A"))
+    val (_, fut2) = runner.runAsync(fixture("B"))
+    val r1 = Await.result(fut1, duration.Duration(180, "s"))
+    val r2 = Await.result(fut2, duration.Duration(180, "s"))
+    assert(r1.status == "Success", s"run A: ${r1.status}")
+    assert(r2.status == "Success", s"run B: ${r2.status}")
+    val target = MergeWriter.readTarget(spark, runner.targetDir).get
+    assert(target.filter($"order_id".startsWith("A-")).count() == 2000)
+    assert(target.filter($"order_id".startsWith("B-")).count() == 2000)
+  }
+
   test("catalog auto-compaction bounds file count without changing query results") {
     val work = Files.createTempDirectory("graft_compact").toString
     val cat = new RunCatalog(spark, s"$work/catalog", compactThreshold = 100)
