@@ -164,7 +164,64 @@ object Extra {
           .orderBy($"c_mktsegment")
       },
       """SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5), 4) AS median_balance, COUNT(*) AS n
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // full quantile profile per segment — interpolated percentiles
+    // (Spark `percentile` == DuckDB `quantile_cont`), rounded so the
+    // linear-interpolation double math can't diverge in the last bit.
+    q("q_percentiles")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(
+            round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
+            round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+            round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"),
+            round(expr("percentile(c_acctbal, 0.95)"), 4).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment,
+        |round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+        |round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+        |round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+        |round(quantile_cont(c_acctbal, 0.95), 4) AS p95,
+        |COUNT(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // conversion funnel: first view → first click after it → first
+    // purchase after that, per user; one summary row. Each stage is a
+    // keyed min-aggregation + equi-join — no window over the full
+    // event stream, so the shape holds at any event volume.
+    q("q_funnel")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+        val v = e.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("view_ts"))
+        val c = e.filter($"event_type" === "click").join(v, Seq("user_id"))
+          .filter($"ts" >= $"view_ts")
+          .groupBy($"user_id").agg(min($"ts").as("click_ts"))
+        val p = e.filter($"event_type" === "purchase").join(c, Seq("user_id"))
+          .filter($"ts" >= $"click_ts")
+          .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_view"),
+            count($"click_ts").as("n_click"),
+            count($"purchase_ts").as("n_purchase"))
+      },
+      """WITH v AS (SELECT user_id, MIN(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS click_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_view, COUNT(c.user_id) AS n_click, COUNT(p.user_id) AS n_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin)
   )
 
   /** Sketch aggregates (HLL distinct + count-min-style heavy hitters).
