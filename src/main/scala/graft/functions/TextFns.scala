@@ -82,6 +82,14 @@ object TextFns {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens),
         org.apache.spark.sql.catalyst.expressions.Literal(n), hexBytes = 4))
 
+  /** zlib compression ratio (compressed/raw) — repetitiveness signal;
+    * see [[graft.plans.DeflateRatio]] for determinism caveats.
+    */
+  def deflateRatio(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.DeflateRatio(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Count of stopword tokens (quality signal). */

@@ -63,3 +63,34 @@ case class ShingleHash48(child: Expression, n: Expression, hexBytes: Int = 6)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(child = newLeft, n = newRight)
 }
+
+/** zlib compression ratio of the UTF-8 text (compressed/raw bytes) —
+  * the classic cheap repetitiveness signal for corpus curation:
+  * boilerplate and template spam deflate far below natural prose.
+  * Fixed deflate level → deterministic per JVM; there is no portable
+  * cross-engine definition, so queries built on this are rows-only
+  * checked and value-pinned in ScalaTest instead.
+  */
+case class DeflateRatio(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](1024)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -143,11 +143,47 @@ object TextOps3 {
       },
       """SELECT doc_id, n_chars,
         |ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Per-source top terms — the corpus vocabulary report. Explode →
+    // partial-aggregated count → per-source top-k window; the explode
+    // shuffles (source, term) pairs, never whole documents.
+    q("q_top_terms")(
+      (s, d) => {
+        import s.implicits._
+        val cnt = t(s, d, "documents")
+          .select($"source", explode(TextFns.tokens($"text")).as("term"))
+          .groupBy($"source", $"term").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"term")
+        cnt.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+          .orderBy($"source", $"rn")
+      },
+      """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |cnt AS (SELECT source, term, COUNT(*) AS cnt FROM tok GROUP BY source, term),
+        |r AS (SELECT source, term, cnt,
+        |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn FROM cnt)
+        |SELECT source, term, cnt, rn FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin)
   )
 
+  /** zlib-ratio repetitiveness signal — no portable cross-engine
+    * definition (deflate output is implementation-defined), so the
+    * driver records a rows-only check; values are pinned in
+    * `DedupSimSpec` instead.
+    */
+  private val noOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compress_ratio" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id",
+          round(TextFns.deflateRatio($"text"), 4).as("deflate_ratio"),
+          TextFns.tokenCount($"text").as("n_tokens"))
+        .orderBy($"doc_id")
+    }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap ++ noOracle
 
   val oracles: Map[String, String] =
     defs.map { case (n, (_, sql)) => n -> sql }.toMap

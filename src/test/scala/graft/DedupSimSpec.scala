@@ -138,6 +138,23 @@ class DedupSimSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("deflate ratio separates repetitive from varied text; empty is neutral") {
+    import graft.functions.TextFns
+    val df = Seq(
+      ("rep", "spam spam spam spam spam spam spam spam spam spam " * 20),
+      ("var", (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")),
+      ("empty", "")).toDF("id", "text")
+      .select($"id", TextFns.deflateRatio($"text").as("r"))
+    val r = df.as[(String, Double)].collect().toMap
+    assert(r("rep") < 0.1, s"repetitive text should deflate hard: ${r("rep")}")
+    assert(r("var") > r("rep") * 3, s"varied text should deflate less: ${r("var")}")
+    assert(r("empty") == 1.0)
+    // deterministic across evaluations (fixed deflate level)
+    val again = Seq(("rep", "spam spam spam spam spam spam spam spam spam spam " * 20))
+      .toDF("id", "text").select(TextFns.deflateRatio($"text")).as[Double].head()
+    assert(again == r("rep"))
+  }
+
   test("IVF probe search matches brute force within the probed cell; plan broadcasts") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .select($"vec_id", $"embedding")
