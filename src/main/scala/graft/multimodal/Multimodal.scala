@@ -78,6 +78,18 @@ object Multimodal {
         (i * every, hex(cur).take(16))
       }
     }
+
+    /** ??? real impl: decode → scale to (w, h) → re-encode.
+      * Deterministic fake: digest-seeded bytes sized ∝ target area, so
+      * payload-size accounting downstream behaves like a real resize.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val seed = sha(payload)
+      val out = new Array[Byte](math.max(16, w * h / 64))
+      var i = 0
+      while (i < out.length) { out(i) = seed(i % seed.length); i += 1 }
+      out
+    }
   }
 
   /** Decode metadata for every media row, partition-parallel. */
@@ -98,6 +110,21 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map(r =>
       MediaFeatures(r.media_id, MediaCodec.features(r.payload, dim))))
+  }
+
+  case class ResizedMedia(media_id: Long, kind: String, width: Int, height: Int,
+                          payload: Array[Byte])
+
+  /** Resize image rows to a fixed target, partition-parallel — the
+    * normalization step before batch feature extraction. Non-image
+    * rows pass through untouched dimensions with their payload.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int = 224, h: Int = 224): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      if (r.kind == "image") ResizedMedia(r.media_id, r.kind, w, h, MediaCodec.resize(r.payload, w, h))
+      else ResizedMedia(r.media_id, r.kind, 0, 0, r.payload)
+    })
   }
 
   /** Frame sampling for video rows (1 row per sampled frame). */

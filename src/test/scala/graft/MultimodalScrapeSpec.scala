@@ -30,6 +30,16 @@ class MultimodalScrapeSpec extends SparkSpec {
     val perVideo = frames.groupByKey(_.media_id).count().collect()
     assert(perVideo.nonEmpty && perVideo.forall(_._2 == 4))
     assert(frames.head().frame_digest.length == 16)
+
+    // resize normalizes images to the target; non-images pass through
+    val resized = Multimodal.resizeImages(media, w = 224, h = 224).cache()
+    assert(resized.count() == n)
+    val rImg = resized.filter(_.kind == "image").head()
+    assert(rImg.width == 224 && rImg.height == 224
+      && rImg.payload.length == 224 * 224 / 64)
+    val rAud = resized.filter(_.kind == "audio").head()
+    assert(rAud.width == 0 && rAud.payload.nonEmpty)
+    resized.unpersist()
   }
 
   test("scrape source: scalar/array/null selector semantics and default title") {
