@@ -177,6 +177,10 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
       case ("POST", List("admin", "sweep-timeouts")) =>
         val swept = catalog.sweepTimeouts(q.get("hours").map(_.toInt).getOrElse(6))
         respond(x, 200, s"""{"swept":${swept.size}}""")
+      case ("POST", List("admin", "clean-stages")) =>
+        val cleaned = graft.runner.StageJanitor.cleanStages(
+          runner.workDir, catalog, q.get("keepRuns").map(_.toInt).getOrElse(100))
+        respond(x, 200, s"""{"cleaned":${cleaned.size}}""")
       // monitoring GUI (reference web/src/pages RunList+RunDetail with
       // 2s polling, RunDetail.jsx:67-96 — same poll loop, one page)
       case ("GET", Nil) | ("GET", List("ui")) =>

@@ -18,7 +18,7 @@ import graft.sources.Ingest
   * reference's stored-procedure shape, §3 closing note). Steps run on
   * the cluster; only catalog bookkeeping happens on the driver.
   */
-class PipelineRunner(spark: SparkSession, catalog: RunCatalog, workDir: String) {
+class PipelineRunner(spark: SparkSession, catalog: RunCatalog, val workDir: String) {
 
   private val landingDir  = s"$workDir/landing_orders"
   private val stagingDir  = s"$workDir/staging_orders"

@@ -24,6 +24,19 @@ class ProgressListener(catalog: RunCatalog) extends SparkListener {
   private val stageToRun = new ConcurrentHashMap[Int, String]()
   private val processed = new ConcurrentHashMap[String, AtomicLong]()
   private val lastFlush = new ConcurrentHashMap[String, java.lang.Long]()
+  // long-lived servers see an unbounded stream of runs — retire the
+  // oldest run's counters past a cap so listener memory stays flat
+  private val runOrder = new java.util.LinkedHashSet[String]()
+
+  private def trackRun(runId: String): Unit = runOrder.synchronized {
+    if (runOrder.add(runId) && runOrder.size > ProgressListener.MaxTrackedRuns) {
+      val it = runOrder.iterator()
+      val oldest = it.next(); it.remove()
+      processed.remove(oldest); lastFlush.remove(oldest)
+      jobToRun.entrySet.removeIf(e => e.getValue == oldest)
+      stageToRun.entrySet.removeIf(e => e.getValue == oldest)
+    }
+  }
 
   // catalog writes are Spark actions — they MUST NOT run on the
   // listener-bus thread (a job launched from a listener callback can
@@ -38,6 +51,7 @@ class ProgressListener(catalog: RunCatalog) extends SparkListener {
       .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
     if (group.startsWith("run-")) {
       val runId = group.stripPrefix("run-")
+      trackRun(runId)
       jobToRun.put(jobStart.jobId, runId)
       jobStart.stageInfos.foreach(si => stageToRun.put(si.stageId, runId))
     }
@@ -70,4 +84,5 @@ class ProgressListener(catalog: RunCatalog) extends SparkListener {
 
 object ProgressListener {
   val Interval: Long = 10000L
+  val MaxTrackedRuns: Int = 10000
 }

@@ -60,6 +60,9 @@ class StreamingPipeline(spark: SparkSession, catalog: RunCatalog, workDir: Strin
       catalog.finishRun(runId, "Success")
     } catch {
       case e: Throwable =>
+        // the four stages ran as one fused action — none survived it
+        (1 to 4).foreach(catalog.updateStep(runId, _, "Failed", 0L,
+          Some(String.valueOf(e.getMessage))))
         catalog.finishRun(runId, "Failed")
         catalog.log(runId, "Error", 0, "streaming batch failed", Some(String.valueOf(e.getMessage)))
         throw e

@@ -200,6 +200,27 @@ class PipelineSpec extends SparkSpec {
     assert(target.filter($"order_id".startsWith("B-")).count() == 2000)
   }
 
+  test("stage janitor removes old runs' slices, keeps recent ones and the target") {
+    val (work, cat, runner) = freshDirs()
+    val r1 = runner.run(writeFixture("j1.csv", sampleCsv))
+    Thread.sleep(5) // distinct started_at ordering
+    val r2 = runner.run(writeFixture("j2.csv",
+      "OrderId,CustomerId,Amount,OrderDate\nJ-1,C1,10,2025-01-01\n"))
+    assert(r1.status == "Success" && r2.status == "Success")
+    def slice(stage: String, runId: String) =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$work/$stage/run_id=$runId"))
+    assert(slice("landing_orders", r1.runId) && slice("landing_orders", r2.runId))
+
+    val cleaned = graft.runner.StageJanitor.cleanStages(work, cat, keep = 1)
+    assert(cleaned == Seq(r1.runId))
+    assert(!slice("landing_orders", r1.runId) && !slice("staging_orders", r1.runId))
+    assert(slice("landing_orders", r2.runId))
+    // the durable target is untouched: all 6 keys still present
+    assert(MergeWriter.readTarget(spark, runner.targetDir).get.count() == 6)
+    // idempotent
+    assert(graft.runner.StageJanitor.cleanStages(work, cat, keep = 1).isEmpty)
+  }
+
   test("catalog auto-compaction bounds file count without changing query results") {
     val work = Files.createTempDirectory("graft_compact").toString
     val cat = new RunCatalog(spark, s"$work/catalog", compactThreshold = 100)
