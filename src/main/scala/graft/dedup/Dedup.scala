@@ -120,6 +120,70 @@ object Dedup {
         (col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
   }
 
+  /** SimHash near-dup pairs via bit-band blocking. The 48-bit simhash
+    * is split into `bands` equal chunks; docs sharing any chunk value
+    * are candidates, then the exact hamming distance (popcount of XOR)
+    * filters. With `bands > maxHamming` the pigeonhole principle makes
+    * recall exactly 1 (k bit flips can touch at most k bands, so one
+    * band always survives intact) — the blocked plan provably equals
+    * the O(n²) scan. One explode (×bands) + one equi-join on the band
+    * value; the 8-byte signature rides along, so no re-join.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming, "recall-1 blocking needs bands > maxHamming")
+    require(48 % bands == 0, "bands must divide 48")
+    val bits = 48 / bands
+    val mask = (1L << bits) - 1
+    val banded = simhash48(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash48"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("simhash48"), b * bits).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("bd"))
+      .select(col("id"), col("simhash48"), col("bd.band_id"), col("bd.band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash48").bitwiseXOR(col("b.simhash48"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Transitive dedup clusters: connected components over a candidate
+    * pair list, by iterative min-label propagation — each round every
+    * node takes the smallest label among itself and its neighbors,
+    * until a fixpoint. Converges in O(component diameter) rounds; for
+    * near-dup graphs (short duplicate chains) that is 2-4 shuffles
+    * total. Each round is one equi-join + one groupBy, lineage is cut
+    * per round (`localCheckpoint`), and convergence is a driver-side
+    * count — no per-row driver work, so the loop scales with the
+    * cluster, not the corpus.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") < col("p.label")).count()
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** 48-bit simhash over token occurrences (md5-derived bit votes).
     * Bitwise ops via exact pow-of-2 division so the identical value is
     * derivable in any engine (no engine-specific hash).

@@ -251,6 +251,67 @@ object TextOps {
          |FROM pairs GROUP BY id_b ORDER BY drop_id""".stripMargin),
 
     // 48-bit SimHash (portable md5-derived bit votes).
+    // SimHash hamming near-dup: 4×12-bit band blocking with guaranteed
+    // recall 1 at hamming ≤ 3 (pigeonhole) — so the blocked Spark plan
+    // must hash-match the all-pairs DuckDB scan exactly.
+    q("q_simhash_neardup")(
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text")
+          .orderBy($"id_a", $"id_b")
+      },
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 12)) AS BIGINT) AS hv FROM tok),
+        |b AS (SELECT unnest(generate_series(0, 47)) AS b),
+        |bits AS (SELECT doc_id, b.b,
+        |  SUM(CASE WHEN (hv // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS score
+        |  FROM h, b GROUP BY doc_id, b.b),
+        |sh AS (SELECT doc_id,
+        |  CAST(SUM(CASE WHEN score > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash48
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash48, b.simhash48)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash48, b.simhash48)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Transitive dedup clusters: connected components over the LSH
+    // candidate pairs (est_sim ≥ 0.5). Spark side iterates min-label
+    // propagation to a fixpoint; the oracle closes the graph with a
+    // recursive CTE — both must land on identical cluster ids.
+    q("q_dedup_clusters")(
+      (s, d) => {
+        import s.implicits._
+        val sig = Dedup.minhashSignatures(nearDupCorpus(s, d), "doc_id", "text", K)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5)
+        val comp = Dedup.connectedComponents(pairs)
+        comp.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+          .join(comp, "cluster_id")
+          .select($"id".as("doc_id"), $"cluster_id", $"n_members")
+          .orderBy($"doc_id")
+      },
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT c.id AS doc_id, c.cluster_id, n.n_members
+         |FROM comp c JOIN (SELECT cluster_id, COUNT(*) AS n_members
+         |  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin),
+
     q("q_simhash")(
       (s, d) => {
         import s.implicits._

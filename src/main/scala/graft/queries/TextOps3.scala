@@ -164,7 +164,34 @@ object TextOps3 {
         |r AS (SELECT source, term, cnt,
         |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn FROM cnt)
         |SELECT source, term, cnt, rn FROM r WHERE rn <= 5
-        |ORDER BY source, rn""".stripMargin)
+        |ORDER BY source, rn""".stripMargin),
+
+    // Sequence packing — the pretraining concat-and-chunk step: docs
+    // are concatenated per source in deterministic order and cut into
+    // 2048-token context windows; each doc reports the window it
+    // starts in and its offset there. One window cumsum per source
+    // partition — no driver state, no second pass.
+    q("q_seq_pack")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        t(s, d, "documents")
+          .select($"doc_id", $"source", TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+          .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+          .select($"doc_id", $"source", $"n_tokens",
+            floor($"start_off" / 2048).cast("long").as("pack_id"),
+            ($"start_off" % 2048).cast("long").as("pack_offset"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, source, n_tokens,
+        |CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+        |FROM (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  SUM(len(string_split_regex(trim(text), '\s+')))
+        |    OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)
   )
 
   /** zlib-ratio repetitiveness signal — no portable cross-engine

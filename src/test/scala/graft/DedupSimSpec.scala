@@ -66,6 +66,34 @@ class DedupSimSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(s(0) ^ s(2)) > 8)
   }
 
+  test("simhash near-dup banding equals the all-pairs scan (recall 1 at hamming<=3)") {
+    // 30 docs over a tiny vocab → plenty of hamming-close pairs; the
+    // banded join must reproduce the brute-force pair set exactly.
+    val docs = (1 to 30).map { i =>
+      (i.toLong, (0 until 8).map(j => s"w${(i + j * 3) % 11}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = 3, bands = 4)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    val sig = Dedup.simhash48(df, "doc_id", "text")
+    val brute = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.simhash48".bitwiseXOR($"b.simhash48")).cast("long"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 3).toSet
+    assert(banded == brute)
+    assert(banded.exists(_._3 == 0)) // the vocab wraps → exact simhash ties exist
+  }
+
+  test("connected components: chains close transitively, separate pairs stay apart") {
+    // a-b, b-c, c-d is one cluster labelled by its min id; e-f another.
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp.size == 6)
+  }
+
   test("cosine + top-k: orthogonal/parallel vectors rank correctly") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),
