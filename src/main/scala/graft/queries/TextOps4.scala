@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFns
+
+/** Fourth text batch: eval-set decontamination and deterministic
+  * sampling — the last-mile curation steps before a training run.
+  *
+  * The synthetic corpus has almost no natural 8-gram overlap, so the
+  * decontamination query plants eval-doc prefixes into chosen training
+  * docs on BOTH sides (the q_scrub_pii pattern): the oracle checks the
+  * overlap machinery, not the fixture.
+  */
+object TextOps4 {
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // Benchmark decontamination: flag training docs sharing any 8-gram
+    // with the eval set (doc_id % 50 = 0). Eval docs are a fixed tiny
+    // set next to a 100 TB corpus, so their distinct shingle hashes
+    // broadcast and the scan stays map-side: explode → broadcast
+    // semi-ish join on the 48-bit hash → per-doc count. Contamination
+    // planted: docs with doc_id % 7 = 0 get the 8-token prefix of eval
+    // doc ((doc_id % 10) + 1) * 50 appended.
+    q("q_decontaminate")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val evalPrefix = base.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" / 50).cast("long").as("k"),
+            concat_ws(" ", slice(TextFns.tokens($"text"), 1, 8)).as("prefix"))
+        val corpus = base
+          .join(broadcast(evalPrefix), ($"doc_id" % 10) + 1 === $"k", "left")
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0 && $"doc_id" % 50 =!= 0,
+              concat($"text", lit(" "), $"prefix")).otherwise($"text").as("text"))
+        val hashes = corpus.select($"doc_id",
+          explode(array_distinct(TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
+        val evalH = hashes.filter($"doc_id" % 50 === 0).select($"hv").distinct()
+        hashes.filter($"doc_id" % 50 =!= 0)
+          .join(broadcast(evalH), "hv")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+          .orderBy($"doc_id")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |evalp AS (SELECT doc_id // 50 AS k,
+        |  array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ') AS prefix
+        |  FROM base WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 = 0 AND b.doc_id % 50 <> 0
+        |       THEN b.text || ' ' || e.prefix ELSE b.text END AS text
+        |  FROM base b LEFT JOIN evalp e ON e.k = (b.doc_id % 10) + 1),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, len(tk) - 7),
+        |  i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |       tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s
+        |  FROM toks WHERE len(tk) >= 8),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM sh),
+        |eval_h AS (SELECT DISTINCT hv FROM h WHERE doc_id % 50 = 0)
+        |SELECT h.doc_id, COUNT(*) AS n_shared
+        |FROM h JOIN eval_h USING (hv) WHERE h.doc_id % 50 <> 0
+        |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin),
+
+    // Deterministic hash sampling — reproducible 20% bernoulli by
+    // md5-derived bucket of the key: the same sample comes back on
+    // every rerun and every engine, with no RNG state to coordinate
+    // across 1000 executors. Map-only.
+    q("q_hash_sample")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id", $"source",
+            (TextFns.hash48($"doc_id".cast("string")) % 100).as("bucket"))
+          .filter($"bucket" < 20)
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, source,
+        |CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bucket
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  val oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}
