@@ -22,7 +22,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("bucketed dedup/ANN paths never degrade to cartesian joins") {
     for (name <- Seq("q_minhash_lsh_pairs", "q_jaccard_pairs",
-      "q_embed_neardup_lsh", "q_ivf_topk", "q_asof_join", "q_range_join")) {
+      "q_embed_neardup_lsh", "q_ivf_topk", "q_asof_join", "q_range_join",
+      "q_simhash_neardup")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
       // broadcast nested loop is only acceptable for broadcasting a
@@ -36,5 +37,19 @@ class PlanShapeSpec extends SparkSpec {
   test("q_topn is a TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topn")
     assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_decontaminate broadcasts the eval side, never the corpus scan") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_seq_pack shuffles once on the pack key, no global window") {
+    // a Window without PARTITION BY would collapse to a single
+    // partition — the per-source partitioning must survive
+    val p = plan("q_seq_pack")
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"), "q_seq_pack window lost its partition key")
   }
 }
