@@ -31,26 +31,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash parameters: k permutations of the 32-bit shingle hash
-    * under (a·h + b) mod p. p prime > 2^32; a,b small so a·h stays
-    * well under 2^63 (no overflow divergence across engines).
+    * under (a·h + b) mod p — re-exported from the native expression
+    * (single source of truth, see [[graft.plans.MinhashSig]]).
     */
-  val MinhashP = 4294967311L
-  def perm(i: Int): (Long, Long) = (41L * i + 7L, 17L * i + 3L)
+  val MinhashP: Long = graft.plans.MinhashSig.P
+  def perm(i: Int): (Long, Long) =
+    (graft.plans.MinhashSig.permA(i), graft.plans.MinhashSig.permB(i))
 
-  /** doc-level minhash signature: one row per doc, k columns mh00..mhNN. */
+  /** doc-level minhash signature: one row per doc, k columns mh00..mhNN.
+    *
+    * Map-only: the signature is a per-document reduction over the doc's
+    * own shingles, so the one-pass native expression computes all k
+    * minima in a single traversal — no explode, no groupBy, zero
+    * shuffle. (The former explode + groupBy form shuffled every
+    * (doc, shingle) pair — the largest intermediate in the engine.)
+    * Docs too short to shingle yield no row, exactly like the
+    * aggregated form.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, shingleN: Int = 3): DataFrame = {
-    // non-distinct positions: MIN over the shingle multiset == MIN over
-    // the set, so the O(n²) per-row distinct is pure waste here; the
-    // native one-pass hasher avoids per-element lambda dispatch
-    val exploded = df
-      .select(col(idCol), TextFns.tokens(col(textCol)).as("tk"))
-      .select(col(idCol), explode(TextFns.shingleHashes32(col("tk"), shingleN)).as("hv"))
-    val aggs = (0 until k).map { i =>
-      val (a, b) = perm(i)
-      min((col("hv") * a + b) % MinhashP).as(f"mh$i%02d")
-    }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // two-step select: the array is materialized in its own projection;
+    // CollapseProject keeps non-cheap expressions referenced k times
+    // out-of-line, so the signature is computed once per row. The
+    // too-short-to-shingle filter is the cheap token-count predicate
+    // (≡ sig IS NOT NULL) — filtering on sig itself would push a full
+    // signature recompute into the scan.
+    val sig = df
+      .filter(size(TextFns.tokens(col(textCol))) >= shingleN)
+      .select(col(idCol), TextFns.minhashSig(TextFns.tokens(col(textCol)), shingleN, k).as("sig"))
+    sig.select(col(idCol) +: (0 until k).map(i => col("sig").getItem(i).as(f"mh$i%02d")): _*)
   }
 
   /** LSH banding over a signature frame: bands of `rowsPerBand`
@@ -188,17 +197,11 @@ object Dedup {
     * Bitwise ops via exact pow-of-2 division so the identical value is
     * derivable in any engine (no engine-specific hash).
     */
-  def simhash48(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // One groupBy with 48 conditional-sum aggregates — not a 48×-row
-    // bit explode (48× less shuffle for the same bit votes).
-    val tok = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("w"))
-      .withColumn("hv", TextFns.hash48(col("w")))
-    val votes = (0 until 48).map { b =>
-      sum(when(shiftright(col("hv"), b) % 2 === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 48).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("simhash48"))
-  }
+  def simhash48(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Map-only: bit votes are a per-document reduction over the doc's
+    // own tokens — the native one-pass expression needs no explode and
+    // no groupBy shuffle. (Every doc tokenizes to ≥1 element — split
+    // of an empty string is [""] — so no rows vanish.)
+    df.select(col(idCol),
+      TextFns.simhash48(TextFns.tokens(col(textCol))).as("simhash48"))
 }

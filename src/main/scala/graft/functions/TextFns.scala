@@ -82,6 +82,20 @@ object TextFns {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens),
         org.apache.spark.sql.catalyst.expressions.Literal(n), hexBytes = 4))
 
+  /** One-pass k-permutation MinHash signature of the n-gram shingle
+    * hashes (array<long> of k minima; NULL when too short to shingle).
+    */
+  def minhashSig(tokens: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.MinhashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingleHashes32(tokens, n)), k))
+
+  /** One-pass 48-bit simhash of the token array (NULL for empty). */
+  def simhash48(tokens: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SimHash48(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens)))
+
   /** zlib compression ratio (compressed/raw) — repetitiveness signal;
     * see [[graft.plans.DeflateRatio]] for determinism caveats.
     */

@@ -64,6 +64,102 @@ case class ShingleHash48(child: Expression, n: Expression, hexBytes: Int = 6)
     copy(child = newLeft, n = newRight)
 }
 
+/** One-pass MinHash signature: array of 32-bit shingle hashes → the k
+  * per-permutation minima of (hv·a_i + b_i) mod p, computed with k
+  * running accumulators in a single traversal. Replaces the
+  * explode + groupBy(doc).agg(16 × min) formulation: signature
+  * computation is per-document, so shuffling every (doc, shingle) pair
+  * across the cluster — the largest intermediate in the dedup family —
+  * buys nothing. Values are IDENTICAL (min over the same multiset under
+  * the same permutations), so the DuckDB oracles don't change.
+  *
+  * NULL for an empty hash array (a doc too short to shingle has no
+  * signature — mirrors the groupBy form, where such docs vanish).
+  */
+case class MinhashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val hvs = arr.asInstanceOf[ArrayData]
+    val n = hvs.numElements()
+    if (n == 0) return null
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hv = hvs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (hv * MinhashSig.permA(j) + MinhashSig.permB(j)) % MinhashSig.P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  /** Permutation family (a·h + b) mod p: p prime > 2^32; a, b small so
+    * a·h stays far under 2^63 (identical arithmetic in any engine).
+    * Single source of truth — `Dedup.perm` re-exports these.
+    */
+  val P = 4294967311L
+  def permA(i: Int): Long = 41L * i + 7L
+  def permB(i: Int): Long = 17L * i + 3L
+}
+
+/** One-pass 48-bit SimHash over a token array: md5-derived 48-bit hash
+  * per token, ±1 vote per bit, positive-score bits set in the result.
+  * Replaces the explode + groupBy(doc).agg(48 × conditional sum) form
+  * for the same reason as [[MinhashSig]]: the votes are per-document,
+  * so no shuffle is warranted. Integer vote sums are order-independent,
+  * so values match the aggregated form (and the DuckDB oracle) exactly.
+  */
+case class SimHash48(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash48"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val tokens = arr.asInstanceOf[ArrayData]
+    val n = tokens.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scores = new Array[Int](48)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(tokens.getUTF8String(i).getBytes)
+      var hv = 0L
+      var b = 0
+      while (b < 6) { hv = (hv << 8) | (digest(b) & 0xffL); b += 1 }
+      b = 0
+      while (b < 48) {
+        if (((hv >>> b) & 1L) == 1L) scores(b) += 1 else scores(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) { if (scores(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** zlib compression ratio of the UTF-8 text (compressed/raw bytes) —
   * the classic cheap repetitiveness signal for corpus curation:
   * boilerplate and template spam deflate far below natural prose.
