@@ -90,6 +90,12 @@ object TextFns {
       graft.plans.MinhashSig(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingleHashes32(tokens, n)), k))
 
+  /** Forward sliding-window minima of a long array (winnowing). */
+  def slidingMin(hashes: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.SlidingMin(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(hashes), w))
+
   /** One-pass 48-bit simhash of the token array (NULL for empty). */
   def simhash48(tokens: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(

@@ -116,6 +116,44 @@ object MinhashSig {
   def permB(i: Int): Long = 17L * i + 3L
 }
 
+/** Per-position forward sliding-window minimum over a long array:
+  * out(i) = min(in(i .. min(i+w-1, n-1))) — the winnowing fingerprint
+  * primitive. Map-only replacement for posexplode + a
+  * `min over (partition by doc rows between current and w-1 following)`
+  * window, which shuffled every (doc, position, hash) triple; the
+  * minima only ever look inside one document's own array. Computed
+  * right-to-left with a w-bounded scan (w is a small constant).
+  */
+case class SlidingMin(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_min"
+
+  override def nullSafeEval(arr: Any): Any = {
+    val hvs = arr.asInstanceOf[ArrayData]
+    val n = hvs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var m = hvs.getLong(i)
+      var j = i + 1
+      val end = math.min(i + w, n)
+      while (j < end) {
+        val v = hvs.getLong(j)
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One-pass 48-bit SimHash over a token array: md5-derived 48-bit hash
   * per token, ±1 vote per bit, positive-score bits set in the result.
   * Replaces the explode + groupBy(doc).agg(48 × conditional sum) form

@@ -27,16 +27,16 @@ object TextOps2 {
     }),
 
     // winnowing: min shingle-hash of every 8-position window, distinct —
-    // the rolling-hash document fingerprint set
+    // the rolling-hash document fingerprint set. Map-only: the rolling
+    // minima live inside one doc's own hash array (native SlidingMin),
+    // so no posexplode + per-doc window shuffle; per-doc distinct is
+    // array_distinct before the explode.
     "q_winnow" -> ((s, d) => {
       import s.implicits._
-      val w = Window.partitionBy($"doc_id").orderBy($"pos").rowsBetween(0, 7)
       t(s, d, "documents")
         .select($"doc_id", TextFns.tokens($"text").as("tk"))
-        .select($"doc_id", posexplode(TextFns.shingleHashes48($"tk", 3)).as(Seq("pos", "hv")))
-        .withColumn("wmin", min($"hv").over(w))
-        .select($"doc_id", $"wmin".as("fingerprint"))
-        .distinct()
+        .select($"doc_id", explode(array_distinct(
+          TextFns.slidingMin(TextFns.shingleHashes48($"tk", 3), 8))).as("fingerprint"))
         .orderBy($"doc_id", $"fingerprint")
     }),
 

@@ -94,6 +94,14 @@ class DedupSimSpec extends SparkSpec {
     assert(comp.size == 6)
   }
 
+  test("sliding min matches the window-function definition at the tail") {
+    val df = Seq(Tuple1(Array(5L, 3L, 9L, 1L, 7L, 8L))).toDF("hv")
+    val out = df.select(TextFns.slidingMin($"hv", 3).as("m"))
+      .as[Seq[Long]].head()
+    // forward windows of 3, truncated at the tail
+    assert(out == Seq(3L, 1L, 1L, 1L, 7L, 8L))
+  }
+
   test("cosine + top-k: orthogonal/parallel vectors rank correctly") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),
