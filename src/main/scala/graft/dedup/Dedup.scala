@@ -62,6 +62,42 @@ object Dedup {
     sig.select(col(idCol) +: (0 until k).map(i => col("sig").getItem(i).as(f"mh$i%02d")): _*)
   }
 
+  /** Band keys of a signature frame: one (id, band_id, band_hash) row
+    * per band — the LSH index rows. At scale this is the materialized
+    * index a corpus maintains; a new batch only computes ITS band keys
+    * and joins.
+    */
+  def bandKeys(sig: DataFrame, idCol: String,
+               k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bandCols = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
+      struct(lit(b).as("band_id"), md5(concat_ws("_", parts: _*)).as("band_hash")).as(s"b$b")
+    }
+    sig.select(col(idCol) +: bandCols: _*)
+      .select(col(idCol), explode(array((0 until nBands).map(b => col(s"b$b")): _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Incremental dedup: band-match a new batch against an existing
+    * corpus. Returns one row per batch doc that collides with the
+    * corpus index — (batch_id, matched_min, n_matched). The corpus
+    * side is the precomputed band-key index; only the batch (small)
+    * is banded fresh, so per-batch cost is O(|batch| + collisions),
+    * never O(|corpus|).
+    */
+  def incrementalBandMatches(corpusSig: DataFrame, batchSig: DataFrame, idCol: String,
+                             k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val cb = bandKeys(corpusSig, idCol, k, rowsPerBand)
+      .withColumnRenamed(idCol, "corpus_id")
+    val bb = bandKeys(batchSig, idCol, k, rowsPerBand)
+      .withColumnRenamed(idCol, "batch_id")
+    bb.join(cb, Seq("band_id", "band_hash"))
+      .groupBy(col("batch_id"))
+      .agg(min(col("corpus_id")).as("matched_min"),
+        countDistinct(col("corpus_id")).as("n_matched"))
+  }
+
   /** LSH banding over a signature frame: bands of `rowsPerBand`
     * signature rows hashed to a band key; docs sharing any band key are
     * candidate pairs. Returns (idCol_a, idCol_b, est_sim) where est_sim
@@ -73,14 +109,7 @@ object Dedup {
     // agreement sides): cache it — at scale, signatures are a
     // materialized table computed once per corpus.
     val sig = sigIn.cache()
-    val nBands = k / rowsPerBand
-    val bandCols = (0 until nBands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(f"mh${b * rowsPerBand + r}%02d"))
-      struct(lit(b).as("band_id"), md5(concat_ws("_", parts: _*)).as("band_hash")).as(s"b$b")
-    }
-    val banded = sig.select(col(idCol) +: bandCols: _*)
-      .select(col(idCol), explode(array((0 until nBands).map(b => col(s"b$b")): _*)).as("band"))
-      .select(col(idCol), col("band.band_id"), col("band.band_hash"))
+    val banded = bandKeys(sig, idCol, k, rowsPerBand)
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,

@@ -41,14 +41,16 @@ object TextOps {
       .select(($"doc_id" + 200000L).as("doc_id"), $"text"))
   }
 
-  // DuckDB twins of TextFns.shingles / TextFns.hash32 over a corpus CTE.
-  private def shingleSql(src: String) =
-    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM $src),
-       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+  // DuckDB twins of TextFns.shingles / TextFns.hash32 over a corpus
+  // CTE; `sfx` disambiguates CTE names when two corpora are shingled
+  // in one query.
+  private def shingleSql(src: String, sfx: String = "") =
+    s"""toks$sfx AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM $src),
+       |sh$sfx AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |  generate_series(1, len(tk) - 2),
        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
-       |  FROM toks WHERE len(tk) >= 3),
-       |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh)""".stripMargin
+       |  FROM toks$sfx WHERE len(tk) >= 3),
+       |h$sfx AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv FROM sh$sfx)""".stripMargin
 
   private val K = 16
   private def minhashAggSql: String = (0 until K).map { i =>
@@ -56,10 +58,12 @@ object TextOps {
     f"MIN((hv * $a + $b) %% ${Dedup.MinhashP}) AS mh$i%02d"
   }.mkString(", ")
 
-  private def bandsSql: String = (0 until K / 2).map { b =>
+  private def bandsSqlFrom(sigCte: String): String = (0 until K / 2).map { b =>
     val (m1, m2) = (f"mh${2 * b}%02d", f"mh${2 * b + 1}%02d")
-    s"SELECT doc_id, $b AS band_id, md5(concat_ws('_', $m1, $m2)) AS band_hash FROM sig"
+    s"SELECT doc_id, $b AS band_id, md5(concat_ws('_', $m1, $m2)) AS band_hash FROM $sigCte"
   }.mkString(" UNION ALL ")
+
+  private def bandsSql: String = bandsSqlFrom("sig")
 
   private def agreeSql: String = (0 until K)
     .map(i => f"(CASE WHEN sa.mh$i%02d = sb.mh$i%02d THEN 1 ELSE 0 END)")
@@ -251,6 +255,41 @@ object TextOps {
          |FROM pairs GROUP BY id_b ORDER BY drop_id""".stripMargin),
 
     // 48-bit SimHash (portable md5-derived bit votes).
+    // Incremental dedup: a new batch (docs > 400 plus planted
+    // mutations of corpus docs) band-matched against the existing
+    // corpus index (docs ≤ 400). The corpus bands are the materialized
+    // LSH index; per-batch cost is O(|batch| + collisions).
+    q("q_incremental_dedup")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val corpus = base.filter($"doc_id" <= 400)
+        val batch = base.filter($"doc_id" > 400)
+          .union(corpus.filter($"doc_id" % 10 === 0)
+            .select(($"doc_id" + 100000L).as("doc_id"),
+              expr("substring(text, locate(' ', text) + 1)").as("text")))
+        val cs = Dedup.minhashSignatures(corpus, "doc_id", "text", K)
+        val bs = Dedup.minhashSignatures(batch, "doc_id", "text", K)
+        Dedup.incrementalBandMatches(cs, bs, "doc_id", K)
+          .orderBy($"batch_id")
+      },
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <= 400),
+         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id > 400
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+         |  FROM corpus WHERE doc_id % 10 = 0),
+         |${shingleSql("corpus", "_c")},
+         |sig_c AS (SELECT doc_id, $minhashAggSql FROM h_c GROUP BY doc_id),
+         |${shingleSql("batch", "_b")},
+         |sig_b AS (SELECT doc_id, $minhashAggSql FROM h_b GROUP BY doc_id),
+         |bands_c AS (${bandsSqlFrom("sig_c")}),
+         |bands_b AS (${bandsSqlFrom("sig_b")})
+         |SELECT b.doc_id AS batch_id, MIN(c.doc_id) AS matched_min,
+         |  COUNT(DISTINCT c.doc_id) AS n_matched
+         |FROM bands_b b JOIN bands_c c
+         |  ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+         |GROUP BY b.doc_id ORDER BY batch_id""".stripMargin),
+
     // SimHash hamming near-dup: 4×12-bit band blocking with guaranteed
     // recall 1 at hamming ≤ 3 (pigeonhole) — so the blocked Spark plan
     // must hash-match the all-pairs DuckDB scan exactly.

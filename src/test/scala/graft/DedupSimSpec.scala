@@ -94,6 +94,22 @@ class DedupSimSpec extends SparkSpec {
     assert(comp.size == 6)
   }
 
+  test("incremental band match flags batch dups against the corpus index only") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // exact dup of corpus 1
+      (11L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"), // novel
+      (12L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")  // dup of 11 — NOT in corpus
+    ).toDF("doc_id", "text")
+    val m = Dedup.incrementalBandMatches(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"),
+      Dedup.minhashSignatures(batch, "doc_id", "text"), "doc_id")
+      .as[(Long, Long, Long)].collect().map { case (b, mn, _) => b -> mn }.toMap
+    assert(m == Map(10L -> 1L)) // within-batch dups are the full pass's job
+  }
+
   test("sliding min matches the window-function definition at the tail") {
     val df = Seq(Tuple1(Array(5L, 3L, 9L, 1L, 7L, 8L))).toDF("hv")
     val out = df.select(TextFns.slidingMin($"hv", 3).as("m"))
