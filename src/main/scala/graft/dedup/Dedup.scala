@@ -102,14 +102,34 @@ object Dedup {
     * signature rows hashed to a band key; docs sharing any band key are
     * candidate pairs. Returns (idCol_a, idCol_b, est_sim) where est_sim
     * is the fraction of agreeing minhashes.
+    *
+    * `maxBandBucket` (opt-in) drops band buckets larger than the cap
+    * before the self-join: a degenerate band value shared by m docs
+    * contributes m² candidate work, so one boilerplate-heavy bucket
+    * (empty docs, templates) can dominate the whole job at corpus
+    * scale. Docs in a dropped bucket still pair through their other
+    * k/rowsPerBand−1 bands — the standard recall-for-bound trade;
+    * None (the default) keeps exact behavior.
     */
   def lshCandidatePairs(sigIn: DataFrame, idCol: String,
-                        k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+                        k: Int = 16, rowsPerBand: Int = 2,
+                        maxBandBucket: Option[Int] = None): DataFrame = {
     // The signature frame feeds four branches (two band sides, two
     // agreement sides): cache it — at scale, signatures are a
     // materialized table computed once per corpus.
     val sig = sigIn.cache()
-    val banded = bandKeys(sig, idCol, k, rowsPerBand)
+    val allBanded = bandKeys(sig, idCol, k, rowsPerBand)
+    val banded = maxBandBucket match {
+      case None => allBanded
+      case Some(cap) =>
+        // one cheap count-agg on the band key (partial-aggregated)
+        // bounds the join's worst bucket; no extra pass over docs
+        val sizes = allBanded.groupBy(col("band_id"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= cap)
+          .drop("bucket_n")
+        allBanded.join(sizes, Seq("band_id", "band_hash"))
+    }
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b,

@@ -48,6 +48,21 @@ object Streams {
       .withColumn("text_hash", md5(col(textCol)))
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming signature dedup: drops rows whose 48-bit simhash was
+    * already seen within the watermark horizon — catches trivially
+    * reworded near-copies (same token multiset votes) that exact
+    * content-hash dedup misses, at the same O(horizon) state cost.
+    * The signature is map-only (native one-pass expression), so the
+    * only stateful op is the dedup itself; genuine near-dup search
+    * (hamming > 0) stays on the batch path, where banding bounds it.
+    */
+  def simhashDedupStream(df: DataFrame, tsCol: String, textCol: String,
+                         watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .withColumn("simhash48",
+        graft.functions.TextFns.simhash48(graft.functions.TextFns.tokens(col(textCol))))
+      .dropDuplicatesWithinWatermark("simhash48")
+
   /** Stream-stream attribution join: each left event matched with the
     * same user's right events inside [l.ts, l.ts + window]. The time
     * bound plus watermarks let Spark expire join state on both sides

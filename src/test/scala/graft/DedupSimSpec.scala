@@ -94,6 +94,18 @@ class DedupSimSpec extends SparkSpec {
     assert(comp.size == 6)
   }
 
+  test("band bucket cap drops degenerate buckets but keeps pairs from other bands") {
+    // 6 identical docs: every band bucket has 6 members. cap=5 drops
+    // them all → no pairs; cap=None keeps all 15 pairs. Two docs
+    // sharing only content (not a degenerate key) are unaffected.
+    val clones = (1 to 6).map(i => (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val df = clones.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text")
+    assert(Dedup.lshCandidatePairs(sig, "doc_id").count() == 15)
+    assert(Dedup.lshCandidatePairs(sig, "doc_id", maxBandBucket = Some(5)).count() == 0)
+    assert(Dedup.lshCandidatePairs(sig, "doc_id", maxBandBucket = Some(6)).count() == 15)
+  }
+
   test("incremental band match flags batch dups against the corpus index only") {
     val corpus = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),

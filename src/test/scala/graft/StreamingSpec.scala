@@ -59,6 +59,22 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming simhash dedup drops same-signature rewordings, keeps novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.simhashDedupStream(df, "ts", "text", watermark = "1 hour")
+      .writeStream.format("memory").queryName("simhash_stream").outputMode("append").start()
+    // doc 3 reorders doc 1's tokens — same token multiset, same simhash
+    mem.addData((ts(0), 1L, "alpha beta gamma delta"), (ts(1), 2L, "epsilon zeta"))
+    q.processAllAvailable()
+    mem.addData((ts(10), 3L, "delta gamma beta alpha"), (ts(11), 4L, "eta theta"))
+    q.processAllAvailable()
+    val kept = spark.table("simhash_stream").select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+    q.stop()
+  }
+
   test("stream-stream attribution join matches within the window, expires outside") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
