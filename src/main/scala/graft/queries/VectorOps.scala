@@ -141,8 +141,21 @@ object VectorOps {
          |ORDER BY vec_a, vec_b""".stripMargin)
   )
 
+  /** k-means training is iterative float averaging — summation order
+    * makes exact cross-engine values unreasonable, so the driver
+    * records a rows-only check; semantics are pinned in `DedupSimSpec`
+    * (planted clusters recovered, sizes exact).
+    */
+  private val noOracle: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmeans" -> ((s, d) => {
+      import s.implicits._
+      Similarity.kmeansFit(t(s, d, "embeddings"), "vec_id", "embedding", k = 8, iters = 3)
+        .select($"centroid_id", $"n_members")
+        .orderBy($"centroid_id")
+    }))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap ++ noOracle
 
   val oracles: Map[String, String] =
     defs.map { case (n, (_, sql)) => n -> sql }.toMap

@@ -81,6 +81,45 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Train IVF centroids with Lloyd's k-means: deterministic init (the
+    * k lowest-id vectors), then `iters` rounds of broadcast-centroid
+    * assignment + per-dimension mean. The mean is computed by
+    * posexplode → groupBy(cell, dim) — a partial-aggregated shuffle of
+    * n·d scalars, never a collect_list of vectors — so a round costs
+    * one broadcast join and one agg shuffle regardless of corpus size.
+    * Lineage is cut per round (localCheckpoint): the plan stays O(1)
+    * deep instead of O(iters).
+    *
+    * Returns (centroid_id, vec, n_members) for the final round.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "kmeansFit needs at least one Lloyd round")
+    // a centroid that loses every member drops out (its cell produces
+    // no mean) — callers needing exactly k cells re-seed, as usual
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("vec"))
+    val w = Window.orderBy(col("id"))
+    var centroids = c.orderBy(col("id")).limit(k)
+      .withColumn("id", row_number().over(w).cast("long"))
+      .localCheckpoint()
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assignCells(c, centroids, "id", "vec", "id", "vec")
+      centroids = assigned
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"), count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"),
+          first(col("n")).as("n_members"))
+        .select(col("cell").as("id"),
+          expr("transform(pm, x -> cast(x.m as float))").as("vec"),
+          col("n_members"))
+        .localCheckpoint()
+    }
+    centroids.select(col("id").as("centroid_id"), col("vec"), col("n_members"))
+  }
+
   /** Signed-random-projection LSH: bucket vectors by the sign pattern
     * of `nPlanes` hyperplane dot products, then search only within the
     * query's bucket. Planes are derived deterministically (md5-seeded

@@ -219,6 +219,25 @@ class DedupSimSpec extends SparkSpec {
     assert(again == r("rep"))
   }
 
+  test("kmeans recovers three planted clusters with tight centroids") {
+    // 3 well-separated groups of 10 vectors each in dim 4
+    val base = Map(0 -> Array(10f, 0f, 0f, 0f), 1 -> Array(0f, 10f, 0f, 0f), 2 -> Array(0f, 0f, 10f, 0f))
+    val vecs = (0 until 30).map { i =>
+      val g = i % 3
+      val jitter = (i / 3) * 0.01f
+      (i.toLong, base(g).zipWithIndex.map { case (v, d) => v + (if (d == 3) jitter else 0f) })
+    }
+    val df = vecs.toDF("id", "vec")
+    val fit = Similarity.kmeansFit(df, "id", "vec", k = 3, iters = 3)
+      .as[(Long, Seq[Float], Long)].collect()
+    assert(fit.length == 3)
+    assert(fit.forall(_._3 == 10L)) // 10 members per cluster
+    // each planted direction dominates exactly one centroid
+    val doms = fit.map(_._2.zipWithIndex.maxBy(_._1)._2).sorted
+    assert(doms.toSeq == Seq(0, 1, 2))
+    assert(fit.forall(c => c._2.max > 9.9f))
+  }
+
   test("IVF probe search matches brute force within the probed cell; plan broadcasts") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .select($"vec_id", $"embedding")
