@@ -166,6 +166,24 @@ object Extra {
       """SELECT c_mktsegment, round(quantile_cont(c_acctbal, 0.5), 4) AS median_balance, COUNT(*) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
 
+    // Salted two-phase aggregation must be RESULT-IDENTICAL to the
+    // plain GROUP BY — that invariant is exactly what the oracle
+    // checks (the plain SQL) while the Spark side runs the skew-proof
+    // (key, salt) → key two-shuffle plan. Decimal addends keep the
+    // re-associated sum exact.
+    q("q_salted_agg")(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val li = t(s, d, "lineitem")
+          .select($"l_returnflag", $"l_quantity".cast(DecimalType(18, 2)).as("qty"))
+        graft.operators.Salting.saltedCountSum(li, "l_returnflag", "qty")
+          .select($"l_returnflag", $"n", $"total".cast("double").as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      s"""SELECT l_returnflag, COUNT(*) AS n, ${decSumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // full quantile profile per segment — interpolated percentiles
     // (Spark `percentile` == DuckDB `quantile_cont`), rounded so the
     // linear-interpolation double math can't diverge in the last bit.
