@@ -255,6 +255,112 @@ object TextOps {
          |FROM pairs GROUP BY id_b ORDER BY drop_id""".stripMargin),
 
     // 48-bit SimHash (portable md5-derived bit votes).
+    // The full curation funnel as ONE Catalyst DAG — quality gate →
+    // exact dedup (min-id-wins) → MinHash-LSH near-dup drop →
+    // eval-set decontamination — over a corpus with planted exact
+    // copies AND near-dup mutants, so every stage provably drops
+    // something. One oracle checks the composition end-to-end, not
+    // just each stage in isolation.
+    q("q_curation_pipeline")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val planted = base.filter($"doc_id" % 10 === 0)
+        val corpus = base
+          .union(planted.select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+          .union(planted.select(($"doc_id" + 100000L).as("doc_id"),
+            expr("substring(text, locate(' ', text) + 1)").as("text")))
+        // quality gate (token/stopword/mean-length signals, map-only)
+        val quality = corpus
+          .withColumn("n_tokens", TextFns.tokenCount($"text"))
+          .withColumn("n_stop", TextFns.stopwordCount($"text"))
+          .withColumn("mean_len", length($"text").cast("double") / $"n_tokens")
+          .filter($"n_tokens" >= 20 && $"n_stop" >= 1 &&
+            $"mean_len" >= 3.0 && $"mean_len" <= 12.0)
+          .select($"doc_id", $"text", $"n_tokens")
+        // exact dedup: one shuffle on the content hash, min id kept
+        val withH = quality.withColumn("h", md5($"text"))
+        val keepers = withH.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+        val afterExact = withH.join(keepers, Seq("h", "doc_id"), "left_semi")
+          .select($"doc_id", $"text", $"n_tokens")
+        // near-dup drop via LSH banding (est_sim >= 0.5, min-id-wins)
+        val sig = Dedup.minhashSignatures(afterExact, "doc_id", "text", K)
+        val drops = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5).select($"id_b".as("doc_id")).distinct()
+        val afterNd = afterExact.join(drops, Seq("doc_id"), "left_anti")
+        // decontamination: drop docs sharing any 8-gram with the fixed
+        // eval set (original docs with doc_id % 50 = 0), and the eval
+        // docs themselves
+        val evalH = base.filter($"doc_id" % 50 === 0)
+          .select(explode(array_distinct(
+            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
+          .distinct()
+        val contaminated = afterNd
+          .select($"doc_id", explode(array_distinct(
+            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
+          .join(broadcast(evalH), "hv")
+          .select($"doc_id").distinct()
+        afterNd
+          .filter(!($"doc_id" % 50 === 0 && $"doc_id" <= 100000L))
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .select($"doc_id", $"n_tokens")
+          .orderBy($"doc_id")
+      },
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+         |  FROM base WHERE doc_id % 10 = 0),
+         |quality AS (
+         |  SELECT doc_id, text,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |  FROM corpus
+         |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 20
+         |    AND len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |          x -> x IN ('the','a','of','and','to','in'))) >= 1
+         |    AND CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) >= 3.0
+         |    AND CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) <= 12.0),
+         |after_exact AS (
+         |  SELECT doc_id, text, n_tokens FROM (
+         |    SELECT doc_id, text, n_tokens,
+         |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |    FROM quality) WHERE doc_id = keep_id),
+         |${shingleSql("after_exact")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5),
+         |after_nd AS (SELECT * FROM after_exact
+         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+         |eval_h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv
+         |  FROM (SELECT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 7),
+         |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+         |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s
+         |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
+         |          FROM base WHERE doc_id % 50 = 0) WHERE len(tk) >= 8)),
+         |contaminated AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv
+         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 7),
+         |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+         |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s
+         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |          FROM after_nd) WHERE len(tk) >= 8))
+         |  WHERE hv IN (SELECT hv FROM eval_h))
+         |SELECT doc_id, n_tokens FROM after_nd
+         |WHERE NOT (doc_id % 50 = 0 AND doc_id <= 100000)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin),
+
     // Incremental dedup: a new batch (docs > 400 plus planted
     // mutations of corpus docs) band-matched against the existing
     // corpus index (docs ≤ 400). The corpus bands are the materialized
