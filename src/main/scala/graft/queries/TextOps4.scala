@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -68,6 +69,99 @@ object TextOps4 {
         |SELECT h.doc_id, COUNT(*) AS n_shared
         |FROM h JOIN eval_h USING (hv) WHERE h.doc_id % 50 <> 0
         |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin),
+
+    // Pack materialization — the step after q_seq_pack's assignment:
+    // concatenate each pack's docs in order into one training row.
+    // groupBy(pack) + ordered collect is safe HERE because a pack is
+    // budget-bounded (~2048 tokens) — never an unbounded group.
+    q("q_pack_build")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        t(s, d, "documents")
+          .select($"doc_id", $"source", $"text",
+            TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+          .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+          .withColumn("pack_id", floor($"start_off" / 2048).cast("long"))
+          .groupBy($"source", $"pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("pack_tokens"),
+            concat_ws(" ", transform(array_sort(collect_list(struct($"doc_id", $"text"))),
+              x => x.getField("text"))).as("pack_text"))
+          .select($"source", $"pack_id", $"n_docs", $"pack_tokens",
+            length($"pack_text").as("pack_chars"))
+          .orderBy($"source", $"pack_id")
+      },
+      """WITH packed AS (SELECT doc_id, source, text, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+        |  FROM (SELECT doc_id, source, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    SUM(len(string_split_regex(trim(text), '\s+')))
+        |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |    FROM documents))
+        |SELECT source, pack_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+        |  length(string_agg(text, ' ' ORDER BY doc_id)) AS pack_chars
+        |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin),
+
+    // Cross-source contamination matrix: for every source pair, the
+    // number of distinct shared 8-grams — the dataset-vs-dataset
+    // overlap audit. Distinct (source, hash) rows self-join on the
+    // hash: work ∝ collisions, output |sources|².
+    q("q_source_overlap")(
+      (s, d) => {
+        import s.implicits._
+        val sh = t(s, d, "documents")
+          .select($"source", explode(array_distinct(
+            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
+          .distinct()
+        sh.as("a").join(sh.as("b"),
+            col("a.hv") === col("b.hv") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("shared_ngrams"))
+          .orderBy($"source_a", $"source_b")
+      },
+      """WITH sh AS (SELECT DISTINCT source,
+        |  CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv
+        |  FROM (SELECT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tk) - 7),
+        |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s
+        |    FROM (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+        |          FROM documents) WHERE len(tk) >= 8))
+        |SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_ngrams
+        |FROM sh a JOIN sh b ON a.hv = b.hv AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin),
+
+    // Distinctive terms per doc: TF-IDF-shaped ranking kept fully
+    // integer ((tf DESC, df ASC, term)) so no float log can drift
+    // between engines. Explode → two partial-agg shuffles (term df,
+    // per-doc tf) → per-doc top-3 window.
+    q("q_rare_terms")(
+      (s, d) => {
+        import s.implicits._
+        val tok = t(s, d, "documents")
+          .select($"doc_id", explode(TextFns.tokens($"text")).as("term"))
+        val df_ = tok.select($"doc_id", $"term").distinct()
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+        val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val w = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
+        tf.join(df_, "term")
+          .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+          .select($"doc_id", $"term", $"tf", $"df", $"rn")
+          .orderBy($"doc_id", $"rn")
+      },
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok)
+        |  GROUP BY term),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin),
 
     // Deterministic hash sampling — reproducible 20% bernoulli by
     // md5-derived bucket of the key: the same sample comes back on
