@@ -138,8 +138,8 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val sa = sig.toDF(sig.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val sa = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.toIndexedSeq.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
     val agree = (0 until k)
       .map(i => when(col(f"a_mh$i%02d") === col(f"b_mh$i%02d"), 1).otherwise(0))
       .reduce(_ + _)

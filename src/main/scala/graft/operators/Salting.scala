@@ -20,7 +20,7 @@ object Salting {
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
     val l = skewed.withColumn("_salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val r = other.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
@@ -35,7 +35,7 @@ object Salting {
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
                      saltFactor: Int = 16): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     salted.groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))

@@ -141,7 +141,7 @@ object Similarity {
 
   private def srpSignature(t: Int, vec: Column, bitsPerTable: Int, dim: Int): Column =
     (0 until bitsPerTable).map { p =>
-      val planeCol = array(srpPlane(t, p, dim).map(v => lit(v)): _*).cast("array<float>")
+      val planeCol = array(srpPlane(t, p, dim).toIndexedSeq.map(v => lit(v)): _*).cast("array<float>")
       when(VectorFns.dot(planeCol, vec) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _) + lit(t.toLong << 32) // disjoint bucket space per table
 

@@ -56,7 +56,7 @@ object Ingest {
       .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .csv(path)
-    stamp(canonicalize(raw.withColumn("raw_payload", to_json(struct(raw.columns.map(col): _*)))),
+    stamp(canonicalize(raw.withColumn("raw_payload", to_json(struct(raw.columns.toIndexedSeq.map(col): _*)))),
       runId, "CSV")
   }
 
@@ -66,7 +66,7 @@ object Ingest {
     */
   def readJson(spark: SparkSession, path: String, runId: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
-    stamp(canonicalize(raw.withColumn("raw_payload", to_json(struct(raw.columns.map(col): _*)))),
+    stamp(canonicalize(raw.withColumn("raw_payload", to_json(struct(raw.columns.toIndexedSeq.map(col): _*)))),
       runId, "JSON")
   }
 
