@@ -87,12 +87,20 @@ object Dedup {
     * never O(|corpus|).
     */
   def incrementalBandMatches(corpusSig: DataFrame, batchSig: DataFrame, idCol: String,
-                             k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
-    val cb = bandKeys(corpusSig, idCol, k, rowsPerBand)
-      .withColumnRenamed(idCol, "corpus_id")
+                             k: Int = 16, rowsPerBand: Int = 2): DataFrame =
+    bandMatches(
+      bandKeys(corpusSig, idCol, k, rowsPerBand).withColumnRenamed(idCol, "corpus_id"),
+      batchSig, idCol, k, rowsPerBand)
+
+  /** Same, against an already-materialized band index
+    * ((corpus_id, band_id, band_hash) rows — e.g. the persistent index
+    * a streaming ingest maintains).
+    */
+  def bandMatches(corpusBands: DataFrame, batchSig: DataFrame, idCol: String,
+                  k: Int = 16, rowsPerBand: Int = 2): DataFrame = {
     val bb = bandKeys(batchSig, idCol, k, rowsPerBand)
       .withColumnRenamed(idCol, "batch_id")
-    bb.join(cb, Seq("band_id", "band_hash"))
+    bb.join(corpusBands, Seq("band_id", "band_hash"))
       .groupBy(col("batch_id"))
       .agg(min(col("corpus_id")).as("matched_min"),
         countDistinct(col("corpus_id")).as("n_matched"))

@@ -75,6 +75,26 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup ingest filters vs the persistent band index, idempotently") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sdi").toString
+    val ingest = new graft.streaming.StreamingDedupIngest(spark, work, simThreshold = 0.5)
+    val d1 = "the quick brown fox jumps over the lazy dog again and again"
+    val d2 = "pack my box with five dozen liquor jugs for the long winter trip"
+    // batch 0: two novel docs + an intra-batch near-dup of d1 (first word cut)
+    ingest.processBatch(Seq(
+      (1L, d1), (2L, d2), (3L, d1.substring(d1.indexOf(' ') + 1))).toDF("doc_id", "text"), 0L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // batch 1: near-dup of d2 (vs index) is dropped, novel doc admitted
+    val d3 = "a completely different document about spark catalyst and tungsten"
+    ingest.processBatch(Seq(
+      (10L, d2.substring(d2.indexOf(' ') + 1)), (11L, d3)).toDF("doc_id", "text"), 1L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+    // replaying batch 1 overwrites its own leaves — same result
+    ingest.processBatch(Seq(
+      (10L, d2.substring(d2.indexOf(' ') + 1)), (11L, d3)).toDF("doc_id", "text"), 1L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+  }
+
   test("stream-stream attribution join matches within the window, expires outside") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
