@@ -27,6 +27,13 @@ object MediaOps {
     "q_media_meta" -> ((s, d) => {
       Multimodal.extractMeta(Multimodal.mediaFromDocuments(s, d))
         .toDF().orderBy(col("media_id"))
+    }),
+    // video frame sampling (rows-only like q_media_meta: the stub codec
+    // derives deterministic frame digests; plumbing — one row per
+    // sampled frame, partition-parallel — is the real thing)
+    "q_frame_sample" -> ((s, d) => {
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d))
+        .toDF().orderBy(col("media_id"), col("frame_index"))
     })
   )
 

@@ -33,18 +33,21 @@ object StageJanitor {
     for (stage <- stageDirs) {
       val root = Paths.get(workDir, stage)
       if (Files.isDirectory(root)) {
-        val it = Files.list(root).iterator()
-        while (it.hasNext) {
-          val dir = it.next()
-          val name = dir.getFileName.toString
-          if (name.startsWith("run_id=")) {
-            val runId = name.stripPrefix("run_id=")
-            if (!keepIds.contains(runId)) {
-              deleteRecursively(dir)
-              cleaned += runId
+        val listing = Files.list(root)
+        try {
+          val it = listing.iterator()
+          while (it.hasNext) {
+            val dir = it.next()
+            val name = dir.getFileName.toString
+            if (name.startsWith("run_id=")) {
+              val runId = name.stripPrefix("run_id=")
+              if (!keepIds.contains(runId)) {
+                deleteRecursively(dir)
+                cleaned += runId
+              }
             }
           }
-        }
+        } finally listing.close()
       }
     }
     cleaned.toSeq
