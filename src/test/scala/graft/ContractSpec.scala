@@ -16,8 +16,8 @@ class ContractSpec extends SparkSpec {
     assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
     assert(qs.forall(_.matches("[a-z0-9_]+")))
     // surface size guard: would catch an accidental map-merge clobber
-    assert(qs.size >= 55, s"query surface shrank: ${qs.size}")
-    assert(os.size >= 53, s"oracle surface shrank: ${os.size}")
+    assert(qs.size >= 80, s"query surface shrank: ${qs.size}")
+    assert(os.size >= 75, s"oracle surface shrank: ${os.size}")
   }
 
   test("all queries execute at sf0.001 and their schemas have no duplicate columns") {

@@ -36,6 +36,16 @@ class PipelineSpec extends SparkSpec {
       |ORD-005,C105,200.00,2025-01-19
       |""".stripMargin
 
+  test("gzip-compressed CSV ingests transparently (Spark codec discovery by extension)") {
+    val (_, _, runner) = freshDirs()
+    val f = Files.createTempDirectory("graft_gz").resolve("orders.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write(sampleCsv.getBytes("UTF-8")); out.close()
+    val res = runner.run(f.toString)
+    assert(res.status == "Success")
+    assert(MergeWriter.readTarget(spark, runner.targetDir).get.count() == 5)
+  }
+
   test("CSV run end-to-end: categories, UNKNOWN default, catalog Success") {
     val (work, cat, runner) = freshDirs()
     val res = runner.run(writeFixture("sample.csv", sampleCsv))
