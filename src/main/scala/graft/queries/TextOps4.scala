@@ -163,6 +163,33 @@ object TextOps4 {
         |SELECT doc_id, term, tf, df, rn FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin),
 
+    // Dataset mixing: per-source acceptance rates (the pretraining
+    // mixture step — up/down-weight sources to hit target proportions)
+    // applied with the same deterministic md5-bucket bernoulli as
+    // q_hash_sample. Map-only; the mixture is reproducible on any
+    // engine, any partitioning, any rerun.
+    q("q_mix_sample")(
+      (s, d) => {
+        import s.implicits._
+        val srcNum = substring($"source", 4, 10).cast("int")
+        val rate = when(srcNum % 3 === 0, 80)
+          .when(srcNum % 3 === 1, 50)
+          .otherwise(20)
+        t(s, d, "documents")
+          .select($"doc_id", $"source",
+            (TextFns.hash48($"doc_id".cast("string")) % 100).as("bucket"),
+            rate.as("rate"))
+          .filter($"bucket" < $"rate")
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, source, bucket, rate FROM (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bucket,
+        |    CASE CAST(substr(source, 4) AS INTEGER) % 3
+        |      WHEN 0 THEN 80 WHEN 1 THEN 50 ELSE 20 END AS rate
+        |  FROM documents)
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin),
+
     // Deterministic hash sampling — reproducible 20% bernoulli by
     // md5-derived bucket of the key: the same sample comes back on
     // every rerun and every engine, with no RNG state to coordinate

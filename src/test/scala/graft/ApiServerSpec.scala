@@ -64,6 +64,8 @@ class ApiServerSpec extends SparkSpec {
       assert(get(s"$base/runs/does-not-exist").statusCode() == 404)
       assert(get(s"$base/nope").statusCode() == 404)
       assert(post(s"$base/admin/sweep-timeouts?hours=6").statusCode() == 200)
+      val cleaned = post(s"$base/admin/clean-stages?keepRuns=100")
+      assert(cleaned.statusCode() == 200 && cleaned.body().contains("\"cleaned\":0"))
     } finally api.stop()
   }
 
