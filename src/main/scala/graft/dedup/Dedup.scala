@@ -172,6 +172,10 @@ object Dedup {
       .cache()
     val sh = hashed.select(col("id"), explode(col("hvs")).as("hv"))
     val sizes = hashed.select(col("id"), size(col("hvs")).cast("long").as("sz"))
+    // (A df>=2 rare-shingle prefilter was measured here and LOST —
+    // ~1.95s vs ~1.45s at sf0.1: the extra count-agg + key join cost
+    // more than the singleton postings they remove, since singleton
+    // join rows produce no pairs and barely any probe work anyway.)
     // pinned shuffle-hash: the posting-list self-join has heavy key
     // duplication, where a broadcast hash build is both slower and
     // unstable (AQE flips strategies run to run)
