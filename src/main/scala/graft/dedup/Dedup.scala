@@ -254,6 +254,30 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Asymmetric containment: |shingles(a) ∩ shingles(b)| / |shingles(a)|
+    * — ≈1 when doc a is (mostly) a substring/excerpt of doc b even if b
+    * is far larger, which symmetric Jaccard misses. Same inverted-index
+    * shape as [[jaccardPairs]]; emits both directions of each
+    * intersecting pair. `minContainment` filters server-side.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       minContainment: Double, shingleN: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+        array_distinct(TextFns.shingleHashes48(TextFns.tokens(col(textCol)), shingleN)).as("hvs"))
+      .cache()
+    val sh = hashed.select(col("id"), explode(col("hvs")).as("hv"))
+    val sizes = hashed.select(col("id"), size(col("hvs")).cast("long").as("sz"))
+    val common = sh.as("x").join(sh.as("y").hint("shuffle_hash"),
+        col("x.hv") === col("y.hv") && col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / col("sz_a")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** 48-bit simhash over token occurrences (md5-derived bit votes).
     * Bitwise ops via exact pow-of-2 division so the identical value is
     * derivable in any engine (no engine-specific hash).

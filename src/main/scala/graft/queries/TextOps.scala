@@ -226,6 +226,27 @@ object TextOps {
          |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin),
 
+    // Asymmetric containment (excerpt detection): mutants are the
+    // original minus its first token, so containment into the source
+    // is (n-1)/n ≈ 1 while Jaccard alone would not say which side is
+    // the excerpt. Emits both directions; 0.9 threshold.
+    q("q_containment")(
+      (s, d) => {
+        import s.implicits._
+        Dedup.containmentPairs(nearDupCorpus(s, d), "doc_id", "text", minContainment = 0.9)
+          .orderBy($"id_a", $"id_b")
+      },
+      s"""WITH $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sized AS (SELECT doc_id AS id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sized GROUP BY id),
+         |common AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS common
+         |  FROM sized x JOIN sized y ON x.hv = y.hv AND x.id <> y.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(common AS DOUBLE) / sa.sz AS containment
+         |FROM common JOIN sizes sa ON sa.id = id_a
+         |WHERE CAST(common AS DOUBLE) / sa.sz >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin),
+
     // End-to-end dedup decision: near-dup clusters from LSH (est_sim ≥
     // 0.5) resolved min-id-wins — the drop list a training pipeline
     // actually consumes.
