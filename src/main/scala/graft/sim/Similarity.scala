@@ -97,7 +97,9 @@ object Similarity {
     require(iters >= 1, "kmeansFit needs at least one Lloyd round")
     // a centroid that loses every member drops out (its cell produces
     // no mean) — callers needing exactly k cells re-seed, as usual
+    // every Lloyd round re-reads the corpus — materialize it once
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("vec"))
+      .cache()
     val w = Window.orderBy(col("id"))
     var centroids = c.orderBy(col("id")).limit(k)
       .withColumn("id", row_number().over(w).cast("long"))
@@ -117,7 +119,10 @@ object Similarity {
           col("n_members"))
         .localCheckpoint()
     }
-    centroids.select(col("id").as("centroid_id"), col("vec"), col("n_members"))
+    val out = centroids.select(col("id").as("centroid_id"), col("vec"), col("n_members"))
+      .localCheckpoint()
+    c.unpersist()
+    out
   }
 
   /** Signed-random-projection LSH: bucket vectors by the sign pattern

@@ -23,7 +23,8 @@ class PlanShapeSpec extends SparkSpec {
   test("bucketed dedup/ANN paths never degrade to cartesian joins") {
     for (name <- Seq("q_minhash_lsh_pairs", "q_jaccard_pairs",
       "q_embed_neardup_lsh", "q_ivf_topk", "q_asof_join", "q_range_join",
-      "q_simhash_neardup", "q_incremental_dedup", "q_curation_pipeline")) {
+      "q_simhash_neardup", "q_incremental_dedup", "q_curation_pipeline",
+      "q_containment")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
       // broadcast nested loop is only acceptable for broadcasting a
