@@ -382,6 +382,125 @@ object TextOps {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin),
 
+    // Funnel observability: per-stage survival counts for the curation
+    // pipeline, computed in ONE corpus pass — each doc gets monotone
+    // survival flags (quality → exact → near-dup → final) and a single
+    // tiny aggregate row is unpivoted to the report. Re-running each
+    // stage to count it would scan the corpus five times.
+    q("q_funnel_report")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val planted = base.filter($"doc_id" % 10 === 0)
+        val corpus = base
+          .union(planted.select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+          .union(planted.select(($"doc_id" + 100000L).as("doc_id"),
+            expr("substring(text, locate(' ', text) + 1)").as("text")))
+        val flagged = corpus
+          .withColumn("n_tokens", TextFns.tokenCount($"text"))
+          .withColumn("n_stop", TextFns.stopwordCount($"text"))
+          .withColumn("mean_len", length($"text").cast("double") / $"n_tokens")
+          .withColumn("q_ok", $"n_tokens" >= 20 && $"n_stop" >= 1 &&
+            $"mean_len" >= 3.0 && $"mean_len" <= 12.0)
+        // exact-dedup flag: min id among quality docs of the same content
+        val wh = org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))
+        val exact = flagged
+          .withColumn("e_min", min(when($"q_ok", $"doc_id")).over(wh))
+          .withColumn("e_ok", $"q_ok" && $"doc_id" === $"e_min")
+        // near-dup drops among exact survivors (same LSH as the funnel)
+        val survivors = exact.filter($"e_ok").select($"doc_id", $"text")
+        val sig = Dedup.minhashSignatures(survivors, "doc_id", "text", K)
+        val drops = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5).select($"id_b".as("doc_id"), lit(true).as("dropped"))
+          .distinct()
+        val evalH = base.filter($"doc_id" % 50 === 0)
+          .select(explode(array_distinct(
+            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
+          .distinct()
+        val contaminated = survivors
+          .select($"doc_id", explode(array_distinct(
+            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
+          .join(broadcast(evalH), "hv")
+          .select($"doc_id", lit(true).as("contam")).distinct()
+        exact
+          .join(drops, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .withColumn("nd_ok", $"e_ok" && $"dropped".isNull)
+          .withColumn("f_ok", $"nd_ok" &&
+            !($"doc_id" % 50 === 0 && $"doc_id" <= 100000L) && $"contam".isNull)
+          .agg(count(lit(1)).as("n0"),
+            sum($"q_ok".cast("long")).as("n1"),
+            sum($"e_ok".cast("long")).as("n2"),
+            sum($"nd_ok".cast("long")).as("n3"),
+            sum($"f_ok".cast("long")).as("n4"))
+          .select(expr(
+            """stack(5, 0, 'corpus', n0, 1, 'quality', n1, 2, 'exact_dedup', n2,
+              |3, 'near_dedup', n3, 4, 'final', n4) AS (stage_id, stage, n_docs)""".stripMargin))
+          .orderBy($"stage_id")
+      },
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+         |  FROM base WHERE doc_id % 10 = 0),
+         |flagged AS (SELECT doc_id, text,
+         |  (len(string_split_regex(trim(text), '\\s+')) >= 20
+         |   AND len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |        x -> x IN ('the','a','of','and','to','in'))) >= 1
+         |   AND CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) >= 3.0
+         |   AND CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) <= 12.0) AS q_ok
+         |  FROM corpus),
+         |exact AS (SELECT doc_id, text, q_ok,
+         |  (q_ok AND doc_id = MIN(CASE WHEN q_ok THEN doc_id END)
+         |     OVER (PARTITION BY md5(text))) AS e_ok
+         |  FROM flagged),
+         |after_exact AS (SELECT doc_id, text FROM exact WHERE e_ok),
+         |${shingleSql("after_exact")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5),
+         |eval_h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s8), 1, 12)) AS BIGINT) AS hv
+         |  FROM (SELECT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 7),
+         |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+         |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s8
+         |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
+         |          FROM base WHERE doc_id % 50 = 0) WHERE len(tk) >= 8)),
+         |contam AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(s8), 1, 12)) AS BIGINT) AS hv
+         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 7),
+         |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+         |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s8
+         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |          FROM after_exact) WHERE len(tk) >= 8))
+         |  WHERE hv IN (SELECT hv FROM eval_h)),
+         |full_flags AS (SELECT e.doc_id, e.q_ok, e.e_ok,
+         |  (e.e_ok AND e.doc_id NOT IN (SELECT id_b FROM pairs)) AS nd_ok,
+         |  (e.e_ok AND e.doc_id NOT IN (SELECT id_b FROM pairs)
+         |   AND NOT (e.doc_id % 50 = 0 AND e.doc_id <= 100000)
+         |   AND e.doc_id NOT IN (SELECT doc_id FROM contam)) AS f_ok
+         |  FROM exact e),
+         |agg AS (SELECT COUNT(*) AS n0,
+         |  COUNT(*) FILTER (WHERE q_ok) AS n1, COUNT(*) FILTER (WHERE e_ok) AS n2,
+         |  COUNT(*) FILTER (WHERE nd_ok) AS n3, COUNT(*) FILTER (WHERE f_ok) AS n4
+         |  FROM full_flags)
+         |SELECT 0 AS stage_id, 'corpus' AS stage, n0 AS n_docs FROM agg
+         |UNION ALL SELECT 1, 'quality', n1 FROM agg
+         |UNION ALL SELECT 2, 'exact_dedup', n2 FROM agg
+         |UNION ALL SELECT 3, 'near_dedup', n3 FROM agg
+         |UNION ALL SELECT 4, 'final', n4 FROM agg
+         |ORDER BY stage_id""".stripMargin),
+
     // Incremental dedup: a new batch (docs > 400 plus planted
     // mutations of corpus docs) band-matched against the existing
     // corpus index (docs ≤ 400). The corpus bands are the materialized
