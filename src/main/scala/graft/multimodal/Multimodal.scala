@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic fake so the Spark-side contract —
-  * schema, partition-parallel batching, feature shapes — is real and
-  * tested. Swap [[MediaCodec.decode]] for a real codec (javacv /
-  * ImageIO / ffmpeg bindings) to productionize; nothing else changes.
+  * The codec is REAL for everything the JDK can express: PNG/JPEG/GIF/
+  * BMP dimensions via `javax.imageio` (header-only, no pixel decode),
+  * WAV duration from the RIFF header, MP4 duration + track dimensions
+  * from the moov/mvhd/tkhd boxes, and real decode→scale→PNG re-encode
+  * for [[Multimodal.resizeImages]]. Payloads no JDK codec recognizes
+  * (e.g. the text-derived fixture corpus) fall back to a deterministic
+  * digest-seeded fake so tests and rows-only queries stay stable.
+  * Model-inference features and video *frame* extraction need external
+  * ML/ffmpeg codecs and remain deterministic fakes behind the same
+  * seam.
   *
   * Scale: `mapPartitions` over the binary column is the Scala analog
   * of arrow-batched python UDFs — one codec instance per partition,
@@ -37,18 +42,104 @@ object Multimodal {
 
   case class FrameSample(media_id: Long, frame_index: Int, frame_digest: String)
 
-  /** STUB codec — deterministic fake in place of a real decoder. */
+  /** Container codec: real JDK decode where possible, deterministic
+    * digest-seeded fallback for unrecognizable payloads.
+    */
   object MediaCodec {
+    // executor-side: never spill ImageIO's stream cache to temp files
+    javax.imageio.ImageIO.setUseCache(false)
+
     private def sha(bytes: Array[Byte]): Array[Byte] =
       MessageDigest.getInstance("SHA-256").digest(bytes)
 
     def hex(bytes: Array[Byte]): String = bytes.map("%02x".format(_)).mkString
 
-    /** ??? real impl: decode container header (PNG/JPEG/WAV/MP4...).
-      * Deterministic fake: dimensions/duration derived from the digest
-      * so the plumbing has stable, testable values.
+    /** Magic-byte container sniff — O(1), no decode. */
+    def sniff(p: Array[Byte]): String = {
+      def at(i: Int): Int = if (i < p.length) p(i) & 0xff else -1
+      if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+      else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+      else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+      // "BM" + declared-size check so text starting with "BM…" isn't misread
+      else if (at(0) == 'B' && at(1) == 'M' && p.length >= 14 &&
+               (le32(p, 2) == p.length || le32(p, 2) == 0)) "bmp"
+      else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+               at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+      else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
+      else "unknown"
+    }
+
+    private def le32(p: Array[Byte], o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) | ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+    private def be32(p: Array[Byte], o: Int): Long =
+      ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) | ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+
+    /** Header-only image dimension read (no pixel decode). */
+    private def imageDims(payload: Array[Byte]): Option[(String, Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+          } catch { case _: Exception => None } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    /** WAV duration from the RIFF fmt chunk's byte rate (offset 28). */
+    private def wavDurationMs(p: Array[Byte]): Option[Long] =
+      if (p.length < 44) None
+      else {
+        val byteRate = le32(p, 28)
+        if (byteRate <= 0) None else Some((p.length - 44).toLong * 1000L / byteRate)
+      }
+
+    /** MP4 moov/mvhd duration + first tkhd 16.16 track dimensions —
+      * pure box walking, no sample decode.
       */
-    def decode(kind: String, payload: Array[Byte]): (String, Int, Int, Long) = {
+    private def mp4Meta(p: Array[Byte]): Option[(Int, Int, Long)] = {
+      var durMs = -1L
+      var w = 0; var h = 0
+      def walk(from: Long, to: Long): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val size = be32(p, o.toInt)
+          val tag = new String(p, o.toInt + 4, 4, "ISO-8859-1")
+          if (size < 8 || o + size > to) return
+          tag match {
+            case "moov" | "trak" => walk(o + 8, o + size)
+            case "mvhd" =>
+              val v = p(o.toInt + 8) & 0xff
+              val (ts, dur) =
+                if (v == 1) (be32(p, o.toInt + 28), (be32(p, o.toInt + 32) << 32) | be32(p, o.toInt + 36))
+                else (be32(p, o.toInt + 20), be32(p, o.toInt + 24))
+              if (ts > 0) durMs = dur * 1000L / ts
+            case "tkhd" if w == 0 =>
+              val v = p(o.toInt + 8) & 0xff
+              val dimOff = o.toInt + 8 + (if (v == 1) 88 else 76)
+              if (dimOff + 8 <= p.length) {
+                val tw = (be32(p, dimOff) >> 16).toInt
+                val th = (be32(p, dimOff + 4) >> 16).toInt
+                if (tw > 0 && th > 0) { w = tw; h = th }
+              }
+            case _ =>
+          }
+          o += size
+        }
+      }
+      try { walk(0L, p.length.toLong); if (durMs >= 0) Some((w, h, durMs)) else None }
+      catch { case _: Exception => None }
+    }
+
+    /** Deterministic digest-seeded fallback for payloads no JDK codec
+      * recognizes (keeps the text-derived fixture corpus stable).
+      */
+    private def stubDecode(kind: String, payload: Array[Byte]): (String, Int, Int, Long) = {
       val d = sha(payload)
       val a = java.lang.Byte.toUnsignedInt(d(0))
       val b = java.lang.Byte.toUnsignedInt(d(1))
@@ -60,16 +151,42 @@ object Multimodal {
       }
     }
 
-    /** ??? real impl: model inference over decoded pixels/samples.
-      * Deterministic fake: digest bytes → unit-scaled floats.
+    /** Decode container metadata. Real for PNG/JPEG/GIF/BMP (imageio
+      * header read), WAV (RIFF header), MP4 (box walk); digest-seeded
+      * deterministic fallback otherwise.
+      */
+    def decode(kind: String, payload: Array[Byte]): (String, Int, Int, Long) =
+      sniff(payload) match {
+        case "png" | "jpeg" | "gif" | "bmp" =>
+          imageDims(payload) match {
+            case Some((fmt, w, h)) => (fmt, w, h, 0L)
+            case None              => stubDecode(kind, payload) // truncated header
+          }
+        case "wav" =>
+          wavDurationMs(payload) match {
+            case Some(ms) => ("wav", 0, 0, ms)
+            case None     => stubDecode(kind, payload)
+          }
+        case "mp4" =>
+          mp4Meta(payload) match {
+            case Some((w, h, ms)) => ("mp4", w, h, ms)
+            case None             => stubDecode(kind, payload)
+          }
+        case _ => stubDecode(kind, payload)
+      }
+
+    /** ??? real impl: model inference over decoded pixels/samples
+      * (needs an external ML runtime). Deterministic fake: digest
+      * bytes → unit-scaled floats.
       */
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
       val d = sha(payload)
       Array.tabulate(dim)(i => java.lang.Byte.toUnsignedInt(d(i % d.length)) / 255.0f)
     }
 
-    /** ??? real impl: seek + decode every k-th frame.
-      * Deterministic fake: digest chain per frame index.
+    /** ??? real impl: seek + decode every k-th frame (needs an ffmpeg
+      * binding; no MP4 sample codec ships in the JDK). Deterministic
+      * fake: digest chain per frame index.
       */
     def sampleFrames(payload: Array[Byte], every: Int, max: Int): Seq[(Int, String)] = {
       var cur = sha(payload)
@@ -79,16 +196,34 @@ object Multimodal {
       }
     }
 
-    /** ??? real impl: decode → scale to (w, h) → re-encode.
-      * Deterministic fake: digest-seeded bytes sized ∝ target area, so
-      * payload-size accounting downstream behaves like a real resize.
+    /** Real decode → bilinear scale to (w, h) → PNG re-encode for any
+      * image `javax.imageio` can read. Non-decodable payloads fall back
+      * to digest-seeded bytes sized ∝ target area, so payload-size
+      * accounting downstream still behaves like a real resize.
       */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val seed = sha(payload)
-      val out = new Array[Byte](math.max(16, w * h / 64))
-      var i = 0
-      while (i < out.length) { out(i) = seed(i % seed.length); i += 1 }
-      out
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      img match {
+        case Some(src) =>
+          val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        case None =>
+          val seed = sha(payload)
+          val buf = new Array[Byte](math.max(16, w * h / 64))
+          var i = 0
+          while (i < buf.length) { buf(i) = seed(i % seed.length); i += 1 }
+          buf
+      }
     }
   }
 
