@@ -4,6 +4,8 @@ import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 import java.util.UUID
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,10 +97,23 @@ class RunCatalog(spark: SparkSession, val dir: String,
   private def schemaFor(path: String): org.apache.spark.sql.types.StructType =
     if (path == runsDir) runsSchema else if (path == stepsDir) stepsSchema else logsSchema
 
-  private def listStore(path: String): (Seq[String], Seq[String]) = {
+  /** Paths rolled into a segment by a past compaction — still on disk
+    * (so concurrent reads planned against them stay valid) but excluded
+    * from new listings (so they don't duplicate the segment's rows).
+    */
+  private def tombstoned(path: String): Set[String] = {
     val fs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty[java.io.File])
-    (fs.filter(f => f.isFile && f.getName.endsWith(".json")).map(_.getPath).toSeq,
-      fs.filter(f => f.isDirectory && f.getName.startsWith("segment-")).map(_.getPath).toSeq)
+    fs.filter(f => f.isFile && f.getName.startsWith("_tombstones-"))
+      .flatMap(f => scala.util.Try(Files.readAllLines(f.toPath)).toOption
+        .map(_.asScala.toSeq).getOrElse(Seq.empty))
+      .filter(_.nonEmpty).toSet
+  }
+
+  private def listStore(path: String): (Seq[String], Seq[String]) = {
+    val dead = tombstoned(path)
+    val fs = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty[java.io.File])
+    (fs.filter(f => f.isFile && f.getName.endsWith(".json") && !dead(f.getPath)).map(_.getPath).toSeq,
+      fs.filter(f => f.isDirectory && f.getName.startsWith("segment-") && !dead(f.getPath)).map(_.getPath).toSeq)
   }
 
   /** Append log + compacted segments, unioned. */
@@ -114,25 +129,51 @@ class RunCatalog(spark: SparkSession, val dir: String,
   }
 
   /** Roll every NDJSON append (and any previous segment) into one new
-    * parquet segment, then delete the rolled files. Runs inline under
-    * the write lock (an occasional sub-second pause, amortized over
-    * `compactThreshold` microsecond appends). Crash-safe ordering: the
-    * new segment is fully written before any source file is deleted —
-    * a crash in between leaves duplicate rows, which the read-side
-    * latest-per-key resolution collapses.
+    * parquet segment. Runs inline under the write lock (an occasional
+    * sub-second pause, amortized over `compactThreshold` microsecond
+    * appends).
+    *
+    * Deletion is DEFERRED one compaction generation: rolled files are
+    * tombstoned (excluded from new listings) but left on disk, and only
+    * files tombstoned by a *previous* compaction are physically
+    * deleted. A reader whose plan listed files just before this
+    * compaction therefore keeps a consistent, fully-readable snapshot
+    * for a whole further cycle (~`compactThreshold` appends) — no
+    * FileNotFoundException mid-query, no transient duplicate rows.
+    * Crash-safe ordering: the segment is fully written before the
+    * tombstone; a crash in between leaves duplicate rows, which the
+    * read-side latest-per-key resolution collapses for runs/steps.
     */
   private def compactStore(path: String, schema: org.apache.spark.sql.types.StructType): Unit =
     writeLock.synchronized {
+      // reap the previous generation first: anything already tombstoned
+      // was excluded from every listing since that tombstone published,
+      // so only reads planned before the PREVIOUS compaction could
+      // still reference it — they've had a full cycle to drain
+      val dirF = new java.io.File(path)
+      Option(dirF.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.startsWith("_tombstones-"))
+        .foreach { tf =>
+          scala.util.Try(Files.readAllLines(tf.toPath)).toOption.map(_.asScala).getOrElse(Seq.empty)
+            .filter(_.nonEmpty).foreach { p =>
+              val pp = Paths.get(p)
+              if (Files.isDirectory(pp))
+                Files.walk(pp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .iterator().forEachRemaining(q => Files.deleteIfExists(q))
+              else Files.deleteIfExists(pp)
+            }
+          Files.deleteIfExists(tf.toPath)
+        }
       val (json, oldSegs) = listStore(path)
       if (json.isEmpty) return
       val df = readStore(path, schema)
       val seg = Paths.get(path, s"segment-${System.nanoTime}")
       df.coalesce(1).write.mode("overwrite").parquet(seg.toString)
-      json.foreach(f => Files.deleteIfExists(Paths.get(f)))
-      oldSegs.foreach { s =>
-        Files.walk(Paths.get(s)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().forEachRemaining(p => Files.deleteIfExists(p))
-      }
+      // tombstone what this compaction rolled (atomic publish via move)
+      val tmp = Files.createTempFile(Paths.get(path), "_tomb-tmp", "")
+      Files.writeString(tmp, (json ++ oldSegs).mkString("\n"))
+      Files.move(tmp, Paths.get(path, s"_tombstones-${System.nanoTime}"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
 
   /** Force a compaction pass over all three stores (maintenance hook;
@@ -200,8 +241,12 @@ class RunCatalog(spark: SparkSession, val dir: String,
     .when(col("status") === "Running", 1).otherwise(2)
 
   private def latestPerKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+    // statusRank first (lifecycle progress), then append time so two
+    // terminal appends for one key (e.g. Failed racing Cancelled)
+    // resolve deterministically; status as the final total-order key
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(statusRank.desc)
+      .partitionBy(keys.map(col): _*)
+      .orderBy(statusRank.desc, col("finished_at").desc_nulls_last, col("status").desc)
     df.withColumn("_rn", row_number().over(w)).filter($"_rn" === 1).drop("_rn")
   }
 
@@ -259,12 +304,21 @@ class RunCatalog(spark: SparkSession, val dir: String,
         .otherwise("Success").as("rollup_status"))
   }
 
-  /** C5: mark runs Running for more than `hours` as timed out. */
+  /** C5: mark runs Running for more than `hours` as timed out. Sweeps
+    * the runs' non-terminal *steps* too — a driver that died mid-step
+    * would otherwise leave a Running step forever under a swept run.
+    */
   def sweepTimeouts(hours: Int = 6): Seq[String] = {
     val cutoff = new Timestamp(clock() - hours * 3600L * 1000L)
     val stale = runs().filter($"status" === "Running" && $"started_at" < lit(cutoff))
       .select($"run_id").as[String].collect().toSeq
-    stale.foreach(finishRun(_, s"Failed-TimeOut-${hours}Hours"))
+    stale.foreach { id =>
+      finishRun(id, s"Failed-TimeOut-${hours}Hours")
+      steps(id).filter($"status".isin("Pending", "Running"))
+        .select($"step_number").as[Int].collect()
+        .foreach(n => updateStep(id, n, "Failed",
+          error = Some(s"Swept: run timed out after ${hours}h")))
+    }
     stale
   }
 }

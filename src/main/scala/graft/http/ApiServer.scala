@@ -23,7 +23,9 @@ import graft.runner.PipelineRunner
   *   GET  /logs?runId=&level=&limit=      capped log stream (≤2000)
   *   POST /pipeline/upload?filename=      raw or multipart/form-data body
   *                                        → landing file (10 MB cap)
-  *   POST /pipeline/trigger?filePath=     background run → 201 {"runId"}
+  *   POST /pipeline/trigger?filePath=&pipelineName=&workDir=
+  *                                        background run → 201 {"runId"}
+  *                                        (workDir: per-request override)
   *   POST /runs/{id}/cancel               cooperative cancel
   *   POST /schedules/{id}/update?name=&scheduleType=&runAtTime=&...
   *   POST /admin/sweep-timeouts?hours=    mark stale Running runs failed
@@ -115,7 +117,12 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
           case Some(fp) if !Files.exists(Paths.get(fp)) =>
             respond(x, 400, """{"error":"no such file"}""")
           case Some(fp) =>
-            val (runId, _) = runner.runAsync(fp, q.getOrElse("pipelineName", "OrdersPipeline"))
+            // per-request work-dir override (reference ApiServlet.java:
+            // 617-623 per-request DB overrides): stages land under the
+            // override dir; the run still registers in the shared
+            // catalog so monitoring and cancel see it
+            val r = q.get("workDir").map(runner.withWorkDir).getOrElse(runner)
+            val (runId, _) = r.runAsync(fp, q.getOrElse("pipelineName", "OrdersPipeline"))
             respond(x, 201, s"""{"runId":"$runId"}""")
         }
       case ("POST", List("runs", id, "cancel")) =>
@@ -202,8 +209,15 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
 }
 
 object ApiServer {
-  /** Single-page monitor: run list + selected-run detail/progress,
-    * refreshed every 2s from the JSON endpoints above.
+  /** Single-page monitor: run list with pipelineName/status filters,
+    * selected-run detail/progress, and a logs pane with a level filter
+    * (reference RunList.jsx filter bar + Logs.jsx), refreshed every 2s
+    * from the JSON endpoints above.
+    *
+    * All catalog-sourced values (pipeline_name is attacker-settable via
+    * the trigger endpoint) are rendered with `textContent` on
+    * DOM-created nodes — never interpolated into HTML — so a crafted
+    * name can't execute script in an operator's browser.
     */
   private[http] val statusPage: String =
     """<!doctype html>
@@ -214,32 +228,73 @@ object ApiServer {
       |th,td{border:1px solid #ddd;padding:6px 10px;text-align:left;font-size:14px}
       |th{background:#f0f0f0}
       |tr.sel{background:#eef6ff}
-      |tr{cursor:pointer}
+      |#runs tr{cursor:pointer}
       |.Success{color:#1a7f37}.Failed{color:#d1242f}.Running{color:#9a6700}.Cancelled{color:#656d76}
       |pre{background:#fff;border:1px solid #ddd;padding:10px;overflow:auto}
+      |.bar{margin:0 0 10px 0}
+      |.bar input,.bar select{padding:4px 6px;margin-right:8px}
       |</style></head><body>
       |<h2>Pipeline runs</h2>
+      |<div class="bar">
+      |<input id="fPipeline" placeholder="pipelineName filter">
+      |<select id="fStatus"><option value="">all statuses</option>
+      |<option>Running</option><option>Success</option>
+      |<option>Failed</option><option>Cancelled</option></select>
+      |</div>
       |<table><thead><tr><th>run</th><th>pipeline</th><th>status</th>
       |<th>started</th><th>finished</th></tr></thead>
       |<tbody id="runs"></tbody></table>
       |<h3>Run detail</h3><pre id="detail">select a run</pre>
+      |<h3>Logs</h3>
+      |<div class="bar">
+      |<select id="fLevel"><option value="">all levels</option>
+      |<option>Info</option><option>Warning</option><option>Error</option></select>
+      |</div>
+      |<table><thead><tr><th>at</th><th>level</th><th>step</th>
+      |<th>message</th><th>details</th></tr></thead>
+      |<tbody id="logs"></tbody></table>
       |<script>
       |let sel = null;
+      |function row(values, onclick) {
+      |  const tr = document.createElement('tr');
+      |  for (const v of values) {
+      |    const td = document.createElement('td');
+      |    td.textContent = v == null ? '' : String(v);
+      |    tr.appendChild(td);
+      |  }
+      |  if (onclick) tr.addEventListener('click', onclick);
+      |  return tr;
+      |}
       |async function refresh() {
-      |  const runs = await (await fetch('/runs')).json();
-      |  document.getElementById('runs').innerHTML = runs.map(r =>
-      |    `<tr class="${r.run_id===sel?'sel':''}" onclick="pick('${r.run_id}')">` +
-      |    `<td>${r.run_id}</td><td>${r.pipeline_name||''}</td>` +
-      |    `<td class="${r.status||''}">${r.status||''}</td>` +
-      |    `<td>${r.started_at||''}</td><td>${r.finished_at||''}</td></tr>`).join('');
+      |  const ps = new URLSearchParams();
+      |  const fp = document.getElementById('fPipeline').value.trim();
+      |  const fs = document.getElementById('fStatus').value;
+      |  if (fp) ps.set('pipelineName', fp);
+      |  if (fs) ps.set('status', fs);
+      |  const runs = await (await fetch('/runs' + (ps.toString() ? '?' + ps : ''))).json();
+      |  document.getElementById('runs').replaceChildren(...runs.map(r => {
+      |    const tr = row([r.run_id, r.pipeline_name, r.status, r.started_at, r.finished_at],
+      |      () => pick(r.run_id));
+      |    if (r.run_id === sel) tr.classList.add('sel');
+      |    if (/^[A-Za-z-]+$/.test(r.status || '')) tr.children[2].classList.add(r.status);
+      |    return tr;
+      |  }));
       |  if (sel) {
-      |    const d = await (await fetch('/runs/' + sel)).json();
-      |    const p = await (await fetch('/runs/' + sel + '/progress')).json();
+      |    const d = await (await fetch('/runs/' + encodeURIComponent(sel))).json();
+      |    const p = await (await fetch('/runs/' + encodeURIComponent(sel) + '/progress')).json();
       |    document.getElementById('detail').textContent =
       |      JSON.stringify({run: d.run, steps: d.steps, progress: p}, null, 2);
+      |    const lq = new URLSearchParams({runId: sel});
+      |    const lv = document.getElementById('fLevel').value;
+      |    if (lv) lq.set('level', lv);
+      |    const logs = await (await fetch('/logs?' + lq)).json();
+      |    document.getElementById('logs').replaceChildren(...logs.map(l =>
+      |      row([l.log_at, l.level, l.step_number, l.message, l.details])));
       |  }
       |}
       |function pick(id) { sel = id; refresh(); }
+      |for (const id of ['fPipeline', 'fStatus', 'fLevel'])
+      |  document.getElementById(id).addEventListener('change', refresh);
       |refresh(); setInterval(refresh, 2000);
       |</script></body></html>""".stripMargin
 }

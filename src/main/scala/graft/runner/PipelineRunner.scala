@@ -26,7 +26,9 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, val workDir: Stri
   private val rejectsDir  = s"$workDir/rejected_orders"
   val targetDir           = s"$workDir/target_orders"
 
-  private val cancelled = ConcurrentHashMap.newKeySet[String]()
+  // process-wide (companion): a run triggered on a per-request
+  // override runner must still see a cancel() issued on the primary
+  private def cancelled = PipelineRunner.cancelled
 
   /** C4: cooperative cancellation — flag checked between steps, plus
     * `cancelJobGroup` to interrupt in-flight stages of that run.
@@ -35,6 +37,12 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, val workDir: Stri
     cancelled.add(runId)
     spark.sparkContext.cancelJobGroup(s"run-$runId")
   }
+
+  /** A runner over a different work dir sharing this one's session,
+    * catalog and cancellation set — the per-request override surface
+    * (reference ApiServlet.java:617-623 per-request DB overrides).
+    */
+  def withWorkDir(dir: String): PipelineRunner = new PipelineRunner(spark, catalog, dir)
 
   case class RunResult(runId: String, status: String, rowsPerStep: Map[String, Long])
 
@@ -113,12 +121,20 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, val workDir: Stri
           val n = MergeWriter.merge(spark, targetDir, updates, "order_id", "_src_order")
           // routine target maintenance: periodically fold the bucket
           // references into a self-contained version, then reclaim
-          // unreferenced snapshots; never fails the run
+          // unreferenced snapshots; never fails the run, but failures
+          // are surfaced to the run log so a corrupt manifest can't
+          // silently stop maintenance forever
           scala.util.Try {
             val ver = MergeWriter.currentVersion(targetDir)
-            if (ver > 0 && ver % 16 == 0) MergeWriter.compact(spark, targetDir)
-            MergeWriter.vacuum(targetDir, keep = 3)
-          }
+            if (ver > 0 && ver % 16 == 0) {
+              MergeWriter.compact(spark, targetDir)
+              // vacuum only on the compact cadence, with a deep tail:
+              // a concurrent readTarget that resolved an older version
+              // pointer keeps its files for ≥8 further merges
+              MergeWriter.vacuum(targetDir, keep = 8)
+            }
+          }.failed.foreach(e => catalog.log(runId, "Warning", 4,
+            "target maintenance (compact/vacuum) failed", Some(String.valueOf(e.getMessage))))
           n
         }))
 
@@ -155,4 +171,8 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, val workDir: Stri
       cancelled.remove(runId)
     }
   }
+}
+
+object PipelineRunner {
+  private val cancelled = ConcurrentHashMap.newKeySet[String]()
 }

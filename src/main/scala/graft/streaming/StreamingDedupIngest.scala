@@ -46,30 +46,34 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    // the batch is bounded — pin it so the multi-branch plan below
-    // reads the micro-batch source exactly once
-    val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
-    val sig = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint()
+    // Dedup's internal cache()s must be released on EVERY exit path —
+    // an all-duplicate batch that returned early used to leak one
+    // cached signature frame per micro-batch on a long-running stream
+    try {
+      // the batch is bounded — pin it so the multi-branch plan below
+      // reads the micro-batch source exactly once
+      val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
+      val sig = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint()
 
-    val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id")
-      .filter(col("est_sim") >= simThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
-    val vsIndex = readIndex() match {
-      case Some(index) => Dedup.bandMatches(index, sig, "doc_id")
-        .select(col("batch_id").as("doc_id"))
-      case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
-    }
-    val admittedDocs = docs
-      .join(intraDrops, Seq("doc_id"), "left_anti")
-      .join(vsIndex, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id")
+        .filter(col("est_sim") >= simThreshold)
+        .select(col("id_b").as("doc_id")).distinct()
+      val vsIndex = readIndex() match {
+        case Some(index) => Dedup.bandMatches(index, sig, "doc_id")
+          .select(col("batch_id").as("doc_id"))
+        case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
+      }
+      val admittedDocs = docs
+        .join(intraDrops, Seq("doc_id"), "left_anti")
+        .join(vsIndex, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
 
-    if (admittedDocs.isEmpty) return
-    admittedDocs.write.mode("overwrite").parquet(s"$admittedDir/batch_id=$batchId")
-    Dedup.bandKeys(sig.join(admittedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi"), "doc_id")
-      .withColumnRenamed("doc_id", "corpus_id")
-      .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-    spark.sharedState.cacheManager.clearCache()
+      if (admittedDocs.isEmpty) return
+      admittedDocs.write.mode("overwrite").parquet(s"$admittedDir/batch_id=$batchId")
+      Dedup.bandKeys(sig.join(admittedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi"), "doc_id")
+        .withColumnRenamed("doc_id", "corpus_id")
+        .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   /** Watch `watchDir` for JSONL document files (doc_id BIGINT, text). */

@@ -176,8 +176,64 @@ class ApiServerSpec extends SparkSpec {
         val page = get(url)
         assert(page.statusCode() == 200)
         assert(page.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
-        assert(page.body().contains("fetch('/runs')") && page.body().contains("/progress"))
+        val b = page.body()
+        assert(b.contains("fetch('/runs'") && b.contains("/progress"))
+        // logs pane + filter controls (RunList.jsx/Logs.jsx parity)
+        assert(b.contains("fetch('/logs?") && b.contains("fLevel"))
+        assert(b.contains("fPipeline") && b.contains("fStatus")
+          && b.contains("pipelineName") && b.contains("status"))
+        // XSS hardening: no HTML interpolation of catalog values
+        assert(!b.contains("innerHTML") && b.contains("textContent"))
       }
+      // the filter params the page sends round-trip through GET /runs
+      val r1 = runner.run(writeCsv(work, "F-1"), "alpha")
+      val r2 = runner.run(writeCsv(work, "F-2"), "beta")
+      assert(r1.status == "Success" && r2.status == "Success")
+      val alpha = get(s"$base/runs?pipelineName=alpha&status=Success").body()
+      assert(alpha.contains(r1.runId) && !alpha.contains(r2.runId))
+      val none = get(s"$base/runs?pipelineName=alpha&status=Failed").body()
+      assert(none == "[]")
+    } finally api.stop()
+  }
+
+  private def writeCsv(work: String, orderId: String): String = {
+    val p = java.nio.file.Paths.get(work, s"src_$orderId.csv")
+    Files.writeString(p, s"OrderId,CustomerId,Amount,OrderDate\n$orderId,C1,10,2024-01-01\n")
+    p.toString
+  }
+
+  test("trigger accepts a per-request workDir override; concurrent runs land in distinct dirs") {
+    val work = Files.createTempDirectory("graft_api6").toString
+    val catalog = new RunCatalog(spark, s"$work/catalog")
+    val runner = new PipelineRunner(spark, catalog, s"$work/main")
+    val api = new ApiServer(catalog, runner, s"$work/uploads").start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val fpA = writeCsv(work, "OV-A")
+      val fpB = writeCsv(work, "OV-B")
+      val altDir = s"$work/alt"
+      // two concurrent background runs: default work dir + override
+      val tA = post(s"$base/pipeline/trigger?filePath=$fpA&pipelineName=main-wd")
+      val tB = post(s"$base/pipeline/trigger?filePath=$fpB&pipelineName=alt-wd&workDir=" +
+        java.net.URLEncoder.encode(altDir, "UTF-8"))
+      assert(tA.statusCode() == 201 && tB.statusCode() == 201)
+      val Seq(idA, idB) = Seq(tA, tB).map(_.body().split("\"")(3))
+
+      val deadline = System.currentTimeMillis() + 120000
+      def done(id: String): Boolean = {
+        val d = get(s"$base/runs/$id").body()
+        d.contains("\"status\":\"Success\"") && !d.contains("\"Pending\"") && !d.contains("\"Running\"")
+      }
+      while (!(done(idA) && done(idB)) && System.currentTimeMillis() < deadline) Thread.sleep(500)
+      assert(done(idA) && done(idB))
+
+      // stages really landed in the two distinct work dirs
+      assert(Files.isDirectory(java.nio.file.Paths.get(s"$work/main/landing_orders/run_id=$idA")))
+      assert(Files.isDirectory(java.nio.file.Paths.get(s"$altDir/landing_orders/run_id=$idB")))
+      assert(!Files.exists(java.nio.file.Paths.get(s"$work/main/landing_orders/run_id=$idB")))
+      // both runs visible in the one shared catalog
+      val list = get(s"$base/runs").body()
+      assert(list.contains(idA) && list.contains(idB))
     } finally api.stop()
   }
 }

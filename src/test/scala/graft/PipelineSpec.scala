@@ -134,6 +134,8 @@ class PipelineSpec extends SparkSpec {
     var nowMs = 1700000000000L
     val cat = new RunCatalog(spark, s"$work/catalog", () => nowMs)
     val stale = cat.startRun("stale-pipeline")   // Running at t0
+    cat.updateStep(stale, 1, "Success", 5L)      // finished before the driver died
+    cat.updateStep(stale, 2, "Running")          // mid-step when it died
     nowMs += 7L * 3600 * 1000                    // 7 hours later
     val fresh = cat.startRun("fresh-pipeline")   // Running at t0+7h
     val swept = cat.sweepTimeouts(hours = 6)
@@ -141,6 +143,48 @@ class PipelineSpec extends SparkSpec {
     val statuses = cat.runs().select($"run_id", $"status").as[(String, String)].collect().toMap
     assert(statuses(stale) == "Failed-TimeOut-6Hours")
     assert(statuses(fresh) == "Running")
+    // non-terminal steps are swept with their run; terminal ones kept
+    val stepStatuses = cat.steps(stale).select($"step_number", $"status")
+      .as[(Int, String)].collect().toMap
+    assert(stepStatuses(1) == "Success")
+    assert(stepStatuses(2) == "Failed" && stepStatuses(3) == "Failed" && stepStatuses(4) == "Failed")
+    // fresh run's Pending steps untouched
+    assert(cat.steps(fresh).filter($"status" === "Pending").count() == 4)
+  }
+
+  test("racing terminal step appends resolve deterministically (latest append time wins)") {
+    val work = Files.createTempDirectory("graft_tie").toString
+    var nowMs = 1700000000000L
+    val cat = new RunCatalog(spark, s"$work/catalog", () => nowMs)
+    val id = cat.startRun("tie")
+    cat.updateStep(id, 1, "Failed", 0L, Some("step blew up"))
+    nowMs += 1000 // a later Cancelled append for the SAME step
+    cat.updateStep(id, 1, "Cancelled")
+    val got = cat.steps(id).filter($"step_number" === 1)
+      .select($"status").as[String].collect().toSeq
+    assert(got == Seq("Cancelled")) // the later terminal append, every read
+    // same answer after compaction reorders the physical files
+    cat.compact()
+    assert(cat.steps(id).filter($"step_number" === 1)
+      .select($"status").as[String].head() == "Cancelled")
+  }
+
+  test("reads planned before a compaction still collect after it (deferred deletion)") {
+    val work = Files.createTempDirectory("graft_snap").toString
+    val cat = new RunCatalog(spark, s"$work/catalog")
+    val ids = (1 to 30).map { i =>
+      val id = cat.startRun(s"p$i"); cat.finishRun(id, "Success"); cat.log(id, "Info", 1, s"m$i"); id
+    }
+    // plan (and thereby list files for) three reads BEFORE compaction
+    val plannedRuns = cat.runs()
+    val plannedLogs = cat.listLogs(runId = Some(ids.head))
+    cat.compact() // tombstones every append the plans listed
+    // the planned DataFrames still execute against the on-disk snapshot
+    assert(plannedRuns.count() == 30)
+    assert(plannedLogs.count() == 1)
+    // and fresh reads see the segment without duplicates
+    assert(cat.runs().count() == 30)
+    assert(cat.listLogs(limit = 2000).count() == 30)
   }
 
   test("approx sketch aggregates stay within tolerance of exact counts") {
@@ -244,6 +288,7 @@ class PipelineSpec extends SparkSpec {
       id
     }
     cat.compact() // roll the sub-threshold remainder too
+    cat.compact() // deletion is deferred one generation — reap it
     def fileCount(sub: String): Int =
       Option(new java.io.File(s"$work/catalog/$sub").listFiles()).map(_.length).getOrElse(0)
     for (store <- Seq("pipeline_runs", "step_runs", "pipeline_logs"))
