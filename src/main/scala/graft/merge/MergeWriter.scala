@@ -31,9 +31,11 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale: the join shuffles the touched buckets and the update batch
   * by the key once; Catalyst broadcasts the update side automatically
-  * when it is small. One writer at a time (the runner serializes
-  * migrates — §7.4). `B` is fixed at first write (stored in
-  * `_BUCKETS`); size it so |target|/B fits an executor comfortably.
+  * when it is small. One writer at a time: an in-process lock per
+  * target plus a cross-JVM `_LEASE` file (heartbeated mtime,
+  * stale-takeover via atomic rename) so a second JVM loses cleanly
+  * (§7.4). `B` is fixed at first write (stored in `_BUCKETS`); size
+  * it so |target|/B fits an executor comfortably.
   */
 object MergeWriter {
 
@@ -90,19 +92,85 @@ object MergeWriter {
     * order). Returns rows affected (size of the update batch after
     * dedup, mirroring the reference's MERGE @@ROWCOUNT).
     */
-  // one writer per target at a time, ENFORCED in-process (the
-  // deployment shape is one server JVM, like the reference): without
-  // this, concurrent migrates race on the version pointer and lose an
-  // update. Cross-JVM writers would need a file lease on top.
+  // one writer per target at a time. In-process: a JVM-level lock per
+  // normalized path. Cross-JVM: a create-exclusive `_LEASE` file whose
+  // mtime is heartbeated while held — a second JVM writing the same
+  // target loses cleanly instead of racing the version pointer.
   private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(targetDir: String): Object =
     writeLocks.computeIfAbsent(Paths.get(targetDir).toAbsolutePath.normalize.toString,
       _ => new Object)
 
+  /** Heartbeat cadence: a lease untouched for this long is dead. */
+  private[graft] val LeaseStaleMs: Long = 30000
+  private val leaseOwner = java.util.UUID.randomUUID().toString
+
+  private def leaseFile(targetDir: String): Path = Paths.get(targetDir, "_LEASE")
+
+  /** Held lease: touches the file's mtime every staleMs/3 so liveness
+    * is observable cross-JVM; release() deletes only our own lease.
+    */
+  private[graft] final class LeaseHandle(lf: Path, staleMs: Long) {
+    private val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-merge-lease"); t.setDaemon(true); t
+    }
+    exec.scheduleAtFixedRate(
+      () => try Files.setLastModifiedTime(lf,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: Exception => () },
+      staleMs / 3, staleMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
+    def release(): Unit = {
+      exec.shutdownNow()
+      try if (Files.exists(lf) && Files.readString(lf) == leaseOwner) Files.delete(lf)
+      catch { case _: Exception => () }
+    }
+  }
+
+  /** Acquire the cross-JVM writer lease: create-exclusive wins; a
+    * lease whose mtime is older than `staleMs` (dead holder) is taken
+    * over via an atomic rename-steal — exactly one contender wins the
+    * move, so two stealers can't both acquire. A live foreign lease
+    * fails the acquire after `waitMs` (the loser's update is NOT
+    * applied — no lost-update, the caller retries or surfaces).
+    */
+  private[graft] def acquireLease(targetDir: String, waitMs: Long = 10000,
+                                  staleMs: Long = LeaseStaleMs): LeaseHandle = {
+    val lf = leaseFile(targetDir)
+    val deadline = System.currentTimeMillis() + waitMs
+    while (true) {
+      try {
+        Files.writeString(lf, leaseOwner, java.nio.file.StandardOpenOption.CREATE_NEW)
+        return new LeaseHandle(lf, staleMs)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(lf).toMillis
+            catch { case _: Exception => 0L } // vanished under us: retry create
+          if (age > staleMs) {
+            val steal = Paths.get(targetDir, s"_LEASE.steal-${System.nanoTime}")
+            try { Files.move(lf, steal, StandardCopyOption.ATOMIC_MOVE); Files.deleteIfExists(steal) }
+            catch { case _: Exception => () } // another stealer won; loop re-tries create
+          } else if (System.currentTimeMillis() > deadline) {
+            throw new IllegalStateException(
+              s"merge lease on $targetDir held by a live writer in another JVM")
+          } else Thread.sleep(100)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def merge(spark: SparkSession, targetDir: String, updates: DataFrame,
             keyCol: String, orderCol: String,
-            buckets: Int = DefaultBuckets): Long = lockFor(targetDir).synchronized {
+            buckets: Int = DefaultBuckets,
+            leaseWaitMs: Long = 10000): Long = lockFor(targetDir).synchronized {
     Files.createDirectories(Paths.get(targetDir))
+    val lease = acquireLease(targetDir, leaseWaitMs)
+    try mergeLocked(spark, targetDir, updates, keyCol, orderCol, buckets)
+    finally lease.release()
+  }
+
+  private def mergeLocked(spark: SparkSession, targetDir: String, updates: DataFrame,
+                          keyCol: String, orderCol: String, buckets: Int): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, _)) => b
       case None =>
@@ -198,6 +266,12 @@ object MergeWriter {
     * compaction job.
     */
   def compact(spark: SparkSession, targetDir: String): Unit = lockFor(targetDir).synchronized {
+    if (currentVersion(targetDir) < 0) return
+    val lease = acquireLease(targetDir)
+    try compactLocked(spark, targetDir) finally lease.release()
+  }
+
+  private def compactLocked(spark: SparkSession, targetDir: String): Unit = {
     val cur = currentVersion(targetDir)
     if (cur < 0) return
     val (nB, keyCol) = bucketMeta(targetDir).getOrElse(return)
@@ -221,6 +295,12 @@ object MergeWriter {
     * Never touches the current version; safe any time after a merge.
     */
   def vacuum(targetDir: String, keep: Int = 2): Seq[Int] = lockFor(targetDir).synchronized {
+    if (currentVersion(targetDir) < 0) return Seq.empty
+    val lease = acquireLease(targetDir)
+    try vacuumLocked(targetDir, keep) finally lease.release()
+  }
+
+  private def vacuumLocked(targetDir: String, keep: Int): Seq[Int] = {
     val cur = currentVersion(targetDir)
     if (cur < 0) return Seq.empty
     val dir = Paths.get(targetDir)

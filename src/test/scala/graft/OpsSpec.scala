@@ -101,6 +101,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("cross-JVM lease: live foreign writer loses cleanly, dead one is taken over") {
+    val dir = Files.createTempDirectory("graft_lease").toString + "/target"
+    def batch(k: String, c: String) = Seq((k, c, 1)).toDF("order_id", "customer_id", "_src_order")
+    MergeWriter.merge(spark, dir, batch("K1", "A"), "order_id", "_src_order")
+
+    // inject a LIVE foreign lease (what a second JVM's writer holds):
+    // fresh mtime, not our owner id
+    val lf = java.nio.file.Paths.get(dir, "_LEASE")
+    Files.writeString(lf, "other-jvm-writer")
+    val before = MergeWriter.readTarget(spark, dir).get
+      .select($"order_id", $"customer_id").as[(String, String)].collect().toMap
+    val beforeVersion = MergeWriter.currentVersion(dir)
+    intercept[IllegalStateException] {
+      MergeWriter.merge(spark, dir, batch("K1", "B"), "order_id", "_src_order",
+        leaseWaitMs = 300)
+    }
+    // the loser applied nothing: version pointer and rows unchanged
+    assert(MergeWriter.currentVersion(dir) == beforeVersion)
+    assert(MergeWriter.readTarget(spark, dir).get
+      .select($"order_id", $"customer_id").as[(String, String)].collect().toMap == before)
+    // the foreign lease is still intact (we must not delete a lease we
+    // don't own)
+    assert(Files.readString(lf) == "other-jvm-writer")
+
+    // age it past staleness (dead holder: no heartbeat) → taken over
+    Files.setLastModifiedTime(lf, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - MergeWriter.LeaseStaleMs - 1000))
+    MergeWriter.merge(spark, dir, batch("K1", "C"), "order_id", "_src_order",
+      leaseWaitMs = 300)
+    assert(MergeWriter.readTarget(spark, dir).get
+      .select($"customer_id").as[String].collect().toSeq == Seq("C"))
+    // released after the merge: next writer acquires without takeover
+    assert(!Files.exists(lf))
+  }
+
   test("merge vacuum never drops referenced versions; compact releases them") {
     val dir = Files.createTempDirectory("graft_vac").toString + "/target"
     def batch(k: String) = Seq((k, "v", 1)).toDF("order_id", "customer_id", "_src_order")
