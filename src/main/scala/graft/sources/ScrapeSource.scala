@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
   * CSS selector; scalar if exactly 1 match, array if many, null if 0;
   * default extraction is {title, url}.
   *
-  * The fetcher is pluggable (the reference drives headless Chrome; we
-  * have zero egress) — production would plug an HTTP/browser client;
-  * tests plug a stub. Extraction itself is a small self-contained
+  * The fetcher is pluggable: [[HttpPageFetcher]] is the
+  * `java.net.http` default for static pages (the reference drives
+  * headless Chrome, which a browser-backed fetcher could supply
+  * behind the same seam); tests plug a stub. Extraction itself is a
+  * small self-contained
   * matcher for the selector shapes the reference uses (tag, #id,
   * .class), driver-side: scrape targets are a handful of URLs, the
   * resulting DataFrame is what scales.
@@ -19,6 +21,29 @@ object ScrapeSource {
 
   trait PageFetcher extends Serializable {
     def fetch(url: String): String
+  }
+
+  /** Default production fetcher: plain `java.net.http` GET with
+    * redirects and a bounded timeout. No JS execution — a headless
+    * browser (the reference drives Playwright Chromium,
+    * `scraper/scraper.js:7-14`) would plug in behind the same seam for
+    * script-rendered pages; for static HTML this is at parity.
+    */
+  final class HttpPageFetcher(timeoutSeconds: Long = 20) extends PageFetcher {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .build()
+    def fetch(url: String): String = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .header("User-Agent", "graft-scraper/1.0")
+        .GET.build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() >= 400)
+        throw new java.io.IOException(s"GET $url → HTTP ${resp.statusCode()}")
+      resp.body()
+    }
   }
 
   case class ScrapeRequest(url: String, selectors: Map[String, String])
