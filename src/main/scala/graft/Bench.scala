@@ -12,13 +12,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: one representative per operator family (agg, big
-    * join, window, top-n, sessionization, fuzzy dedup, ANN, simhash).
+    * join, window, top-n, sessionization, fuzzy dedup, ANN, simhash),
+    * plus the two end-to-end composites — the whole curation funnel
+    * and eval-set decontamination — which are the most representative
+    * production loads.
     */
   val headline: Seq[String] = Seq(
     "q1_agg", "q_join_agg", "q_topn", "q_window_rownum", "q_window_running",
     "q_events_sessionize", "q_dedup_exact", "q_minhash_lsh_pairs",
     "q_jaccard_pairs", "q_simhash", "q_cosine_topk", "q_nearest_centroid",
-    "q_asof_join", "q_range_join", "q_winnow")
+    "q_asof_join", "q_range_join", "q_winnow",
+    "q_curation_pipeline", "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

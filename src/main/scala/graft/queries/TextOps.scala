@@ -299,15 +299,22 @@ object TextOps {
           .filter($"n_tokens" >= 20 && $"n_stop" >= 1 &&
             $"mean_len" >= 3.0 && $"mean_len" <= 12.0)
           .select($"doc_id", $"text", $"n_tokens")
-        // exact dedup: one shuffle on the content hash, min id kept
+        // exact dedup: one shuffle on the content hash, min id kept.
+        // afterExact feeds three branches (signatures, the anti-join
+        // left side, and — through afterNd — decontamination); Spark
+        // has no common-subtree elimination, so cache it once instead
+        // of re-running quality+dedup per branch (released by the
+        // caller per the Dedup cache contract).
         val withH = quality.withColumn("h", md5($"text"))
         val keepers = withH.groupBy($"h").agg(min($"doc_id").as("doc_id"))
         val afterExact = withH.join(keepers, Seq("h", "doc_id"), "left_semi")
           .select($"doc_id", $"text", $"n_tokens")
+          .cache()
         // near-dup drop via LSH banding (est_sim >= 0.5, min-id-wins)
         val sig = Dedup.minhashSignatures(afterExact, "doc_id", "text", K)
         val drops = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
           .filter($"est_sim" >= 0.5).select($"id_b".as("doc_id")).distinct()
+          .cache()
         val afterNd = afterExact.join(drops, Seq("doc_id"), "left_anti")
         // decontamination: drop docs sharing any 8-gram with the fixed
         // eval set (original docs with doc_id % 50 = 0), and the eval
