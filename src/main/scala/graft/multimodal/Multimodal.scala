@@ -186,13 +186,15 @@ object Multimodal {
 
     /** ??? real impl: seek + decode every k-th frame (needs an ffmpeg
       * binding; no MP4 sample codec ships in the JDK). Deterministic
-      * fake: digest chain per frame index.
+      * fake: digest chain per frame index, chained over HEX STRINGS
+      * (not raw bytes) so the fake is expressible in any engine with a
+      * string sha256 — which keeps `q_frame_sample` oracle-checkable.
       */
     def sampleFrames(payload: Array[Byte], every: Int, max: Int): Seq[(Int, String)] = {
-      var cur = sha(payload)
+      var cur = hex(sha(payload))
       (0 until max).map { i =>
-        cur = sha(cur)
-        (i * every, hex(cur).take(16))
+        cur = hex(sha(cur.getBytes("UTF-8")))
+        (i * every, cur.take(16))
       }
     }
 

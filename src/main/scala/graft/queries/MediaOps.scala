@@ -7,9 +7,11 @@ import graft.Tables.t
 import graft.functions.TextFns
 import graft.multimodal.Multimodal
 
-/** Multimodal-plumbing queries. `q_media_meta` has no SQL oracle (the
-  * stub codec runs in mapPartitions) — the driver records a rows-only
-  * check; the ScalaTest spec pins its semantics.
+/** Multimodal-plumbing queries. The codec's fallback values for the
+  * text-derived fixture corpus are sha256-derived, so `q_media_meta`
+  * and `q_frame_sample` ARE oracle-checkable: the DuckDB SQL mirrors
+  * the digest arithmetic exactly (real decodable payloads are covered
+  * by `MultimodalScrapeSpec` instead — no SQL engine decodes PNG).
   */
 object MediaOps {
 
@@ -43,6 +45,43 @@ object MediaOps {
   val oracles: Map[String, String] = Map(
     "q_media_features" ->
       s"""SELECT doc_id, ${(0 until 4).map(featSql).mkString(", ")}
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors MediaCodec.stubDecode: a/b = first/second byte of the
+    // payload's sha256 (the fixture payload is the text's UTF-8 bytes)
+    "q_media_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    sha256(text) AS dg
+        |  FROM documents),
+        |ab AS (SELECT *,
+        |    CAST(concat('0x', substr(dg, 1, 2)) AS INT) AS a,
+        |    CAST(concat('0x', substr(dg, 3, 2)) AS INT) AS b FROM m)
+        |SELECT media_id, kind, n_bytes,
+        |  CASE kind WHEN 'image' THEN 'png-stub' WHEN 'audio' THEN 'wav-stub'
+        |    ELSE 'mp4-stub' END AS format,
+        |  CAST(CASE kind WHEN 'image' THEN 64 + a*4 WHEN 'audio' THEN 0
+        |    ELSE 320 + a*2 END AS INT) AS width,
+        |  CAST(CASE kind WHEN 'image' THEN 64 + b*4 WHEN 'audio' THEN 0
+        |    ELSE 240 + b*2 END AS INT) AS height,
+        |  CAST(CASE kind WHEN 'image' THEN 0 WHEN 'audio' THEN 1000 + a*100
+        |    ELSE 5000 + b*200 END AS BIGINT) AS duration_ms,
+        |  dg AS digest
+        |FROM ab ORDER BY media_id""".stripMargin,
+    // mirrors MediaCodec.sampleFrames' hex-string digest chain
+    "q_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS media_id, sha256(text) AS c0
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |c AS (SELECT media_id,
+        |  sha256(c0) AS c1, sha256(sha256(c0)) AS c2,
+        |  sha256(sha256(sha256(c0))) AS c3,
+        |  sha256(sha256(sha256(sha256(c0)))) AS c4 FROM v)
+        |SELECT media_id, frame_index, frame_digest FROM (
+        |  SELECT media_id, 0 AS frame_index, substr(c1, 1, 16) AS frame_digest FROM c
+        |  UNION ALL SELECT media_id, 30, substr(c2, 1, 16) FROM c
+        |  UNION ALL SELECT media_id, 60, substr(c3, 1, 16) FROM c
+        |  UNION ALL SELECT media_id, 90, substr(c4, 1, 16) FROM c)
+        |ORDER BY media_id, frame_index""".stripMargin
   )
 }

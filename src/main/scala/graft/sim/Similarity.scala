@@ -104,9 +104,8 @@ object Similarity {
     var centroids = c.orderBy(col("id")).limit(k)
       .withColumn("id", row_number().over(w).cast("long"))
       .localCheckpoint()
-    var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assignCells(c, centroids, "id", "vec", "id", "vec")
+      val assigned = assignCells(c, centroids, "id", "vec", "id", "vec")
       centroids = assigned
         .select(col("cell"), posexplode(col("vec")))
         .groupBy(col("cell"), col("pos"))
