@@ -70,6 +70,75 @@ object TextOps4 {
         |FROM h JOIN eval_h USING (hv) WHERE h.doc_id % 50 <> 0
         |GROUP BY h.doc_id ORDER BY doc_id""".stripMargin),
 
+    // Repeated-span masking — exact-substring dedup detection (the
+    // "dedup repeated ≥k-token spans" step of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // flag every 8-gram occurring verbatim in ≥2 distinct docs, and
+    // per doc report how many gram positions and how many tokens those
+    // shared spans cover — the mask a span-dropping rewrite would use.
+    // Scale shape: postings explode (work ∝ corpus tokens) → one df
+    // aggregation shuffle → join back on the 48-bit hash (work ∝
+    // repeated occurrences only) — the inverted-index form, never n².
+    // Planted overlap: docs with doc_id % 9 = 0 share doc 100's
+    // 12-token prefix (5 overlapping 8-grams each).
+    q("q_span_mask")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val span = base.filter($"doc_id" === 100)
+          .select(concat_ws(" ", slice(TextFns.tokens($"text"), 1, 12)).as("span"))
+        val corpus = base.crossJoin(broadcast(span))
+          .select($"doc_id",
+            when($"doc_id" % 9 === 0, concat($"text", lit(" "), $"span"))
+              .otherwise($"text").as("text"))
+        val docs = corpus.select($"doc_id", TextFns.tokens($"text").as("tk"))
+          .withColumn("n_tokens", size($"tk")).filter($"n_tokens" >= 8)
+        val grams = docs
+          .select($"doc_id", posexplode(TextFns.shingleHashes48($"tk", 8)))
+          .toDF("doc_id", "pos", "hv")
+        val repeated = grams.select($"hv", $"doc_id").distinct()
+          .groupBy($"hv").agg(count(lit(1)).as("df"))
+          .filter($"df" >= 2).select($"hv")
+        val rep = grams.join(repeated, "hv")
+        val nrep = rep.groupBy($"doc_id").agg(count(lit(1)).as("n_rep_grams"))
+        val cov = rep
+          .select($"doc_id", explode(sequence($"pos", $"pos" + 7)).as("j"))
+          .groupBy($"doc_id").agg(countDistinct($"j").as("n_covered_tokens"))
+        docs.select($"doc_id", $"n_tokens")
+          .join(nrep, Seq("doc_id"), "left")
+          .join(cov, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_tokens",
+            coalesce($"n_rep_grams", lit(0L)).as("n_rep_grams"),
+            coalesce($"n_covered_tokens", lit(0L)).as("n_covered_tokens"))
+          .orderBy($"doc_id")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |sp AS (SELECT array_to_string((string_split_regex(trim(text), '\s+'))[1:12], ' ') AS span
+        |  FROM base WHERE doc_id = 100),
+        |corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN text || ' ' || span ELSE text END AS text
+        |  FROM base, sp),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus),
+        |g AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(t) - 7)) AS i,
+        |  unnest(list_transform(generate_series(1, len(t) - 7),
+        |    i -> CAST(concat('0x', substr(md5(
+        |      t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+        |      t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]), 1, 12)) AS BIGINT))) AS hv
+        |  FROM tk WHERE len(t) >= 8),
+        |rep AS (SELECT hv FROM (SELECT hv, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY hv)
+        |  WHERE df >= 2),
+        |gr AS (SELECT doc_id, i FROM g JOIN rep USING (hv)),
+        |nrep AS (SELECT doc_id, COUNT(*) AS n_rep_grams FROM gr GROUP BY doc_id),
+        |cov AS (SELECT doc_id, COUNT(DISTINCT j) AS n_covered_tokens FROM
+        |  (SELECT doc_id, unnest(generate_series(i, i + 7)) AS j FROM gr) GROUP BY doc_id),
+        |nt AS (SELECT doc_id, len(t) AS n_tokens FROM tk WHERE len(t) >= 8)
+        |SELECT nt.doc_id, CAST(nt.n_tokens AS INT) AS n_tokens,
+        |  CAST(coalesce(nrep.n_rep_grams, 0) AS BIGINT) AS n_rep_grams,
+        |  CAST(coalesce(cov.n_covered_tokens, 0) AS BIGINT) AS n_covered_tokens
+        |FROM nt LEFT JOIN nrep USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY nt.doc_id""".stripMargin),
+
     // Pack materialization — the step after q_seq_pack's assignment:
     // concatenate each pack's docs in order into one training row.
     // groupBy(pack) + ordered collect is safe HERE because a pack is

@@ -24,13 +24,13 @@ class PlanShapeSpec extends SparkSpec {
     for (name <- Seq("q_minhash_lsh_pairs", "q_jaccard_pairs",
       "q_embed_neardup_lsh", "q_ivf_topk", "q_asof_join", "q_range_join",
       "q_simhash_neardup", "q_incremental_dedup", "q_curation_pipeline",
-      "q_containment")) {
+      "q_containment", "q_span_mask")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
       // broadcast nested loop is only acceptable for broadcasting a
-      // tiny constant side (the IVF centroid/query frames); never for
-      // pair generation over the corpus
-      if (!Seq("q_ivf_topk").contains(name))
+      // tiny constant side (the IVF centroid/query frames, span_mask's
+      // one-row planted span); never for pair generation over the corpus
+      if (!Seq("q_ivf_topk", "q_span_mask").contains(name))
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plan has a BNL join")
     }
   }
