@@ -604,6 +604,53 @@ object TextOps {
          |  FROM comp GROUP BY cluster_id) n USING (cluster_id)
          |ORDER BY doc_id""".stripMargin),
 
+    // Leakage-free train/val split: near-dup CLUSTERS (not docs) are
+    // the split unit — members of one cluster always land on the same
+    // side, so no near-duplicate pair straddles the boundary (the
+    // eval-leakage failure mode of naive per-doc random splits).
+    // Composition: LSH pairs → connected components → singleton docs
+    // keep their own id as cluster → deterministic md5-bucket of the
+    // cluster id picks train (<80) or val. Map-only on top of the
+    // clustering; reproducible on any engine/partitioning/rerun.
+    q("q_leakage_split")(
+      (s, d) => {
+        import s.implicits._
+        val corpus = nearDupCorpus(s, d)
+        val sig = Dedup.minhashSignatures(corpus, "doc_id", "text", K)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5)
+        val comp = Dedup.connectedComponents(pairs)
+        corpus.select($"doc_id")
+          .join(comp.select($"id".as("doc_id"), $"cluster_id"), Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+          .withColumn("split",
+            when(TextFns.hash48($"cluster_id".cast("string")) % 100 < 80, "train")
+              .otherwise("val"))
+          .orderBy($"doc_id")
+      },
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |cl AS (SELECT c.doc_id, coalesce(p.cluster_id, c.doc_id) AS cluster_id
+         |  FROM corpus c LEFT JOIN comp p ON p.id = c.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 80
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin),
+
     q("q_simhash")(
       (s, d) => {
         import s.implicits._

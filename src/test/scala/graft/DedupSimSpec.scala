@@ -238,6 +238,20 @@ class DedupSimSpec extends SparkSpec {
     assert(fit.forall(c => c._2.max > 9.9f))
   }
 
+  test("leakage split: planted near-dups land on the same side as their originals") {
+    val split = SparkEntry.queries("q_leakage_split")(spark, sf())
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // every planted mutant (doc_id + 100000) clusters with its source
+    // doc, so the pair must never straddle the train/val boundary
+    val planted = split.keys.filter(_ >= 100000L)
+    assert(planted.nonEmpty)
+    planted.foreach(m => assert(split(m) == split(m - 100000L),
+      s"near-dup pair (${m - 100000L}, $m) straddles the split"))
+    // the split is a real partition, not degenerate
+    assert(split.values.toSet == Set("train", "val"))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("IVF probe search matches brute force within the probed cell; plan broadcasts") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .select($"vec_id", $"embedding")
