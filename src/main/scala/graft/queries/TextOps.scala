@@ -144,6 +144,27 @@ object TextOps {
         |     THEN 'en' ELSE 'es' END AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Classifier-eval rollup for the lang-ID heuristic: labeled lang ×
+    // predicted lang counts (the confusion matrix a curation team
+    // watches for language-ID drift). One partial-aggregated shuffle
+    // over (lang, pred) — the result is |langs|² rows regardless of
+    // corpus size.
+    q("q_lang_confusion")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"lang", TextFns.langPredict($"text").as("lang_pred"))
+          .groupBy($"lang", $"lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"lang_pred")
+      },
+      """SELECT lang,
+        |CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+        |       >= len(regexp_extract_all(lower(text), '\b(el|la|de|los|y|en|que)\b'))
+        |     THEN 'en' ELSE 'es' END AS lang_pred,
+        |COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin),
+
     // Bag-of-words fingerprint (order-insensitive dedup key).
     q("q_fingerprint")(
       (s, d) => {
