@@ -239,7 +239,32 @@ object Extra {
         |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts GROUP BY e.user_id)
         |SELECT COUNT(*) AS n_view, COUNT(c.user_id) AS n_click, COUNT(p.user_id) AS n_purchase
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
-        |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin)
+        |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin),
+
+    // retention cohorts: users bucketed by first-seen week, counted
+    // per weeks-since-cohort — the standard retention triangle. Week
+    // = floor(epoch-seconds / 604800) on both engines (DuckDB's
+    // fractional epoch can't move a week floor). Two shuffles: the
+    // per-user min window and the (cohort, offset) distinct-count —
+    // output is O(weeks²) rows at any event volume.
+    q("q_retention")(
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+          .select($"user_id", floor($"ts".cast("long") / 604800L).as("week"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+        ev.withColumn("cohort_week", min($"week").over(w))
+          .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      """WITH ev AS (SELECT user_id,
+        |  CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week FROM events),
+        |c AS (SELECT user_id, week,
+        |  MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM ev)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
   )
 
   /** Sketch aggregates (HLL distinct + count-min-style heavy hitters).
