@@ -77,13 +77,24 @@ object MergeWriter {
     }.toMap
   }
 
-  /** Read the current target snapshot; None when no version exists. */
-  def readTarget(spark: SparkSession, targetDir: String): Option[DataFrame] = {
-    val v = currentVersion(targetDir)
-    if (v < 0) None
+  /** Read the current target snapshot; None when no version exists.
+    * `mergeSchema` because buckets written before an additive schema
+    * change carry the old column set — union them, missing → null.
+    */
+  def readTarget(spark: SparkSession, targetDir: String): Option[DataFrame] =
+    readTargetAt(spark, targetDir, currentVersion(targetDir))
+
+  /** Time-travel read of snapshot `version` (subject to vacuum
+    * retention — a reclaimed version's manifest is gone). The manifest
+    * is immutable once written, so this is a consistent point-in-time
+    * view regardless of later merges.
+    */
+  def readTargetAt(spark: SparkSession, targetDir: String, version: Int): Option[DataFrame] = {
+    if (version < 0 || !Files.exists(manifestFile(targetDir, version))
+      && !Files.isDirectory(Paths.get(targetDir, s"v$version"))) None
     else {
-      val paths = manifest(targetDir, v).values.map(rel => s"$targetDir/$rel").toSeq.sorted
-      Some(spark.read.parquet(paths: _*))
+      val paths = manifest(targetDir, version).values.map(rel => s"$targetDir/$rel").toSeq.sorted
+      Some(spark.read.option("mergeSchema", "true").parquet(paths: _*))
     }
   }
 
@@ -214,14 +225,25 @@ object MergeWriter {
     val merged =
       if (oldPaths.isEmpty) dedupedObs
       else {
-        val target = spark.read.parquet(oldPaths: _*)
+        // mergeSchema: touched buckets written before an additive
+        // schema change may carry older column sets
+        val target = spark.read.option("mergeSchema", "true").parquet(oldPaths: _*)
         val oldCols = target.columns
         val t = (if (oldCols.contains("_bucket")) target else target
           .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nB)))).as("t")
         val u = dedupedObs.as("u")
+        // additive schema evolution: a column only in the updates reads
+        // null for pre-existing rows; a column only in the target is
+        // carried forward untouched
+        val tData = oldCols.filterNot(c => c == keyCol || c == "migrated_at" || c == "_bucket")
+        val allData = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
+        def dataCol(c: String) =
+          if (dataCols.contains(c) && tData.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c"))
+          else if (dataCols.contains(c)) col(s"u.$c")
+          else col(s"t.$c")
         val outCols =
           coalesce(col(s"u.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
-          dataCols.map(c => coalesce(col(s"u.$c"), col(s"t.$c")).as(c)).toSeq :+
+          allData.map(c => dataCol(c).as(c)) :+
           coalesce(col("u.migrated_at"), col("t.migrated_at")).as("migrated_at") :+
           coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
         val joined = t.join(u, col(s"t.$keyCol") === col(s"u.$keyCol"), "full_outer")

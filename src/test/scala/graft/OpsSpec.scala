@@ -136,6 +136,38 @@ class OpsSpec extends SparkSpec {
     assert(!Files.exists(lf))
   }
 
+  test("merge schema evolution (additive) and time-travel reads") {
+    val dir = Files.createTempDirectory("graft_evo").toString + "/target"
+    MergeWriter.merge(spark,
+      dir, Seq(("K1", "A", 1), ("K2", "B", 2)).toDF("order_id", "customer_id", "_src_order"),
+      "order_id", "_src_order")
+    // second batch adds a region column: K2 updated, K3 inserted
+    MergeWriter.merge(spark,
+      dir, Seq(("K2", "B2", "EU", 1), ("K3", "C", "US", 2))
+        .toDF("order_id", "customer_id", "region", "_src_order"),
+      "order_id", "_src_order")
+
+    val t = MergeWriter.readTarget(spark, dir).get
+    val rows = t.select($"order_id", $"customer_id", $"region")
+      .collect().map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(rows == Map(
+      "K1" -> (("A", None)),        // pre-evolution row reads null
+      "K2" -> (("B2", Some("EU"))), // updated with the new column
+      "K3" -> (("C", Some("US"))))) // inserted with the new column
+
+    // time travel: v0 is the pre-evolution snapshot, schema included
+    val v0 = MergeWriter.readTargetAt(spark, dir, 0).get
+    assert(v0.count() == 2 && !v0.columns.contains("region"))
+    assert(MergeWriter.readTargetAt(spark, dir, 99).isEmpty)
+
+    // compact normalizes mixed-schema buckets; content unchanged
+    MergeWriter.compact(spark, dir)
+    val afterCompact = MergeWriter.readTarget(spark, dir).get
+      .select($"order_id", $"customer_id", $"region")
+      .collect().map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(afterCompact == rows)
+  }
+
   test("merge vacuum never drops referenced versions; compact releases them") {
     val dir = Files.createTempDirectory("graft_vac").toString + "/target"
     def batch(k: String) = Seq((k, "v", 1)).toDF("order_id", "customer_id", "_src_order")
