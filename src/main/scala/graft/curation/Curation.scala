@@ -1,0 +1,95 @@
+package graft.curation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFns
+
+/** End-to-end corpus curation as a reusable, parameterized API —
+  * quality gate → exact dedup → MinHash-LSH near-dup drop → eval-set
+  * decontamination — the composition `q_curation_pipeline` pins
+  * against its DuckDB oracle.
+  *
+  * Each stage is also exposed on its own so pipelines can compose a
+  * subset. Input contract: a corpus frame with (`doc_id` BIGINT,
+  * `text` STRING); stages preserve `doc_id`.
+  *
+  * Scale: every stage is map-only or a natural-key/band equi-join —
+  * one corpus pass plus the dedup family's candidate-bounded joins
+  * (never n²). [[curate]] `cache()`s the two frames that feed multiple
+  * plan branches; release them after materializing (the
+  * [[graft.dedup.Dedup]] cache contract).
+  */
+object Curation {
+
+  /** Stage parameters; defaults match the oracle-pinned flagship. */
+  case class Config(
+      minTokens: Int = 20,
+      minStopwords: Int = 1,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 12.0,
+      minhashK: Int = 16,
+      rowsPerBand: Int = 2,
+      simThreshold: Double = 0.5,
+      decontaminateNgram: Int = 8)
+
+  /** Map-only token/stopword/mean-length quality gate. */
+  def qualityGate(corpus: DataFrame, cfg: Config = Config()): DataFrame =
+    corpus
+      .withColumn("n_tokens", TextFns.tokenCount(col("text")))
+      .withColumn("n_stop", TextFns.stopwordCount(col("text")))
+      .withColumn("mean_len", length(col("text")).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= cfg.minTokens && col("n_stop") >= cfg.minStopwords &&
+        col("mean_len") >= cfg.minMeanLen && col("mean_len") <= cfg.maxMeanLen)
+      .select(col("doc_id"), col("text"), col("n_tokens"))
+
+  /** Exact dedup, min-id-wins: one shuffle on the content hash. */
+  def exactDedup(df: DataFrame): DataFrame = {
+    val withH = df.withColumn("h", md5(col("text")))
+    val keepers = withH.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    withH.join(keepers, Seq("h", "doc_id"), "left_semi").drop("h")
+  }
+
+  /** MinHash-LSH near-dup drop (min-id-wins over candidate pairs). */
+  def nearDupDrop(df: DataFrame, cfg: Config = Config()): DataFrame = {
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", cfg.minhashK)
+    val drops = Dedup.lshCandidatePairs(sig, "doc_id", cfg.minhashK, cfg.rowsPerBand)
+      .filter(col("est_sim") >= cfg.simThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+      .cache()
+    df.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Drop docs sharing any n-gram with the eval set (and the eval docs
+    * themselves, matched by `doc_id`). The eval set is tiny next to the
+    * corpus, so its distinct shingle hashes broadcast and the corpus
+    * scan stays map-side.
+    */
+  def decontaminate(df: DataFrame, evalDocs: DataFrame,
+                    cfg: Config = Config()): DataFrame = {
+    val n = cfg.decontaminateNgram
+    val evalH = evalDocs
+      .select(explode(array_distinct(
+        TextFns.shingleHashes48(TextFns.tokens(col("text")), n))).as("hv"))
+      .distinct()
+    val contaminated = df
+      .select(col("doc_id"), explode(array_distinct(
+        TextFns.shingleHashes48(TextFns.tokens(col("text")), n))).as("hv"))
+      .join(broadcast(evalH), "hv")
+      .select(col("doc_id")).distinct()
+    df.join(broadcast(evalDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** The full funnel. Quality-gated + exact-deduped frame is cached
+    * (it feeds the signature, anti-join and decontamination branches —
+    * Spark has no common-subtree elimination).
+    */
+  def curate(corpus: DataFrame, evalDocs: Option[DataFrame],
+             cfg: Config = Config()): DataFrame = {
+    val afterExact = exactDedup(qualityGate(corpus, cfg)).cache()
+    val afterNd = nearDupDrop(afterExact, cfg)
+    evalDocs.fold(afterNd)(ev => decontaminate(afterNd, ev, cfg))
+  }
+}

@@ -312,46 +312,11 @@ object TextOps {
           .union(planted.select(($"doc_id" + 200000L).as("doc_id"), $"text"))
           .union(planted.select(($"doc_id" + 100000L).as("doc_id"),
             expr("substring(text, locate(' ', text) + 1)").as("text")))
-        // quality gate (token/stopword/mean-length signals, map-only)
-        val quality = corpus
-          .withColumn("n_tokens", TextFns.tokenCount($"text"))
-          .withColumn("n_stop", TextFns.stopwordCount($"text"))
-          .withColumn("mean_len", length($"text").cast("double") / $"n_tokens")
-          .filter($"n_tokens" >= 20 && $"n_stop" >= 1 &&
-            $"mean_len" >= 3.0 && $"mean_len" <= 12.0)
-          .select($"doc_id", $"text", $"n_tokens")
-        // exact dedup: one shuffle on the content hash, min id kept.
-        // afterExact feeds three branches (signatures, the anti-join
-        // left side, and — through afterNd — decontamination); Spark
-        // has no common-subtree elimination, so cache it once instead
-        // of re-running quality+dedup per branch (released by the
-        // caller per the Dedup cache contract).
-        val withH = quality.withColumn("h", md5($"text"))
-        val keepers = withH.groupBy($"h").agg(min($"doc_id").as("doc_id"))
-        val afterExact = withH.join(keepers, Seq("h", "doc_id"), "left_semi")
-          .select($"doc_id", $"text", $"n_tokens")
-          .cache()
-        // near-dup drop via LSH banding (est_sim >= 0.5, min-id-wins)
-        val sig = Dedup.minhashSignatures(afterExact, "doc_id", "text", K)
-        val drops = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
-          .filter($"est_sim" >= 0.5).select($"id_b".as("doc_id")).distinct()
-          .cache()
-        val afterNd = afterExact.join(drops, Seq("doc_id"), "left_anti")
-        // decontamination: drop docs sharing any 8-gram with the fixed
-        // eval set (original docs with doc_id % 50 = 0), and the eval
-        // docs themselves
-        val evalH = base.filter($"doc_id" % 50 === 0)
-          .select(explode(array_distinct(
-            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
-          .distinct()
-        val contaminated = afterNd
-          .select($"doc_id", explode(array_distinct(
-            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
-          .join(broadcast(evalH), "hv")
-          .select($"doc_id").distinct()
-        afterNd
-          .filter(!($"doc_id" % 50 === 0 && $"doc_id" <= 100000L))
-          .join(contaminated, Seq("doc_id"), "left_anti")
+        // the whole funnel is the library API (quality gate → exact
+        // dedup → LSH near-dup drop → decontamination); this query
+        // pins the API's default-config composition to the oracle
+        val evalDocs = base.filter($"doc_id" % 50 === 0)
+        graft.curation.Curation.curate(corpus, Some(evalDocs))
           .select($"doc_id", $"n_tokens")
           .orderBy($"doc_id")
       },

@@ -238,6 +238,22 @@ class DedupSimSpec extends SparkSpec {
     assert(fit.forall(c => c._2.max > 9.9f))
   }
 
+  test("curation API: stages compose, configs bite, eval docs are excluded") {
+    import graft.curation.Curation
+    val corpus = graft.Tables.t(spark, sf(), "documents").select($"doc_id", $"text")
+    val default = Curation.curate(corpus, None).count()
+    assert(default > 0)
+    // a config no document can pass must gate everything out
+    assert(Curation.curate(corpus, None,
+      Curation.Config(minTokens = 1000000)).count() == 0)
+    // eval docs themselves never survive decontamination
+    val ev = corpus.filter($"doc_id" % 100 === 0)
+    val decon = Curation.curate(corpus, Some(ev))
+    assert(decon.join(ev, Seq("doc_id"), "left_semi").count() == 0)
+    assert(decon.count() <= default)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("leakage split: planted near-dups land on the same side as their originals") {
     val split = SparkEntry.queries("q_leakage_split")(spark, sf())
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
