@@ -8,8 +8,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.dedup.Dedup
 
-/** Continuous corpus ingestion with near-dup filtering against ALL
-  * previously admitted documents.
+/** Continuous corpus ingestion with an optional quality gate and
+  * near-dup filtering against ALL previously admitted documents — the
+  * streaming twin of [[graft.curation.Curation]]'s batch funnel.
   *
   * The dedup state is deliberately NOT stream state: it is the
   * persistent LSH band index (parquet, one leaf dir per micro-batch).
@@ -28,7 +29,8 @@ import graft.dedup.Dedup
   * unconditionally (the same contract as the batch dedup family).
   */
 class StreamingDedupIngest(spark: SparkSession, workDir: String,
-                           simThreshold: Double = 0.9) {
+                           simThreshold: Double = 0.9,
+                           quality: Option[graft.curation.Curation.Config] = None) {
 
   private val indexDir = s"$workDir/band_index"
   private val admittedDir = s"$workDir/admitted"
@@ -50,9 +52,13 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     // an all-duplicate batch that returned early used to leak one
     // cached signature frame per micro-batch on a long-running stream
     try {
-      // the batch is bounded — pin it so the multi-branch plan below
-      // reads the micro-batch source exactly once
-      val docs = batch.select(col("doc_id"), col("text")).localCheckpoint()
+      // quality gate first (map-only — cheapest drop wins), then pin
+      // the bounded batch so the multi-branch plan below reads the
+      // micro-batch source exactly once
+      val gated = quality.fold(batch.select(col("doc_id"), col("text")))(cfg =>
+        graft.curation.Curation.qualityGate(
+          batch.select(col("doc_id"), col("text")), cfg).drop("n_tokens"))
+      val docs = gated.localCheckpoint()
       val sig = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint()
 
       val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id")

@@ -95,6 +95,24 @@ class StreamingSpec extends SparkSpec {
     assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
   }
 
+  test("streaming ingest with a quality gate drops low-quality docs before dedup") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sqi").toString
+    // gate: >= 8 tokens with at least one stopword
+    val cfg = graft.curation.Curation.Config(minTokens = 8, minStopwords = 1,
+      minMeanLen = 0.0, maxMeanLen = 1000.0)
+    val ingest = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.5, quality = Some(cfg))
+    ingest.processBatch(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // passes
+      (2L, "too short"),                                         // gated: tokens
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota") // gated: stopwords
+    ).toDF("doc_id", "text"), 0L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L))
+    // an all-gated batch admits nothing and leaves no partial state
+    ingest.processBatch(Seq((4L, "junk")).toDF("doc_id", "text"), 1L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("stream-stream attribution join matches within the window, expires outside") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
