@@ -1,6 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,10 +29,20 @@ import graft.dedup.Dedup
   *
   * Docs too short to shingle have no signature and are admitted
   * unconditionally (the same contract as the batch dedup family).
+  *
+  * Every `compactEvery` batches the batch-scoped leaves older than the
+  * replay horizon are folded into one consolidated segment
+  * (`batch_id=-<horizon>`), so a long-running stream holds a bounded
+  * number of leaf directories instead of one per micro-batch — the same
+  * file-count cure the catalog applies to its NDJSON appends. Only
+  * committed batches (id < the batch being processed) are folded, so a
+  * replayed micro-batch still overwrites its own, un-folded leaves.
   */
 class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            simThreshold: Double = 0.9,
-                           quality: Option[graft.curation.Curation.Config] = None) {
+                           quality: Option[graft.curation.Curation.Config] = None,
+                           compactEvery: Int = 16,
+                           segmentFiles: Int = 8) {
 
   private val indexDir = s"$workDir/band_index"
   private val admittedDir = s"$workDir/admitted"
@@ -46,7 +58,57 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
   def admitted(): Option[DataFrame] =
     if (Files.isDirectory(Paths.get(admittedDir))) Some(spark.read.parquet(admittedDir)) else None
 
+  private def leaves(dir: String): List[(Long, Path)] =
+    if (!Files.isDirectory(Paths.get(dir))) Nil
+    else Files.list(Paths.get(dir)).iterator().asScala.toList.flatMap { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("batch_id="))
+        scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption.map(_ -> p)
+      else None
+    }
+
+  private def deleteTree(root: Path): Unit =
+    if (Files.exists(root))
+      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+
+  /** Fold every leaf with id < `horizon` (batch leaves AND any previous
+    * consolidated segment, whose ids are negative) into a fresh segment
+    * `batch_id=-horizon`. The fold is written to a temp dir and renamed
+    * into place under a name that cannot exist yet, so a crash anywhere
+    * leaves either the old layout or a superset; the superset's
+    * duplicate rows are removed by the `dropDuplicates` of the NEXT
+    * fold, and never affect dedup decisions in between (band matches
+    * feed `left_anti` joins).
+    */
+  private def foldLeaves(dir: String, horizon: Long, keyCols: Seq[String]): Unit = {
+    val fold = leaves(dir).filter { case (id, _) => id < horizon }
+    if (fold.size < 2) return
+    val tmp = Paths.get(workDir, s".compact_tmp_${Paths.get(dir).getFileName}")
+    deleteTree(tmp)
+    spark.read.parquet(fold.map(_._2.toString): _*)
+      .dropDuplicates(keyCols)
+      .coalesce(segmentFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val target = Paths.get(dir, s"batch_id=-$horizon")
+    deleteTree(target) // only a replayed boundary batch re-folds the same horizon
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    fold.foreach { case (_, p) => deleteTree(p) }
+  }
+
+  /** Compact both stores up to `horizon` (exclusive). Safe to call only
+    * for horizons at or below the oldest batch that could still be
+    * replayed — `processBatch` auto-calls it with the current batch id,
+    * which Structured Streaming guarantees has all predecessors
+    * committed.
+    */
+  def compact(horizon: Long): Unit = {
+    foldLeaves(indexDir, horizon, Seq("corpus_id", "band_id", "band_hash"))
+    foldLeaves(admittedDir, horizon, Seq("doc_id"))
+  }
+
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) compact(batchId)
     if (batch.isEmpty) return
     // Dedup's internal cache()s must be released on EVERY exit path —
     // an all-duplicate batch that returned early used to leak one

@@ -95,6 +95,37 @@ class StreamingSpec extends SparkSpec {
     assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
   }
 
+  test("streaming ingest compaction bounds leaf dirs; folded docs still dedup; replay idempotent") {
+    import scala.jdk.CollectionConverters._
+    def doc(i: Int) = s"doc $i unique token alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"
+    val work = Files.createTempDirectory("graft_sdc").toString
+    val ingest = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.5, compactEvery = 4)
+    def leafCount(dir: String) =
+      Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .count(_.getFileName.toString.startsWith("batch_id="))
+    val batches = (0 until 8).map(b => Seq(b * 10L + 1, b * 10L + 2))
+    batches.zipWithIndex.foreach { case (ids, bid) =>
+      ingest.processBatch(ids.map(i => (i, doc(i.toInt))).toDF("doc_id", "text"), bid.toLong)
+    }
+    // compaction fired at batch 4 (folded 0..3): 1 segment + batches 4..7
+    assert(leafCount(s"$work/band_index") <= 5)
+    assert(leafCount(s"$work/admitted") <= 5)
+    // decisions unchanged: a near-dup of a FOLDED doc (batch 0) is still
+    // dropped, a novel doc admitted; batch 8 re-compacts (folds the old
+    // segment + batches 4..7 into one), so leaf dirs stay bounded
+    val nearDup = doc(1).substring(doc(1).indexOf(' ') + 1)
+    ingest.processBatch(Seq((900L, nearDup), (901L, doc(901))).toDF("doc_id", "text"), 8L)
+    val expected = batches.flatten.toSet + 901L
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
+    assert(leafCount(s"$work/band_index") == 2)
+    assert(leafCount(s"$work/admitted") == 2)
+    // replaying the boundary batch overwrites its own leaves — same result
+    ingest.processBatch(Seq((900L, nearDup), (901L, doc(901))).toDF("doc_id", "text"), 8L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
+    assert(leafCount(s"$work/band_index") == 2)
+  }
+
   test("streaming ingest with a quality gate drops low-quality docs before dedup") {
     val work = java.nio.file.Files.createTempDirectory("graft_sqi").toString
     // gate: >= 8 tokens with at least one stopword
