@@ -54,23 +54,35 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       Some(spark.read.parquet(indexDir).select(col("corpus_id"), col("band_id"), col("band_hash")))
     else None
 
-  /** The admitted corpus so far (empty before the first batch). */
+  /** The admitted corpus so far (empty before the first batch). Deduped
+    * by doc_id: in the window between a crash mid-compaction and the
+    * next fold, a doc can exist in both the consolidated segment and a
+    * not-yet-deleted original leaf.
+    */
   def admitted(): Option[DataFrame] =
-    if (Files.isDirectory(Paths.get(admittedDir))) Some(spark.read.parquet(admittedDir)) else None
+    if (Files.isDirectory(Paths.get(admittedDir)))
+      Some(spark.read.parquet(admittedDir).dropDuplicates("doc_id"))
+    else None
 
   private def leaves(dir: String): List[(Long, Path)] =
     if (!Files.isDirectory(Paths.get(dir))) Nil
-    else Files.list(Paths.get(dir)).iterator().asScala.toList.flatMap { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("batch_id="))
-        scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption.map(_ -> p)
-      else None
+    else {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.toList.flatMap { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("batch_id="))
+          scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption.map(_ -> p)
+        else None
+      } finally s.close()
     }
 
   private def deleteTree(root: Path): Unit =
-    if (Files.exists(root))
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
 
   /** Fold every leaf with id < `horizon` (batch leaves AND any previous
     * consolidated segment, whose ids are negative) into a fresh segment
@@ -93,7 +105,13 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     val target = Paths.get(dir, s"batch_id=-$horizon")
     deleteTree(target) // only a replayed boundary batch re-folds the same horizon
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    fold.foreach { case (_, p) => deleteTree(p) }
+    // A crash between the move above and this cleanup leaves the new
+    // segment PLUS the original leaves; the replayed boundary batch then
+    // re-folds the same horizon, and `fold` includes the old segment at
+    // the target path itself — deleting it here would destroy the fold
+    // we just wrote. Skip the target; everything else folded is stale.
+    val t = target.toAbsolutePath.normalize
+    fold.foreach { case (_, p) => if (p.toAbsolutePath.normalize != t) deleteTree(p) }
   }
 
   /** Compact both stores up to `horizon` (exclusive). Safe to call only

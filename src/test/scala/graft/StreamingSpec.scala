@@ -126,6 +126,63 @@ class StreamingSpec extends SparkSpec {
     assert(leafCount(s"$work/band_index") == 2)
   }
 
+  test("compaction crash superset (segment + leftover leaves) survives boundary-batch replay") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Path, Paths, StandardCopyOption}
+    def doc(i: Int) = s"doc $i unique token alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"
+    val work = Files.createTempDirectory("graft_sdx").toString
+    val ingest = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.5, compactEvery = 4)
+    def ls(dir: String): List[Path] = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.toList.filter(_.getFileName.toString.startsWith("batch_id="))
+      finally s.close()
+    }
+    def copyTree(from: Path, to: Path): Unit = {
+      val s = Files.walk(from)
+      try s.forEach { p =>
+        val dest = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dest)
+        else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      } finally s.close()
+    }
+    val batches = (0 until 8).map(b => Seq(b * 10L + 1, b * 10L + 2))
+    batches.zipWithIndex.foreach { case (ids, bid) =>
+      ingest.processBatch(ids.map(i => (i, doc(i.toInt))).toDF("doc_id", "text"), bid.toLong)
+    }
+    // snapshot the pre-fold leaves (segment -4 + batches 4..7), then let
+    // batch 8 fold them into segment -8
+    val snap = Files.createTempDirectory("graft_sdx_snap")
+    for (store <- Seq("band_index", "admitted")) {
+      Files.createDirectories(snap.resolve(store))
+      ls(s"$work/$store").foreach(p => copyTree(p, snap.resolve(store).resolve(p.getFileName)))
+    }
+    ingest.processBatch(Seq((81L, doc(81))).toDF("doc_id", "text"), 8L)
+    val expected = batches.flatten.toSet + 81L
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
+    // simulate a crash between the segment rename and leaf cleanup: the
+    // fresh segment -8 AND the pre-fold leaves are all present
+    for (store <- Seq("band_index", "admitted")) {
+      val s = Files.list(snap.resolve(store))
+      try s.forEach(p => copyTree(p, Paths.get(s"$work/$store").resolve(p.getFileName)))
+      finally s.close()
+    }
+    assert(ls(s"$work/admitted").size == 7) // -8, -4, 4..7, 8
+    // superset window: admitted() still deduped, decisions unaffected
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
+    // replay the boundary batch — re-folds horizon 8, whose fold set
+    // includes the path that IS the new target; pre-horizon docs must
+    // survive and stay deduplicated
+    ingest.processBatch(Seq((81L, doc(81))).toDF("doc_id", "text"), 8L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
+    assert(ls(s"$work/band_index").size == 2)
+    assert(ls(s"$work/admitted").size == 2)
+    // near-dup of a doc that lives only in the re-folded segment is still dropped
+    val nearDup = doc(1).substring(doc(1).indexOf(' ') + 1)
+    ingest.processBatch(Seq((900L, nearDup), (901L, doc(901))).toDF("doc_id", "text"), 9L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected + 901L)
+  }
+
   test("streaming ingest with a quality gate drops low-quality docs before dedup") {
     val work = java.nio.file.Files.createTempDirectory("graft_sqi").toString
     // gate: >= 8 tokens with at least one stopword
