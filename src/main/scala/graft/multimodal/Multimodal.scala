@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * The codec is REAL for everything the JDK can express: PNG/JPEG/GIF/
   * BMP dimensions via `javax.imageio` (header-only, no pixel decode),
   * WAV duration from the RIFF header, MP4 duration + track dimensions
-  * from the moov/mvhd/tkhd boxes, and real decode→scale→PNG re-encode
-  * for [[Multimodal.resizeImages]]. Payloads no JDK codec recognizes
-  * (e.g. the text-derived fixture corpus) fall back to a deterministic
-  * digest-seeded fake so tests and rows-only queries stay stable.
-  * Model-inference features and video *frame* extraction need external
-  * ML/ffmpeg codecs and remain deterministic fakes behind the same
-  * seam.
+  * from the moov/mvhd/tkhd boxes, real decode→scale→PNG re-encode for
+  * [[Multimodal.resizeImages]], real per-frame decode for animated GIF
+  * ([[Multimodal.sampleFrames]]), real PCM decode for WAV
+  * ([[Multimodal.extractAudioStats]] RMS/peak, and windowed-RMS
+  * features), and real grid-luminance features for decodable images.
+  * Payloads no JDK codec recognizes (e.g. the text-derived fixture
+  * corpus) fall back to a deterministic digest-seeded fake so tests
+  * and oracle queries stay stable. Only model-inference embeddings and
+  * MP4 *sample* decode need external ML/ffmpeg runtimes and remain
+  * deterministic fakes behind the same seam.
   *
   * Scale: `mapPartitions` over the binary column is the Scala analog
   * of arrow-batched python UDFs — one codec instance per partition,
@@ -175,28 +178,166 @@ object Multimodal {
         case _ => stubDecode(kind, payload)
       }
 
-    /** ??? real impl: model inference over decoded pixels/samples
-      * (needs an external ML runtime). Deterministic fake: digest
-      * bytes → unit-scaled floats.
+    /** Full pixel decode for any image `javax.imageio` reads, converted
+      * to packed RGB so the pixel content is codec-independent.
       */
-    def features(payload: Array[Byte], dim: Int): Array[Float] = {
-      val d = sha(payload)
-      Array.tabulate(dim)(i => java.lang.Byte.toUnsignedInt(d(i % d.length)) / 255.0f)
+    private def decodePixels(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      (try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+       catch { case _: Exception => None }).map(toRgb)
+
+    private def toRgb(src: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+      if (src.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) src
+      else {
+        val out = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(src, 0, 0, null) finally g.dispose()
+        out
+      }
+
+    /** Deterministic digest of an image's RGB content (row-major packed
+      * ints) — stable across JVMs, independent of the encoded container.
+      */
+    private def pixelDigest(img: java.awt.image.BufferedImage): String = {
+      val rgb = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+      val buf = java.nio.ByteBuffer.allocate(rgb.length * 4)
+      rgb.foreach(v => buf.putInt(v & 0xffffff))
+      hex(sha(buf.array())).take(16)
     }
 
-    /** ??? real impl: seek + decode every k-th frame (needs an ffmpeg
-      * binding; no MP4 sample codec ships in the JDK). Deterministic
-      * fake: digest chain per frame index, chained over HEX STRINGS
-      * (not raw bytes) so the fake is expressible in any engine with a
-      * string sha256 — which keeps `q_frame_sample` oracle-checkable.
+    /** Normalized PCM samples (all channels interleaved, [-1, 1]) for
+      * any payload `javax.sound.sampled` can open as signed PCM.
       */
-    def sampleFrames(payload: Array[Byte], every: Int, max: Int): Seq[(Int, String)] = {
-      var cur = hex(sha(payload))
-      (0 until max).map { i =>
-        cur = hex(sha(cur.getBytes("UTF-8")))
-        (i * every, cur.take(16))
+    private def pcmSamples(payload: Array[Byte]): Option[Array[Double]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          val bits = f.getSampleSizeInBits
+          if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              (bits != 8 && bits != 16)) None
+          else {
+            val raw = in.readAllBytes()
+            val out =
+              if (bits == 8) raw.map(_.toDouble / 128.0)
+              else {
+                val n = raw.length / 2
+                Array.tabulate(n) { i =>
+                  val lo = raw(2 * i) & 0xff; val hi = raw(2 * i + 1)
+                  val s = if (f.isBigEndian) ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff))
+                          else ((hi << 8) | lo)
+                  s.toDouble / 32768.0
+                }
+              }
+            Some(out)
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Real audio stats (RMS, peak, sample count) for decodable PCM
+      * audio; None for payloads the JDK sound stack can't open.
+      */
+    def audioStats(payload: Array[Byte]): Option[(Double, Double, Long)] =
+      pcmSamples(payload).filter(_.nonEmpty).map { s =>
+        val peak = s.iterator.map(math.abs).max
+        val rms = math.sqrt(s.iterator.map(v => v * v).sum / s.length)
+        (rms, peak, s.length.toLong)
+      }
+
+    /** Content features: REAL for anything the JDK can decode —
+      * grid mean-luminance over decoded pixels for images, windowed RMS
+      * over decoded PCM for audio. Model-inference embeddings need an
+      * external ML runtime; non-decodable payloads keep the
+      * deterministic digest fake so the text-derived fixture corpus
+      * stays stable.
+      */
+    def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      def imageFeatures = decodePixels(payload).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        Array.tabulate(dim) { i =>
+          val (x0, x1) = (w * i / dim, math.max(w * (i + 1) / dim, w * i / dim + 1))
+          var sum = 0.0; var n = 0
+          var x = x0
+          while (x < math.min(x1, w)) {
+            var y = 0
+            while (y < h) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+              n += 1; y += 1
+            }
+            x += 1
+          }
+          if (n == 0) 0f else (sum / n / 255.0).toFloat
+        }
+      }
+      def audioFeatures = pcmSamples(payload).filter(_.nonEmpty).map { s =>
+        Array.tabulate(dim) { i =>
+          val (a, b) = (s.length * i / dim, math.max(s.length * (i + 1) / dim, s.length * i / dim + 1))
+          var sum = 0.0; var j = a
+          while (j < math.min(b, s.length)) { sum += s(j) * s(j); j += 1 }
+          math.sqrt(sum / math.max(1, math.min(b, s.length) - a)).toFloat
+        }
+      }
+      imageFeatures.orElse(audioFeatures).getOrElse {
+        val d = sha(payload)
+        Array.tabulate(dim)(i => java.lang.Byte.toUnsignedInt(d(i % d.length)) / 255.0f)
       }
     }
+
+    /** Every k-th frame of an animated GIF, really decoded via the
+      * imageio GIF reader. Frames are composited onto the running
+      * canvas (GIF frames may be partial-rect deltas) before digesting.
+      */
+    private def gifFrames(payload: Array[Byte], every: Int, max: Int): Option[Seq[(Int, String)]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, false, false)
+              if (r.getFormatName.toLowerCase != "gif") None
+              else {
+                val n = r.getNumImages(true)
+                var canvas: java.awt.image.BufferedImage = null
+                val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+                var k = 0
+                while (k < n && out.size < max) {
+                  val frame = r.read(k)
+                  if (canvas == null)
+                    canvas = new java.awt.image.BufferedImage(frame.getWidth, frame.getHeight,
+                      java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = canvas.createGraphics()
+                  try g.drawImage(frame, 0, 0, null) finally g.dispose()
+                  if (k % every == 0) out += ((k, pixelDigest(canvas)))
+                  k += 1
+                }
+                Some(out.toSeq)
+              }
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+
+    /** Frame sampling: REAL for animated GIF (the one video-ish
+      * container the JDK can decode frame-by-frame). MP4 sample decode
+      * needs an ffmpeg binding, so non-GIF payloads keep the
+      * deterministic fake: a digest chain per frame index, chained over
+      * HEX STRINGS (not raw bytes) so the fake is expressible in any
+      * engine with a string sha256 — which keeps `q_frame_sample`
+      * oracle-checkable on the text-derived corpus.
+      */
+    def sampleFrames(payload: Array[Byte], every: Int, max: Int): Seq[(Int, String)] =
+      (if (sniff(payload) == "gif") gifFrames(payload, every, max) else None).getOrElse {
+        var cur = hex(sha(payload))
+        (0 until max).map { i =>
+          cur = hex(sha(cur.getBytes("UTF-8")))
+          (i * every, cur.take(16))
+        }
+      }
 
     /** Real decode → bilinear scale to (w, h) → PNG re-encode for any
       * image `javax.imageio` can read. Non-decodable payloads fall back
@@ -247,6 +388,23 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map(r =>
       MediaFeatures(r.media_id, MediaCodec.features(r.payload, dim))))
+  }
+
+  case class AudioStats(media_id: Long, decoded: Boolean, rms: Double, peak: Double,
+                        n_samples: Long)
+
+  /** Real PCM audio stats for every audio row the JDK sound stack can
+    * decode; `decoded = false` rows carry zeros (payload unreadable as
+    * PCM — at 100 TB you want those surfaced, not dropped).
+    */
+  def extractAudioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(rows => rows.map { r =>
+      MediaCodec.audioStats(r.payload) match {
+        case Some((rms, peak, n)) => AudioStats(r.media_id, decoded = true, rms, peak, n)
+        case None                 => AudioStats(r.media_id, decoded = false, 0.0, 0.0, 0L)
+      }
+    })
   }
 
   case class ResizedMedia(media_id: Long, kind: String, width: Int, height: Int,
