@@ -31,8 +31,8 @@ import graft.dedup.Dedup
   * unconditionally (the same contract as the batch dedup family).
   *
   * Every `compactEvery` batches the batch-scoped leaves older than the
-  * replay horizon are folded into one consolidated segment
-  * (`batch_id=-<horizon>`), so a long-running stream holds a bounded
+  * replay horizon are folded into one consolidated segment (a fresh
+  * negative `batch_id`), so a long-running stream holds a bounded
   * number of leaf directories instead of one per micro-batch — the same
   * file-count cure the catalog applies to its NDJSON appends. Only
   * committed batches (id < the batch being processed) are folded, so a
@@ -85,33 +85,37 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     }
 
   /** Fold every leaf with id < `horizon` (batch leaves AND any previous
-    * consolidated segment, whose ids are negative) into a fresh segment
-    * `batch_id=-horizon`. The fold is written to a temp dir and renamed
-    * into place under a name that cannot exist yet, so a crash anywhere
-    * leaves either the old layout or a superset; the superset's
-    * duplicate rows are removed by the `dropDuplicates` of the NEXT
-    * fold, and never affect dedup decisions in between (band matches
-    * feed `left_anti` joins).
+    * consolidated segment, whose ids are negative) into a fresh segment.
+    *
+    * Crash-atomic by construction: the fold is written to a temp dir
+    * OUTSIDE the store (readers never see it), then moved — one atomic
+    * rename — into a segment name that does not exist yet (`-horizon`,
+    * or the next free negative id when a replayed boundary batch
+    * re-folds the same horizon). Only after the move do the folded
+    * source leaves get deleted, so EVERY crash point leaves the store
+    * holding a complete superset of the admitted corpus / band index:
+    * crash before the move leaves the old layout (plus an orphan temp
+    * dir, swept at the start of the next fold); crash mid-cleanup
+    * leaves the new segment plus stale leaves whose rows it already
+    * contains. Superset duplicates are removed by the `dropDuplicates`
+    * of the NEXT fold and never affect dedup decisions in between
+    * (band matches feed `left_anti` joins; `admitted()` dedups).
     */
   private def foldLeaves(dir: String, horizon: Long, keyCols: Seq[String]): Unit = {
+    val tmp = Paths.get(workDir, s".compact_tmp_${Paths.get(dir).getFileName}")
+    deleteTree(tmp) // sweep an orphan from any earlier crash, even if nothing folds
     val fold = leaves(dir).filter { case (id, _) => id < horizon }
     if (fold.size < 2) return
-    val tmp = Paths.get(workDir, s".compact_tmp_${Paths.get(dir).getFileName}")
-    deleteTree(tmp)
     spark.read.parquet(fold.map(_._2.toString): _*)
       .dropDuplicates(keyCols)
       .coalesce(segmentFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val target = Paths.get(dir, s"batch_id=-$horizon")
-    deleteTree(target) // only a replayed boundary batch re-folds the same horizon
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    // A crash between the move above and this cleanup leaves the new
-    // segment PLUS the original leaves; the replayed boundary batch then
-    // re-folds the same horizon, and `fold` includes the old segment at
-    // the target path itself — deleting it here would destroy the fold
-    // we just wrote. Skip the target; everything else folded is stale.
-    val t = target.toAbsolutePath.normalize
-    fold.foreach { case (_, p) => if (p.toAbsolutePath.normalize != t) deleteTree(p) }
+    // every candidate id is < horizon, so colliding names can only be in
+    // `fold` — checking those ids suffices to find a fresh one
+    val taken = fold.map(_._1).toSet
+    val segId = Iterator.iterate(-horizon)(_ - 1L).dropWhile(taken.contains).next()
+    Files.move(tmp, Paths.get(dir, s"batch_id=$segId"), StandardCopyOption.ATOMIC_MOVE)
+    fold.foreach { case (_, p) => deleteTree(p) }
   }
 
   /** Compact both stores up to `horizon` (exclusive). Safe to call only

@@ -183,6 +183,45 @@ class StreamingSpec extends SparkSpec {
     assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected + 901L)
   }
 
+  test("compaction crash before the segment move (orphan tmp) loses nothing and is swept") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Path, Paths}
+    def doc(i: Int) = s"doc $i unique token alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"
+    val work = Files.createTempDirectory("graft_sdo").toString
+    val ingest = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.5, compactEvery = 4)
+    def ls(dir: String): List[Path] = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.toList.filter(_.getFileName.toString.startsWith("batch_id="))
+      finally s.close()
+    }
+    val batches = (0 until 8).map(b => Seq(b * 10L + 1, b * 10L + 2))
+    batches.zipWithIndex.foreach { case (ids, bid) =>
+      ingest.processBatch(ids.map(i => (i, doc(i.toInt))).toDF("doc_id", "text"), bid.toLong)
+    }
+    // simulate a crash AFTER the fold was written to the temp dir but
+    // BEFORE the atomic move: plant orphan .compact_tmp_* dirs; the
+    // stores themselves are untouched, so nothing is lost
+    for (store <- Seq("band_index", "admitted")) {
+      val orphan = Paths.get(work, s".compact_tmp_$store")
+      Files.createDirectories(orphan)
+      Files.writeString(orphan.resolve("junk.parquet"), "not parquet")
+    }
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet ==
+      batches.flatten.toSet)
+    // the replayed boundary batch sweeps the orphans and folds normally
+    ingest.processBatch(Seq((81L, doc(81))).toDF("doc_id", "text"), 8L)
+    val expected = batches.flatten.toSet + 81L
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
+    for (store <- Seq("band_index", "admitted")) {
+      assert(!Files.exists(Paths.get(work, s".compact_tmp_$store")))
+      assert(ls(s"$work/$store").size == 2) // fresh segment + batch 8
+    }
+    // replaying the boundary batch is still idempotent after the sweep
+    ingest.processBatch(Seq((81L, doc(81))).toDF("doc_id", "text"), 8L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
+  }
+
   test("streaming ingest with a quality gate drops low-quality docs before dedup") {
     val work = java.nio.file.Files.createTempDirectory("graft_sqi").toString
     // gate: >= 8 tokens with at least one stopword
