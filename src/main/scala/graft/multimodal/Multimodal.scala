@@ -285,9 +285,43 @@ object Multimodal {
       }
     }
 
+    /** First attribute value of `node` under the imageio GIF metadata
+      * tree root (flat child list in the native GIF formats).
+      */
+    private def gifAttr(root: org.w3c.dom.Node, node: String, attr: String): Option[String] = {
+      var c = root.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == node) {
+          val a = c.getAttributes.getNamedItem(attr)
+          if (a != null) return Option(a.getNodeValue)
+        }
+        c = c.getNextSibling
+      }
+      None
+    }
+
+    private def gifIntAttr(root: org.w3c.dom.Node, node: String, attr: String): Option[Int] =
+      gifAttr(root, node, attr).flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+
+    private def copyCanvas(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val c = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = c.createGraphics()
+      try g.drawImage(img, 0, 0, null) finally g.dispose()
+      c
+    }
+
     /** Every k-th frame of an animated GIF, really decoded via the
-      * imageio GIF reader. Frames are composited onto the running
-      * canvas (GIF frames may be partial-rect deltas) before digesting.
+      * imageio GIF reader. The compositing canvas is the logical screen
+      * from the stream metadata (grown if a frame rect exceeds it), each
+      * frame is drawn at its ImageDescriptor
+      * `imageLeftPosition`/`imageTopPosition` (GIF frames may be
+      * partial-rect deltas anywhere on the screen), and the
+      * GraphicControlExtension disposal method is honored between
+      * frames (`restoreToBackgroundColor` clears the frame rect,
+      * `restoreToPrevious` restores the pre-frame canvas) — so digests
+      * match a correct decoder on offset delta frames, not just
+      * full-frame animations.
       */
     private def gifFrames(payload: Array[Byte], every: Int, max: Int): Option[Seq[(Int, String)]] =
       try {
@@ -302,17 +336,45 @@ object Multimodal {
               if (r.getFormatName.toLowerCase != "gif") None
               else {
                 val n = r.getNumImages(true)
+                val screen = for {
+                  md <- Option(r.getStreamMetadata)
+                  root = md.getAsTree("javax_imageio_gif_stream_1.0")
+                  w <- gifIntAttr(root, "LogicalScreenDescriptor", "logicalScreenWidth")
+                  h <- gifIntAttr(root, "LogicalScreenDescriptor", "logicalScreenHeight")
+                  if w > 0 && h > 0
+                } yield (w, h)
                 var canvas: java.awt.image.BufferedImage = null
+                var saved: java.awt.image.BufferedImage = null
                 val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
                 var k = 0
                 while (k < n && out.size < max) {
                   val frame = r.read(k)
-                  if (canvas == null)
-                    canvas = new java.awt.image.BufferedImage(frame.getWidth, frame.getHeight,
+                  val imgRoot = r.getImageMetadata(k).getAsTree("javax_imageio_gif_image_1.0")
+                  val left = gifIntAttr(imgRoot, "ImageDescriptor", "imageLeftPosition").getOrElse(0)
+                  val top = gifIntAttr(imgRoot, "ImageDescriptor", "imageTopPosition").getOrElse(0)
+                  val disposal =
+                    gifAttr(imgRoot, "GraphicControlExtension", "disposalMethod").getOrElse("none")
+                  if (canvas == null) {
+                    val (w0, h0) = screen.getOrElse((0, 0))
+                    canvas = new java.awt.image.BufferedImage(
+                      math.max(w0, left + frame.getWidth),
+                      math.max(h0, top + frame.getHeight),
                       java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  }
+                  if (disposal == "restoreToPrevious") saved = copyCanvas(canvas)
                   val g = canvas.createGraphics()
-                  try g.drawImage(frame, 0, 0, null) finally g.dispose()
+                  try g.drawImage(frame, left, top, null) finally g.dispose()
                   if (k % every == 0) out += ((k, pixelDigest(canvas)))
+                  disposal match {
+                    case "restoreToBackgroundColor" =>
+                      val g2 = canvas.createGraphics()
+                      try {
+                        g2.setColor(java.awt.Color.BLACK)
+                        g2.fillRect(left, top, frame.getWidth, frame.getHeight)
+                      } finally g2.dispose()
+                    case "restoreToPrevious" if saved != null => canvas = saved
+                    case _ =>
+                  }
                   k += 1
                 }
                 Some(out.toSeq)
