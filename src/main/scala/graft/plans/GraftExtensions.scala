@@ -17,13 +17,17 @@ import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Expression, LessThan
   * `spark.sql.extensions=graft.plans.GraftExtensions` at build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
           new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, name, null, "", "", "", "", "", "", "scala_udf"),
           builder))
     }
+    // MERGE INTO '<path>' USING src ON key — SQL surface for the
+    // bucketed path upsert (SURVEY §7.3); see [[GraftSqlParser]]
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }
 
 object GraftFunctions {

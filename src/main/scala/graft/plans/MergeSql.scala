@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.monotonically_increasing_id
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+import graft.merge.MergeWriter
+
+/** SQL surface for the path-based upsert (SURVEY.md §7.3 — reference
+  * MERGE in `python_code/migrate.sql` runs `MERGE INTO target USING
+  * source ON t.k = s.k WHEN MATCHED UPDATE / WHEN NOT MATCHED
+  * INSERT`):
+  *
+  * {{{
+  *   MERGE INTO '/path/to/target' USING source_view ON key_col
+  *     [ORDER BY version_col] [BUCKETS n]
+  *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
+  * }}}
+  *
+  * The target is a [[graft.merge.MergeWriter]] bucketed snapshot
+  * directory (quoted path — these targets are filesystem-versioned,
+  * not catalog tables); the source is any registered table or temp
+  * view. `ON t.k = s.k` is accepted when both sides name the same
+  * column. Without `ORDER BY`, last-in-source-order wins intra-batch
+  * duplicate keys (the reference's semantics, `migrate.js:10-15`);
+  * with it, the highest `version_col` wins. The only WHEN actions
+  * supported are the upsert pair `UPDATE SET * / INSERT *` — exactly
+  * what the engine's merge does; anything else raises. Returns one
+  * row: `rows_affected` (the reference's `@@ROWCOUNT`).
+  */
+case class MergeIntoPathCommand(targetDir: String, source: String, keyCol: String,
+                                orderCol: Option[String], buckets: Option[Int])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("rows_affected", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = session.table(source)
+    val (updates, ord) = orderCol match {
+      case Some(c) => (src, c)
+      case None =>
+        // synthesized source order: monotonically_increasing_id is
+        // ascending in row order within and across partitions, so the
+        // merge's highest-wins dedup picks the LAST source row per key
+        val c = "_graft_src_order"
+        (src.withColumn(c, monotonically_increasing_id()), c)
+    }
+    val n = MergeWriter.merge(session, targetDir, updates, keyCol, ord,
+      buckets.getOrElse(MergeWriter.DefaultBuckets))
+    Seq(Row(n))
+  }
+}
+
+/** Delegating parser that recognizes the path-target MERGE grammar
+  * above and hands everything else to Spark's parser. Injected via
+  * [[GraftExtensions]].
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val MergeRe =
+    ("""(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+([\w.]+)""" +
+      """\s+ON\s+(?:[\w]+\.)?(\w+)(?:\s*=\s*(?:[\w]+\.)?(\w+))?""" +
+      """(?:\s+ORDER\s+BY\s+(\w+))?(?:\s+BUCKETS\s+(\d+))?(\s+WHEN\s.*?)?\s*;?\s*$""").r
+
+  private val UpsertWhenRe =
+    """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case MergeRe(dir, source, lhs, rhs, order, buckets, when) =>
+      if (rhs != null && rhs.toLowerCase != lhs.toLowerCase)
+        throw new UnsupportedOperationException(
+          s"MERGE INTO '<path>' requires an equi-key on one column; got ON $lhs = $rhs")
+      if (when != null && UpsertWhenRe.findFirstIn(when).isEmpty)
+        throw new UnsupportedOperationException(
+          "MERGE INTO '<path>' supports only the upsert actions " +
+            "'WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *'")
+      MergeIntoPathCommand(dir, source, lhs,
+        Option(order), Option(buckets).map(_.toInt))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}

@@ -23,6 +23,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(cats == Seq("Low", "Medium", "Medium", "High"))
   }
 
+  test("MERGE INTO SQL surface drives the bucketed path upsert end-to-end") {
+    import org.apache.spark.sql.SparkSession
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_sql").toString
+    // extensions apply at session construction: build a sibling session
+    // on the same SparkContext, with the parser injected
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    try {
+      import s2.implicits._
+      Seq((1L, "a", 1), (2L, "b", 1), (2L, "b2", 2))
+        .toDF("k", "v", "ver").createOrReplaceTempView("src1")
+      val n1 = s2.sql(s"MERGE INTO '$dir' USING src1 ON k ORDER BY ver " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
+      assert(n1.map(_.getLong(0)).toSeq == Seq(2L)) // 2 distinct keys affected
+      val after1 = MergeWriter.readTarget(s2, dir).get
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(after1 == Map(1L -> "a", 2L -> "b2")) // highest ver wins in-batch
+
+      // reference ON form + no ORDER BY: last source row per key wins
+      Seq((2L, "c"), (3L, "d"), (3L, "e")).toDF("k", "v").createOrReplaceTempView("src2")
+      val n2 = s2.sql(s"MERGE INTO '$dir' USING src2 ON t.k = s.k").collect()
+      assert(n2.map(_.getLong(0)).toSeq == Seq(2L))
+      val after2 = MergeWriter.readTarget(s2, dir).get
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(after2 == Map(1L -> "a", 2L -> "c", 3L -> "e"))
+
+      // non-upsert WHEN actions and mismatched ON keys are rejected
+      intercept[UnsupportedOperationException] {
+        s2.sql(s"MERGE INTO '$dir' USING src2 ON k WHEN MATCHED THEN DELETE")
+      }
+      intercept[UnsupportedOperationException] {
+        s2.sql(s"MERGE INTO '$dir' USING src2 ON t.k = s.other")
+      }
+      // everything else still parses through the delegate
+      assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+    } finally {
+      SparkSession.setDefaultSession(spark); SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("native dot product matches the HOF formulation exactly") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(50).cache()
     val hof = e.select($"vec_id",
