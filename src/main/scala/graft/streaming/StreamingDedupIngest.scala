@@ -118,13 +118,16 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     fold.foreach { case (_, p) => deleteTree(p) }
   }
 
-  /** Compact both stores up to `horizon` (exclusive). Safe to call only
-    * for horizons at or below the oldest batch that could still be
-    * replayed — `processBatch` auto-calls it with the current batch id,
-    * which Structured Streaming guarantees has all predecessors
-    * committed.
+  /** Compact both stores up to `horizon` (exclusive). `horizon` must be
+    * positive (batch ids start at 0; consolidated segments are negative)
+    * and at or below the oldest batch that could still be replayed —
+    * `processBatch` auto-calls it with the current batch id, which
+    * Structured Streaming guarantees has all predecessors committed.
+    * Non-positive horizons are a no-op: the fresh-segment-id search
+    * starts at `-horizon`, so a `horizon <= 0` could collide a fold
+    * with a real batch leaf.
     */
-  def compact(horizon: Long): Unit = {
+  def compact(horizon: Long): Unit = if (horizon > 0) {
     foldLeaves(indexDir, horizon, Seq("corpus_id", "band_id", "band_hash"))
     foldLeaves(admittedDir, horizon, Seq("doc_id"))
   }

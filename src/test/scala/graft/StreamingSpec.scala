@@ -217,8 +217,19 @@ class StreamingSpec extends SparkSpec {
       assert(!Files.exists(Paths.get(work, s".compact_tmp_$store")))
       assert(ls(s"$work/$store").size == 2) // fresh segment + batch 8
     }
-    // replaying the boundary batch is still idempotent after the sweep
+    // replaying the boundary batch is still idempotent after the sweep:
+    // same admitted set, no extra fold segment, no fresh tmp dirs
     ingest.processBatch(Seq((81L, doc(81))).toDF("doc_id", "text"), 8L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
+    for (store <- Seq("band_index", "admitted")) {
+      assert(!Files.exists(Paths.get(work, s".compact_tmp_$store")))
+      assert(ls(s"$work/$store").size == 2)
+    }
+    // a non-positive horizon is a guarded no-op (negative fold-segment
+    // ids must never collide with real batch leaves)
+    ingest.compact(0L)
+    ingest.compact(-3L)
+    for (store <- Seq("band_index", "admitted")) assert(ls(s"$work/$store").size == 2)
     assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == expected)
   }
 
