@@ -18,8 +18,10 @@ import graft.functions.TextFns
   * Scale: every stage is map-only or a natural-key/band equi-join —
   * one corpus pass plus the dedup family's candidate-bounded joins
   * (never n²). [[curate]] `cache()`s the two frames that feed multiple
-  * plan branches; release them after materializing (the
-  * [[graft.dedup.Dedup]] cache contract).
+  * plan branches. Use [[withCurated]] (loan pattern) to release every
+  * internal cache — this funnel's and [[graft.dedup.Dedup]]'s — when
+  * the block exits; bare [[curate]] keeps the historical caller-side
+  * release contract for pipelines that materialize later.
   */
 object Curation {
 
@@ -54,10 +56,10 @@ object Curation {
   /** MinHash-LSH near-dup drop (min-id-wins over candidate pairs). */
   def nearDupDrop(df: DataFrame, cfg: Config = Config()): DataFrame = {
     val sig = Dedup.minhashSignatures(df, "doc_id", "text", cfg.minhashK)
-    val drops = Dedup.lshCandidatePairs(sig, "doc_id", cfg.minhashK, cfg.rowsPerBand)
-      .filter(col("est_sim") >= cfg.simThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
-      .cache()
+    val drops = graft.util.CacheScope.pin(
+      Dedup.lshCandidatePairs(sig, "doc_id", cfg.minhashK, cfg.rowsPerBand)
+        .filter(col("est_sim") >= cfg.simThreshold)
+        .select(col("id_b").as("doc_id")).distinct())
     df.join(drops, Seq("doc_id"), "left_anti")
   }
 
@@ -88,8 +90,19 @@ object Curation {
     */
   def curate(corpus: DataFrame, evalDocs: Option[DataFrame],
              cfg: Config = Config()): DataFrame = {
-    val afterExact = exactDedup(qualityGate(corpus, cfg)).cache()
+    val afterExact = graft.util.CacheScope.pin(exactDedup(qualityGate(corpus, cfg)))
     val afterNd = nearDupDrop(afterExact, cfg)
     evalDocs.fold(afterNd)(ev => decontaminate(afterNd, ev, cfg))
   }
+
+  /** Loan-pattern [[curate]]: build the funnel, hand the curated frame
+    * to `f` (materialize it there), and release every cache the funnel
+    * pinned — this object's and [[graft.dedup.Dedup]]'s internal ones —
+    * when the block exits, success or failure. The returned value must
+    * not be the lazy frame itself (recomputing it later would run the
+    * funnel uncached).
+    */
+  def withCurated[A](corpus: DataFrame, evalDocs: Option[DataFrame],
+                     cfg: Config = Config())(f: DataFrame => A): A =
+    graft.util.CacheScope.loan(f(curate(corpus, evalDocs, cfg)))
 }

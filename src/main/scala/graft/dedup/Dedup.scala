@@ -16,7 +16,9 @@ import graft.functions.TextFns
   * Cache contract: [[lshCandidatePairs]] and [[jaccardPairs]] return
   * plans over an internally `cache()`d frame (it feeds 2-3 branches of
   * the same plan — the materialize-once shape these take at scale).
-  * After materializing the result, release it with
+  * Compose and materialize inside [[graft.util.CacheScope.loan]] to
+  * release exactly those internal caches on exit; outside a loan,
+  * release after materializing with
   * `spark.sharedState.cacheManager.clearCache()` (or `unpersist` on
   * your own frames) when running many queries in one session; the
   * Verify/Bench mains do exactly that between queries.
@@ -125,7 +127,7 @@ object Dedup {
     // The signature frame feeds four branches (two band sides, two
     // agreement sides): cache it — at scale, signatures are a
     // materialized table computed once per corpus.
-    val sig = sigIn.cache()
+    val sig = graft.util.CacheScope.pin(sigIn)
     val allBanded = bandKeys(sig, idCol, k, rowsPerBand)
     val banded = maxBandBucket match {
       case None => allBanded
@@ -167,9 +169,8 @@ object Dedup {
     // posting list needs no groupBy shuffle and the per-doc sizes are
     // a map-only projection. The exploded frame feeds both join sides
     // — cache it, mirroring the materialize-once shape at scale.
-    val hashed = df.select(col(idCol).as("id"),
-        array_distinct(TextFns.shingleHashes48(TextFns.tokens(col(textCol)), shingleN)).as("hvs"))
-      .cache()
+    val hashed = graft.util.CacheScope.pin(df.select(col(idCol).as("id"),
+        array_distinct(TextFns.shingleHashes48(TextFns.tokens(col(textCol)), shingleN)).as("hvs")))
     val sh = hashed.select(col("id"), explode(col("hvs")).as("hv"))
     val sizes = hashed.select(col("id"), size(col("hvs")).cast("long").as("sz"))
     // (A df>=2 rare-shingle prefilter was measured here and LOST —
@@ -262,9 +263,8 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        minContainment: Double, shingleN: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-        array_distinct(TextFns.shingleHashes48(TextFns.tokens(col(textCol)), shingleN)).as("hvs"))
-      .cache()
+    val hashed = graft.util.CacheScope.pin(df.select(col(idCol).as("id"),
+        array_distinct(TextFns.shingleHashes48(TextFns.tokens(col(textCol)), shingleN)).as("hvs")))
     val sh = hashed.select(col("id"), explode(col("hvs")).as("hv"))
     val sizes = hashed.select(col("id"), size(col("hvs")).cast("long").as("sz"))
     val common = sh.as("x").join(sh.as("y").hint("shuffle_hash"),

@@ -137,8 +137,10 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     if (batch.isEmpty) return
     // Dedup's internal cache()s must be released on EVERY exit path —
     // an all-duplicate batch that returned early used to leak one
-    // cached signature frame per micro-batch on a long-running stream
-    try {
+    // cached signature frame per micro-batch on a long-running stream.
+    // The loan releases exactly this batch's pins, so a user's own
+    // cached frames in the same session survive (clearCache() didn't).
+    graft.util.CacheScope.loan {
       // quality gate first (map-only — cheapest drop wins), then pin
       // the bounded batch so the multi-branch plan below reads the
       // micro-batch source exactly once
@@ -166,7 +168,7 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       Dedup.bandKeys(sig.join(admittedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi"), "doc_id")
         .withColumnRenamed("doc_id", "corpus_id")
         .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-    } finally spark.sharedState.cacheManager.clearCache()
+    }
   }
 
   /** Watch `watchDir` for JSONL document files (doc_id BIGINT, text). */

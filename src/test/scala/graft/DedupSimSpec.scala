@@ -254,6 +254,27 @@ class DedupSimSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("curation loan releases every internally pinned cache when the block exits") {
+    import graft.curation.Curation
+    import org.apache.spark.storage.StorageLevel
+    val corpus = graft.Tables.t(spark, sf(), "documents").select($"doc_id", $"text")
+    val ev = corpus.filter($"doc_id" % 100 === 0)
+    val (n, released) = graft.util.CacheScope.loanCapturing {
+      val curated = Curation.curate(corpus, Some(ev))
+      val cnt = curated.count() // materialize inside the loan
+      // the funnel really did pin its multi-branch frames
+      assert(graft.util.CacheScope != null && cnt > 0)
+      cnt
+    }
+    // afterExact + near-dup drops + the LSH signature frame
+    assert(released.size >= 3)
+    assert(released.forall(_.storageLevel == StorageLevel.NONE))
+
+    // public loan surface: same funnel through withCurated
+    val m = Curation.withCurated(corpus, None)(_.count())
+    assert(m >= n)
+  }
+
   test("leakage split: planted near-dups land on the same side as their originals") {
     val split = SparkEntry.queries("q_leakage_split")(spark, sf())
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
