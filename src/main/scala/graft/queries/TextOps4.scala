@@ -93,13 +93,16 @@ object TextOps4 {
               .otherwise($"text").as("text"))
         val docs = corpus.select($"doc_id", TextFns.tokens($"text").as("tk"))
           .withColumn("n_tokens", size($"tk")).filter($"n_tokens" >= 8)
-        val grams = docs
+        // the postings frame (∝ corpus tokens) feeds three consumers —
+        // pin it so tokenize+shingle+posexplode runs once, not 3×; the
+        // joined repeated-occurrence frame (small) feeds two more
+        val grams = graft.util.CacheScope.pin(docs
           .select($"doc_id", posexplode(TextFns.shingleHashes48($"tk", 8)))
-          .toDF("doc_id", "pos", "hv")
+          .toDF("doc_id", "pos", "hv"))
         val repeated = grams.select($"hv", $"doc_id").distinct()
           .groupBy($"hv").agg(count(lit(1)).as("df"))
           .filter($"df" >= 2).select($"hv")
-        val rep = grams.join(repeated, "hv")
+        val rep = graft.util.CacheScope.pin(grams.join(repeated, "hv"))
         val nrep = rep.groupBy($"doc_id").agg(count(lit(1)).as("n_rep_grams"))
         val cov = rep
           .select($"doc_id", explode(sequence($"pos", $"pos" + 7)).as("j"))

@@ -46,6 +46,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_span_mask materializes its postings once (cached, bounded stages)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      graft.util.CacheScope.loan {
+        val df = SparkEntry.queries("q_span_mask")(spark, sf("sf0.001"))
+        // the postings subtree must be replaced by the cache on reuse
+        assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+        df.collect()
+      }
+      // the listener bus is async — wait for the count to stabilize
+      var prev = -1; var cur = stages.get(); var waited = 0
+      while (cur != prev && waited < 10000) {
+        Thread.sleep(300); waited += 300; prev = cur; cur = stages.get()
+      }
+      info(s"q_span_mask ran $cur stages")
+      // pinned form measured at 19 stages; headroom for AQE variance,
+      // but a per-consumer postings recompute lands well above
+      assert(cur <= 24, s"q_span_mask ran $cur stages — postings recomputed?")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("q_seq_pack shuffles once on the pack key, no global window") {
     // a Window without PARTITION BY would collapse to a single
     // partition — the per-source partitioning must survive
