@@ -62,7 +62,42 @@ object Bench {
     val results = names.map(n => n -> math.min(pass1(n), timeOnce(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Engine-level end-to-end numbers (SURVEY §8): the 4-step pipeline
+    // over the reference's two large fixtures — the 100k-row CSV
+    // (generate-large-csv.mjs cycle) and the 1M-row generator file
+    // (gen_1m_csv.py shape, made deterministic so runs are comparable).
+    // Generation is outside the timed window; the run is source →
+    // extract/clean → transform → merge-load, catalog writes included.
+    def pipelineSecs(n: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_bench_pipe_$n")
+      val csv = dir.resolve(s"orders_$n.csv")
+      val amounts = Seq("15.99", "25.00", "33.50", "45.99", "59.00", "75.25", "99.50",
+        "120.00", "150.00", "185.00", "210.00", "275.00", "350.00", "499.99")
+      val start = java.time.LocalDate.of(2024, 1, 1)
+      val w = java.nio.file.Files.newBufferedWriter(csv)
+      try {
+        w.write("OrderId,CustomerId,Amount,OrderDate\n")
+        var i = 1
+        while (i <= n) {
+          w.write(s"ORD-$i,C${(i % 2000) + 1},${amounts(i % amounts.length)},${start.plusDays(i % 400)}\n")
+          i += 1
+        }
+      } finally w.close()
+      val runner = new graft.runner.PipelineRunner(spark,
+        new graft.catalog.RunCatalog(spark, s"$dir/catalog"), dir.toString)
+      val t0 = System.nanoTime()
+      val res = runner.run(csv.toString)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (res.status != "Success") System.err.println(s"[bench] pipeline($n): ${res.status}")
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+    val p100k = pipelineSecs(100000)
+    val p1m = pipelineSecs(1000000)
+    val pipeline = s"""{"fixture_100k_sec":$p100k,"file_1m_sec":$p1m}"""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
