@@ -210,9 +210,11 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
 
 object ApiServer {
   /** Single-page monitor: run list with pipelineName/status filters,
-    * selected-run detail/progress, and a logs pane with a level filter
-    * (reference RunList.jsx filter bar + Logs.jsx), refreshed every 2s
-    * from the JSON endpoints above.
+    * selected-run detail/progress, a logs pane with a level filter
+    * (reference RunList.jsx filter bar + Logs.jsx), and a schedules
+    * pane — list, create, enable/disable, delete — wired to the
+    * `/schedules` CRUD (reference ApiServlet.java:197-281 + JSP
+    * schedules view), refreshed from the JSON endpoints above.
     *
     * All catalog-sourced values (pipeline_name is attacker-settable via
     * the trigger endpoint) are rendered with `textContent` on
@@ -253,6 +255,18 @@ object ApiServer {
       |<table><thead><tr><th>at</th><th>level</th><th>step</th>
       |<th>message</th><th>details</th></tr></thead>
       |<tbody id="logs"></tbody></table>
+      |<h3>Schedules</h3>
+      |<div class="bar">
+      |<input id="sName" placeholder="name">
+      |<select id="sType"><option>daily</option><option>weekly</option>
+      |<option>monthly</option></select>
+      |<input id="sTime" placeholder="HH:MM" size="6">
+      |<input id="sSource" placeholder="source path">
+      |<button id="sCreate">create</button>
+      |</div>
+      |<table><thead><tr><th>name</th><th>type</th><th>at</th>
+      |<th>enabled</th><th>next run</th><th>actions</th></tr></thead>
+      |<tbody id="schedules"></tbody></table>
       |<script>
       |let sel = null;
       |function row(values, onclick) {
@@ -293,8 +307,39 @@ object ApiServer {
       |  }
       |}
       |function pick(id) { sel = id; refresh(); }
+      |async function refreshSchedules() {
+      |  const scs = await (await fetch('/schedules')).json();
+      |  document.getElementById('schedules').replaceChildren(...scs.map(s => {
+      |    const tr = row([s.name, s.scheduleType, s.runAtTime, s.enabled, s.nextRunAt]);
+      |    const td = document.createElement('td');
+      |    const acts = [[s.enabled ? 'disable' : 'enable',
+      |                   s.enabled ? 'disable' : 'enable'], ['delete', 'delete']];
+      |    for (const [label, action] of acts) {
+      |      const b = document.createElement('button');
+      |      b.textContent = label;
+      |      b.addEventListener('click', async () => {
+      |        await fetch('/schedules/' + encodeURIComponent(s.scheduleId) + '/' + action,
+      |          {method: 'POST'});
+      |        refreshSchedules();
+      |      });
+      |      td.appendChild(b);
+      |    }
+      |    tr.appendChild(td);
+      |    return tr;
+      |  }));
+      |}
+      |document.getElementById('sCreate').addEventListener('click', async () => {
+      |  const ps = new URLSearchParams({
+      |    name: document.getElementById('sName').value,
+      |    scheduleType: document.getElementById('sType').value,
+      |    runAtTime: document.getElementById('sTime').value,
+      |    sourcePath: document.getElementById('sSource').value});
+      |  await fetch('/schedules?' + ps, {method: 'POST'});
+      |  refreshSchedules();
+      |});
       |for (const id of ['fPipeline', 'fStatus', 'fLevel'])
       |  document.getElementById(id).addEventListener('change', refresh);
-      |refresh(); setInterval(refresh, 2000);
+      |refresh(); refreshSchedules();
+      |setInterval(refresh, 2000); setInterval(refreshSchedules, 5000);
       |</script></body></html>""".stripMargin
 }

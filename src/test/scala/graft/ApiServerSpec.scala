@@ -184,6 +184,11 @@ class ApiServerSpec extends SparkSpec {
           && b.contains("pipelineName") && b.contains("status"))
         // XSS hardening: no HTML interpolation of catalog values
         assert(!b.contains("innerHTML") && b.contains("textContent"))
+        // schedules pane: list + create + per-row enable/disable/delete
+        // wired to the /schedules CRUD (ApiServlet.java:197-281 parity)
+        assert(b.contains("fetch('/schedules')") && b.contains("fetch('/schedules?"))
+        assert(b.contains("id=\"schedules\"") && b.contains("sCreate")
+          && b.contains("scheduleType") && b.contains("/' + action"))
       }
       // the filter params the page sends round-trip through GET /runs
       val r1 = runner.run(writeCsv(work, "F-1"), "alpha")
