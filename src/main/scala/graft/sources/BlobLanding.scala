@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+
+/** Blob landing sink (SURVEY.md §2.1 K5 — reference
+  * `python_code/projectplan.md:133-137` plans scraper/source output
+  * landed to blob storage as JSON/CSV, from which the pipeline
+  * ingests): write a frame into the landing directory as a single
+  * CSV or JSONL file, published atomically.
+  *
+  * Atomic publish matters because the landing dir is watched — by the
+  * file-trigger REST flow and by the streaming twin (C7): the file is
+  * fully written under a dot-prefixed temp name (hidden from Spark
+  * readers and the file stream), then renamed into place, so a watcher
+  * never ingests a half-written file.
+  *
+  * Single-file by design: landing files are upload-sized units (the
+  * reference's blob objects), not distributed datasets — the pipeline
+  * reading them back out of landing is where Spark's parallelism
+  * starts. `land` coalesces to one part; callers with genuinely large
+  * frames should write parquet through the table path instead.
+  */
+object BlobLanding {
+
+  /** Land `df` as `<landingDir>/<name>.<format>`; returns the final
+    * path. `format`: "csv" (with header) or "json" (JSON Lines).
+    * Fails if the target name already exists (landing files are
+    * immutable-once-published, like blob objects).
+    */
+  def land(df: DataFrame, landingDir: String, name: String,
+           format: String = "csv"): String = {
+    require(format == "csv" || format == "json", s"unsupported landing format: $format")
+    require(name.matches("[A-Za-z0-9._-]+"), s"unsafe landing name: $name")
+    val dir = Paths.get(landingDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(s"$name.$format")
+    if (Files.exists(target))
+      throw new java.nio.file.FileAlreadyExistsException(target.toString)
+
+    // Spark writes a directory; stage it outside the watched dir, then
+    // move the single part file into place under a hidden name first
+    // (same-filesystem rename twice keeps both steps atomic)
+    val stage = Files.createTempDirectory("graft_land")
+    val out = stage.resolve("out")
+    val w = df.coalesce(1).write
+    (format match {
+      case "csv"  => w.option("header", "true").csv(out.toString)
+      case "json" => w.json(out.toString)
+    }): Unit
+    val part = Files.list(out).filter(p =>
+        p.getFileName.toString.startsWith("part-")).findFirst()
+      .orElseThrow(() => new IllegalStateException(s"no part file under $out"))
+    val hidden = dir.resolve(s".${name}.$format.landing")
+    Files.move(part, hidden, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(hidden, target, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort stage cleanup (crash here leaves only tmp garbage)
+    try {
+      val s = Files.walk(stage)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    } catch { case _: Exception => () }
+    target.toString
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{BlobLanding, JdbcSource, RestSource, SoapSource}
+
+/** Planned-source parity (SURVEY §2.1 S7, K5): REST pagination, SOAP
+  * row landing, JDBC watermark-incremental copy (against embedded
+  * Derby), and the atomically-published blob landing sink.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("REST source walks next-links and lands all pages as one frame") {
+    val pages = Map(
+      "/api/items" -> """{"items":[{"id":1,"v":"a"},{"id":2,"v":"b"}],"next":"/api/items?page=2"}""",
+      "/api/items?page=2" -> """{"items":[{"id":3,"v":"c"}],"next":null}""")
+    var calls = List.empty[String]
+    val fetcher = new RestSource.JsonFetcher {
+      def fetch(url: String): String = {
+        val key = url.stripPrefix("http://api.test")
+        calls = calls :+ key
+        pages(key)
+      }
+    }
+    val df = RestSource.readPaginated(spark, fetcher, "http://api.test/api/items")
+    assert(calls == List("/api/items", "/api/items?page=2")) // relative next resolved
+    assert(df.orderBy($"id").select($"id", $"v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // top-level-array page: all elements, no pagination
+    val arrFetcher = new RestSource.JsonFetcher {
+      def fetch(url: String): String = """[{"id":9},{"id":10}]"""
+    }
+    assert(RestSource.readPaginated(spark, arrFetcher, "http://api.test/arr")
+      .select($"id").as[Long].collect().toSet == Set(9L, 10L))
+
+    // maxPages bounds a pathological self-linking API
+    val loopFetcher = new RestSource.JsonFetcher {
+      def fetch(url: String): String = """{"items":[{"id":1}],"next":"/loop"}"""
+    }
+    assert(RestSource.readPaginated(spark, loopFetcher, "http://api.test/loop",
+      maxPages = 5).count() == 5)
+  }
+
+  test("REST source over a live local HTTP endpoint") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def page(path: String, body: String): Unit =
+      server.createContext(path, (x: com.sun.net.httpserver.HttpExchange) => {
+        val b = body.getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(200, b.length)
+        x.getResponseBody.write(b); x.close()
+      })
+    page("/p1", """{"items":[{"k":"x"}],"next":"/p2"}""")
+    page("/p2", """{"items":[{"k":"y"}]}""")
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val df = RestSource.readPaginated(spark, new RestSource.HttpJsonFetcher(), s"$base/p1")
+      assert(df.select($"k").as[String].collect().toSet == Set("x", "y"))
+    } finally server.stop(0)
+  }
+
+  test("SOAP source lands repeating row elements as a string-typed frame") {
+    val response =
+      """<?xml version="1.0"?>
+        |<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">
+        |<soap:Body><m:GetOrdersResponse xmlns:m="urn:orders">
+        |<m:Order><m:OrderId>ORD-1</m:OrderId><m:Amount>10.50</m:Amount></m:Order>
+        |<m:Order><m:OrderId>ORD-2</m:OrderId><m:Amount>99.00</m:Amount>
+        |  <m:Note>rush</m:Note></m:Order>
+        |</m:GetOrdersResponse></soap:Body></soap:Envelope>""".stripMargin
+    var seen: Option[(String, String, String)] = None
+    val transport = new SoapSource.SoapTransport {
+      def call(url: String, action: String, envelope: String): String = {
+        seen = Some((url, action, envelope)); response
+      }
+    }
+    val df = SoapSource.readRows(spark, transport, "http://svc.test/soap",
+      "urn:orders/GetOrders", "<m:GetOrders xmlns:m=\"urn:orders\"/>", rowTag = "Order")
+    val (u, a, env) = seen.get
+    assert(u == "http://svc.test/soap" && a == "urn:orders/GetOrders")
+    assert(env.contains("<soap:Body><m:GetOrders") && env.contains("soap:Envelope"))
+    assert(df.columns.toSeq == Seq("OrderId", "Amount", "Note")) // union schema
+    val rows = df.orderBy($"OrderId").as[(String, String, String)].collect().toSeq
+    assert(rows == Seq(("ORD-1", "10.50", null), ("ORD-2", "99.00", "rush")))
+    // a doctype in the response is rejected, not expanded
+    val evil = new SoapSource.SoapTransport {
+      def call(url: String, action: String, envelope: String): String =
+        "<!DOCTYPE x [<!ENTITY e SYSTEM 'file:///etc/passwd'>]><r>&e;</r>"
+    }
+    intercept[Exception] {
+      SoapSource.readRows(spark, evil, "http://svc.test/soap", "a", "<b/>", "r")
+    }
+  }
+
+  test("JDBC watermark-incremental copy against embedded Derby") {
+    val dbDir = Files.createTempDirectory("graft_derby").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val stateDir = Files.createTempDirectory("graft_wm").toString
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE orders (order_id INT, customer VARCHAR(10), amount DOUBLE)")
+      st.execute("INSERT INTO orders VALUES (1,'C1',10.0),(2,'C2',20.0),(3,'C1',30.0)")
+
+      // full copy, range-partitioned
+      val full = JdbcSource.read(spark, url, "orders",
+        partitionOn = Some(("order_id", 1L, 3L)), numPartitions = 2)
+      assert(full.count() == 3 && full.rdd.getNumPartitions == 2)
+
+      // first incremental window: everything; commit advances the mark
+      val inc1 = JdbcSource.readIncremental(spark, url, "orders", "order_id", stateDir)
+      assert(inc1.df.count() == 3 && inc1.newMark.contains("3"))
+      inc1.commit()
+
+      // nothing new → empty window, mark sticks at 3
+      val inc2 = JdbcSource.readIncremental(spark, url, "orders", "order_id", stateDir)
+      assert(inc2.df.count() == 0 && inc2.newMark.contains("3"))
+
+      // new rows → only the delta; uncommitted read replays (at-least-once)
+      st.execute("INSERT INTO orders VALUES (4,'C3',40.0),(5,'C1',50.0)")
+      val inc3 = JdbcSource.readIncremental(spark, url, "orders", "order_id", stateDir)
+      assert(inc3.df.select($"ORDER_ID").as[Int].collect().toSet == Set(4, 5))
+      val replay = JdbcSource.readIncremental(spark, url, "orders", "order_id", stateDir)
+      assert(replay.df.count() == 2) // inc3 never committed
+      replay.commit()
+      assert(JdbcSource.readIncremental(spark, url, "orders", "order_id", stateDir)
+        .df.count() == 0)
+    } finally conn.close()
+  }
+
+  test("blob landing publishes atomically and feeds the pipeline") {
+    val landing = Files.createTempDirectory("graft_landing").toString
+    val df = Seq(("ORD-1", "C1", "25.00", "2024-01-05"),
+      ("ORD-2", "C2", "250.00", "2024-01-06"))
+      .toDF("OrderId", "CustomerId", "Amount", "OrderDate")
+    val path = BlobLanding.land(df, landing, "orders_batch1", "csv")
+    assert(path.endsWith("orders_batch1.csv"))
+    // no temp/hidden debris next to the published file
+    val names = Files.list(java.nio.file.Paths.get(landing)).iterator()
+    val all = scala.jdk.CollectionConverters.IteratorHasAsScala(names).asScala.map(_.getFileName.toString).toList
+    assert(all == List("orders_batch1.csv"))
+    // landing files are immutable once published
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      BlobLanding.land(df, landing, "orders_batch1", "csv")
+    }
+    // the landed file runs through the 4-step pipeline end-to-end
+    val work = Files.createTempDirectory("graft_landrun").toString
+    val cat = new graft.catalog.RunCatalog(spark, s"$work/catalog")
+    val runner = new graft.runner.PipelineRunner(spark, cat, work)
+    val res = runner.run(path)
+    assert(res.status == "Success")
+    assert(res.rowsPerStep.values.forall(_ == 2L))
+    // json landing round-trips too
+    val jp = BlobLanding.land(df, landing, "orders_batch2", "json")
+    assert(spark.read.json(jp).count() == 2)
+  }
+}
