@@ -27,7 +27,8 @@ import graft.model.{LogEntry, PipelineRun, StepRun}
   */
 class RunCatalog(spark: SparkSession, val dir: String,
                  clock: () => Long = () => System.currentTimeMillis(),
-                 compactThreshold: Int = 1000) {
+                 compactThreshold: Int = 1000,
+                 tombstoneAgeFloorMs: Long = 0L) {
   import spark.implicits._
 
   private val runsDir  = s"$dir/pipeline_runs"
@@ -149,10 +150,18 @@ class RunCatalog(spark: SparkSession, val dir: String,
       // reap the previous generation first: anything already tombstoned
       // was excluded from every listing since that tombstone published,
       // so only reads planned before the PREVIOUS compaction could
-      // still reference it — they've had a full cycle to drain
+      // still reference it — they've had a full cycle to drain. The
+      // age floor additionally keeps a tombstone's files on disk for
+      // `tombstoneAgeFloorMs` after it published — one generation is
+      // plenty for this driver's sub-second reads, but external readers
+      // (another JVM planning against a listing) drain on wall-clock
+      // time, not compaction cadence; size the floor to their slowest
+      // query
       val dirF = new java.io.File(path)
       Option(dirF.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.startsWith("_tombstones-"))
+        .filter(f => f.isFile && f.getName.startsWith("_tombstones-") &&
+          (tombstoneAgeFloorMs <= 0L ||
+            System.currentTimeMillis() - f.lastModified() >= tombstoneAgeFloorMs))
         .foreach { tf =>
           scala.util.Try(Files.readAllLines(tf.toPath)).toOption.map(_.asScala).getOrElse(Seq.empty)
             .filter(_.nonEmpty).foreach { p =>

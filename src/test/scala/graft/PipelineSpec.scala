@@ -187,6 +187,34 @@ class PipelineSpec extends SparkSpec {
     assert(cat.listLogs(limit = 2000).count() == 30)
   }
 
+  test("tombstone age floor keeps rolled files on disk for external readers") {
+    def ndjsonCount(work: String): Long = {
+      val s = Files.walk(java.nio.file.Paths.get(work))
+      try s.filter(p => p.getFileName.toString.endsWith(".json")).count()
+      finally s.close()
+    }
+    // floor = 1h: two compactions never physically delete anything
+    val work1 = Files.createTempDirectory("graft_floor").toString
+    val floored = new RunCatalog(spark, s"$work1/catalog", tombstoneAgeFloorMs = 3600000L)
+    (1 to 10).foreach { i => val id = floored.startRun(s"p$i"); floored.finishRun(id, "Success") }
+    floored.compact()
+    val afterFirst = ndjsonCount(work1)
+    assert(afterFirst >= 10) // rolled but retained (tombstoned, not deleted)
+    floored.compact()
+    assert(ndjsonCount(work1) == afterFirst) // second pass respects the floor
+    assert(floored.runs().count() == 10)     // and reads stay exact
+
+    // floor = 0 (default): the second compaction reaps the first's files
+    val work2 = Files.createTempDirectory("graft_nofloor").toString
+    val eager = new RunCatalog(spark, s"$work2/catalog")
+    (1 to 10).foreach { i => val id = eager.startRun(s"p$i"); eager.finishRun(id, "Success") }
+    eager.compact()
+    val id2 = eager.startRun("late"); eager.finishRun(id2, "Success")
+    eager.compact()
+    assert(ndjsonCount(work2) < afterFirst)
+    assert(eager.runs().count() == 11)
+  }
+
   test("approx sketch aggregates stay within tolerance of exact counts") {
     val df = SparkEntry.queries("q_approx_distinct")(spark, sf("sf0.01"))
     val rows = df.select($"approx_orders", $"n").as[(Long, Long)].collect()
