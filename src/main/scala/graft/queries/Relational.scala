@@ -158,6 +158,46 @@ object Relational {
         |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
         |ORDER BY o_orderkey""".stripMargin),
 
+    // §2.2 K2 through §7.3's SQL surface: the same upsert driven as
+    // `MERGE INTO` parsed by GraftExtensions — two batches land in a
+    // real bucketed target on disk (second batch exercises the
+    // no-ORDER-BY last-source-row-wins default), then the target reads
+    // back for the oracle compare. The oracle is the relational
+    // closed form: updates-win full outer over the two batches.
+    q("q_merge_sql")(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.SparkSession
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_sql").toString
+        // the parser injection applies at session construction: build a
+        // sibling session on the same context, restore the original after
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        val s2 = SparkSession.builder()
+          .withExtensions(new graft.plans.GraftExtensions()).getOrCreate()
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_m1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .createOrReplaceTempView("graft_m2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_m1 ON o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_m2 ON o_orderkey").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+        } finally {
+          SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s)
+        }
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
+        |COALESCE(up.o_orderstatus, tg.o_orderstatus) AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
     // §2.7 W1: row_number — latest order per customer.
     q("q_window_rownum")(
       (s, d) => {
