@@ -130,15 +130,34 @@ object TextOps3 {
         |CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin),
 
-    // Length deciles — curriculum/stratification bucketing: ntile over
-    // a deterministic total order (unique doc_id tie-break).
+    // Length deciles — curriculum/stratification bucketing over a
+    // deterministic total order (unique doc_id tie-break). Exact ntile
+    // WITHOUT a global window: a bare ntile().over(Window.orderBy(..))
+    // moves the whole corpus into one task. Instead: range-partition on
+    // the total order, global rank = per-partition row_number + the
+    // broadcast cumulative partition sizes (the classic distributed
+    // row-number shape — both passes fully parallel), then the SQL
+    // ntile closed form tile(r) = (r-1)*k/n + 1, which spreads the
+    // remainder over the first buckets exactly like the window form.
     q("q_length_decile")(
       (s, d) => {
         import s.implicits._
-        val w = Window.orderBy($"n_chars", $"doc_id")
-        t(s, d, "documents")
-          .select($"doc_id", $"n_chars")
-          .withColumn("decile", ntile(10).over(w).cast("long"))
+        val base = t(s, d, "documents").select($"doc_id", $"n_chars")
+        val parts = math.max(1, s.sparkContext.defaultParallelism)
+        val sorted = graft.util.CacheScope.pin(
+          base.repartitionByRange(parts, $"n_chars", $"doc_id")
+            .withColumn("_pid", spark_partition_id()))
+        val sizes = sorted.groupBy($"_pid").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1) // ≤ `parts` rows
+        val total = sizes.map(_._2).sum
+        val offsets = sizes.map(_._1).zip(
+          sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
+        val wp = Window.partitionBy($"_pid").orderBy($"n_chars", $"doc_id")
+        sorted
+          .withColumn("rank",
+            row_number().over(wp).cast("long") + element_at(typedLit(offsets), $"_pid"))
+          .withColumn("decile", expr(s"((rank - 1) * 10) div ${total}L + 1L")) // exact integer div
+          .select($"doc_id", $"n_chars", $"decile")
           .orderBy($"doc_id")
       },
       """SELECT doc_id, n_chars,

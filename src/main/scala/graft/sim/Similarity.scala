@@ -100,6 +100,9 @@ object Similarity {
     // every Lloyd round re-reads the corpus — materialize it once
     val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("vec"))
       .cache()
+    // the unpartitioned window runs AFTER limit(k): it renumbers at
+    // most k seed rows (k ≪ corpus), so the single-partition sort the
+    // planner warns about is bounded by k, not the corpus
     val w = Window.orderBy(col("id"))
     var centroids = c.orderBy(col("id")).limit(k)
       .withColumn("id", row_number().over(w).cast("long"))

@@ -57,6 +57,13 @@ class ExtensionsSpec extends SparkSpec {
       intercept[UnsupportedOperationException] {
         s2.sql(s"MERGE INTO '$dir' USING src2 ON t.k = s.other")
       }
+      // BUCKETS clause pins the bucket layout of a fresh target
+      val dirB = java.nio.file.Files.createTempDirectory("merge_sqlb").toString
+      s2.sql(s"MERGE INTO '$dirB' USING src1 ON k ORDER BY ver BUCKETS 4").collect()
+      val meta = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dirB, "_BUCKETS"))
+      assert(meta.startsWith("4\t"))
+
       // everything else still parses through the delegate
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
     } finally {

@@ -73,6 +73,14 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("q_length_decile ranks without a single-partition window") {
+    // exact global ntile must stay distributed: per-partition
+    // row_number over the range partitioning + broadcast offsets
+    val p = plan("q_length_decile")
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"), "global ntile collapsed to one task")
+  }
+
   test("q_seq_pack shuffles once on the pack key, no global window") {
     // a Window without PARTITION BY would collapse to a single
     // partition — the per-source partitioning must survive
