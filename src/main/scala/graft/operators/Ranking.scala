@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT global ranking (SURVEY.md §2.7 windows at scale).
+  *
+  * Spark's unpartitioned `Window.orderBy(...)` computes global
+  * row_number/ntile correctly but moves every row into ONE task — the
+  * shape that dies first at corpus scale. These operators compute the
+  * same exact results with both passes fully parallel:
+  * range-partition on the sort key (a total order), then global rank =
+  * per-partition `row_number` + the broadcast cumulative partition
+  * sizes. One extra small aggregation job (the per-partition counts)
+  * buys back all the parallelism.
+  *
+  * The sort columns MUST form a total order (append a unique id as
+  * tie-break); ties split across range-partition boundaries would
+  * otherwise make ranks run-dependent.
+  */
+object Ranking {
+
+  /** (frame + rank column, total row count) — shared core. */
+  private def withRank(df: DataFrame, sortCols: Seq[Column], out: String,
+                       numPartitions: Int): (DataFrame, Long) = {
+    require(sortCols.nonEmpty, "global ranking needs at least one sort column")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val sorted = graft.util.CacheScope.pin(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("_rk_pid", spark_partition_id()))
+    val sizes = sorted.groupBy(col("_rk_pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1) // ≤ `parts` rows
+    val offsets = sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val wp = Window.partitionBy(col("_rk_pid")).orderBy(sortCols: _*)
+    val ranked = sorted
+      .withColumn(out,
+        row_number().over(wp).cast("long") + element_at(typedLit(offsets), col("_rk_pid")))
+      .drop("_rk_pid")
+    (ranked, sizes.map(_._2).sum)
+  }
+
+  /** Exact global 1-based row_number as column `out`, fully parallel. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      out: String = "rank", numPartitions: Int = 0): DataFrame =
+    withRank(df, sortCols, out, numPartitions)._1
+
+  /** Exact global ntile(k) as column `out` — identical buckets to
+    * `ntile(k).over(Window.orderBy(sortCols))`: SQL ntile FRONT-LOADS
+    * the remainder, so the first `n mod k` buckets hold `n div k + 1`
+    * rows and the rest `n div k`. (The tempting closed form
+    * `(r-1)*k/n + 1` spreads the remainder evenly — it agrees only
+    * when k divides n; the property test is what caught that.)
+    */
+  def globalNtile(df: DataFrame, k: Int, sortCols: Seq[Column],
+                  out: String = "tile", numPartitions: Int = 0): DataFrame = {
+    require(k >= 1, s"ntile needs k >= 1, got $k")
+    val (ranked, n) = withRank(df, sortCols, "_rk_rank", numPartitions)
+    val total = math.max(1L, n)
+    val qsz = total / k    // small-bucket size (0 when k > n)
+    val rem = total % k    // first `rem` buckets are one row larger
+    val cut = rem * (qsz + 1)
+    // max(qsz,1): the ELSE branch is unreachable when qsz = 0 (cut = n)
+    // but the denominator must still be a valid divisor under ANSI SQL
+    ranked
+      .withColumn(out, expr(
+        s"CASE WHEN _rk_rank <= ${cut}L THEN (_rk_rank - 1) div ${qsz + 1}L + 1L " +
+          s"ELSE ${rem}L + (_rk_rank - ${cut}L - 1) div ${math.max(qsz, 1L)}L + 1L END"))
+      .drop("_rk_rank")
+  }
+}

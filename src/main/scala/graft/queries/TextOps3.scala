@@ -142,21 +142,9 @@ object TextOps3 {
     q("q_length_decile")(
       (s, d) => {
         import s.implicits._
-        val base = t(s, d, "documents").select($"doc_id", $"n_chars")
-        val parts = math.max(1, s.sparkContext.defaultParallelism)
-        val sorted = graft.util.CacheScope.pin(
-          base.repartitionByRange(parts, $"n_chars", $"doc_id")
-            .withColumn("_pid", spark_partition_id()))
-        val sizes = sorted.groupBy($"_pid").agg(count(lit(1)).as("cnt"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1) // ≤ `parts` rows
-        val total = sizes.map(_._2).sum
-        val offsets = sizes.map(_._1).zip(
-          sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
-        val wp = Window.partitionBy($"_pid").orderBy($"n_chars", $"doc_id")
-        sorted
-          .withColumn("rank",
-            row_number().over(wp).cast("long") + element_at(typedLit(offsets), $"_pid"))
-          .withColumn("decile", expr(s"((rank - 1) * 10) div ${total}L + 1L")) // exact integer div
+        graft.operators.Ranking.globalNtile(
+            t(s, d, "documents").select($"doc_id", $"n_chars"),
+            k = 10, sortCols = Seq($"n_chars", $"doc_id"), out = "decile")
           .select($"doc_id", $"n_chars", $"decile")
           .orderBy($"doc_id")
       },

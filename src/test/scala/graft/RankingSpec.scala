@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Ranking
+
+/** Distributed global ranking vs Spark's single-partition window forms:
+  * same exact results, parallel plan.
+  */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRowNumber/globalNtile match the window forms on random data") {
+    // random sizes, heavy duplicate keys (ties split across range
+    // boundaries), unique id tie-break
+    for (seed <- 1 to 4) {
+      val n = 37 * seed * seed + 11
+      val vals = Gen.listOfN(n, Gen.choose(0, 9))
+        .apply(Gen.Parameters.default, Seed(1000L + seed)).get
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        .repartition(7) // scrambled input partitioning
+      val sortCols = Seq($"v", $"id")
+
+      val viaOp = Ranking.globalRowNumber(df, sortCols, "rk")
+        .select($"id", $"rk").as[(Long, Long)].collect().toMap
+      val viaWindow = df.withColumn("rk",
+          row_number().over(Window.orderBy($"v", $"id")).cast("long"))
+        .select($"id", $"rk").as[(Long, Long)].collect().toMap
+      assert(viaOp == viaWindow, s"row_number mismatch at n=$n")
+
+      for (k <- Seq(1, 3, 10, n + 5)) { // k > n: every row its own tile
+        val opTiles = Ranking.globalNtile(df, k, sortCols, "t")
+          .select($"id", $"t").as[(Long, Long)].collect().toMap
+        val winTiles = df.withColumn("t",
+            ntile(k).over(Window.orderBy($"v", $"id")).cast("long"))
+          .select($"id", $"t").as[(Long, Long)].collect().toMap
+        assert(opTiles == winTiles, s"ntile($k) mismatch at n=$n")
+      }
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ranking operators stay parallel and release their pin in a loan") {
+    val df = (1L to 1000L).toDF("id").withColumn("v", $"id" % 13)
+    val (ranked, released) = graft.util.CacheScope.loanCapturing {
+      val r = Ranking.globalRowNumber(df, Seq($"v", $"id"), "rk")
+      // no single-partition exchange in the executed plan
+      assert(!r.queryExecution.executedPlan.toString.contains("SinglePartition"))
+      r.count()
+    }
+    assert(ranked == 1000L)
+    assert(released.nonEmpty &&
+      released.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+  }
+}
