@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT global ranking (SURVEY.md §2.7 windows at scale).
@@ -21,24 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** (frame + rank column, total row count) — shared core. */
+  /** (frame + rank column, total row count) — shared core.
+    *
+    * No window at all: the per-partition counts give the global offset
+    * of every partition, so the rank is offset + position within the
+    * already-sorted partition — a per-partition counter via
+    * `mapPartitionsWithIndex` (the genuinely imperative per-partition
+    * step), with NO further exchange. A `Window.partitionBy(pid)`
+    * formulation would re-shuffle and re-sort the whole frame on pid,
+    * which Catalyst can't elide because range partitioning doesn't
+    * satisfy a hash-partition requirement.
+    */
   private def withRank(df: DataFrame, sortCols: Seq[Column], out: String,
                        numPartitions: Int): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "global ranking needs at least one sort column")
+    val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
-      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+      else math.max(1, spark.sparkContext.defaultParallelism)
     val sorted = graft.util.CacheScope.pin(
       df.repartitionByRange(parts, sortCols: _*)
-        .withColumn("_rk_pid", spark_partition_id()))
-    val sizes = sorted.groupBy(col("_rk_pid")).agg(count(lit(1)).as("cnt"))
+        .sortWithinPartitions(sortCols: _*))
+    val sizes = sorted.groupBy(spark_partition_id().as("_rk_pid"))
+      .agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1) // ≤ `parts` rows
     val offsets = sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val wp = Window.partitionBy(col("_rk_pid")).orderBy(sortCols: _*)
-    val ranked = sorted
-      .withColumn(out,
-        row_number().over(wp).cast("long") + element_at(typedLit(offsets), col("_rk_pid")))
-      .drop("_rk_pid")
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, false))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { case (pid, iter) =>
+        var r = bc.value.getOrElse(pid, 0L)
+        iter.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
+      }, schema)
     (ranked, sizes.map(_._2).sum)
   }
 

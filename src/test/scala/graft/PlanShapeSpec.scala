@@ -74,10 +74,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_length_decile ranks without a single-partition window") {
-    // exact global ntile must stay distributed: per-partition
-    // row_number over the range partitioning + broadcast offsets
+    // exact global ntile must stay distributed: ranks come from the
+    // range-partitioned per-partition counter, no window at all, and
+    // nothing in the plan collapses to one partition
     val p = plan("q_length_decile")
-    assert(p.contains("Window"))
+    assert(!p.contains("Window"), "global ntile reintroduced a window")
     assert(!p.contains("SinglePartition"), "global ntile collapsed to one task")
   }
 
