@@ -46,11 +46,16 @@ object Curation {
         col("mean_len") >= cfg.minMeanLen && col("mean_len") <= cfg.maxMeanLen)
       .select(col("doc_id"), col("text"), col("n_tokens"))
 
-  /** Exact dedup, min-id-wins: one shuffle on the content hash. */
+  /** Exact dedup, min-id-wins: ONE shuffle on the content hash —
+    * `min_by` carries the whole surviving row through the aggregation,
+    * where the groupBy-then-semi-join formulation shuffled the corpus
+    * twice (once for the keeper set, once more through the join).
+    */
   def exactDedup(df: DataFrame): DataFrame = {
-    val withH = df.withColumn("h", md5(col("text")))
-    val keepers = withH.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-    withH.join(keepers, Seq("h", "doc_id"), "left_semi").drop("h")
+    val cols = df.columns
+    df.groupBy(md5(col("text")).as("h"))
+      .agg(min_by(struct(cols.map(col).toIndexedSeq: _*), col("doc_id")).as("r"))
+      .select(cols.map(c => col(s"r.$c")).toIndexedSeq: _*)
   }
 
   /** MinHash-LSH near-dup drop (min-id-wins over candidate pairs). */
