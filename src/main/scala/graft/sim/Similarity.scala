@@ -50,30 +50,39 @@ object Similarity {
 
   /** Cell assignment keeping the vector column — the probe-side shape
     * of IVF search (corpus partitioned by cell, vectors in place).
+    * `keep` > 1 assigns the row to its `keep` nearest cells (the
+    * query-side multi-probe of IVF).
     */
   private def assignCells(df: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,
-                          outId: String, outVec: String): DataFrame = {
+                          outId: String, outVec: String,
+                          keep: Int = 1): DataFrame = {
     val c = df.select(col(idCol).as(outId), col(vecCol).as(outVec))
     val z = centroids.select(col(idCol).as("cell"), col(vecCol).as("c_vec"))
     val scored = c.join(broadcast(z))
       .select(col(outId), col(outVec), col("cell"),
         VectorFns.cosineR(col(outVec), col("c_vec")).as("c_sim"))
     val w = Window.partitionBy(col(outId)).orderBy(col("c_sim").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
       .select(col(outId), col(outVec), col("cell"))
   }
 
   /** IVF probe search: the corpus is assigned to centroid cells once
-    * (broadcast centroids, map-only), then each query scans ONLY its
-    * own nearest centroid's cell — an equi-join on the cell id, so a
-    * query touches |corpus|/|centroids| rows instead of the whole
-    * corpus. The queries frame must be small (it is broadcast).
+    * (broadcast centroids, map-only), then each query scans only its
+    * `nprobe` nearest centroids' cells — an equi-join on the cell id,
+    * so a query touches nprobe·|corpus|/|centroids| rows instead of
+    * the whole corpus. `nprobe` is the standard IVF recall lever: a
+    * true neighbor assigned to an adjacent cell is invisible at
+    * nprobe=1 and found again at nprobe>=2, at linear probe cost. A
+    * corpus row lives in exactly one cell, so a (query, row) pair is
+    * scored at most once regardless of nprobe. The queries frame must
+    * be small (it is broadcast).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cells = assignCells(corpus, centroids, idCol, vecCol, "id", "vec")
-    val qc = assignCells(queries, centroids, idCol, vecCol, "q_id", "q_vec")
+    val qc = assignCells(queries, centroids, idCol, vecCol, "q_id", "q_vec", keep = nprobe)
     val sims = cells.join(broadcast(qc), Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"), VectorFns.cosineR(col("q_vec"), col("vec")).as("sim"))

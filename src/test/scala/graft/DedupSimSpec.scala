@@ -305,4 +305,28 @@ class DedupSimSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("IVF nprobe recovers a true neighbor hiding in the adjacent cell") {
+    // geometry chosen so the query's nearest corpus vector lives in the
+    // cell the query is NOT assigned to: centroids at 0° and 45°; the
+    // query sits at 18° (cell c1), its true neighbor v at 35° (cell
+    // c2), and a decoy u at -11° (cell c1, farther in angle than v)
+    val centroids = Seq((1L, Array(1f, 0f)), (2L, Array(0.707f, 0.707f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, -0.2f)),     // u: -11.3° → cell c1
+      (20L, Array(0.82f, 0.574f))) // v:  35.0° → cell c2
+      .toDF("vec_id", "embedding")
+    val query = Seq((100L, Array(0.95f, 0.31f))).toDF("vec_id", "embedding") // 18.1° → c1
+
+    def top1(nprobe: Int): Long =
+      Similarity.ivfTopK(query, corpus, centroids, "vec_id", "embedding",
+          k = 1, nprobe = nprobe)
+        .select($"id").as[Long].head()
+    assert(top1(nprobe = 1) == 10L) // single probe sees only the decoy's cell
+    assert(top1(nprobe = 2) == 20L) // multi-probe finds the true neighbor...
+    val brute = Similarity.bruteForceTopK(query, corpus, "vec_id", "embedding", 1)
+      .select($"id").as[Long].head()
+    assert(brute == 20L)            // ...matching brute force
+  }
 }
