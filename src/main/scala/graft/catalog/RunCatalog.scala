@@ -166,10 +166,12 @@ class RunCatalog(spark: SparkSession, val dir: String,
           scala.util.Try(Files.readAllLines(tf.toPath)).toOption.map(_.asScala).getOrElse(Seq.empty)
             .filter(_.nonEmpty).foreach { p =>
               val pp = Paths.get(p)
-              if (Files.isDirectory(pp))
-                Files.walk(pp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              if (Files.isDirectory(pp)) {
+                val walk = Files.walk(pp)
+                try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
                   .iterator().forEachRemaining(q => Files.deleteIfExists(q))
-              else Files.deleteIfExists(pp)
+                finally walk.close()
+              } else Files.deleteIfExists(pp)
             }
           Files.deleteIfExists(tf.toPath)
         }

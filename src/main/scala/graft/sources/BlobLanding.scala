@@ -49,9 +49,11 @@ object BlobLanding {
       case "csv"  => w.option("header", "true").csv(out.toString)
       case "json" => w.json(out.toString)
     }): Unit
-    val part = Files.list(out).filter(p =>
-        p.getFileName.toString.startsWith("part-")).findFirst()
-      .orElseThrow(() => new IllegalStateException(s"no part file under $out"))
+    val listing = Files.list(out)
+    val part =
+      try listing.filter(p => p.getFileName.toString.startsWith("part-")).findFirst()
+        .orElseThrow(() => new IllegalStateException(s"no part file under $out"))
+      finally listing.close()
     val hidden = dir.resolve(s".${name}.$format.landing")
     Files.move(part, hidden, StandardCopyOption.REPLACE_EXISTING)
     Files.move(hidden, target, StandardCopyOption.ATOMIC_MOVE)
