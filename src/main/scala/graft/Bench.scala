@@ -91,6 +91,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (res.status != "Success") System.err.println(s"[bench] pipeline($n): ${res.status}")
       spark.sharedState.cacheManager.clearCache()
+      // repeated bench runs must not fill /tmp with generated CSVs,
+      // pipeline stages, and catalogs
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
       dt
     }
     val p100k = pipelineSecs(100000)

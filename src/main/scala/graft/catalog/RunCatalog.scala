@@ -161,7 +161,7 @@ class RunCatalog(spark: SparkSession, val dir: String,
       Option(dirF.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isFile && f.getName.startsWith("_tombstones-") &&
           (tombstoneAgeFloorMs <= 0L ||
-            System.currentTimeMillis() - f.lastModified() >= tombstoneAgeFloorMs))
+            clock() - f.lastModified() >= tombstoneAgeFloorMs))
         .foreach { tf =>
           scala.util.Try(Files.readAllLines(tf.toPath)).toOption.map(_.asScala).getOrElse(Seq.empty)
             .filter(_.nonEmpty).foreach { p =>

@@ -143,10 +143,19 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
         respond(x, 200, s"""{"runId":"$id","recordsProcessed":$n,"rowsTotal":$total}""")
       // schedule CRUD (C6 — reference ApiServlet schedules endpoints)
       case ("GET", List("schedules")) =>
+        // user-supplied fields (name, runAtTime, sourcePath arrive from
+        // the create form) must be JSON-escaped: one quote in a name
+        // would otherwise break the whole listing for every client
+        def js(v: String): String = "\"" + v.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
         val rows = schedules.map(_.list()).getOrElse(Seq.empty).map { sc =>
-          s"""{"scheduleId":"${sc.scheduleId}","name":"${sc.name}","scheduleType":"${sc.scheduleType}",""" +
-            s""""runAtTime":"${sc.runAtTime}","enabled":${sc.enabled},""" +
-            s""""nextRunAt":${sc.nextRunAt.map(v => "\"" + v + "\"").getOrElse("null")}}"""
+          s"""{"scheduleId":${js(sc.scheduleId)},"name":${js(sc.name)},"scheduleType":${js(sc.scheduleType)},""" +
+            s""""runAtTime":${js(sc.runAtTime)},"enabled":${sc.enabled},""" +
+            s""""nextRunAt":${sc.nextRunAt.map(v => js(v.toString)).getOrElse("null")}}"""
         }
         respond(x, 200, rows.mkString("[", ",", "]"))
       case ("POST", List("schedules")) =>

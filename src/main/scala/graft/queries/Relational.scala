@@ -26,6 +26,22 @@ object Relational {
                               sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
     name -> ((fn, sql))
 
+  /** One cached sibling session with the MERGE INTO parser injected
+    * (extensions apply only at session construction). Building a new
+    * session per q_merge_sql invocation would leak a session per
+    * Verify/Bench pass on the shared context.
+    */
+  @volatile private var sqlSession: SparkSession = _
+  private def mergeSqlSession(s: SparkSession): SparkSession = synchronized {
+    if (sqlSession == null || sqlSession.sparkContext != s.sparkContext) {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      sqlSession = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions()).getOrCreate()
+      SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s)
+    }
+    sqlSession
+  }
+
   // SURVEY §2.6 A1/A3 + the flagship pricing-summary aggregate (q1_agg).
   private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     q("q1_agg")(
@@ -167,13 +183,8 @@ object Relational {
     q("q_merge_sql")(
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.SparkSession
-        val dir = java.nio.file.Files.createTempDirectory("graft_merge_sql").toString
-        // the parser injection applies at session construction: build a
-        // sibling session on the same context, restore the original after
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        val s2 = SparkSession.builder()
-          .withExtensions(new graft.plans.GraftExtensions()).getOrCreate()
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_sql")
+        val s2 = mergeSqlSession(s)
         try {
           val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
           o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_m1")
@@ -183,11 +194,17 @@ object Relational {
           s2.sql(s"MERGE INTO '$dir' USING graft_m1 ON o_orderkey " +
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
           s2.sql(s"MERGE INTO '$dir' USING graft_m2 ON o_orderkey").collect()
-          graft.merge.MergeWriter.readTarget(s2, dir).get
+          // pin the result so the on-disk target can be deleted eagerly
+          // (repeated Verify/Bench runs must not accumulate temp trees)
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
             .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
             .orderBy($"o_orderkey")
+            .localCheckpoint()
         } finally {
-          SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s)
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().forEachRemaining(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
         }
       },
       """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),

@@ -133,12 +133,12 @@ object TextOps3 {
     // Length deciles — curriculum/stratification bucketing over a
     // deterministic total order (unique doc_id tie-break). Exact ntile
     // WITHOUT a global window: a bare ntile().over(Window.orderBy(..))
-    // moves the whole corpus into one task. Instead: range-partition on
-    // the total order, global rank = per-partition row_number + the
-    // broadcast cumulative partition sizes (the classic distributed
-    // row-number shape — both passes fully parallel), then the SQL
-    // ntile closed form tile(r) = (r-1)*k/n + 1, which spreads the
-    // remainder over the first buckets exactly like the window form.
+    // moves the whole corpus into one task; Ranking.globalNtile
+    // range-partitions on the total order, ranks with per-partition
+    // counters + broadcast offsets (both passes fully parallel), and
+    // front-loads the remainder into the first buckets exactly like
+    // SQL ntile (see Ranking.scala for why the even-spread closed form
+    // is NOT equivalent).
     q("q_length_decile")(
       (s, d) => {
         import s.implicits._

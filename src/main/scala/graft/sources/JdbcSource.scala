@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.functions.col
 
 /** JDBC source with watermark-incremental copy (SURVEY.md §2.1 S7 —
   * reference `python_code/projectplan.md:81,139-141` plans a SQL
@@ -71,8 +71,12 @@ object JdbcSource {
     }.getOrElse("")
     // pushed-down subquery: the database evaluates the watermark range
     val df = spark.read.jdbc(url, s"(SELECT * FROM $table$where) graft_inc", props)
-    // one tiny agg for the new mark: runs on the already-filtered window
-    val mark = df.agg(max(col(watermarkCol)).cast("string")).collect()
+    // the new mark as a pushed-down one-row MAX (the reference's ADF
+    // Lookup) — a Spark-side df.agg(max) would transfer the whole
+    // window over JDBC a second time just to find its maximum
+    val mark = spark.read
+      .jdbc(url, s"(SELECT MAX($watermarkCol) AS graft_wm FROM $table$where) graft_mx", props)
+      .select(col("graft_wm").cast("string")).collect()
       .headOption.flatMap(r => Option(r.getString(0)))
     Incremental(df, mark.orElse(last), stateFile)
   }

@@ -72,7 +72,9 @@ object RestSource {
       }
       val next = if (root.isArray) null else root.path(nextField)
       url =
-        if (next == null || next.isNull || next.isMissingNode) null
+        // blank next = end-of-pagination (a common API convention);
+        // resolving "" would re-fetch the same page until maxPages
+        if (next == null || next.isNull || next.isMissingNode || next.asText().isBlank) null
         else java.net.URI.create(url).resolve(next.asText()).toString
       pages += 1
     }

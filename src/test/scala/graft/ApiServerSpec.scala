@@ -94,6 +94,16 @@ class ApiServerSpec extends SparkSpec {
 
       assert(post(s"$base/schedules?name=incomplete").statusCode() == 400)
 
+      // a quote/backslash in a user-supplied name must not break the
+      // listing JSON (the monitor pane polls it every 5s)
+      val evilName = java.net.URLEncoder.encode("a\"b\\c", "UTF-8")
+      val ev = post(s"$base/schedules?name=$evilName&scheduleType=daily&runAtTime=09:30&sourcePath=/tmp/x.csv")
+      assert(ev.statusCode() == 201)
+      val evBody = get(s"$base/schedules").body()
+      assert(evBody.contains("\"name\":\"a\\\"b\\\\c\""))
+      val evId = ev.body().split("\"")(3)
+      assert(post(s"$base/schedules/$evId/delete").statusCode() == 200)
+
       val prog = get(s"$base/runs/some-run/progress")
       assert(prog.statusCode() == 200 && prog.body().contains("\"recordsProcessed\":0")
         && prog.body().contains("\"rowsTotal\":0"))

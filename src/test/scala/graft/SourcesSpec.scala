@@ -41,6 +41,12 @@ class SourcesSpec extends SparkSpec {
     }
     assert(RestSource.readPaginated(spark, loopFetcher, "http://api.test/loop",
       maxPages = 5).count() == 5)
+
+    // a blank next link ends the walk (it is NOT the current page again)
+    val blankNext = new RestSource.JsonFetcher {
+      def fetch(url: String): String = """{"items":[{"id":1}],"next":""}"""
+    }
+    assert(RestSource.readPaginated(spark, blankNext, "http://api.test/b").count() == 1)
   }
 
   test("REST source over a live local HTTP endpoint") {
