@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
   * WAV duration from the RIFF header, MP4 duration + track dimensions
   * from the moov/mvhd/tkhd boxes, real decode→scale→PNG re-encode for
   * [[Multimodal.resizeImages]], real per-frame decode for animated GIF
-  * ([[Multimodal.sampleFrames]]), real PCM decode for WAV
-  * ([[Multimodal.extractAudioStats]] RMS/peak, and windowed-RMS
-  * features), and real grid-luminance features for decodable images.
-  * Payloads no JDK codec recognizes (e.g. the text-derived fixture
-  * corpus) fall back to a deterministic digest-seeded fake so tests
-  * and oracle queries stay stable. Only model-inference embeddings and
-  * MP4 *sample* decode need external ML/ffmpeg runtimes and remain
-  * deterministic fakes behind the same seam.
+  * ([[Multimodal.sampleFrames]]), real MP4 video-sample byte-range
+  * extraction via the stbl tables (stsz/stsc/stco — each sampled
+  * frame digest covers the sample's true mdat bytes), real PCM decode
+  * for WAV ([[Multimodal.extractAudioStats]] RMS/peak, and
+  * windowed-RMS features), and real grid-luminance features for
+  * decodable images. Payloads no JDK codec recognizes (e.g. the
+  * text-derived fixture corpus) fall back to a deterministic
+  * digest-seeded fake so tests and oracle queries stay stable. Only
+  * model-inference embeddings and the *pixel* decode of an MP4 sample
+  * need external ML/ffmpeg runtimes and remain deterministic fakes
+  * behind the same seam.
   *
   * Scale: `mapPartitions` over the binary column is the Scala analog
   * of arrow-batched python UDFs — one codec instance per partition,
@@ -384,16 +387,118 @@ object Multimodal {
         } finally iis.close()
       } catch { case _: Exception => None }
 
-    /** Frame sampling: REAL for animated GIF (the one video-ish
-      * container the JDK can decode frame-by-frame). MP4 sample decode
-      * needs an ffmpeg binding, so non-GIF payloads keep the
+    /** Child boxes (tag, contentStart, boxEnd) of the byte range —
+      * shared MP4 box scanner. Stops at the first malformed size.
+      */
+    private def mp4Children(p: Array[Byte], from: Long, to: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var o = from
+      var ok = true
+      while (ok && o + 8 <= to) {
+        val size = be32(p, o.toInt)
+        if (size < 8 || o + size > to) ok = false
+        else {
+          out += ((new String(p, o.toInt + 4, 4, "ISO-8859-1"), o + 8, o + size))
+          o += size
+        }
+      }
+      out.result()
+    }
+
+    /** Byte ranges (offset, size) of every sample of the first video
+      * (`vide` handler) track, in sample order — pure stbl table
+      * walking (stsz sizes, stsc chunk runs, stco/co64 chunk offsets),
+      * no sample decode.
+      */
+    private def mp4Samples(p: Array[Byte]): Option[Seq[(Long, Int)]] =
+      try {
+        def find(tag: String, bs: Seq[(String, Long, Long)]) = bs.find(_._1 == tag)
+        val moov = find("moov", mp4Children(p, 0L, p.length.toLong)).getOrElse(return None)
+        val stbl = mp4Children(p, moov._2, moov._3).filter(_._1 == "trak").flatMap { trak =>
+          for {
+            mdia <- find("mdia", mp4Children(p, trak._2, trak._3))
+            md = mp4Children(p, mdia._2, mdia._3)
+            hdlr <- find("hdlr", md)
+            if hdlr._2 + 12 <= p.length &&
+              new String(p, hdlr._2.toInt + 8, 4, "ISO-8859-1") == "vide"
+            minf <- find("minf", md)
+            stbl <- find("stbl", mp4Children(p, minf._2, minf._3))
+          } yield stbl
+        }.headOption.getOrElse(return None)
+        val sb = mp4Children(p, stbl._2, stbl._3)
+        val stsz = find("stsz", sb).getOrElse(return None)
+        val fixed = be32(p, stsz._2.toInt + 4)
+        val n = be32(p, stsz._2.toInt + 8).toInt
+        if (n <= 0) return None
+        val sizes =
+          if (fixed != 0) Array.fill(n)(fixed.toInt)
+          else Array.tabulate(n)(i => be32(p, stsz._2.toInt + 12 + 4 * i).toInt)
+        val chunkOffsets: Array[Long] = find("stco", sb) match {
+          case Some(c) =>
+            val m = be32(p, c._2.toInt + 4).toInt
+            Array.tabulate(m)(i => be32(p, c._2.toInt + 8 + 4 * i))
+          case None => find("co64", sb) match {
+            case Some(c) =>
+              val m = be32(p, c._2.toInt + 4).toInt
+              Array.tabulate(m)(i =>
+                (be32(p, c._2.toInt + 8 + 8 * i) << 32) | be32(p, c._2.toInt + 12 + 8 * i))
+            case None => return None
+          }
+        }
+        val stsc = find("stsc", sb).getOrElse(return None)
+        val nRuns = be32(p, stsc._2.toInt + 4).toInt
+        // (first_chunk 1-based, samples_per_chunk); runs ascend by chunk
+        val runs = Array.tabulate(nRuns)(i =>
+          (be32(p, stsc._2.toInt + 8 + 12 * i).toInt, be32(p, stsc._2.toInt + 12 + 12 * i).toInt))
+        if (runs.isEmpty) return None
+        val out = Seq.newBuilder[(Long, Int)]
+        var sample = 0
+        var chunk = 0
+        while (chunk < chunkOffsets.length && sample < n) {
+          val spc = runs.takeWhile(_._1 <= chunk + 1).lastOption.map(_._2).getOrElse(0)
+          var off = chunkOffsets(chunk)
+          var j = 0
+          while (j < spc && sample < n) {
+            out += ((off, sizes(sample)))
+            off += sizes(sample)
+            sample += 1; j += 1
+          }
+          chunk += 1
+        }
+        val res = out.result()
+        if (res.isEmpty) None else Some(res)
+      } catch { case _: Exception => None }
+
+    /** Every k-th MP4 video sample digested over its REAL byte range
+      * out of mdat (located via the stbl tables). This is true frame
+      * *sample* extraction — what a frame-sampling pipeline shuffles
+      * and stores; only the pixel decode of each sample still needs a
+      * codec runtime the sandbox lacks.
+      */
+    private def mp4Frames(payload: Array[Byte], every: Int, max: Int): Option[Seq[(Int, String)]] =
+      mp4Samples(payload).map { samples =>
+        samples.zipWithIndex.collect { case ((off, sz), i) if i % every == 0 =>
+          val o = math.min(math.max(off, 0L), payload.length.toLong).toInt
+          val end = math.min(off + sz, payload.length.toLong).toInt
+          (i, hex(sha(java.util.Arrays.copyOfRange(payload, o, math.max(o, end)))).take(16))
+        }.take(max)
+      }.filter(_.nonEmpty)
+
+    /** Frame sampling: REAL frame decode for animated GIF (composited
+      * canvas digests) and REAL sample extraction for MP4 (per-sample
+      * mdat byte ranges via stsz/stsc/stco — pixel decode of a sample
+      * would need an ffmpeg-class runtime). Other payloads keep the
       * deterministic fake: a digest chain per frame index, chained over
       * HEX STRINGS (not raw bytes) so the fake is expressible in any
       * engine with a string sha256 — which keeps `q_frame_sample`
       * oracle-checkable on the text-derived corpus.
       */
     def sampleFrames(payload: Array[Byte], every: Int, max: Int): Seq[(Int, String)] =
-      (if (sniff(payload) == "gif") gifFrames(payload, every, max) else None).getOrElse {
+      (sniff(payload) match {
+        case "gif" => gifFrames(payload, every, max)
+        case "mp4" => mp4Frames(payload, every, max)
+        case _     => None
+      }).getOrElse {
         var cur = hex(sha(payload))
         (0 until max).map { i =>
           cur = hex(sha(cur.getBytes("UTF-8")))
