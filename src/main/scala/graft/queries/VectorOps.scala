@@ -98,6 +98,36 @@ object VectorOps {
          |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin),
 
+    // The same IVF search at nprobe=2 — each query scans its two
+    // nearest cells (the standard recall lever); identical oracle
+    // except the query-side cell assignment keeps two rows.
+    q("q_ivf_topk_probe2")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        Similarity.ivfTopK(e.filter($"vec_id" < 5), e, e.filter($"vec_id" < 8),
+            "vec_id", "embedding", 3, nprobe = 2)
+          .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
+          .orderBy($"q_id", $"rn")
+      },
+      s"""WITH z AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |cs AS (SELECT e.vec_id, e.embedding, z.cell, ${cosineSql("e.embedding", "z.cv")} AS c_sim
+         |  FROM embeddings e, z),
+         |cells AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn FROM cs)
+         |  WHERE arn = 1),
+         |qc AS (SELECT vec_id AS q_id, embedding AS qv, cell FROM (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn
+         |  FROM cs WHERE vec_id < 5) WHERE arn <= 2),
+         |sims AS (SELECT qc.q_id, c.vec_id, ${cosineSql("qc.qv", "c.embedding")} AS sim
+         |  FROM qc JOIN cells c ON c.cell = qc.cell AND c.vec_id <> qc.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+         |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin),
+
     // Embedding near-dup pairs over a corpus with planted exact copies.
     q("q_embed_neardup")(
       (s, d) => {
