@@ -43,6 +43,26 @@ class RankingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ranking edges: empty frame, single row, k=1, one partition") {
+    val empty = Seq.empty[(Long, Int)].toDF("id", "v")
+    assert(Ranking.globalRowNumber(empty, Seq($"v", $"id"), "rk").count() == 0)
+    assert(Ranking.globalNtile(empty, 10, Seq($"v", $"id"), "t").count() == 0)
+
+    val one = Seq((7L, 3)).toDF("id", "v")
+    assert(Ranking.globalRowNumber(one, Seq($"v", $"id"), "rk")
+      .select($"rk").as[Long].head() == 1L)
+    assert(Ranking.globalNtile(one, 10, Seq($"v", $"id"), "t")
+      .select($"t").as[Long].head() == 1L)
+
+    val df = (1L to 100L).toDF("id").withColumn("v", lit(0)) // all ties
+    assert(Ranking.globalNtile(df, 1, Seq($"v", $"id"), "t")
+      .select($"t").as[Long].collect().forall(_ == 1L))
+    val ranksOnePart = Ranking.globalRowNumber(df, Seq($"v", $"id"), "rk",
+      numPartitions = 1).select($"id", $"rk").as[(Long, Long)].collect().toMap
+    assert((1L to 100L).forall(i => ranksOnePart(i) == i))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ranking operators stay parallel and release their pin in a loan") {
     val df = (1L to 1000L).toDF("id").withColumn("v", $"id" % 13)
     val (ranked, released) = graft.util.CacheScope.loanCapturing {
