@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // MERGE INTO '<path>' USING src ON key — SQL surface for the
     // bucketed path upsert (SURVEY §7.3); see [[GraftSqlParser]]
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // graft_target('<path>'[, version]) — the matching SQL read side
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target", null, "", "", "", "", "", "", "scala_udf"),
+        GraftTargetTvf.build _))
   }
 }
 

@@ -57,6 +57,37 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCol: Strin
   }
 }
 
+/** `graft_target('<path>'[, version])` table-valued function — the
+  * read side of the path-target MERGE surface: query the current
+  * snapshot of a [[graft.merge.MergeWriter]] target (or a time-travel
+  * `version`, subject to vacuum retention) straight from SQL:
+  *
+  * {{{
+  *   SELECT * FROM graft_target('/path/to/target') WHERE key > 10
+  *   SELECT * FROM graft_target('/path/to/target', 0)  -- as of v0
+  * }}}
+  *
+  * Injected via [[GraftExtensions]]. Arguments must be literals (the
+  * path resolves at analysis time); filters and pruning compose with
+  * the returned parquet scan like any other relation.
+  */
+object GraftTargetTvf {
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.nonEmpty && exprs.size <= 2,
+      "usage: graft_target('<path>'[, version])")
+    require(exprs.forall(_.foldable), "graft_target arguments must be literals")
+    val path = String.valueOf(exprs.head.eval())
+    val spark = SparkSession.active
+    val snapshot =
+      if (exprs.size == 2)
+        MergeWriter.readTargetAt(spark, path, String.valueOf(exprs(1).eval()).toInt)
+      else MergeWriter.readTarget(spark, path)
+    snapshot.getOrElse(throw new IllegalArgumentException(
+      s"graft_target: no merge target (or no such version) at $path"))
+      .queryExecution.logical
+  }
+}
+
 /** Delegating parser that recognizes the path-target MERGE grammar
   * above and hands everything else to Spark's parser. Injected via
   * [[GraftExtensions]].

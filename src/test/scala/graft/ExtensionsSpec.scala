@@ -64,6 +64,16 @@ class ExtensionsSpec extends SparkSpec {
         java.nio.file.Paths.get(dirB, "_BUCKETS"))
       assert(meta.startsWith("4\t"))
 
+      // the read side: graft_target TVF over the same store, current
+      // snapshot and time travel, with ordinary SQL composition
+      val viaTvf = s2.sql(s"SELECT k, v FROM graft_target('$dir') WHERE k >= 2 ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(viaTvf == Seq((2L, "c"), (3L, "e")))
+      val asOfV0 = s2.sql(s"SELECT k, v FROM graft_target('$dir', 0) ORDER BY k")
+        .as[(Long, String)].collect().toMap
+      assert(asOfV0 == Map(1L -> "a", 2L -> "b2")) // before the second batch
+      intercept[Exception] { s2.sql("SELECT * FROM graft_target('/nope/missing')").collect() }
+
       // everything else still parses through the delegate
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
     } finally {
