@@ -161,7 +161,7 @@ class RunCatalog(spark: SparkSession, val dir: String,
       Option(dirF.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isFile && f.getName.startsWith("_tombstones-") &&
           (tombstoneAgeFloorMs <= 0L ||
-            clock() - f.lastModified() >= tombstoneAgeFloorMs))
+            clock() - tombstonePublishedMs(f) >= tombstoneAgeFloorMs))
         .foreach { tf =>
           scala.util.Try(Files.readAllLines(tf.toPath)).toOption.map(_.asScala).getOrElse(Seq.empty)
             .filter(_.nonEmpty).foreach { p =>
@@ -180,12 +180,27 @@ class RunCatalog(spark: SparkSession, val dir: String,
       val df = readStore(path, schema)
       val seg = Paths.get(path, s"segment-${System.nanoTime}")
       df.coalesce(1).write.mode("overwrite").parquet(seg.toString)
-      // tombstone what this compaction rolled (atomic publish via move)
+      // tombstone what this compaction rolled (atomic publish via move).
+      // The publish time is stamped from the catalog clock() into the
+      // name (`_tombstones-<clockMs>-<nano>`): the age floor must compare
+      // clock() against clock(), not against fs mtime — with an injected
+      // non-realtime clock the mtime comparison would retain files
+      // forever or reap them immediately.
       val tmp = Files.createTempFile(Paths.get(path), "_tomb-tmp", "")
       Files.writeString(tmp, (json ++ oldSegs).mkString("\n"))
-      Files.move(tmp, Paths.get(path, s"_tombstones-${System.nanoTime}"),
+      Files.move(tmp, Paths.get(path, s"_tombstones-${clock()}-${System.nanoTime}"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+
+  /** Publish time of a tombstone file in the catalog clock()'s frame:
+    * the first stamp of `_tombstones-<clockMs>-<nano>`; legacy
+    * single-stamp names fall back to fs mtime (wall-clock).
+    */
+  private def tombstonePublishedMs(f: java.io.File): Long = {
+    val stamps = f.getName.stripPrefix("_tombstones-").split("-")
+    if (stamps.length >= 2) scala.util.Try(stamps(0).toLong).getOrElse(f.lastModified())
+    else f.lastModified()
+  }
 
   /** Force a compaction pass over all three stores (maintenance hook;
     * normally triggered automatically every `compactThreshold` appends).

@@ -306,6 +306,33 @@ object Multimodal {
     private def gifIntAttr(root: org.w3c.dom.Node, node: String, attr: String): Option[Int] =
       gifAttr(root, node, attr).flatMap(v => scala.util.Try(v.trim.toInt).toOption)
 
+    /** The GIF logical screen's background color: the GlobalColorTable
+      * entry named by its `backgroundColorIndex` attribute (stream
+      * metadata tree). None when there is no global table or the index
+      * has no entry.
+      */
+    private def gifBackground(root: org.w3c.dom.Node): Option[java.awt.Color] = {
+      var c = root.getFirstChild
+      while (c != null) {
+        if (c.getNodeName == "GlobalColorTable") {
+          def intAttr(n: org.w3c.dom.Node, k: String): Option[Int] =
+            Option(n.getAttributes.getNamedItem(k))
+              .flatMap(a => scala.util.Try(a.getNodeValue.trim.toInt).toOption)
+          val bgi = intAttr(c, "backgroundColorIndex")
+          var e = c.getFirstChild
+          while (e != null && bgi.isDefined) {
+            if (e.getNodeName == "ColorTableEntry" && intAttr(e, "index") == bgi)
+              return for {
+                r <- intAttr(e, "red"); g <- intAttr(e, "green"); b <- intAttr(e, "blue")
+              } yield new java.awt.Color(r, g, b)
+            e = e.getNextSibling
+          }
+        }
+        c = c.getNextSibling
+      }
+      None
+    }
+
     private def copyCanvas(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
       val c = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -339,13 +366,20 @@ object Multimodal {
               if (r.getFormatName.toLowerCase != "gif") None
               else {
                 val n = r.getNumImages(true)
+                val streamRoot =
+                  Option(r.getStreamMetadata).map(_.getAsTree("javax_imageio_gif_stream_1.0"))
                 val screen = for {
-                  md <- Option(r.getStreamMetadata)
-                  root = md.getAsTree("javax_imageio_gif_stream_1.0")
+                  root <- streamRoot
                   w <- gifIntAttr(root, "LogicalScreenDescriptor", "logicalScreenWidth")
                   h <- gifIntAttr(root, "LogicalScreenDescriptor", "logicalScreenHeight")
                   if w > 0 && h > 0
                 } yield (w, h)
+                // restoreToBackgroundColor clears to the logical screen's
+                // declared background (global-color-table entry at
+                // backgroundColorIndex), not hardcoded black; black stays
+                // the fallback when no global table exists. (The RGB
+                // canvas can't model a transparent background.)
+                val bg = streamRoot.flatMap(gifBackground).getOrElse(java.awt.Color.BLACK)
                 var canvas: java.awt.image.BufferedImage = null
                 var saved: java.awt.image.BufferedImage = null
                 val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
@@ -372,7 +406,7 @@ object Multimodal {
                     case "restoreToBackgroundColor" =>
                       val g2 = canvas.createGraphics()
                       try {
-                        g2.setColor(java.awt.Color.BLACK)
+                        g2.setColor(bg)
                         g2.fillRect(left, top, frame.getWidth, frame.getHeight)
                       } finally g2.dispose()
                     case "restoreToPrevious" if saved != null => canvas = saved
@@ -426,27 +460,39 @@ object Multimodal {
           } yield stbl
         }.headOption.getOrElse(return None)
         val sb = mp4Children(p, stbl._2, stbl._3)
+        // Table counts come from untrusted bytes: clamp every one to what
+        // the enclosing box (or, for fixed-size samples, the payload) can
+        // physically hold BEFORE allocating, so a crafted header claiming
+        // 2^30 entries yields None instead of an OutOfMemoryError the
+        // catch-all below can't intercept.
+        def capped(claimed: Long, entryBase: Long, boxEnd: Long, entrySize: Int): Option[Int] =
+          if (claimed > 0 && claimed <= (boxEnd - entryBase) / entrySize) Some(claimed.toInt)
+          else None
         val stsz = find("stsz", sb).getOrElse(return None)
         val fixed = be32(p, stsz._2.toInt + 4)
-        val n = be32(p, stsz._2.toInt + 8).toInt
-        if (n <= 0) return None
+        val claimedN = be32(p, stsz._2.toInt + 8)
+        val n =
+          (if (fixed != 0) { // no per-entry table; each sample occupies `fixed` payload bytes
+             if (claimedN > 0 && claimedN <= p.length.toLong / math.max(fixed, 1L)) Some(claimedN.toInt)
+             else None
+           } else capped(claimedN, stsz._2 + 12, stsz._3, 4)).getOrElse(return None)
         val sizes =
           if (fixed != 0) Array.fill(n)(fixed.toInt)
           else Array.tabulate(n)(i => be32(p, stsz._2.toInt + 12 + 4 * i).toInt)
         val chunkOffsets: Array[Long] = find("stco", sb) match {
           case Some(c) =>
-            val m = be32(p, c._2.toInt + 4).toInt
+            val m = capped(be32(p, c._2.toInt + 4), c._2 + 8, c._3, 4).getOrElse(return None)
             Array.tabulate(m)(i => be32(p, c._2.toInt + 8 + 4 * i))
           case None => find("co64", sb) match {
             case Some(c) =>
-              val m = be32(p, c._2.toInt + 4).toInt
+              val m = capped(be32(p, c._2.toInt + 4), c._2 + 8, c._3, 8).getOrElse(return None)
               Array.tabulate(m)(i =>
                 (be32(p, c._2.toInt + 8 + 8 * i) << 32) | be32(p, c._2.toInt + 12 + 8 * i))
             case None => return None
           }
         }
         val stsc = find("stsc", sb).getOrElse(return None)
-        val nRuns = be32(p, stsc._2.toInt + 4).toInt
+        val nRuns = capped(be32(p, stsc._2.toInt + 4), stsc._2 + 8, stsc._3, 12).getOrElse(return None)
         // (first_chunk 1-based, samples_per_chunk); runs ascend by chunk
         val runs = Array.tabulate(nRuns)(i =>
           (be32(p, stsc._2.toInt + 8 + 12 * i).toInt, be32(p, stsc._2.toInt + 12 + 12 * i).toInt))

@@ -29,16 +29,16 @@ object Relational {
   /** One cached sibling session with the MERGE INTO parser injected
     * (extensions apply only at session construction). Building a new
     * session per q_merge_sql invocation would leak a session per
-    * Verify/Bench pass on the shared context.
+    * Verify/Bench pass on the shared context. Constructed via
+    * [[graft.plans.SiblingSession.withExtensions]], which never touches
+    * the JVM-global default/active session registry — the previous
+    * clear-then-getOrCreate dance left a window where concurrent threads
+    * resolving SparkSession.active saw no session or the wrong one.
     */
   @volatile private var sqlSession: SparkSession = _
   private def mergeSqlSession(s: SparkSession): SparkSession = synchronized {
-    if (sqlSession == null || sqlSession.sparkContext != s.sparkContext) {
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      sqlSession = SparkSession.builder()
-        .withExtensions(new graft.plans.GraftExtensions()).getOrCreate()
-      SparkSession.setDefaultSession(s); SparkSession.setActiveSession(s)
-    }
+    if (sqlSession == null || sqlSession.sparkContext != s.sparkContext)
+      sqlSession = graft.plans.SiblingSession.withExtensions(s, new graft.plans.GraftExtensions())
     sqlSession
   }
 

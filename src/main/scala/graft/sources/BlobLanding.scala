@@ -38,7 +38,27 @@ object BlobLanding {
     val target = dir.resolve(s"$name.$format")
     if (Files.exists(target))
       throw new java.nio.file.FileAlreadyExistsException(target.toString)
+    // Claim the name atomically (O_CREAT|O_EXCL) BEFORE writing: a bare
+    // exists-check races — POSIX rename replaces the target, so two
+    // concurrent land() calls with the same name would both pass the
+    // check and the second would silently overwrite the published file.
+    // The claim is a hidden dot-file (invisible to Spark readers and the
+    // file stream watching this dir, like the staging name below) and is
+    // KEPT after publish, permanently burning the name: releasing it
+    // would reopen the same check-then-publish window. It is released
+    // only when this call fails before publishing, so retries work.
+    val claim = dir.resolve(s".$name.$format.claim")
+    try Files.createFile(claim)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.nio.file.FileAlreadyExistsException(target.toString)
+    }
+    try landClaimed(df, dir, target, name, format)
+    catch { case e: Throwable => Files.deleteIfExists(claim); throw e }
+  }
 
+  private def landClaimed(df: DataFrame, dir: java.nio.file.Path,
+                          target: java.nio.file.Path, name: String, format: String): String = {
     // Spark writes a directory; stage it outside the watched dir, then
     // move the single part file into place under a hidden name first
     // (same-filesystem rename twice keeps both steps atomic)

@@ -28,9 +28,13 @@ class ExtensionsSpec extends SparkSpec {
     import graft.merge.MergeWriter
     val dir = java.nio.file.Files.createTempDirectory("merge_sql").toString
     // extensions apply at session construction: build a sibling session
-    // on the same SparkContext, with the parser injected
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder().withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    // on the same SparkContext with the parser injected — and WITHOUT
+    // touching the JVM-global default/active registry (concurrent
+    // threads resolve SparkSession.active mid-query)
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    assert(s2 ne spark)
+    assert(SparkSession.getDefaultSession.contains(spark))
+    assert(SparkSession.getActiveSession.contains(spark))
     try {
       import s2.implicits._
       Seq((1L, "a", 1), (2L, "b", 1), (2L, "b2", 2))
@@ -76,8 +80,10 @@ class ExtensionsSpec extends SparkSpec {
 
       // everything else still parses through the delegate
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
+      // the sibling never displaced the globals
+      assert(SparkSession.getDefaultSession.contains(spark))
     } finally {
-      SparkSession.setDefaultSession(spark); SparkSession.setActiveSession(spark)
+      SparkSession.setActiveSession(spark)
     }
   }
 

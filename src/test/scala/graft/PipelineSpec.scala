@@ -213,6 +213,25 @@ class PipelineSpec extends SparkSpec {
     eager.compact()
     assert(ndjsonCount(work2) < afterFirst)
     assert(eager.runs().count() == 11)
+
+    // the floor lives in the injected clock's frame, not fs mtime: a
+    // non-realtime clock (epoch-near-zero here, far below any mtime)
+    // must retain while young and reap once ONLY the clock has advanced
+    // past the floor — no wall-clock sleep involved
+    var tick = 1000L
+    val work3 = Files.createTempDirectory("graft_simclock").toString
+    val sim = new RunCatalog(spark, s"$work3/catalog", clock = () => tick,
+      tombstoneAgeFloorMs = 60000L)
+    (1 to 10).foreach { i => val id = sim.startRun(s"p$i"); sim.finishRun(id, "Success") }
+    sim.compact()
+    val simFirst = ndjsonCount(work3)
+    assert(simFirst >= 10)
+    sim.compact() // clock unchanged: still inside the floor, nothing reaped
+    assert(ndjsonCount(work3) == simFirst)
+    tick += 61000L
+    sim.compact() // clock advanced past the floor: first generation reaped
+    assert(ndjsonCount(work3) < simFirst)
+    assert(sim.runs().count() == 10)
   }
 
   test("approx sketch aggregates stay within tolerance of exact counts") {

@@ -145,14 +145,29 @@ class SourcesSpec extends SparkSpec {
       .toDF("OrderId", "CustomerId", "Amount", "OrderDate")
     val path = BlobLanding.land(df, landing, "orders_batch1", "csv")
     assert(path.endsWith("orders_batch1.csv"))
-    // no temp/hidden debris next to the published file
+    // no visible temp debris next to the published file; the atomic name
+    // claim stays behind as a hidden dot-file (invisible to readers)
     val names = Files.list(java.nio.file.Paths.get(landing)).iterator()
     val all = scala.jdk.CollectionConverters.IteratorHasAsScala(names).asScala.map(_.getFileName.toString).toList
-    assert(all == List("orders_batch1.csv"))
+    assert(all.filterNot(_.startsWith(".")) == List("orders_batch1.csv"))
+    assert(all.contains(".orders_batch1.csv.claim"))
     // landing files are immutable once published
     intercept[java.nio.file.FileAlreadyExistsException] {
       BlobLanding.land(df, landing, "orders_batch1", "csv")
     }
+    // concurrent same-name landers: exactly one wins the atomic claim
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val races = Await.result(Future.sequence(Seq.fill(2)(Future(
+      scala.util.Try(BlobLanding.land(df, landing, "orders_race", "csv"))))), 60.seconds)
+    assert(races.count(_.isSuccess) == 1)
+    assert(races.count(_.failed.toOption.exists(
+      _.isInstanceOf[java.nio.file.FileAlreadyExistsException])) == 1)
+    // a failed land releases its claim so a retry can publish
+    val badDf = Seq((1, Seq("a", "b"))).toDF("k", "arr") // arrays are not CSV-writable
+    intercept[Exception] { BlobLanding.land(badDf, landing, "orders_retry", "csv") }
+    assert(BlobLanding.land(df, landing, "orders_retry", "csv").endsWith("orders_retry.csv"))
     // the landed file runs through the 4-step pipeline end-to-end
     val work = Files.createTempDirectory("graft_landrun").toString
     val cat = new graft.catalog.RunCatalog(spark, s"$work/catalog")
