@@ -20,14 +20,18 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // each query runs in its own CacheScope.loan: the engine's
+        // internal pins (signature/shingle/postings frames) are released
+        // on exit, so they don't accumulate across the 80+ queries in
+        // one session — without the session-wide clearCache that would
+        // also drop a user's own caches
+        try graft.util.CacheScope.loan {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // operator-internal caches (signature/shingle frames) must not
-        // accumulate across the 50+ queries in one session
-        spark.sharedState.cacheManager.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
