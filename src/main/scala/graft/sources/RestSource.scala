@@ -51,12 +51,41 @@ object RestSource {
     * items field is a single object contributes one row; a top-level
     * array page (no wrapper object) contributes all its elements and
     * ends the walk (no next link to follow).
+    *
+    * Driver memory is bounded: every `spillEveryPages` pages the
+    * accumulated items are flushed to a JSONL part file in `spillDir`
+    * (atomic hidden-write-then-rename, the [[BlobLanding]] publish
+    * shape), and the final frame is read from the directory — a deep
+    * walk holds at most one flush window of items in driver memory, not
+    * the whole copy. A walk that ends inside the first window never
+    * touches disk. `spillDir` defaults to a fresh temp directory; pass
+    * a landing path to keep the raw paged copy as an auditable artifact
+    * (the frame lazily re-reads it, so it must outlive the frame).
     */
   def readPaginated(spark: SparkSession, fetcher: JsonFetcher, startUrl: String,
                     itemsField: String = "items", nextField: String = "next",
-                    maxPages: Int = 1000): DataFrame = {
+                    maxPages: Int = 1000, spillEveryPages: Int = 100,
+                    spillDir: Option[String] = None): DataFrame = {
+    require(spillEveryPages > 0, "spillEveryPages must be positive")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var spillPath: java.nio.file.Path = null
+    var parts = 0
+    def flush(): Unit = if (items.nonEmpty) {
+      if (spillPath == null) {
+        spillPath = spillDir.map(d => java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(d)))
+          .getOrElse(java.nio.file.Files.createTempDirectory("graft_rest_spill"))
+      }
+      val name = f"part-$parts%05d.jsonl"
+      val tmp = spillPath.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, items.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, spillPath.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      parts += 1
+      items.clear()
+    }
     var url: String = startUrl
     var pages = 0
     while (url != null && pages < maxPages) {
@@ -77,9 +106,16 @@ object RestSource {
         if (next == null || next.isNull || next.isMissingNode || next.asText().isBlank) null
         else java.net.URI.create(url).resolve(next.asText()).toString
       pages += 1
+      if (pages % spillEveryPages == 0) flush()
     }
     import spark.implicits._
-    if (items.isEmpty) spark.emptyDataFrame
-    else spark.read.json(spark.createDataset(items.toSeq))
+    if (parts == 0) {
+      // whole walk fit in one window: no disk round-trip
+      if (items.isEmpty) spark.emptyDataFrame
+      else spark.read.json(spark.createDataset(items.toSeq))
+    } else {
+      flush()
+      spark.read.json(spillPath.toString)
+    }
   }
 }

@@ -82,6 +82,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "global ntile collapsed to one task")
   }
 
+  test("graft_target TVF composes with filter pushdown and column pruning") {
+    // the TVF returns a parquet relation; a filtered, projected SELECT
+    // over it must reach the scan as pushed filters + a pruned
+    // ReadSchema, not a full-snapshot scan — the SQL read side of path
+    // merges must not silently regress to read-everything
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tvf_plan").toString
+    val src = (1L to 100L).map(k => (k, s"v$k", k % 7)).toDF("k", "v", "w")
+    graft.merge.MergeWriter.merge(spark, dir, src.withColumn("ord", lit(1)), "k", "ord", 4)
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    val df = s2.sql(s"SELECT k FROM graft_target('$dir') WHERE k >= 90")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"graft_target scan lost filter pushdown:\n$p")
+    assert(p.contains("struct<k:bigint>"),
+      s"graft_target scan reads more than the projected column:\n$p")
+    assert(df.as[Long].collect().sorted.toSeq == (90L to 100L))
+  }
+
   test("q_seq_pack shuffles once on the pack key, no global window") {
     // a Window without PARTITION BY would collapse to a single
     // partition — the per-source partitioning must survive

@@ -49,6 +49,37 @@ class SourcesSpec extends SparkSpec {
     assert(RestSource.readPaginated(spark, blankNext, "http://api.test/b").count() == 1)
   }
 
+  test("REST pagination spills to landing parts without changing the frame") {
+    // a 9-page walk; driver memory must hold at most flush-N pages
+    val fetcher = new RestSource.JsonFetcher {
+      def fetch(url: String): String = {
+        val p = url.split("/w/")(1).toInt
+        val next = if (p < 9) s""","next":"/w/${p + 1}"""" else ""
+        s"""{"items":[{"id":$p,"v":"p$p-a"},{"id":${p + 100},"v":"p$p-b"}]$next}"""
+      }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select($"id", $"v").as[(Long, String)].collect().toSet
+    val inMemory = rows(RestSource.readPaginated(spark, fetcher, "http://api.test/w/1"))
+    assert(inMemory.size == 18)
+    // flush every 2 pages: same frame, via spill files
+    val spilled = RestSource.readPaginated(spark, fetcher, "http://api.test/w/1",
+      spillEveryPages = 2)
+    assert(rows(spilled) == inMemory)
+    assert(spilled.schema == RestSource.readPaginated(
+      spark, fetcher, "http://api.test/w/1").schema)
+    // an explicit spillDir keeps the paged copy as complete JSONL parts
+    // (9 pages / flush-2 = 5 parts), none hidden/partial
+    val dir = Files.createTempDirectory("graft_rest_land")
+    val viaDir = RestSource.readPaginated(spark, fetcher, "http://api.test/w/1",
+      spillEveryPages = 2, spillDir = Some(dir.toString))
+    assert(rows(viaDir) == inMemory)
+    val names = Files.list(dir).iterator()
+    val all = scala.jdk.CollectionConverters.IteratorHasAsScala(names)
+      .asScala.map(_.getFileName.toString).toList.sorted
+    assert(all == (0 until 5).map(i => f"part-$i%05d.jsonl").toList)
+  }
+
   test("REST source over a live local HTTP endpoint") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
