@@ -24,12 +24,15 @@ object Ranking {
     *
     * No window at all: the per-partition counts give the global offset
     * of every partition, so the rank is offset + position within the
-    * already-sorted partition — a per-partition counter via
-    * `mapPartitionsWithIndex` (the genuinely imperative per-partition
-    * step), with NO further exchange. A `Window.partitionBy(pid)`
-    * formulation would re-shuffle and re-sort the whole frame on pid,
-    * which Catalyst can't elide because range partitioning doesn't
-    * satisfy a hash-partition requirement.
+    * already-sorted partition — a native stateful projection
+    * ([[graft.plans.PartitionOffsetRank]]: a codegen'd partition-local
+    * counter seeded from the offset array), with NO further exchange.
+    * A `Window.partitionBy(pid)` formulation would re-shuffle and
+    * re-sort the whole frame on pid, which Catalyst can't elide because
+    * range partitioning doesn't satisfy a hash-partition requirement;
+    * an RDD `mapPartitionsWithIndex` formulation computes the same
+    * thing but breaks whole-stage codegen and column pruning for
+    * everything downstream of the rank.
     */
   private def withRank(df: DataFrame, sortCols: Seq[Column], out: String,
                        numPartitions: Int): (DataFrame, Long) = {
@@ -43,17 +46,18 @@ object Ranking {
         .sortWithinPartitions(sortCols: _*))
     val sizes = sorted.groupBy(spark_partition_id().as("_rk_pid"))
       .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1) // ≤ `parts` rows
-    val offsets = sizes.map(_._1).zip(sizes.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val bc = spark.sparkContext.broadcast(offsets)
-    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
-      org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, false))
-    val ranked = spark.createDataFrame(
-      sorted.rdd.mapPartitionsWithIndex { case (pid, iter) =>
-        var r = bc.value.getOrElse(pid, 0L)
-        iter.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
-      }, schema)
-    (ranked, sizes.map(_._2).sum)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ `parts` rows
+    // dense per-partition cumulative offsets (empty partitions included:
+    // they contribute no rows, but keep successors' offsets aligned)
+    val counts = new Array[Long](parts)
+    sizes.foreach { case (pid, n) => counts(pid) = n }
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    var i = 0
+    while (i < parts) { offsets(i) = acc; acc += counts(i); i += 1 }
+    val ranked = sorted.withColumn(out, org.apache.spark.sql.graftbridge.ColumnBridge
+      .column(graft.plans.PartitionOffsetRank(offsets)))
+    (ranked, acc)
   }
 
   /** Exact global 1-based row_number as column `out`, fully parallel. */

@@ -80,6 +80,11 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_length_decile")
     assert(!p.contains("Window"), "global ntile reintroduced a window")
     assert(!p.contains("SinglePartition"), "global ntile collapsed to one task")
+    // the rank is a native codegen'd projection over the pinned sorted
+    // frame — an RDD round-trip would surface as an ExistingRDD scan
+    // and break whole-stage codegen below the rank
+    assert(!p.contains("ExistingRDD"), "ranking fell back to an RDD round-trip")
+    assert(p.contains("partition_offset_rank"), "native rank expression missing from plan")
   }
 
   test("graft_target TVF composes with filter pushdown and column pruning") {
