@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.{BlobLanding, JdbcSource, RestSource, SoapSource}
+import graft.sources.{BlobLanding, IncrementalIngestion, JdbcSource, RestSource, SoapSource}
 
 /** Planned-source parity (SURVEY §2.1 S7, K5): REST pagination, SOAP
   * row landing, JDBC watermark-incremental copy (against embedded
@@ -166,6 +166,66 @@ class SourcesSpec extends SparkSpec {
       replay.commit()
       assert(JdbcSource.readIncremental(spark, url, "orders", "order_id", stateDir)
         .df.count() == 0)
+    } finally conn.close()
+  }
+
+  test("scheduled incremental ingestion commits the watermark only after success") {
+    val dbDir = Files.createTempDirectory("graft_derby_sched").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val stateDir = Files.createTempDirectory("graft_wm_sched").toString
+    val landing = Files.createTempDirectory("graft_land_sched").toString
+    val work = Files.createTempDirectory("graft_schedrun").toString
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE orders_inc (OrderId INT, CustomerId VARCHAR(10), " +
+        "Amount VARCHAR(10), OrderDate VARCHAR(10))")
+      st.execute("INSERT INTO orders_inc VALUES (1,'C1','10.00','2024-01-01')," +
+        "(2,'C2','20.00','2024-01-02')")
+      val cat = new graft.catalog.RunCatalog(spark, s"$work/catalog")
+      val runner = new graft.runner.PipelineRunner(spark, cat, work)
+      def fireOnce(): IncrementalIngestion.FireOutcome =
+        IncrementalIngestion.fire(spark, runner, url, "orders_inc", "OrderId",
+          stateDir, landing)
+
+      // drive through the scheduler with an injected clock: daily 09:00
+      var clock = java.time.LocalDateTime.of(2024, 5, 1, 8, 0)
+      val outcomes = scala.collection.mutable.ArrayBuffer.empty[IncrementalIngestion.FireOutcome]
+      val sr = new graft.scheduler.ScheduleRunner(s"$work/schedules",
+        _ => outcomes += fireOnce(), () => clock)
+      sr.create(name = "inc-copy", scheduleType = "daily", runAtTime = "09:00",
+        sourcePath = url)
+      assert(sr.tick().isEmpty) // 08:00 — not due yet
+      clock = clock.plusHours(2)
+      assert(sr.tick().size == 1) // fire 1: the full table (no watermark yet)
+      assert(outcomes(0).status == "Success" && outcomes(0).rowsLanded == 2)
+      assert(outcomes(0).watermarkCommitted)
+      assert(graft.merge.MergeWriter.readTarget(spark, runner.targetDir).get.count() == 2)
+
+      // fire 2 next day: copies ONLY the rows past the committed mark
+      st.execute("INSERT INTO orders_inc VALUES (3,'C3','30.00','2024-01-03')," +
+        "(4,'C1','40.00','2024-01-04')")
+      clock = clock.plusDays(1)
+      assert(sr.tick().size == 1)
+      assert(outcomes(1).status == "Success" && outcomes(1).rowsLanded == 2)
+      val landed2 = spark.read.option("header", "true").csv(outcomes(1).landedPath.get)
+      assert(landed2.select($"OrderId".cast("int")).as[Int].collect().toSet == Set(3, 4))
+      assert(graft.merge.MergeWriter.readTarget(spark, runner.targetDir).get.count() == 4)
+
+      // a failed run leaves the watermark unmoved (replay semantics):
+      // a runner whose work dir is a regular FILE fails at Data Pull
+      st.execute("INSERT INTO orders_inc VALUES (5,'C9','50.00','2024-01-05')")
+      val badWork = Files.createTempFile("graft_badwork", "")
+      val failed = IncrementalIngestion.fire(spark, runner.withWorkDir(badWork.toString),
+        url, "orders_inc", "OrderId", stateDir, landing)
+      assert(failed.status == "Failed" && !failed.watermarkCommitted)
+      // replay with the healthy runner: the same window (row 5) lands now
+      val replay = fireOnce()
+      assert(replay.status == "Success" && replay.rowsLanded == 1 && replay.watermarkCommitted)
+      assert(graft.merge.MergeWriter.readTarget(spark, runner.targetDir).get.count() == 5)
+      // drained window: no landing, no pipeline run
+      val drained = fireOnce()
+      assert(drained.status == "Empty" && drained.runId.isEmpty && drained.landedPath.isEmpty)
     } finally conn.close()
   }
 
