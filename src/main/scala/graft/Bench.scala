@@ -110,7 +110,66 @@ object Bench {
     val p1m = pipelineSecs(1000000)
     val pipeline = s"""{"fixture_100k_sec":$p100k,"file_1m_sec":$p1m}"""
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"sf":"$sfDir"}""")
+    val scale = scaleSmoke(spark, sfDir)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"scale":$scale,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The 5 most expensive headline queries at `SCALE_COPIES`× the bench
+    * scale factor (default 10× — run at sf0.1 this is an sf1.0-
+    * equivalent): catches plans that only break past local-comfort
+    * sizes (skew, bucket blowup, driver materialization). The scaled
+    * dataset is generated from the bench tables with per-copy key
+    * shifts, and — for documents — per-copy token suffixes, so near-dup
+    * pair structure replicates per copy instead of exploding
+    * quadratically across copies (10 independent shards of the original
+    * pair graph ≈ a faithful 10× corpus, where verbatim duplication of
+    * every doc would be an adversarial worst case no real corpus has).
+    * Dimensions (customer/nation) stay unscaled — dims grow slower than
+    * facts. `SPARK_GRAFT_SCALE=0` skips; generation is outside the
+    * timed windows; the dataset is cleaned up afterwards.
+    */
+  private def scaleSmoke(spark: SparkSession, sfDir: String): String = {
+    if (sys.env.get("SPARK_GRAFT_SCALE").contains("0")) return "null"
+    val copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES").map(_.toInt).getOrElse(10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_scale")
+    try {
+      import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+      def src(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+      def dest(t: String) = s"$dir/$t.parquet"
+      for (t <- Seq("customer", "nation")) // unscaled dims
+        src(t).write.mode("overwrite").parquet(dest(t))
+      val keyShift = 1000000000L // far above any orderkey at these SFs
+      (0 until copies).map(i => src("lineitem")
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * keyShift)))
+        .reduce(_ union _).write.mode("overwrite").parquet(dest("lineitem"))
+      (0 until copies).map(i => src("orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * keyShift)))
+        .reduce(_ union _).write.mode("overwrite").parquet(dest("orders"))
+      val docShift = 10000000L // leaves room for the +100k/+200k planted ids
+      (0 until copies).map(i => src("documents")
+        .withColumn("doc_id", col("doc_id") + lit(i * docShift))
+        .withColumn("text",
+          if (i == 0) col("text") else regexp_replace(col("text"), "(\\S+)", "$1_" + i)))
+        .reduce(_ union _).write.mode("overwrite").parquet(dest("documents"))
+
+      val names = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
+        "q_jaccard_pairs", "q_curation_pipeline")
+      val times = names.map { n =>
+        val t0 = System.nanoTime()
+        try graft.util.CacheScope.loan {
+          SparkEntry.queries(n)(spark, dir.toString).queryExecution.toRdd.count(): Unit
+        }
+        catch { case e: Throwable => System.err.println(s"[bench] scale $n: ${e.getMessage}") }
+        n -> (System.nanoTime() - t0) / 1e9
+      }
+      s"""{"copies":$copies,${times.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().forEachRemaining(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }
