@@ -100,10 +100,7 @@ object Bench {
       if (res.status != "Success") System.err.println(s"[bench] pipeline($n): ${res.status}")
       // repeated bench runs must not fill /tmp with generated CSVs,
       // pipeline stages, and catalogs
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().forEachRemaining(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
+      graft.util.Fs.deleteRecursively(dir)
       dt
     }
     val p100k = pipelineSecs(100000)
@@ -132,9 +129,24 @@ object Bench {
     */
   private def scaleSmoke(spark: SparkSession, sfDir: String): String = {
     if (sys.env.get("SPARK_GRAFT_SCALE").contains("0")) return "null"
-    val copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES").map(_.toInt).getOrElse(10)
+    // a malformed or non-positive copies value skips the tier rather
+    // than aborting; and NOTHING thrown in here may escape — the
+    // headline and pipeline timings are already measured, and losing
+    // the whole JSON line to a scale-tier hiccup would discard them
+    val copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(10)
+    if (copies < 1) return "null"
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_scale")
-    try {
+    try scaleSmokeIn(spark, sfDir, dir.toString, copies)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scale tier skipped: ${e.getMessage}")
+        "null"
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
+
+  private def scaleSmokeIn(spark: SparkSession, sfDir: String,
+                           dir: String, copies: Int): String = {
       import org.apache.spark.sql.functions.{col, lit, regexp_replace}
       def src(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
       def dest(t: String) = s"$dir/$t.parquet"
@@ -165,11 +177,5 @@ object Bench {
         n -> (System.nanoTime() - t0) / 1e9
       }
       s"""{"copies":$copies,${times.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
-    } finally {
-      val walk = java.nio.file.Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().forEachRemaining(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
   }
 }

@@ -464,16 +464,23 @@ object Multimodal {
         // the enclosing box (or, for fixed-size samples, the payload) can
         // physically hold BEFORE allocating, so a crafted header claiming
         // 2^30 entries yields None instead of an OutOfMemoryError the
-        // catch-all below can't intercept.
+        // catch-all below can't intercept. The box/payload bound alone
+        // still admits counts ∝ payload bytes (a 50 MB payload could
+        // claim ~50M one-byte samples and cost GBs in walker state), so
+        // an absolute ceiling backstops it — 2^20 samples is ~10 hours
+        // of 30 fps video, far past anything frame sampling needs.
+        val maxSamples = 1 << 20
         def capped(claimed: Long, entryBase: Long, boxEnd: Long, entrySize: Int): Option[Int] =
-          if (claimed > 0 && claimed <= (boxEnd - entryBase) / entrySize) Some(claimed.toInt)
+          if (claimed > 0 && claimed <= maxSamples &&
+            claimed <= (boxEnd - entryBase) / entrySize) Some(claimed.toInt)
           else None
         val stsz = find("stsz", sb).getOrElse(return None)
         val fixed = be32(p, stsz._2.toInt + 4)
         val claimedN = be32(p, stsz._2.toInt + 8)
         val n =
           (if (fixed != 0) { // no per-entry table; each sample occupies `fixed` payload bytes
-             if (claimedN > 0 && claimedN <= p.length.toLong / math.max(fixed, 1L)) Some(claimedN.toInt)
+             if (claimedN > 0 && claimedN <= maxSamples &&
+               claimedN <= p.length.toLong / math.max(fixed, 1L)) Some(claimedN.toInt)
              else None
            } else capped(claimedN, stsz._2 + 12, stsz._3, 4)).getOrElse(return None)
         val sizes =

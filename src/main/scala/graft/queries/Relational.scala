@@ -200,12 +200,7 @@ object Relational {
             .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
             .orderBy($"o_orderkey")
             .localCheckpoint()
-        } finally {
-          val walk = java.nio.file.Files.walk(dir)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().forEachRemaining(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
-        }
+        } finally graft.util.Fs.deleteRecursively(dir)
       },
       """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
         |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0)

@@ -28,9 +28,15 @@ object BlobLanding {
     * path. `format`: "csv" (with header) or "json" (JSON Lines).
     * Fails if the target name already exists (landing files are
     * immutable-once-published, like blob objects).
+    *
+    * `staleClaimMs`: a claim file WITHOUT a published target that is at
+    * least this old is crash debris (a JVM died between claiming and
+    * publishing — the in-JVM failure path releases its claim, a killed
+    * process cannot) and is taken over; younger ones are treated as an
+    * in-flight lander. Size it well above the slowest plausible write.
     */
   def land(df: DataFrame, landingDir: String, name: String,
-           format: String = "csv"): String = {
+           format: String = "csv", staleClaimMs: Long = 3600000L): String = {
     require(format == "csv" || format == "json", s"unsupported landing format: $format")
     require(name.matches("[A-Za-z0-9._-]+"), s"unsafe landing name: $name")
     val dir = Paths.get(landingDir)
@@ -51,7 +57,25 @@ object BlobLanding {
     try Files.createFile(claim)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.nio.file.FileAlreadyExistsException(target.toString)
+        // claim present, nothing published, old enough → crash debris.
+        // Takeover is the atomic rename of the stale claim to a unique
+        // name: of N concurrent contenders exactly one rename succeeds,
+        // and that winner re-claims; the rest fail to FileAlreadyExists
+        // (either on the rename or on the winner's fresh claim).
+        val stale = !Files.exists(target) && Files.exists(claim) &&
+          (try System.currentTimeMillis() -
+            Files.getLastModifiedTime(claim).toMillis >= staleClaimMs
+          catch { case _: java.io.IOException => false })
+        if (!stale) throw new java.nio.file.FileAlreadyExistsException(target.toString)
+        val swept = dir.resolve(s".$name.$format.claim.swept-${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          Files.move(claim, swept, StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(swept)
+          Files.createFile(claim)
+        } catch {
+          case _: Exception =>
+            throw new java.nio.file.FileAlreadyExistsException(target.toString)
+        }
     }
     try landClaimed(df, dir, target, name, format)
     catch { case e: Throwable => Files.deleteIfExists(claim); throw e }

@@ -53,14 +53,17 @@ object RestSource {
     * ends the walk (no next link to follow).
     *
     * Driver memory is bounded: every `spillEveryPages` pages the
-    * accumulated items are flushed to a JSONL part file in `spillDir`
-    * (atomic hidden-write-then-rename, the [[BlobLanding]] publish
-    * shape), and the final frame is read from the directory — a deep
-    * walk holds at most one flush window of items in driver memory, not
-    * the whole copy. A walk that ends inside the first window never
-    * touches disk. `spillDir` defaults to a fresh temp directory; pass
-    * a landing path to keep the raw paged copy as an auditable artifact
-    * (the frame lazily re-reads it, so it must outlive the frame).
+    * accumulated items are flushed to a JSONL part file (atomic
+    * hidden-write-then-rename, the [[BlobLanding]] publish shape), and
+    * the final frame is read back from the spill files — a deep walk
+    * holds at most one flush window of items in driver memory, not the
+    * whole copy. A walk that ends inside the first window never touches
+    * disk. Spills go to a fresh temp directory, or — when `spillDir` is
+    * given — a fresh UNIQUE subdirectory of it, so the raw paged copy
+    * is kept as an auditable artifact and concurrent or repeated walks
+    * into the same landing root can neither clobber each other's parts
+    * nor leak a previous walk's leftovers into this frame (the frame
+    * lazily re-reads its spill files, so they must outlive it).
     */
   def readPaginated(spark: SparkSession, fetcher: JsonFetcher, startUrl: String,
                     itemsField: String = "items", nextField: String = "next",
@@ -73,9 +76,14 @@ object RestSource {
     var parts = 0
     def flush(): Unit = if (items.nonEmpty) {
       if (spillPath == null) {
-        spillPath = spillDir.map(d => java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(d)))
-          .getOrElse(java.nio.file.Files.createTempDirectory("graft_rest_spill"))
+        spillPath = spillDir.map { d =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          // unique per walk: reading the shared root would merge stale
+          // parts of previous walks into this frame, and same-named
+          // parts would silently rename-replace published artifacts
+          java.nio.file.Files.createTempDirectory(
+            java.nio.file.Paths.get(d), "walk-")
+        }.getOrElse(java.nio.file.Files.createTempDirectory("graft_rest_spill"))
       }
       val name = f"part-$parts%05d.jsonl"
       val tmp = spillPath.resolve(s".$name.tmp")

@@ -68,16 +68,34 @@ class SourcesSpec extends SparkSpec {
     assert(rows(spilled) == inMemory)
     assert(spilled.schema == RestSource.readPaginated(
       spark, fetcher, "http://api.test/w/1").schema)
-    // an explicit spillDir keeps the paged copy as complete JSONL parts
-    // (9 pages / flush-2 = 5 parts), none hidden/partial
+    // an explicit spillDir keeps each walk's paged copy as complete
+    // JSONL parts (9 pages / flush-2 = 5 parts) in its OWN unique
+    // subdirectory — a second walk into the same landing root must not
+    // clobber the first walk's artifact nor absorb its leftovers
     val dir = Files.createTempDirectory("graft_rest_land")
+    def walkDirs(): List[java.nio.file.Path] = {
+      val ls = Files.list(dir).iterator()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(ls).asScala.toList
+        .sortBy(_.getFileName.toString)
+    }
+    def partsOf(w: java.nio.file.Path): List[String] = {
+      val ls = Files.list(w).iterator()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(ls).asScala
+        .map(_.getFileName.toString).toList.sorted
+    }
     val viaDir = RestSource.readPaginated(spark, fetcher, "http://api.test/w/1",
       spillEveryPages = 2, spillDir = Some(dir.toString))
     assert(rows(viaDir) == inMemory)
-    val names = Files.list(dir).iterator()
-    val all = scala.jdk.CollectionConverters.IteratorHasAsScala(names)
-      .asScala.map(_.getFileName.toString).toList.sorted
-    assert(all == (0 until 5).map(i => f"part-$i%05d.jsonl").toList)
+    assert(walkDirs().size == 1)
+    assert(partsOf(walkDirs().head) == (0 until 5).map(i => f"part-$i%05d.jsonl").toList)
+    // a second, shorter walk (flush-4 → 3 parts): both artifacts intact,
+    // second frame carries only its own rows
+    val viaDir2 = RestSource.readPaginated(spark, fetcher, "http://api.test/w/1",
+      spillEveryPages = 4, spillDir = Some(dir.toString))
+    assert(rows(viaDir2) == inMemory)
+    assert(walkDirs().size == 2)
+    assert(walkDirs().map(partsOf).map(_.size).sorted == List(3, 5))
+    assert(rows(viaDir) == inMemory) // first artifact unharmed
   }
 
   test("REST source over a live local HTTP endpoint") {
@@ -259,6 +277,19 @@ class SourcesSpec extends SparkSpec {
     val badDf = Seq((1, Seq("a", "b"))).toDF("k", "arr") // arrays are not CSV-writable
     intercept[Exception] { BlobLanding.land(badDf, landing, "orders_retry", "csv") }
     assert(BlobLanding.land(df, landing, "orders_retry", "csv").endsWith("orders_retry.csv"))
+    // crash debris: a claim with no published target blocks while young
+    // (could be an in-flight lander) but is taken over once stale
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(landing, ".orders_crashed.csv.claim"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      BlobLanding.land(df, landing, "orders_crashed", "csv") // default floor: young
+    }
+    assert(BlobLanding.land(df, landing, "orders_crashed", "csv", staleClaimMs = 0L)
+      .endsWith("orders_crashed.csv"))
+    // a published name stays burned regardless of the floor
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      BlobLanding.land(df, landing, "orders_crashed", "csv", staleClaimMs = 0L)
+    }
     // the landed file runs through the 4-step pipeline end-to-end
     val work = Files.createTempDirectory("graft_landrun").toString
     val cat = new graft.catalog.RunCatalog(spark, s"$work/catalog")
