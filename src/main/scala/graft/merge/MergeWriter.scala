@@ -98,6 +98,60 @@ object MergeWriter {
     }
   }
 
+  /** Bucket of one key value under this target's layout — the SAME
+    * expression the writer buckets by (`pmod(hash(key), B)`, Spark's
+    * Murmur3 with its default seed), evaluated driver-side on the key
+    * cast to the stored column's type. No Spark job.
+    */
+  private def bucketOf(key: Any, keyType: org.apache.spark.sql.types.DataType,
+                       nB: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+    val asKeyType = Cast(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(key)),
+      org.apache.spark.sql.types.StringType), keyType, Some("UTC"))
+    val h = new Murmur3Hash(Seq(asKeyType)).eval(null).asInstanceOf[Int]
+    ((h % nB) + nB) % nB
+  }
+
+  /** Point lookup: rows of the current snapshot whose key is in `keys`,
+    * reading ONLY the bucket directories those keys hash into — I/O is
+    * O(|keys| buckets), not O(|target|), which is the read-side twin of
+    * the touched-buckets merge write. Keys are compared as typed
+    * literals cast from their string form (so `Seq(7)` and `Seq("7")`
+    * behave alike, and the filter still pushes into the parquet scan).
+    * None when the target has no current version or was written by the
+    * legacy (pre-bucket-metadata) layout, which has nothing to prune by
+    * — use [[readTarget]] + filter there.
+    */
+  def readTargetKeys(spark: SparkSession, targetDir: String,
+                     keys: Seq[Any]): Option[DataFrame] = {
+    val cur = currentVersion(targetDir)
+    if (cur < 0 || keys.isEmpty) return None
+    bucketMeta(targetDir).map { case (nB, keyCol) =>
+      val m = manifest(targetDir, cur)
+      val all = m.values.map(rel => s"$targetDir/$rel").toSeq.sorted
+      val keyType = spark.read.option("mergeSchema", "true")
+        .parquet(all: _*).schema(keyCol).dataType // footer-only read
+      val typedKeys = keys.map { k =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        val v = Cast(Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(k)),
+          org.apache.spark.sql.types.StringType), keyType, Some("UTC")).eval(null)
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(Literal(v, keyType))
+      }
+      val wanted = keys.map(k => bucketOf(k, keyType, nB)).toSet
+      // a wanted bucket can be absent from the manifest (never held a
+      // row) — then those keys simply have no rows to read
+      val pruned = m.filter { case (b, _) => b == -1 || wanted.contains(b) }
+        .values.map(rel => s"$targetDir/$rel").toSeq.sorted
+      val base =
+        if (pruned.isEmpty)
+          spark.read.option("mergeSchema", "true").parquet(all: _*).filter(lit(false))
+        else spark.read.option("mergeSchema", "true").parquet(pruned: _*)
+      base.filter(col(keyCol).isin(typedKeys: _*))
+    }
+  }
+
   /** Upsert `updates` into the target by `keyCol`. `orderCol` breaks
     * intra-batch duplicate keys (highest wins = "last" in source
     * order). Returns rows affected (size of the update batch after

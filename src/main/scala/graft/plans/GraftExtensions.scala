@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target", null, "", "", "", "", "", "", "scala_udf"),
         GraftTargetTvf.build _))
+    // graft_target_lookup('<path>', key...) — bucket-pruned point reads
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_lookup"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_lookup", null, "", "", "", "", "", "", "scala_udf"),
+        GraftTargetLookupTvf.build _))
   }
 }
 

@@ -88,6 +88,26 @@ object GraftTargetTvf {
   }
 }
 
+/** `graft_target_lookup('<path>', key[, key...])` table-valued
+  * function — bucket-pruned point lookup on a merge target: the scan
+  * underneath reads ONLY the bucket directories the given keys hash
+  * into ([[graft.merge.MergeWriter.readTargetKeys]]), so a point read
+  * against a huge target costs O(|keys| buckets), not a snapshot scan.
+  * Keys are literals, compared after a cast to the stored key type.
+  */
+object GraftTargetLookupTvf {
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size >= 2, "usage: graft_target_lookup('<path>', key[, key...])")
+    require(exprs.forall(_.foldable), "graft_target_lookup arguments must be literals")
+    val path = String.valueOf(exprs.head.eval())
+    val keys = exprs.tail.map(e => String.valueOf(e.eval()))
+    MergeWriter.readTargetKeys(SparkSession.active, path, keys)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_target_lookup: no bucketed merge target at $path"))
+      .queryExecution.logical
+  }
+}
+
 /** Delegating parser that recognizes the path-target MERGE grammar
   * above and hands everything else to Spark's parser. Injected via
   * [[GraftExtensions]].

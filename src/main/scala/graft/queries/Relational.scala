@@ -210,6 +210,38 @@ object Relational {
         |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
         |ORDER BY o_orderkey""".stripMargin),
 
+    // K2 read side at point-lookup granularity: the same two-batch
+    // target, read back through graft_target_lookup — the bucket-pruned
+    // scan (only the buckets the keys hash into; ExtensionsSpec pins
+    // the file-count pruning). Key 7 is in neither batch, so the
+    // lookup also proves absent keys return nothing.
+    q("q_target_lookup")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_target_lookup")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_l1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .createOrReplaceTempView("graft_l2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_l1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_l2 ON o_orderkey").collect()
+          s2.sql("SELECT o_orderkey, o_totalprice, o_orderstatus " +
+            s"FROM graft_target_lookup('$dir', 4, 6, 7, 9, 32) ORDER BY o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
+        |COALESCE(up.o_orderstatus, tg.o_orderstatus) AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |WHERE COALESCE(up.o_orderkey, tg.o_orderkey) IN (4, 6, 7, 9, 32)
+        |ORDER BY o_orderkey""".stripMargin),
+
     // §2.7 W1: row_number — latest order per customer.
     q("q_window_rownum")(
       (s, d) => {

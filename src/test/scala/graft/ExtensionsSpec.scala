@@ -87,6 +87,44 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("bucket-pruned point lookup reads only the wanted buckets") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("target_lookup").toString
+    val rows = (1L to 400L).map(k => (k, s"v$k", k % 5))
+    MergeWriter.merge(spark, dir,
+      rows.toDF("k", "v", "w").withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+      "k", "ord", buckets = 16)
+    val full = MergeWriter.readTarget(spark, dir).get
+    val keys = Seq(7L, 99L, 250L)
+
+    // exact same rows as a full-scan filter...
+    val viaLookup = MergeWriter.readTargetKeys(spark, dir, keys).get
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(viaLookup == keys.map(k => k -> s"v$k").toSet)
+    // ...typed and stringly keys behave alike
+    assert(MergeWriter.readTargetKeys(spark, dir, keys.map(_.toString)).get
+      .select($"k", $"v").as[(Long, String)].collect().toSet == viaLookup)
+
+    // the lookup plan touches strictly fewer files than the snapshot
+    val prunedFiles = MergeWriter.readTargetKeys(spark, dir, keys).get.inputFiles.toSet
+    val allFiles = full.inputFiles.toSet
+    assert(prunedFiles.subsetOf(allFiles))
+    assert(prunedFiles.size < allFiles.size,
+      s"lookup read ${prunedFiles.size}/${allFiles.size} files — no pruning happened")
+
+    // absent keys: empty result, still pruned
+    assert(MergeWriter.readTargetKeys(spark, dir, Seq(100000L)).get.count() == 0)
+
+    // the SQL surface composes like any relation
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    val viaSql = s2.sql(s"SELECT k, v FROM graft_target_lookup('$dir', 7, 99, 250) ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(viaSql == keys.sorted.map(k => k -> s"v$k"))
+    intercept[Exception] {
+      s2.sql("SELECT * FROM graft_target_lookup('/nope/missing', 1)").collect()
+    }
+  }
+
   test("native dot product matches the HOF formulation exactly") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet").limit(50).cache()
     val hof = e.select($"vec_id",
