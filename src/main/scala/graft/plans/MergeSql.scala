@@ -108,9 +108,33 @@ object GraftTargetLookupTvf {
   }
 }
 
+/** `COMPACT '<path>'` — fold a merge target's cross-version bucket
+  * references into one self-contained version (the SQL face of
+  * [[MergeWriter.compact]]). Returns the new current version.
+  */
+case class CompactPathCommand(targetDir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("compacted_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    MergeWriter.compact(session, targetDir)
+    Seq(Row(MergeWriter.currentVersion(targetDir).toLong))
+  }
+}
+
+/** `VACUUM '<path>' [KEEP n]` — reclaim versions older than the newest
+  * `n` (default 2) that no kept manifest references (the SQL face of
+  * [[MergeWriter.vacuum]]). Returns how many versions were reclaimed.
+  */
+case class VacuumPathCommand(targetDir: String, keep: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("reclaimed_versions", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(MergeWriter.vacuum(targetDir, keep).size.toLong))
+}
+
 /** Delegating parser that recognizes the path-target MERGE grammar
-  * above and hands everything else to Spark's parser. Injected via
-  * [[GraftExtensions]].
+  * above (plus the COMPACT/VACUUM maintenance statements) and hands
+  * everything else to Spark's parser. Injected via [[GraftExtensions]].
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -121,6 +145,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val UpsertWhenRe =
     """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+
+  private val CompactRe = """(?is)^\s*COMPACT\s+'([^']+)'\s*;?\s*$""".r
+  private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case MergeRe(dir, source, lhs, rhs, order, buckets, when) =>
@@ -133,6 +160,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "'WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *'")
       MergeIntoPathCommand(dir, source, lhs,
         Option(order), Option(buckets).map(_.toInt))
+    case CompactRe(dir) => CompactPathCommand(dir)
+    case VacuumRe(dir, keep) =>
+      VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))
     case _ => delegate.parsePlan(sqlText)
   }
 

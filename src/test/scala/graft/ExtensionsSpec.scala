@@ -78,6 +78,16 @@ class ExtensionsSpec extends SparkSpec {
       assert(asOfV0 == Map(1L -> "a", 2L -> "b2")) // before the second batch
       intercept[Exception] { s2.sql("SELECT * FROM graft_target('/nope/missing')").collect() }
 
+      // maintenance surface: COMPACT folds the merge chain into one
+      // self-contained version; VACUUM KEEP 1 reclaims the rest
+      val ver = s2.sql(s"COMPACT '$dir'").collect().head.getLong(0)
+      assert(ver == MergeWriter.currentVersion(dir).toLong && ver >= 2)
+      val reclaimed = s2.sql(s"VACUUM '$dir' KEEP 1").collect().head.getLong(0)
+      assert(reclaimed >= 1)
+      val afterMaint = MergeWriter.readTarget(s2, dir).get
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(afterMaint == Map(1L -> "a", 2L -> "c", 3L -> "e"))
+
       // everything else still parses through the delegate
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
       // the sibling never displaced the globals
