@@ -54,6 +54,10 @@ object MergeWriter {
   /** Bucket count fixed at first write; None before any merge. */
   def numBuckets(targetDir: String): Option[Int] = bucketMeta(targetDir).map(_._1)
 
+  /** (bucket count, key column) for the pruning rule; None = legacy. */
+  private[graft] def bucketLayout(targetDir: String): Option[(Int, String)] =
+    bucketMeta(targetDir)
+
   /** (bucket count, key column) recorded at first merge. */
   private def bucketMeta(targetDir: String): Option[(Int, String)] = {
     val p = bucketsFile(targetDir)

@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_lookup"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_lookup", null, "", "", "", "", "", "", "scala_udf"),
         GraftTargetLookupTvf.build _))
+    // graft_target point lookups auto-prune: `WHERE key = lit` over the
+    // deferred target node lowers to the bucket-pruned scan once filter
+    // pushdown parks the predicate on it; anything left lowers to the
+    // full snapshot before CBO. See [[TargetPruning]].
+    e.injectOptimizerRule(s => TargetPointLookupRule(s))
+    e.injectPreCBORule(s => TargetFinalizeRule(s))
   }
 }
 

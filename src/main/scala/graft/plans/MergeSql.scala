@@ -82,9 +82,20 @@ object GraftTargetTvf {
       if (exprs.size == 2)
         MergeWriter.readTargetAt(spark, path, String.valueOf(exprs(1).eval()).toInt)
       else MergeWriter.readTarget(spark, path)
-    snapshot.getOrElse(throw new IllegalArgumentException(
+    val df = snapshot.getOrElse(throw new IllegalArgumentException(
       s"graft_target: no merge target (or no such version) at $path"))
-      .queryExecution.logical
+    // current-snapshot reads of a bucketed target stay DEFERRED
+    // ([[GraftTargetNode]]) so the optimizer can lower a point lookup
+    // to the pruned scan; time-travel and legacy targets read plainly.
+    // The node wraps the ANALYZED relation — a leaf must expose
+    // resolved output attributes, the analyzer won't descend into it.
+    if (exprs.size == 1)
+      MergeWriter.bucketLayout(path) match {
+        case Some((_, keyCol)) =>
+          GraftTargetNode(path, keyCol, df.queryExecution.analyzed)
+        case None => df.queryExecution.logical
+      }
+    else df.queryExecution.logical
   }
 }
 

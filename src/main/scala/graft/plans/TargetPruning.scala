@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualNullSafe, EqualTo, Expression, In, InSet, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.merge.MergeWriter
+
+/** Deferred `graft_target('<path>')` scan: a leaf that remembers the
+  * target path (and its bucket key) so the optimizer can still choose
+  * HOW to read it. The TVF returns this node instead of the concrete
+  * parquet relation whenever the target has a bucket layout; the two
+  * injected rules below lower it:
+  *
+  *  - [[TargetPointLookupRule]] (operator-optimization fixed point):
+  *    once filter pushdown has parked a `Filter` directly on the node,
+  *    a conjunct of the form `key = lit` / `key IN (lits)` lowers the
+  *    node to the bucket-pruned scan
+  *    ([[MergeWriter.readTargetKeys]] — only the buckets those keys
+  *    hash into), so `SELECT ... FROM graft_target(p) WHERE k = 7`
+  *    reads O(1) buckets of a huge target with no special syntax.
+  *  - [[TargetFinalizeRule]] (pre-CBO, i.e. after that fixed point):
+  *    any node still deferred (no filter, or no key-literal conjunct)
+  *    lowers to the full snapshot scan — exactly what the TVF returned
+  *    before this optimization existed.
+  *
+  * The node's `output` attributes ARE the snapshot relation's, so the
+  * full-scan lowering is attribute-identical; the pruned lowering is a
+  * fresh relation and gets re-aliased onto the node's exprIds.
+  */
+case class GraftTargetNode(path: String, keyCol: String, full: LogicalPlan)
+    extends LeafNode {
+  override def output: Seq[Attribute] = full.output
+  override def computeStats(): Statistics = full.stats
+
+  /** The node's key attribute (by name, case-insensitive). */
+  def keyAttr: Option[Attribute] =
+    output.find(_.name.equalsIgnoreCase(keyCol))
+}
+
+object TargetPruning {
+
+  /** Literal key values of every usable conjunct (`key = lit`,
+    * `key <=> lit`, `key IN (lits)`, optimizer-converted `INSET`);
+    * None when no conjunct restricts the key to literals.
+    */
+  private def keyLiterals(cond: Expression, key: Attribute): Option[Seq[Any]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def isKey(e: Expression): Boolean = e match {
+      case a: Attribute => a.exprId == key.exprId
+      case _            => false
+    }
+    val hits = conjuncts(cond).collect {
+      case EqualTo(a, l) if isKey(a) && l.foldable        => Seq(l.eval())
+      case EqualTo(l, a) if isKey(a) && l.foldable        => Seq(l.eval())
+      case EqualNullSafe(a, l) if isKey(a) && l.foldable  => Seq(l.eval())
+      case EqualNullSafe(l, a) if isKey(a) && l.foldable  => Seq(l.eval())
+      case In(a, vs) if isKey(a) && vs.forall(_.foldable) => vs.map(_.eval())
+      case InSet(a, vs) if isKey(a)                       => vs.toSeq
+    }
+    // several conjuncts on the key (k = 7 AND k IN (...)) → intersection
+    // would be exact, but any single conjunct's keys are a superset of
+    // the rows; the smallest set reads fewest buckets
+    if (hits.isEmpty) None else Some(hits.minBy(_.size).filter(_ != null))
+  }
+
+  /** Re-alias `fresh`'s output (matched by name) onto `wanted`'s
+    * exprIds so the replacement is attribute-transparent upstream.
+    */
+  private def remap(fresh: LogicalPlan, wanted: Seq[Attribute]): LogicalPlan = {
+    val byName = fresh.output.map(a => a.name.toLowerCase -> a).toMap
+    val fields: Seq[NamedExpression] = wanted.map { o =>
+      Alias(byName(o.name.toLowerCase), o.name)(exprId = o.exprId)
+    }
+    Project(fields, fresh)
+  }
+
+  private[plans] def lowerPruned(spark: SparkSession, g: GraftTargetNode,
+                                 keys: Seq[Any]): Option[LogicalPlan] =
+    MergeWriter.readTargetKeys(spark, g.path, keys.map(String.valueOf))
+      .map(df => remap(df.queryExecution.analyzed, g.output))
+
+  private[plans] def tryPrune(spark: SparkSession, f: Filter): Option[LogicalPlan] =
+    f.child match {
+      case g: GraftTargetNode =>
+        for {
+          key <- g.keyAttr
+          keys <- keyLiterals(f.condition, key)
+          if keys.nonEmpty
+          pruned <- lowerPruned(spark, g, keys)
+        } yield Filter(f.condition, pruned)
+      case _ => None
+    }
+}
+
+/** Operator-optimization rule: lower Filter-adjacent point lookups to
+  * the bucket-pruned scan. Anything else is left deferred — filters
+  * may still be migrating toward the leaf inside this fixed point.
+  */
+case class TargetPointLookupRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f: Filter => TargetPruning.tryPrune(spark, f).getOrElse(f)
+  }
+}
+
+/** Pre-CBO rule: pushdown is done; any node still deferred reads the
+  * full snapshot (the pre-optimization behavior).
+  */
+case class TargetFinalizeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // a last-chance prune for shapes the fixed point never saw
+    // Filter-adjacent (e.g. a filter only combined in its final sweep)
+    case f: Filter => TargetPruning.tryPrune(spark, f).getOrElse(f)
+    case g: GraftTargetNode => g.full
+  }
+}

@@ -133,6 +133,21 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       s2.sql("SELECT * FROM graft_target_lookup('/nope/missing', 1)").collect()
     }
+
+    // plain graft_target + WHERE key literal auto-prunes via the
+    // injected optimizer rule — no special syntax needed
+    val auto = s2.sql(s"SELECT k, v FROM graft_target('$dir') WHERE k = 7")
+    assert(auto.as[(Long, String)].collect().toSeq == Seq(7L -> "v7"))
+    assert(auto.inputFiles.toSet.subsetOf(allFiles) && auto.inputFiles.length < allFiles.size,
+      s"auto point lookup read ${auto.inputFiles.length}/${allFiles.size} files")
+    // IN-lists prune too, and residual predicates still apply on top
+    val autoIn = s2.sql(
+      s"SELECT k, v FROM graft_target('$dir') WHERE k IN (7, 99, 250) AND v <> 'v99'")
+    assert(autoIn.as[(Long, String)].collect().toSet == Set(7L -> "v7", 250L -> "v250"))
+    assert(autoIn.inputFiles.length < allFiles.size)
+    // non-point predicates keep the full snapshot scan and full results
+    val range = s2.sql(s"SELECT count(*) FROM graft_target('$dir') WHERE k >= 200")
+    assert(range.collect().head.getLong(0) == 201L)
   }
 
   test("native dot product matches the HOF formulation exactly") {
