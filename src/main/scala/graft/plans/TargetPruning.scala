@@ -79,19 +79,39 @@ object TargetPruning {
     Project(fields, fresh)
   }
 
+  /** Key types whose internal value survives the external-string
+    * round trip the lookup path uses (internal → Scala → string →
+    * cast-back). Timestamps are excluded — their string render is
+    * JVM-timezone-dependent; floats for NaN/-0.0 edges.
+    */
+  private def safeKeyType(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType |
+         _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType |
+         _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.BooleanType |
+         _: org.apache.spark.sql.types.DateType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
   private[plans] def lowerPruned(spark: SparkSession, g: GraftTargetNode,
-                                 keys: Seq[Any]): Option[LogicalPlan] =
-    MergeWriter.readTargetKeys(spark, g.path, keys.map(String.valueOf))
+                                 key: Attribute, keys: Seq[Any]): Option[LogicalPlan] = {
+    // keys are catalyst-internal values (UTF8String, days-int, Decimal):
+    // convert to their external form before the stringly lookup API
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(key.dataType)
+    MergeWriter.readTargetKeys(spark, g.path, keys.map(toScala))
       .map(df => remap(df.queryExecution.analyzed, g.output))
+  }
 
   private[plans] def tryPrune(spark: SparkSession, f: Filter): Option[LogicalPlan] =
     f.child match {
       case g: GraftTargetNode =>
         for {
           key <- g.keyAttr
+          if safeKeyType(key.dataType)
           keys <- keyLiterals(f.condition, key)
           if keys.nonEmpty
-          pruned <- lowerPruned(spark, g, keys)
+          pruned <- lowerPruned(spark, g, key, keys)
         } yield Filter(f.condition, pruned)
       case _ => None
     }

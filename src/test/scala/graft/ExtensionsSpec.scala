@@ -148,6 +148,18 @@ class ExtensionsSpec extends SparkSpec {
     // non-point predicates keep the full snapshot scan and full results
     val range = s2.sql(s"SELECT count(*) FROM graft_target('$dir') WHERE k >= 200")
     assert(range.collect().head.getLong(0) == 201L)
+
+    // string-keyed targets auto-prune too (internal UTF8String values
+    // must convert to their external form on the way to the lookup)
+    val sdir = java.nio.file.Files.createTempDirectory("target_lookup_str").toString
+    MergeWriter.merge(spark, sdir,
+      (1 to 200).map(i => (s"id-$i", i)).toDF("name", "n")
+        .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+      "name", "ord", buckets = 16)
+    val sAuto = s2.sql(s"SELECT name, n FROM graft_target('$sdir') WHERE name = 'id-42'")
+    assert(sAuto.as[(String, Int)].collect().toSeq == Seq("id-42" -> 42))
+    val sAll = MergeWriter.readTarget(s2, sdir).get.inputFiles.toSet
+    assert(sAuto.inputFiles.length < sAll.size)
   }
 
   test("native dot product matches the HOF formulation exactly") {
