@@ -117,42 +117,72 @@ object MergeWriter {
     ((h % nB) + nB) % nB
   }
 
-  /** Point lookup: rows of the current snapshot whose key is in `keys`,
-    * reading ONLY the bucket directories those keys hash into — I/O is
-    * O(|keys| buckets), not O(|target|), which is the read-side twin of
-    * the touched-buckets merge write. Keys are compared as typed
-    * literals cast from their string form (so `Seq(7)` and `Seq("7")`
-    * behave alike, and the filter still pushes into the parquet scan).
-    * None when the target has no current version or was written by the
-    * legacy (pre-bucket-metadata) layout, which has nothing to prune by
-    * — use [[readTarget]] + filter there.
+  /** Key types whose value survives the string round trip the lookup
+    * path uses (value → string → cast to the stored type). Timestamps
+    * are excluded — their string render is JVM-timezone-dependent, so
+    * the driver-side bucket hash could disagree with the writer's;
+    * floats/doubles for NaN/-0.0 edges.
     */
-  def readTargetKeys(spark: SparkSession, targetDir: String,
-                     keys: Seq[Any]): Option[DataFrame] = {
-    val cur = currentVersion(targetDir)
-    if (cur < 0 || keys.isEmpty) return None
-    bucketMeta(targetDir).map { case (nB, keyCol) =>
+  private[graft] def stringRoundTrippable(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType |
+           _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.BooleanType |
+           _: org.apache.spark.sql.types.DateType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+
+  /** Point lookup: rows of snapshot `version` (default: current) whose
+    * key is in `keys`, reading ONLY the bucket directories those keys
+    * hash into — I/O is O(|keys| buckets), not O(|target|), which is
+    * the read-side twin of the touched-buckets merge write. Keys are
+    * compared as typed literals cast from their string form (so
+    * `Seq(7)` and `Seq("7")` behave alike, and the filter still pushes
+    * into the parquet scan); null keys match nothing, as in SQL.
+    *
+    * The pruned read is forced to the FULL snapshot schema
+    * (`schemaHint`, or a mergeSchema pass over every file when absent)
+    * so additive schema evolution cannot make the result schema vary
+    * with which buckets the keys happen to hit — files predating an
+    * added column read it as null.
+    *
+    * None when there is no such version, the target is legacy
+    * (pre-bucket-metadata), or the key type does not survive the
+    * string round trip (see [[stringRoundTrippable]]) — fall back to
+    * [[readTarget]] + a typed filter in those cases.
+    */
+  def readTargetKeys(spark: SparkSession, targetDir: String, keys: Seq[Any],
+                     version: Int = -1,
+                     schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] = {
+    val cur = if (version >= 0) version else currentVersion(targetDir)
+    if (cur < 0 || !Files.exists(manifestFile(targetDir, cur))) return None
+    val nonNull = keys.filter(_ != null)
+    bucketMeta(targetDir).flatMap { case (nB, keyCol) =>
       val m = manifest(targetDir, cur)
       val all = m.values.map(rel => s"$targetDir/$rel").toSeq.sorted
-      val keyType = spark.read.option("mergeSchema", "true")
-        .parquet(all: _*).schema(keyCol).dataType // footer-only read
-      val typedKeys = keys.map { k =>
+      val schema = schemaHint.getOrElse(
+        spark.read.option("mergeSchema", "true").parquet(all: _*).schema)
+      val keyType = schema(keyCol).dataType
+      if (!stringRoundTrippable(keyType)) return None
+      val typedKeys = nonNull.map { k =>
         import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
         val v = Cast(Literal(
           org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(k)),
           org.apache.spark.sql.types.StringType), keyType, Some("UTC")).eval(null)
         org.apache.spark.sql.graftbridge.ColumnBridge.column(Literal(v, keyType))
       }
-      val wanted = keys.map(k => bucketOf(k, keyType, nB)).toSet
+      val wanted = nonNull.map(k => bucketOf(k, keyType, nB)).toSet
       // a wanted bucket can be absent from the manifest (never held a
       // row) — then those keys simply have no rows to read
       val pruned = m.filter { case (b, _) => b == -1 || wanted.contains(b) }
         .values.map(rel => s"$targetDir/$rel").toSeq.sorted
       val base =
-        if (pruned.isEmpty)
-          spark.read.option("mergeSchema", "true").parquet(all: _*).filter(lit(false))
-        else spark.read.option("mergeSchema", "true").parquet(pruned: _*)
-      base.filter(col(keyCol).isin(typedKeys: _*))
+        if (pruned.isEmpty || typedKeys.isEmpty)
+          spark.read.schema(schema).parquet(all: _*).filter(lit(false))
+        else spark.read.schema(schema).parquet(pruned: _*)
+      Some(base.filter(col(keyCol).isin(typedKeys: _*)))
     }
   }
 
@@ -375,6 +405,9 @@ object MergeWriter {
     * Never touches the current version; safe any time after a merge.
     */
   def vacuum(targetDir: String, keep: Int = 2): Seq[Int] = lockFor(targetDir).synchronized {
+    // keep = 0 would consider NO version referenced — including the one
+    // _CURRENT points at — and delete the whole target
+    require(keep >= 1, s"vacuum needs keep >= 1, got $keep")
     if (currentVersion(targetDir) < 0) return Seq.empty
     val lease = acquireLease(targetDir)
     try vacuumLocked(targetDir, keep) finally lease.release()

@@ -88,11 +88,15 @@ object GraftTargetTvf {
     // ([[GraftTargetNode]]) so the optimizer can lower a point lookup
     // to the pruned scan; time-travel and legacy targets read plainly.
     // The node wraps the ANALYZED relation — a leaf must expose
-    // resolved output attributes, the analyzer won't descend into it.
+    // resolved output attributes, the analyzer won't descend into it —
+    // and PINS the version resolved here, so the pruned and full
+    // lowerings of one call can never observe different snapshots
+    // (a concurrent merge could advance _CURRENT before execution).
     if (exprs.size == 1)
       MergeWriter.bucketLayout(path) match {
         case Some((_, keyCol)) =>
-          GraftTargetNode(path, keyCol, df.queryExecution.analyzed)
+          GraftTargetNode(path, keyCol, MergeWriter.currentVersion(path),
+            df.queryExecution.analyzed)
         case None => df.queryExecution.logical
       }
     else df.queryExecution.logical
@@ -111,10 +115,15 @@ object GraftTargetLookupTvf {
     require(exprs.size >= 2, "usage: graft_target_lookup('<path>', key[, key...])")
     require(exprs.forall(_.foldable), "graft_target_lookup arguments must be literals")
     val path = String.valueOf(exprs.head.eval())
-    val keys = exprs.tail.map(e => String.valueOf(e.eval()))
+    // NULL keys match nothing (SQL semantics) — dropped BEFORE
+    // stringification, so they can never collide with a legitimate
+    // 'null' string key
+    val keys = exprs.tail.map(_.eval()).filter(_ != null).map(String.valueOf)
     MergeWriter.readTargetKeys(SparkSession.active, path, keys)
       .getOrElse(throw new IllegalArgumentException(
-        s"graft_target_lookup: no bucketed merge target at $path"))
+        "graft_target_lookup: no bucketed merge target at " + path +
+          " (or its key type does not support string-keyed lookup — " +
+          "use graft_target + a typed filter)"))
       .queryExecution.logical
   }
 }
@@ -127,6 +136,10 @@ case class CompactPathCommand(targetDir: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("compacted_version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
+    // a mistyped path must error like graft_target does, not return a
+    // success row claiming version -1 was compacted
+    require(MergeWriter.currentVersion(targetDir) >= 0,
+      s"COMPACT: no merge target at $targetDir")
     MergeWriter.compact(session, targetDir)
     Seq(Row(MergeWriter.currentVersion(targetDir).toLong))
   }
@@ -139,8 +152,11 @@ case class CompactPathCommand(targetDir: String) extends LeafRunnableCommand {
 case class VacuumPathCommand(targetDir: String, keep: Int) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("reclaimed_versions", LongType, nullable = false)())
-  override def run(session: SparkSession): Seq[Row] =
+  override def run(session: SparkSession): Seq[Row] = {
+    require(MergeWriter.currentVersion(targetDir) >= 0,
+      s"VACUUM: no merge target at $targetDir")
     Seq(Row(MergeWriter.vacuum(targetDir, keep).size.toLong))
+  }
 }
 
 /** Delegating parser that recognizes the path-target MERGE grammar

@@ -29,7 +29,8 @@ import graft.merge.MergeWriter
   * full-scan lowering is attribute-identical; the pruned lowering is a
   * fresh relation and gets re-aliased onto the node's exprIds.
   */
-case class GraftTargetNode(path: String, keyCol: String, full: LogicalPlan)
+case class GraftTargetNode(path: String, keyCol: String, version: Int,
+                           full: LogicalPlan)
     extends LeafNode {
   override def output: Seq[Attribute] = full.output
   override def computeStats(): Statistics = full.stats
@@ -79,27 +80,19 @@ object TargetPruning {
     Project(fields, fresh)
   }
 
-  /** Key types whose internal value survives the external-string
-    * round trip the lookup path uses (internal → Scala → string →
-    * cast-back). Timestamps are excluded — their string render is
-    * JVM-timezone-dependent; floats for NaN/-0.0 edges.
-    */
-  private def safeKeyType(t: org.apache.spark.sql.types.DataType): Boolean = t match {
-    case _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType |
-         _: org.apache.spark.sql.types.ShortType | _: org.apache.spark.sql.types.ByteType |
-         _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.BooleanType |
-         _: org.apache.spark.sql.types.DateType => true
-    case _: org.apache.spark.sql.types.DecimalType => true
-    case _ => false
-  }
-
   private[plans] def lowerPruned(spark: SparkSession, g: GraftTargetNode,
                                  key: Attribute, keys: Seq[Any]): Option[LogicalPlan] = {
     // keys are catalyst-internal values (UTF8String, days-int, Decimal):
-    // convert to their external form before the stringly lookup API
+    // convert to their external form before the stringly lookup API.
+    // The lookup is pinned to the node's analysis-time version and fed
+    // the full snapshot schema the node already resolved — no re-read
+    // of _CURRENT (a concurrent merge must not make the pruned and full
+    // lowerings observe different snapshots) and no all-files schema
+    // merge inside the optimizer.
     val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToScalaConverter(key.dataType)
-    MergeWriter.readTargetKeys(spark, g.path, keys.map(toScala))
+    MergeWriter.readTargetKeys(spark, g.path, keys.map(toScala),
+      version = g.version, schemaHint = Some(g.full.schema))
       .map(df => remap(df.queryExecution.analyzed, g.output))
   }
 
@@ -108,7 +101,7 @@ object TargetPruning {
       case g: GraftTargetNode =>
         for {
           key <- g.keyAttr
-          if safeKeyType(key.dataType)
+          if MergeWriter.stringRoundTrippable(key.dataType)
           keys <- keyLiterals(f.condition, key)
           if keys.nonEmpty
           pruned <- lowerPruned(spark, g, key, keys)

@@ -153,13 +153,46 @@ class ExtensionsSpec extends SparkSpec {
     // must convert to their external form on the way to the lookup)
     val sdir = java.nio.file.Files.createTempDirectory("target_lookup_str").toString
     MergeWriter.merge(spark, sdir,
-      (1 to 200).map(i => (s"id-$i", i)).toDF("name", "n")
+      ((1 to 200).map(i => (s"id-$i", i)) :+ ("null" -> 0)).toDF("name", "n")
         .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
       "name", "ord", buckets = 16)
     val sAuto = s2.sql(s"SELECT name, n FROM graft_target('$sdir') WHERE name = 'id-42'")
     assert(sAuto.as[(String, Int)].collect().toSeq == Seq("id-42" -> 42))
     val sAll = MergeWriter.readTarget(s2, sdir).get.inputFiles.toSet
     assert(sAuto.inputFiles.length < sAll.size)
+    // a NULL lookup key matches nothing — including the row whose key
+    // is literally the string 'null'
+    assert(s2.sql(s"SELECT * FROM graft_target_lookup('$sdir', NULL)").count() == 0)
+    assert(s2.sql(s"SELECT n FROM graft_target_lookup('$sdir', 'null')")
+      .as[Int].collect().toSeq == Seq(0))
+
+    // additive schema evolution: a point lookup hitting only un-evolved
+    // buckets still carries the full snapshot schema (added col = null)
+    MergeWriter.merge(spark, dir,
+      Seq((7L, "v7b", 0L, "extra7")).toDF("k", "v", "w", "x")
+        .withColumn("ord", org.apache.spark.sql.functions.lit(2)),
+      "k", "ord", buckets = 16)
+    val evolved = s2.sql(s"SELECT k, v, x FROM graft_target('$dir') WHERE k = 99")
+    assert(evolved.schema.fieldNames.toSeq == Seq("k", "v", "x"))
+    assert(evolved.as[(Long, String, Option[String])].collect().toSeq ==
+      Seq((99L, "v99", None)))
+    assert(s2.sql(s"SELECT x FROM graft_target('$dir') WHERE k = 7")
+      .as[String].collect().toSeq == Seq("extra7"))
+  }
+
+  test("maintenance statements validate their target and retention") {
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    // VACUUM KEEP 0 would reclaim the current version — rejected
+    val dir = java.nio.file.Files.createTempDirectory("maint_guard").toString
+    import spark.implicits._
+    graft.merge.MergeWriter.merge(spark, dir,
+      Seq((1L, "a")).toDF("k", "v").withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+      "k", "ord")
+    intercept[IllegalArgumentException] { s2.sql(s"VACUUM '$dir' KEEP 0").collect() }
+    assert(graft.merge.MergeWriter.readTarget(s2, dir).get.count() == 1)
+    // mistyped paths error instead of reporting success
+    intercept[IllegalArgumentException] { s2.sql("COMPACT '/nope/missing'").collect() }
+    intercept[IllegalArgumentException] { s2.sql("VACUUM '/nope/missing'").collect() }
   }
 
   test("native dot product matches the HOF formulation exactly") {
