@@ -180,6 +180,41 @@ class ExtensionsSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("extra7"))
   }
 
+  test("point lookup finds every stored key (driver/executor hash parity fuzz)") {
+    // pruning correctness rests on the driver-side bucket computation
+    // agreeing with the writer's executor-side pmod(hash(key), B) for
+    // every value — a silent divergence (seed, cast, sign handling)
+    // would make lookups return empty instead of failing loudly
+    import graft.merge.MergeWriter
+    val rnd = new scala.util.Random(42)
+    val longKeys = (1 to 200).map(_ => rnd.nextLong()).distinct
+    val ldir = java.nio.file.Files.createTempDirectory("hash_parity_l").toString
+    MergeWriter.merge(spark, ldir,
+      longKeys.map(k => (k, s"v$k")).toDF("k", "v")
+        .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+      "k", "ord", buckets = 32)
+    longKeys.grouped(40).foreach { chunk =>
+      val found = MergeWriter.readTargetKeys(spark, ldir, chunk).get
+        .select($"k").as[Long].collect().toSet
+      assert(found == chunk.toSet, s"missing: ${chunk.toSet -- found}")
+    }
+
+    val alphabet = "aZ9_-. ăßçşå日本語наб√é€"
+    val strKeys = (1 to 200).map(_ =>
+      (1 to 1 + rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      .distinct
+    val sdir = java.nio.file.Files.createTempDirectory("hash_parity_s").toString
+    MergeWriter.merge(spark, sdir,
+      strKeys.map(k => (k, k.length)).toDF("k", "n")
+        .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+      "k", "ord", buckets = 32)
+    strKeys.grouped(40).foreach { chunk =>
+      val found = MergeWriter.readTargetKeys(spark, sdir, chunk).get
+        .select($"k").as[String].collect().toSet
+      assert(found == chunk.toSet, s"missing: ${chunk.toSet -- found}")
+    }
+  }
+
   test("maintenance statements validate their target and retention") {
     val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
     // VACUUM KEEP 0 would reclaim the current version — rejected
