@@ -102,18 +102,17 @@ object MergeWriter {
     }
   }
 
-  /** Bucket of one key value under this target's layout — the SAME
-    * expression the writer buckets by (`pmod(hash(key), B)`, Spark's
-    * Murmur3 with its default seed), evaluated driver-side on the key
-    * cast to the stored column's type. No Spark job.
+  /** Bucket of one ALREADY-TYPED (catalyst-internal) key value under
+    * this target's layout — the SAME expression the writer buckets by
+    * (`pmod(hash(key), B)`, Spark's Murmur3 with its default seed),
+    * evaluated driver-side. Taking the typed value (not a string)
+    * guarantees the hashed value is the very one the lookup filter
+    * compares with. No Spark job.
     */
-  private def bucketOf(key: Any, keyType: org.apache.spark.sql.types.DataType,
+  private def bucketOf(typedKey: Any, keyType: org.apache.spark.sql.types.DataType,
                        nB: Int): Int = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
-    val asKeyType = Cast(Literal(
-      org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(key)),
-      org.apache.spark.sql.types.StringType), keyType, Some("UTC"))
-    val h = new Murmur3Hash(Seq(asKeyType)).eval(null).asInstanceOf[Int]
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = new Murmur3Hash(Seq(Literal(typedKey, keyType))).eval(null).asInstanceOf[Int]
     ((h % nB) + nB) % nB
   }
 
@@ -158,31 +157,43 @@ object MergeWriter {
       : Option[DataFrame] = {
     val cur = if (version >= 0) version else currentVersion(targetDir)
     if (cur < 0 || !Files.exists(manifestFile(targetDir, cur))) return None
-    val nonNull = keys.filter(_ != null)
     bucketMeta(targetDir).flatMap { case (nB, keyCol) =>
       val m = manifest(targetDir, cur)
       val all = m.values.map(rel => s"$targetDir/$rel").toSeq.sorted
       val schema = schemaHint.getOrElse(
         spark.read.option("mergeSchema", "true").parquet(all: _*).schema)
-      val keyType = schema(keyCol).dataType
+      // resolve the key column case-insensitively, like the rest of the
+      // engine: _BUCKETS may record the ON-clause spelling while the
+      // parquet column carries the source frame's
+      val keyField = schema.fields.find(_.name.equalsIgnoreCase(keyCol))
+        .getOrElse(return None)
+      val keyType = keyField.dataType
       if (!stringRoundTrippable(keyType)) return None
-      val typedKeys = nonNull.map { k =>
+      // one cast per key, shared by the filter literal AND the bucket
+      // hash, so the hashed value is provably the one compared; keys
+      // that fail the cast (or were null) can match nothing — drop them
+      val internalKeys = keys.filter(_ != null).map { k =>
         import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
-        val v = Cast(Literal(
+        Cast(Literal(
           org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(k)),
           org.apache.spark.sql.types.StringType), keyType, Some("UTC")).eval(null)
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(Literal(v, keyType))
-      }
-      val wanted = nonNull.map(k => bucketOf(k, keyType, nB)).toSet
+      }.filter(_ != null)
       // a wanted bucket can be absent from the manifest (never held a
       // row) — then those keys simply have no rows to read
+      val wanted = internalKeys.map(v => bucketOf(v, keyType, nB)).toSet
       val pruned = m.filter { case (b, _) => b == -1 || wanted.contains(b) }
         .values.map(rel => s"$targetDir/$rel").toSeq.sorted
-      val base =
-        if (pruned.isEmpty || typedKeys.isEmpty)
-          spark.read.schema(schema).parquet(all: _*).filter(lit(false))
-        else spark.read.schema(schema).parquet(pruned: _*)
-      Some(base.filter(col(keyCol).isin(typedKeys: _*)))
+      if (internalKeys.isEmpty || pruned.isEmpty)
+        // provably empty: same schema, zero I/O — no point listing a
+        // huge target's files just to filter(false) over them
+        return Some(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      val typedKeys = internalKeys.map { v =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal(v, keyType))
+      }
+      Some(spark.read.schema(schema).parquet(pruned: _*)
+        .filter(col(keyField.name).isin(typedKeys: _*)))
     }
   }
 

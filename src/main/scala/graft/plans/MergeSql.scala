@@ -78,25 +78,25 @@ object GraftTargetTvf {
     require(exprs.forall(_.foldable), "graft_target arguments must be literals")
     val path = String.valueOf(exprs.head.eval())
     val spark = SparkSession.active
-    val snapshot =
-      if (exprs.size == 2)
-        MergeWriter.readTargetAt(spark, path, String.valueOf(exprs(1).eval()).toInt)
-      else MergeWriter.readTarget(spark, path)
-    val df = snapshot.getOrElse(throw new IllegalArgumentException(
-      s"graft_target: no merge target (or no such version) at $path"))
+    // resolve _CURRENT exactly ONCE: the version pinned in the node and
+    // the relation wrapped by it must be the same snapshot, or a
+    // concurrent merge between two reads would let the pruned and full
+    // lowerings of one call observe different versions
+    val resolved =
+      if (exprs.size == 2) String.valueOf(exprs(1).eval()).toInt
+      else MergeWriter.currentVersion(path)
+    val df = MergeWriter.readTargetAt(spark, path, resolved)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_target: no merge target (or no such version) at $path"))
     // current-snapshot reads of a bucketed target stay DEFERRED
     // ([[GraftTargetNode]]) so the optimizer can lower a point lookup
     // to the pruned scan; time-travel and legacy targets read plainly.
     // The node wraps the ANALYZED relation — a leaf must expose
-    // resolved output attributes, the analyzer won't descend into it —
-    // and PINS the version resolved here, so the pruned and full
-    // lowerings of one call can never observe different snapshots
-    // (a concurrent merge could advance _CURRENT before execution).
+    // resolved output attributes, the analyzer won't descend into it.
     if (exprs.size == 1)
       MergeWriter.bucketLayout(path) match {
         case Some((_, keyCol)) =>
-          GraftTargetNode(path, keyCol, MergeWriter.currentVersion(path),
-            df.queryExecution.analyzed)
+          GraftTargetNode(path, keyCol, resolved, df.queryExecution.analyzed)
         case None => df.queryExecution.logical
       }
     else df.queryExecution.logical
@@ -117,8 +117,14 @@ object GraftTargetLookupTvf {
     val path = String.valueOf(exprs.head.eval())
     // NULL keys match nothing (SQL semantics) — dropped BEFORE
     // stringification, so they can never collide with a legitimate
-    // 'null' string key
-    val keys = exprs.tail.map(_.eval()).filter(_ != null).map(String.valueOf)
+    // 'null' string key. eval() yields catalyst-INTERNAL values (a
+    // DATE literal is a days-int whose String.valueOf would be a
+    // nonsense key): convert each to its external form first.
+    val keys = exprs.tail.flatMap { e =>
+      Option(e.eval()).map(v => String.valueOf(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(e.dataType)(v)))
+    }
     MergeWriter.readTargetKeys(SparkSession.active, path, keys)
       .getOrElse(throw new IllegalArgumentException(
         "graft_target_lookup: no bucketed merge target at " + path +

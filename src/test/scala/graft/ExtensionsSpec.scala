@@ -215,6 +215,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("date-keyed targets look up via typed DATE literals") {
+    // the TVF evals literals to catalyst-INTERNAL values (a DATE is a
+    // days-int): without external conversion the lookup would hash and
+    // compare a nonsense key and silently return nothing
+    import graft.merge.MergeWriter
+    val ddir = java.nio.file.Files.createTempDirectory("target_lookup_date").toString
+    val rows = (1 to 120).map(i => (java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i)), i))
+    MergeWriter.merge(spark, ddir, rows.toDF("d", "n")
+      .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+      "d", "ord", buckets = 8)
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    assert(s2.sql(s"SELECT n FROM graft_target_lookup('$ddir', DATE '2024-02-15')")
+      .as[Int].collect().toSeq == Seq(45))
+    val auto = s2.sql(s"SELECT n FROM graft_target('$ddir') WHERE d = DATE '2024-03-01'")
+    assert(auto.as[Int].collect().toSeq == Seq(60))
+    assert(auto.inputFiles.length < MergeWriter.readTarget(s2, ddir).get.inputFiles.length)
+  }
+
   test("maintenance statements validate their target and retention") {
     val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
     // VACUUM KEEP 0 would reclaim the current version — rejected
