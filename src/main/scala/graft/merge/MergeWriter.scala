@@ -58,6 +58,37 @@ object MergeWriter {
   private[graft] def bucketLayout(targetDir: String): Option[(Int, String)] =
     bucketMeta(targetDir)
 
+  /** Every snapshot version still on disk (manifest-bearing or legacy
+    * self-contained directory), ascending — the versions
+    * [[readTargetAt]] can still serve, subject to nothing vacuuming
+    * them between listing and reading.
+    */
+  def listVersions(targetDir: String): Seq[Int] = {
+    val dir = Paths.get(targetDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val ls = Files.list(dir)
+    try ls.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+"))
+      .map(_.drop(1).toInt)
+      .toSeq.sorted
+    finally ls.close()
+  }
+
+  /** Per-version metadata for the SQL `graft_target_versions` surface:
+    * (version, is_current, buckets mapped by its manifest, of which
+    * held physically in its own directory). Legacy self-contained
+    * versions report (-1-bucket) counts of 1/1.
+    */
+  private[graft] def versionInfo(targetDir: String): Seq[(Int, Boolean, Int, Int)] = {
+    val cur = currentVersion(targetDir)
+    listVersions(targetDir).map { v =>
+      val m = manifest(targetDir, v)
+      val own = m.values.count(_.startsWith(s"v$v/") ) + m.values.count(_ == s"v$v")
+      (v, v == cur, m.size, own)
+    }
+  }
+
   /** (bucket count, key column) recorded at first merge. */
   private def bucketMeta(targetDir: String): Option[(Int, String)] = {
     val p = bucketsFile(targetDir)

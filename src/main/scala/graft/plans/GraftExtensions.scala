@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_lookup"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_lookup", null, "", "", "", "", "", "", "scala_udf"),
         GraftTargetLookupTvf.build _))
+    // graft_target_versions('<path>') — time-travel discoverability
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_versions"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_versions", null, "", "", "", "", "", "", "scala_udf"),
+        GraftTargetVersionsTvf.build _))
     // graft_target point lookups auto-prune: `WHERE key = lit` over the
     // deferred target node lowers to the bucket-pruned scan once filter
     // pushdown parks the predicate on it; anything left lowers to the

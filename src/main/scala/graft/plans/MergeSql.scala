@@ -165,6 +165,29 @@ case class VacuumPathCommand(targetDir: String, keep: Int) extends LeafRunnableC
   }
 }
 
+/** `graft_target_versions('<path>')` table-valued function — version
+  * discoverability for the time-travel read side: which snapshot
+  * versions are still on disk (and thus valid second arguments to
+  * `graft_target(path, version)`), which is current, how many buckets
+  * each maps and how many it physically holds (own_buckets < buckets
+  * means the version points some buckets at older versions' files —
+  * what COMPACT folds).
+  */
+object GraftTargetVersionsTvf {
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "usage: graft_target_versions('<path>')")
+    require(exprs.forall(_.foldable), "graft_target_versions argument must be a literal")
+    val path = String.valueOf(exprs.head.eval())
+    val spark = SparkSession.active
+    val info = MergeWriter.versionInfo(path)
+    require(info.nonEmpty, s"graft_target_versions: no merge target at $path")
+    import org.apache.spark.sql.functions.col
+    spark.createDataFrame(info).toDF("version", "is_current", "buckets", "own_buckets")
+      .orderBy(col("version"))
+      .queryExecution.logical
+  }
+}
+
 /** Delegating parser that recognizes the path-target MERGE grammar
   * above (plus the COMPACT/VACUUM maintenance statements) and hands
   * everything else to Spark's parser. Injected via [[GraftExtensions]].

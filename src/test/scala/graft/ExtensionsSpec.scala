@@ -88,6 +88,16 @@ class ExtensionsSpec extends SparkSpec {
         .select("k", "v").as[(Long, String)].collect().toMap
       assert(afterMaint == Map(1L -> "a", 2L -> "c", 3L -> "e"))
 
+      // time-travel discoverability: the surviving versions, exactly
+      // one current, the compacted one fully self-contained
+      val vers = s2.sql(s"SELECT * FROM graft_target_versions('$dir') ORDER BY version")
+        .as[(Int, Boolean, Int, Int)].collect().toSeq
+      assert(vers.count(_._2) == 1)
+      assert(vers.exists { case (v, cur, b, own) => cur && v == ver.toInt && b == own })
+      intercept[Exception] {
+        s2.sql("SELECT * FROM graft_target_versions('/nope/missing')").collect()
+      }
+
       // everything else still parses through the delegate
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
       // the sibling never displaced the globals
