@@ -383,7 +383,16 @@ object MergeWriter {
         if (legacy) joined else joined.filter(col("_bucket").isin(touched.toSeq: _*))
       }
 
-    merged.write.mode("overwrite").partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
+    // partition-local sort by (bucket, key) before the write: the file
+    // writer's required partition-column clustering is then already
+    // satisfied (no second sort), and every bucket file comes out
+    // KEY-SORTED — parquet row-group min/max stats on the key become
+    // tight, so the pushed key filter of a point lookup skips row
+    // groups WITHIN the one bucket it reads. Costs a local sort of the
+    // touched buckets only; at 100 TB that is the difference between
+    // reading a whole multi-GB bucket and a few row groups of it.
+    merged.sortWithinPartitions(col("_bucket"), col(keyCol))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
     dedupedObs.unpersist()
 
     // manifest: rewritten buckets point here, untouched buckets carry
@@ -430,7 +439,8 @@ object MergeWriter {
     val keyed = readTarget(spark, targetDir).get
       .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nB)))
     val next = cur + 1
-    keyed.write.mode("overwrite")
+    // same key-sorted bucket files as the merge write path
+    keyed.sortWithinPartitions(col("_bucket"), col(keyCol)).write.mode("overwrite")
       .partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
     val written = listBucketDirs(Paths.get(targetDir, s"v$next", "data"))
     Files.writeString(manifestFile(targetDir, next),

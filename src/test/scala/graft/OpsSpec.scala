@@ -210,4 +210,29 @@ class OpsSpec extends SparkSpec {
     assert(t.filter($"order_id" === "K1").select($"customer_id").as[String].head() == "B")
     assert(t.filter($"order_id" === "K2").select($"customer_id").as[String].head() == "A")
   }
+
+  test("bucket files are written key-sorted (row-group skipping layout)") {
+    // every part file must be sorted by the key within itself, so
+    // parquet row-group min/max stats on the key are tight and a point
+    // lookup's pushed filter can skip row groups inside a bucket
+    val dir = Files.createTempDirectory("graft_sorted").toString + "/target"
+    val init = (1 to 500).map(i => (f"K$i%04d", "A", i)).toDF("order_id", "customer_id", "_src_order")
+    MergeWriter.merge(spark, dir, init, "order_id", "_src_order", buckets = 4)
+    val walk = Files.walk(java.nio.file.Paths.get(dir))
+    val parts =
+      try {
+        val it = walk.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val p = it.next().toString
+          if (p.contains("_bucket=") && p.endsWith(".parquet")) buf += p
+        }
+        buf.toSeq
+      } finally walk.close()
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val keys = spark.read.parquet(p).select($"order_id").as[String].collect().toSeq
+      assert(keys == keys.sorted, s"unsorted bucket file $p")
+    }
+  }
 }
