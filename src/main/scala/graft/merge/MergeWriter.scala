@@ -58,19 +58,25 @@ object MergeWriter {
   private[graft] def bucketLayout(targetDir: String): Option[(Int, String)] =
     bucketMeta(targetDir)
 
-  /** Every snapshot version still on disk (manifest-bearing or legacy
-    * self-contained directory), ascending — the versions
-    * [[readTargetAt]] can still serve, subject to nothing vacuuming
-    * them between listing and reading.
+  /** Every snapshot version still on disk that [[readTargetAt]] can
+    * consistently serve, ascending: manifest-bearing directories (the
+    * data write precedes the manifest, so these are complete even if
+    * the _CURRENT swap never happened) and legacy self-contained
+    * directories at or below the current pointer. A bare `v<N>` with
+    * NO manifest above the pointer is a crash-orphaned partial merge —
+    * advertising it would serve partial data — and is excluded (the
+    * next successful merge overwrites it).
     */
   def listVersions(targetDir: String): Seq[Int] = {
     val dir = Paths.get(targetDir)
     if (!Files.isDirectory(dir)) return Seq.empty
+    val cur = currentVersion(targetDir)
     val ls = Files.list(dir)
     try ls.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("v\\d+"))
       .map(_.drop(1).toInt)
+      .filter(v => v <= cur || Files.exists(manifestFile(targetDir, v)))
       .toSeq.sorted
     finally ls.close()
   }
@@ -202,12 +208,16 @@ object MergeWriter {
       if (!stringRoundTrippable(keyType)) return None
       // one cast per key, shared by the filter literal AND the bucket
       // hash, so the hashed value is provably the one compared; keys
-      // that fail the cast (or were null) can match nothing — drop them
+      // that fail the cast (or were null) can match nothing — drop
+      // them. EvalMode.TRY, explicitly: Spark 4 defaults ANSI on, and
+      // an ANSI cast would THROW on a malformed key instead of
+      // returning the documented empty result.
       val internalKeys = keys.filter(_ != null).map { k =>
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
         Cast(Literal(
           org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(k)),
-          org.apache.spark.sql.types.StringType), keyType, Some("UTC")).eval(null)
+          org.apache.spark.sql.types.StringType), keyType, Some("UTC"),
+          EvalMode.TRY).eval(null)
       }.filter(_ != null)
       // a wanted bucket can be absent from the manifest (never held a
       // row) — then those keys simply have no rows to read
@@ -469,11 +479,7 @@ object MergeWriter {
     val cur = currentVersion(targetDir)
     if (cur < 0) return Seq.empty
     val dir = Paths.get(targetDir)
-    val all = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("v\\d+"))
-      .map(_.drop(1).toInt)
-      .toSeq.sorted
+    val all = listVersions(targetDir)
     val kept = all.filter(v => v > cur - keep)
     val referenced = kept.flatMap(v => manifest(targetDir, v).values)
       .flatMap(rel => "^v(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)).toSet

@@ -179,11 +179,9 @@ object GraftTargetVersionsTvf {
     require(exprs.forall(_.foldable), "graft_target_versions argument must be a literal")
     val path = String.valueOf(exprs.head.eval())
     val spark = SparkSession.active
-    val info = MergeWriter.versionInfo(path)
+    val info = MergeWriter.versionInfo(path) // already ascending by version
     require(info.nonEmpty, s"graft_target_versions: no merge target at $path")
-    import org.apache.spark.sql.functions.col
     spark.createDataFrame(info).toDF("version", "is_current", "buckets", "own_buckets")
-      .orderBy(col("version"))
       .queryExecution.logical
   }
 }

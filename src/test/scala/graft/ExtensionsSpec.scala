@@ -97,6 +97,15 @@ class ExtensionsSpec extends SparkSpec {
       intercept[Exception] {
         s2.sql("SELECT * FROM graft_target_versions('/nope/missing')").collect()
       }
+      // a crash-orphaned bare v<N> directory above the pointer (data
+      // written, no manifest, no pointer swap) is NOT advertised — it
+      // would read back partial
+      val orphan = java.nio.file.Paths.get(dir, s"v${ver.toInt + 5}")
+      java.nio.file.Files.createDirectories(orphan.resolve("data"))
+      val after = s2.sql(s"SELECT version FROM graft_target_versions('$dir')")
+        .as[Int].collect().toSeq
+      assert(after == vers.map(_._1), s"orphan advertised: $after")
+      graft.util.Fs.deleteRecursively(orphan)
 
       // everything else still parses through the delegate
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
@@ -208,6 +217,11 @@ class ExtensionsSpec extends SparkSpec {
         .select($"k").as[Long].collect().toSet
       assert(found == chunk.toSet, s"missing: ${chunk.toSet -- found}")
     }
+    // a malformed key matches nothing — it must not throw, even under
+    // Spark 4's default ANSI cast semantics
+    assert(MergeWriter.readTargetKeys(spark, ldir, Seq("not-a-long")).get.count() == 0)
+    assert(MergeWriter.readTargetKeys(spark, ldir,
+      Seq("not-a-long", longKeys.head)).get.count() == 1)
 
     val alphabet = "aZ9_-. ăßçşå日本語наб√é€"
     val strKeys = (1 to 200).map(_ =>
