@@ -168,14 +168,19 @@ object Bench {
 
       val names = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
         "q_jaccard_pairs", "q_curation_pipeline")
-      val times = names.map { n =>
+      // min of two passes, like the headline set: a single pass on this
+      // noisy host has produced 7x outliers on individual queries, and
+      // these are the numbers the scale argument is judged on
+      def timeOnce(n: String): Double = {
         val t0 = System.nanoTime()
         try graft.util.CacheScope.loan {
-          SparkEntry.queries(n)(spark, dir.toString).queryExecution.toRdd.count(): Unit
+          SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count(): Unit
         }
         catch { case e: Throwable => System.err.println(s"[bench] scale $n: ${e.getMessage}") }
-        n -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       }
+      val pass1 = names.map(n => n -> timeOnce(n)).toMap
+      val times = names.map(n => n -> math.min(pass1(n), timeOnce(n)))
       s"""{"copies":$copies,${times.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
   }
 }
