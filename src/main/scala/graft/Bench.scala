@@ -170,17 +170,29 @@ object Bench {
         "q_jaccard_pairs", "q_curation_pipeline")
       // min of two passes, like the headline set: a single pass on this
       // noisy host has produced 7x outliers on individual queries, and
-      // these are the numbers the scale argument is judged on
-      def timeOnce(n: String): Double = {
+      // these are the numbers the scale argument is judged on. A pass
+      // that THREW reports no timing at all — recording a fast
+      // failure's wall time would let min-of-two pass off a crash as a
+      // good scale number; a failed query surfaces as -1.
+      def timeOnce(n: String): Option[Double] = {
         val t0 = System.nanoTime()
-        try graft.util.CacheScope.loan {
-          SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count(): Unit
+        try {
+          graft.util.CacheScope.loan {
+            SparkEntry.queries(n)(spark, dir).queryExecution.toRdd.count(): Unit
+          }
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scale $n: ${e.getMessage}"); None
         }
-        catch { case e: Throwable => System.err.println(s"[bench] scale $n: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
       }
       val pass1 = names.map(n => n -> timeOnce(n)).toMap
-      val times = names.map(n => n -> math.min(pass1(n), timeOnce(n)))
+      val times = names.map { n =>
+        n -> ((pass1(n), timeOnce(n)) match {
+          case (Some(a), Some(b)) => math.min(a, b)
+          case _                  => -1.0
+        })
+      }
       s"""{"copies":$copies,${times.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")}}"""
   }
 }

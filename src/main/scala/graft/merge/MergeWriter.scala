@@ -169,6 +169,9 @@ object MergeWriter {
       case _ => false
     }
 
+  private val lookupSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), org.apache.spark.sql.types.StructType]()
+
   /** Point lookup: rows of snapshot `version` (default: current) whose
     * key is in `keys`, reading ONLY the bucket directories those keys
     * hash into — I/O is O(|keys| buckets), not O(|target|), which is
@@ -197,8 +200,16 @@ object MergeWriter {
     bucketMeta(targetDir).flatMap { case (nB, keyCol) =>
       val m = manifest(targetDir, cur)
       val all = m.values.map(rel => s"$targetDir/$rel").toSeq.sorted
+      // a version's manifest (hence its file set and merged schema) is
+      // immutable once written: compute the merged schema once per
+      // (target, version) rather than footer-reading every snapshot
+      // file on every lookup. (Deleting a target directory out-of-band
+      // and recreating it at the same path could leave a stale entry —
+      // every other piece of target state breaks loudly in that case.)
       val schema = schemaHint.getOrElse(
-        spark.read.option("mergeSchema", "true").parquet(all: _*).schema)
+        lookupSchemaCache.computeIfAbsent(
+          (Paths.get(targetDir).toAbsolutePath.normalize.toString, cur),
+          _ => spark.read.option("mergeSchema", "true").parquet(all: _*).schema))
       // resolve the key column case-insensitively, like the rest of the
       // engine: _BUCKETS may record the ON-clause spelling while the
       // parquet column carries the source frame's

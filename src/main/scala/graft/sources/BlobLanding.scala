@@ -70,9 +70,24 @@ object BlobLanding {
         val swept = dir.resolve(s".$name.$format.claim.swept-${java.util.UUID.randomUUID().toString.take(8)}")
         try {
           Files.move(claim, swept, StandardCopyOption.ATOMIC_MOVE)
+          // the staleness check above raced: between it and our rename,
+          // another contender may have completed ITS takeover and
+          // re-claimed — then the file we just swept is that winner's
+          // FRESH claim, and proceeding would let two landers publish
+          // over each other. Verify the swept file itself is stale;
+          // if not, hand it back (best effort) and lose.
+          val sweptStale = System.currentTimeMillis() -
+            Files.getLastModifiedTime(swept).toMillis >= staleClaimMs
+          if (!sweptStale) {
+            try Files.move(swept, claim, StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: Exception => Files.deleteIfExists(swept): Unit }
+            throw new java.nio.file.FileAlreadyExistsException(target.toString)
+          }
           Files.deleteIfExists(swept)
           Files.createFile(claim)
         } catch {
+          case e: java.nio.file.FileAlreadyExistsException if e.getMessage == target.toString =>
+            throw e
           case _: Exception =>
             throw new java.nio.file.FileAlreadyExistsException(target.toString)
         }

@@ -49,8 +49,9 @@ object IncrementalIngestion {
            pipelineName: String = "OrdersPipeline"): FireOutcome = {
     val inc = JdbcSource.readIncremental(spark, url, table, watermarkCol, stateDir,
       props, quoteLiteral)
-    // LIMIT-1 probe, pushed to the database — cheaper than landing and
-    // running a whole pipeline on a header-only file
+    // early-terminating emptiness probe (take(1) stops the JDBC fetch
+    // after the first row) — cheaper than landing and running a whole
+    // pipeline on a header-only file
     if (inc.df.isEmpty)
       return FireOutcome("Empty", None, None, 0L, watermarkCommitted = false)
     val name = s"${table.replaceAll("[^A-Za-z0-9_]", "_")}_inc_" +

@@ -26,6 +26,14 @@ object RestSource {
     def fetch(url: String): String
   }
 
+  // default-path spill dirs swept at JVM exit (one hook, lazy install)
+  private val tempSpills = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val sweepHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempSpills.forEach(p =>
+      try graft.util.Fs.deleteRecursively(p) catch { case _: Exception => () }),
+    "graft-rest-spill-sweep"))
+  private def sweepAtExit(p: java.nio.file.Path): Unit = { sweepHook; tempSpills.add(p): Unit }
+
   /** `java.net.http` GET with redirects, bounded timeout, JSON accept. */
   final class HttpJsonFetcher(timeoutSeconds: Long = 20) extends JsonFetcher {
     @transient private lazy val client = java.net.http.HttpClient.newBuilder()
@@ -83,7 +91,16 @@ object RestSource {
           // parts would silently rename-replace published artifacts
           java.nio.file.Files.createTempDirectory(
             java.nio.file.Paths.get(d), "walk-")
-        }.getOrElse(java.nio.file.Files.createTempDirectory("graft_rest_spill"))
+        }.getOrElse {
+          // default temp spills must outlive the lazily-read frame, so
+          // they cannot be deleted here — sweep them at JVM exit so a
+          // long-lived driver doing many deep walks doesn't fill /tmp.
+          // Callers keeping frames past JVM exit pass spillDir and own
+          // the artifact's lifecycle.
+          val t = java.nio.file.Files.createTempDirectory("graft_rest_spill")
+          sweepAtExit(t)
+          t
+        }
       }
       val name = f"part-$parts%05d.jsonl"
       val tmp = spillPath.resolve(s".$name.tmp")
