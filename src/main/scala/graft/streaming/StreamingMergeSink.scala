@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.monotonically_increasing_id
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.merge.MergeWriter
+
+/** Streaming keyed-upsert sink: each micro-batch MERGEs into a
+  * [[MergeWriter]] bucketed target — the streaming twin of the batch
+  * pipeline's Migrate step (SURVEY.md §2.2 K2 + §2.10 C7), i.e. the
+  * CDC-style "latest row per key" materialization a change stream
+  * feeds.
+  *
+  * Delivery: checkpointed at-least-once. A replayed micro-batch
+  * re-merges the same keys with the same values, and the merge's
+  * last-wins-by-key semantics make the replay idempotent on the
+  * target — effectively-once, the same argument as the batch path's
+  * landing replays. Within one micro-batch, source order wins
+  * duplicate keys (`monotonically_increasing_id` order column, the
+  * batch Migrate's exact shape).
+  *
+  * Scale: each micro-batch costs O(touched buckets) target I/O, so a
+  * trickle of updates against a huge target stays cheap; the target's
+  * single-writer lease serializes this sink against any concurrent
+  * batch Migrate writing the same directory.
+  */
+object StreamingMergeSink {
+
+  def start(updates: DataFrame, targetDir: String, keyCol: String,
+            checkpointDir: String,
+            buckets: Int = MergeWriter.DefaultBuckets,
+            trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          MergeWriter.merge(batch.sparkSession, targetDir,
+            batch.withColumn("_src_order", monotonically_increasing_id()),
+            keyCol, "_src_order", buckets): Unit
+        }
+      }
+      .start()
+}
