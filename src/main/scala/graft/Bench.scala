@@ -103,8 +103,12 @@ object Bench {
       graft.util.Fs.deleteRecursively(dir)
       dt
     }
-    val p100k = pipelineSecs(100000)
-    val p1m = pipelineSecs(1000000)
+    // min-of-two, like the headline set: a single pass on this noisy
+    // host has shown 35% swings with identical code — the min is the
+    // steady-state signal. Each pass generates its own fixture (cheap,
+    // outside the timed window inside pipelineSecs).
+    val p100k = math.min(pipelineSecs(100000), pipelineSecs(100000))
+    val p1m = math.min(pipelineSecs(1000000), pipelineSecs(1000000))
     val pipeline = s"""{"fixture_100k_sec":$p100k,"file_1m_sec":$p1m}"""
 
     val scale = scaleSmoke(spark, sfDir)
@@ -113,7 +117,7 @@ object Bench {
     spark.stop()
   }
 
-  /** The 5 most expensive headline queries at `SCALE_COPIES`× the bench
+  /** The most expensive headline queries at `SCALE_COPIES`× the bench
     * scale factor (default 10× — run at sf0.1 this is an sf1.0-
     * equivalent): catches plans that only break past local-comfort
     * sizes (skew, bucket blowup, driver materialization). The scaled
@@ -166,8 +170,11 @@ object Bench {
           if (i == 0) col("text") else regexp_replace(col("text"), "(\\S+)", "$1_" + i)))
         .reduce(_ union _).write.mode("overwrite").parquet(dest("documents"))
 
+      // read-heavy representatives plus the two write/token-heavy ones:
+      // q_merge_sql exercises bucketed write amplification at 10x the
+      // update volume, q_span_mask the postings index at 10x the tokens
       val names = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
-        "q_jaccard_pairs", "q_curation_pipeline")
+        "q_jaccard_pairs", "q_curation_pipeline", "q_merge_sql", "q_span_mask")
       // min of two passes, like the headline set: a single pass on this
       // noisy host has produced 7x outliers on individual queries, and
       // these are the numbers the scale argument is judged on. A pass

@@ -253,6 +253,15 @@ object MergeWriter {
     * intra-batch duplicate keys (highest wins = "last" in source
     * order). Returns rows affected (size of the update batch after
     * dedup, mirroring the reference's MERGE @@ROWCOUNT).
+    *
+    * `deleteCol` names an optional boolean column in `updates`: rows
+    * where it is true are tombstones — a matched target key is removed,
+    * an unmatched one is a no-op (a tombstone never inserts). The
+    * last-wins dedup runs FIRST, so within one batch the latest action
+    * per key decides (an upsert after a delete re-inserts; a delete
+    * after upserts removes) — exactly the CDC change-stream contract.
+    * Deletes cost the same O(touched buckets) I/O as upserts: the
+    * tombstone's bucket is rewritten without the row.
     */
   // one writer per target at a time. In-process: a JVM-level lock per
   // normalized path. Cross-JVM: a create-exclusive `_LEASE` file whose
@@ -324,28 +333,39 @@ object MergeWriter {
   def merge(spark: SparkSession, targetDir: String, updates: DataFrame,
             keyCol: String, orderCol: String,
             buckets: Int = DefaultBuckets,
-            leaseWaitMs: Long = 10000): Long = lockFor(targetDir).synchronized {
+            leaseWaitMs: Long = 10000,
+            deleteCol: Option[String] = None): Long = lockFor(targetDir).synchronized {
     Files.createDirectories(Paths.get(targetDir))
     val lease = acquireLease(targetDir, leaseWaitMs)
-    try mergeLocked(spark, targetDir, updates, keyCol, orderCol, buckets)
+    try mergeLocked(spark, targetDir, updates, keyCol, orderCol, buckets, deleteCol)
     finally lease.release()
   }
 
   private def mergeLocked(spark: SparkSession, targetDir: String, updates: DataFrame,
-                          keyCol: String, orderCol: String, buckets: Int): Long = {
+                          keyCol: String, orderCol: String, buckets: Int,
+                          deleteCol: Option[String]): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, _)) => b
       case None =>
         Files.writeString(bucketsFile(targetDir), s"$buckets\t$keyCol"); buckets
     }
-    val dataCols = updates.columns.filter(c => c != keyCol && c != orderCol)
+    val dataCols =
+      updates.columns.filter(c => c != keyCol && c != orderCol && !deleteCol.contains(c))
 
-    // last-wins dedup inside the batch (reference `migrate.js:10-15`)
+    // last-wins dedup inside the batch (reference `migrate.js:10-15`) —
+    // BEFORE the tombstone split, so the latest action per key decides
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
-    val deduped = updates
+    val deduped0 = updates
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn", orderCol)
       .withColumn("migrated_at", current_timestamp())
+    // normalize the tombstone flag (null = not a delete) to an internal
+    // column so the join/filter below is uniform; dropped before write
+    val deduped = deleteCol match {
+      case Some(dc) => deduped0
+        .withColumn("_gdel", coalesce(col(dc).cast("boolean"), lit(false))).drop(dc)
+      case None => deduped0.withColumn("_gdel", lit(false))
+    }
 
     // affected count rides on the bucket-discovery job via an
     // Observation — no separate counting pass
@@ -374,7 +394,7 @@ object MergeWriter {
         .values.toSet.map((rel: String) => s"$targetDir/$rel").toSeq.sorted
 
     val merged =
-      if (oldPaths.isEmpty) dedupedObs
+      if (oldPaths.isEmpty) dedupedObs.filter(!col("_gdel")).drop("_gdel")
       else {
         // mergeSchema: touched buckets written before an additive
         // schema change may carry older column sets
@@ -386,7 +406,8 @@ object MergeWriter {
         // additive schema evolution: a column only in the updates reads
         // null for pre-existing rows; a column only in the target is
         // carried forward untouched
-        val tData = oldCols.filterNot(c => c == keyCol || c == "migrated_at" || c == "_bucket")
+        val tData = oldCols.filterNot(c =>
+          c == keyCol || c == "migrated_at" || c == "_bucket" || c == "_gdel")
         val allData = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
         def dataCol(c: String) =
           if (dataCols.contains(c) && tData.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c"))
@@ -397,7 +418,10 @@ object MergeWriter {
           allData.map(c => dataCol(c).as(c)) :+
           coalesce(col("u.migrated_at"), col("t.migrated_at")).as("migrated_at") :+
           coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
+        // tombstones drop out here: a matched delete removes the target
+        // row from its rewritten bucket, an unmatched one inserts nothing
         val joined = t.join(u, col(s"t.$keyCol") === col(s"u.$keyCol"), "full_outer")
+          .filter(!coalesce(col("u._gdel"), lit(false)))
           .select(outCols: _*)
         // legacy migration keeps every row; bucketed merge only carries
         // rows of touched buckets (untouched buckets stay where they are)
@@ -417,12 +441,26 @@ object MergeWriter {
     dedupedObs.unpersist()
 
     // manifest: rewritten buckets point here, untouched buckets carry
-    // their old location forward
+    // their old location forward. A TOUCHED bucket absent from the
+    // write (every one of its rows deleted — the parquet writer emits
+    // no dir for an empty partition) must NOT carry forward: the old
+    // file still holds the deleted rows. It simply leaves the manifest.
     val written = listBucketDirs(Paths.get(targetDir, s"v$next", "data"))
     val carried =
       if (legacy) Map.empty[Int, String]
-      else oldManifest.filter { case (b, _) => b >= 0 && !written.contains(b) }
-    val entries = (carried ++ written.map(b => b -> s"v$next/data/_bucket=$b")).toSeq.sorted
+      else oldManifest.filter { case (b, _) =>
+        b >= 0 && !written.contains(b) && !touched.contains(b) }
+    val entries =
+      if (written.isEmpty && carried.isEmpty) {
+        // the target is now EMPTY (deletes removed every row): an
+        // entry-less manifest would read back as "no files" and fail
+        // schema inference — write one schema-bearing empty file
+        // instead, mapped as a legacy self-contained version (the next
+        // merge migrates it back to the bucketed layout)
+        merged.drop("_bucket").coalesce(1)
+          .write.mode("overwrite").parquet(s"$targetDir/v$next/data")
+        Seq(-1 -> s"v$next/data")
+      } else (carried ++ written.map(b => b -> s"v$next/data/_bucket=$b")).toSeq.sorted
     Files.writeString(manifestFile(targetDir, next),
       entries.map { case (b, rel) => s"$b\t$rel" }.mkString("", "\n", "\n"))
 

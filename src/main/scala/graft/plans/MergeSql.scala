@@ -19,6 +19,7 @@ import graft.merge.MergeWriter
   * {{{
   *   MERGE INTO '/path/to/target' USING source_view ON key_col
   *     [ORDER BY version_col] [BUCKETS n]
+  *     [WHEN MATCHED [AND cond] THEN DELETE]
   *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
   * }}}
   *
@@ -28,20 +29,42 @@ import graft.merge.MergeWriter
   * view. `ON t.k = s.k` is accepted when both sides name the same
   * column. Without `ORDER BY`, last-in-source-order wins intra-batch
   * duplicate keys (the reference's semantics, `migrate.js:10-15`);
-  * with it, the highest `version_col` wins. The only WHEN actions
-  * supported are the upsert pair `UPDATE SET * / INSERT *` — exactly
-  * what the engine's merge does; anything else raises. Returns one
-  * row: `rows_affected` (the reference's `@@ROWCOUNT`).
+  * with it, the highest `version_col` wins.
+  *
+  * WHEN actions: the upsert pair `UPDATE SET * / INSERT *` (the
+  * default when no WHEN clause is given — exactly what the engine's
+  * merge does), optionally preceded by a delete branch (the T-SQL
+  * MERGE delete form, reference `005_sp_migrate.sql:14-24`'s
+  * statement family). `cond` is any boolean expression over the
+  * SOURCE columns; omitted = every source row is a delete. A source
+  * row satisfying `cond` removes its key from the target (a no-op
+  * when absent — CDC semantics: a tombstone never inserts); with the
+  * upsert pair present, the remaining rows upsert as usual; without
+  * it, they do nothing. Anything else raises. Returns one row:
+  * `rows_affected` (the reference's `@@ROWCOUNT`).
   */
 case class MergeIntoPathCommand(targetDir: String, source: String, keyCol: String,
-                                orderCol: Option[String], buckets: Option[Int])
+                                orderCol: Option[String], buckets: Option[Int],
+                                deleteCond: Option[String] = None,
+                                upsert: Boolean = true)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(AttributeReference("rows_affected", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    val src = session.table(source)
+    import org.apache.spark.sql.functions.{expr, lit}
+    val src0 = session.table(source)
+    // the tombstone flag is computed on the source BEFORE the merge:
+    // delete-only form keeps just the rows the condition selects (the
+    // others take no action at all), combined form flags them inline
+    val src = deleteCond match {
+      case Some(c) if !upsert =>
+        src0.filter(expr(c)).withColumn("_graft_delete", lit(true))
+      case Some(c) =>
+        src0.withColumn("_graft_delete", expr(c).cast("boolean"))
+      case None => src0
+    }
     val (updates, ord) = orderCol match {
       case Some(c) => (src, c)
       case None =>
@@ -52,7 +75,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCol: Strin
         (src.withColumn(c, monotonically_increasing_id()), c)
     }
     val n = MergeWriter.merge(session, targetDir, updates, keyCol, ord,
-      buckets.getOrElse(MergeWriter.DefaultBuckets))
+      buckets.getOrElse(MergeWriter.DefaultBuckets),
+      deleteCol = deleteCond.map(_ => "_graft_delete"))
     Seq(Row(n))
   }
 }
@@ -88,18 +112,19 @@ object GraftTargetTvf {
     val df = MergeWriter.readTargetAt(spark, path, resolved)
       .getOrElse(throw new IllegalArgumentException(
         s"graft_target: no merge target (or no such version) at $path"))
-    // current-snapshot reads of a bucketed target stay DEFERRED
-    // ([[GraftTargetNode]]) so the optimizer can lower a point lookup
-    // to the pruned scan; time-travel and legacy targets read plainly.
+    // reads of a bucketed target stay DEFERRED ([[GraftTargetNode]]) so
+    // the optimizer can lower a point lookup to the pruned scan —
+    // current-snapshot AND time-travel alike (the node pins `resolved`,
+    // so the pruned lowering reads that version's manifest; a pinned
+    // version predating the bucket layout simply fails the pruned read
+    // and finalizes to the full scan). Legacy targets read plainly.
     // The node wraps the ANALYZED relation — a leaf must expose
     // resolved output attributes, the analyzer won't descend into it.
-    if (exprs.size == 1)
-      MergeWriter.bucketLayout(path) match {
-        case Some((_, keyCol)) =>
-          GraftTargetNode(path, keyCol, resolved, df.queryExecution.analyzed)
-        case None => df.queryExecution.logical
-      }
-    else df.queryExecution.logical
+    MergeWriter.bucketLayout(path) match {
+      case Some((_, keyCol)) =>
+        GraftTargetNode(path, keyCol, resolved, df.queryExecution.analyzed)
+      case None => df.queryExecution.logical
+    }
   }
 }
 
@@ -200,6 +225,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val UpsertWhenRe =
     """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
 
+  // optional leading delete branch of the WHEN blob: condition (over
+  // source columns) lazily up to THEN DELETE, then whatever follows
+  private val DeleteWhenRe =
+    """(?is)^\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*(WHEN\s.*)?$""".r
+
   private val CompactRe = """(?is)^\s*COMPACT\s+'([^']+)'\s*;?\s*$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
 
@@ -208,12 +238,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (rhs != null && rhs.toLowerCase != lhs.toLowerCase)
         throw new UnsupportedOperationException(
           s"MERGE INTO '<path>' requires an equi-key on one column; got ON $lhs = $rhs")
-      if (when != null && UpsertWhenRe.findFirstIn(when).isEmpty)
+      // peel an optional delete branch off the front of the WHEN blob;
+      // what remains must be the upsert pair (or nothing)
+      val (deleteCond, rest) = when match {
+        case null                 => (None, null)
+        case DeleteWhenRe(c, r)   => (Some(Option(c).getOrElse("true")), r)
+        case w                    => (None, w)
+      }
+      if (rest != null && UpsertWhenRe.findFirstIn(rest).isEmpty)
         throw new UnsupportedOperationException(
-          "MERGE INTO '<path>' supports only the upsert actions " +
+          "MERGE INTO '<path>' supports only an optional " +
+            "'WHEN MATCHED [AND cond] THEN DELETE' branch followed by the upsert pair " +
             "'WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *'")
+      // no WHEN clause at all defaults to the upsert pair; a lone
+      // delete branch means delete-only (unselected rows take no action)
+      val upsert = rest != null || when == null
       MergeIntoPathCommand(dir, source, lhs,
-        Option(order), Option(buckets).map(_.toInt))
+        Option(order), Option(buckets).map(_.toInt), deleteCond, upsert)
     case CompactRe(dir) => CompactPathCommand(dir)
     case VacuumRe(dir, keep) =>
       VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))

@@ -210,6 +210,43 @@ object Relational {
         |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
         |ORDER BY o_orderkey""".stripMargin),
 
+    // K2 + the T-SQL MERGE delete branch (CDC tombstones): batch 1
+    // seeds the target, batch 2 carries mixed actions — keys divisible
+    // by 10 are tombstones (matched → key removed; unmatched → no-op,
+    // a tombstone never inserts), the rest upsert. Oracle is the
+    // relational closed form: updates-win full outer with every
+    // tombstoned key removed.
+    q("q_merge_delete")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_del")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_d1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .createOrReplaceTempView("graft_d2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_d1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_d2 ON o_orderkey " +
+            "WHEN MATCHED AND o_orderkey % 10 = 0 THEN DELETE " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus FROM orders
+        |       WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
+        |COALESCE(up.o_orderstatus, tg.o_orderstatus) AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |WHERE COALESCE(up.o_orderkey, tg.o_orderkey) % 10 <> 0
+        |ORDER BY o_orderkey""".stripMargin),
+
     // K2 read side at point-lookup granularity: the same two-batch
     // target, read back through graft_target_lookup — the bucket-pruned
     // scan (only the buckets the keys hash into; ExtensionsSpec pins

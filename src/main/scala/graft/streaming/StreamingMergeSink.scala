@@ -27,10 +27,18 @@ import graft.merge.MergeWriter
   */
 object StreamingMergeSink {
 
+  /** `deleteCol` names an optional boolean column in the stream: rows
+    * where it is true are CDC tombstones — the key is removed from the
+    * target instead of upserted (a replayed tombstone re-deletes an
+    * already-absent key: still idempotent). Within a micro-batch the
+    * LATEST action per key wins, so an upsert after a delete
+    * re-inserts — the change-stream contract.
+    */
   def start(updates: DataFrame, targetDir: String, keyCol: String,
             checkpointDir: String,
             buckets: Int = MergeWriter.DefaultBuckets,
-            trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime(0L),
+            deleteCol: Option[String] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -38,7 +46,7 @@ object StreamingMergeSink {
         if (!batch.isEmpty) {
           MergeWriter.merge(batch.sparkSession, targetDir,
             batch.withColumn("_src_order", monotonically_increasing_id()),
-            keyCol, "_src_order", buckets): Unit
+            keyCol, "_src_order", buckets, deleteCol = deleteCol): Unit
         }
       }
       .start()

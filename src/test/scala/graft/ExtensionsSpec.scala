@@ -56,7 +56,7 @@ class ExtensionsSpec extends SparkSpec {
 
       // non-upsert WHEN actions and mismatched ON keys are rejected
       intercept[UnsupportedOperationException] {
-        s2.sql(s"MERGE INTO '$dir' USING src2 ON k WHEN MATCHED THEN DELETE")
+        s2.sql(s"MERGE INTO '$dir' USING src2 ON k WHEN MATCHED THEN UPDATE SET v = 1")
       }
       intercept[UnsupportedOperationException] {
         s2.sql(s"MERGE INTO '$dir' USING src2 ON t.k = s.other")
@@ -113,6 +113,62 @@ class ExtensionsSpec extends SparkSpec {
       assert(SparkSession.getDefaultSession.contains(spark))
     } finally {
       SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("MERGE delete branch removes matched keys and never inserts") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_del").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, String] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("del_seed")
+    s2.sql(s"MERGE INTO '$dir' USING del_seed ON k BUCKETS 4").collect()
+
+    // delete-only form: matched keys removed, an unmatched tombstone is
+    // a no-op (never inserts); rows_affected counts the tombstones
+    Seq(2L, 9L).toDF("k").createOrReplaceTempView("del_batch")
+    val n = s2.sql(s"MERGE INTO '$dir' USING del_batch ON k WHEN MATCHED THEN DELETE")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+    assert(state() == Map(1L -> "a", 3L -> "c"))
+
+    // conditional delete combined with the upsert pair: flagged rows
+    // delete, the rest upsert; intra-batch the LATEST action per key
+    // wins (k=7: delete then upsert → present; k=3: upsert then delete
+    // → gone)
+    Seq((3L, "c2", 1L, false), (3L, "c3", 2L, true),
+        (7L, "x", 1L, true), (7L, "y", 2L, false),
+        (5L, "e", 1L, false))
+      .toDF("k", "v", "ver", "is_del").createOrReplaceTempView("del_mixed")
+    s2.sql(s"MERGE INTO '$dir' USING del_mixed ON k ORDER BY ver " +
+      "WHEN MATCHED AND is_del THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
+    assert(state() == Map(1L -> "a", 5L -> "e", 7L -> "y"))
+
+    // delete EVERY remaining row: the target stays readable (schema
+    // kept) and point lookups return empty; a later merge repopulates
+    Seq(1L, 5L, 7L).toDF("k").createOrReplaceTempView("del_all")
+    s2.sql(s"MERGE INTO '$dir' USING del_all ON k WHEN MATCHED THEN DELETE").collect()
+    val empty = MergeWriter.readTarget(s2, dir).get
+    assert(empty.count() == 0)
+    assert(empty.columns.contains("k") && empty.columns.contains("v"))
+    assert(s2.sql(s"SELECT * FROM graft_target('$dir')").count() == 0)
+    Seq((4L, "d")).toDF("k", "v").createOrReplaceTempView("del_reseed")
+    s2.sql(s"MERGE INTO '$dir' USING del_reseed ON k").collect()
+    assert(state() == Map(4L -> "d"))
+
+    // time travel still sees the pre-delete snapshots (v0 = the seed)
+    assert(MergeWriter.readTargetAt(s2, dir, 0).get
+      .select($"k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+    // a malformed WHEN blob still raises
+    intercept[UnsupportedOperationException] {
+      s2.sql(s"MERGE INTO '$dir' USING del_seed ON k WHEN MATCHED THEN DELETE " +
+        "WHEN NOT MATCHED THEN INSERT *")
     }
   }
 
@@ -197,6 +253,19 @@ class ExtensionsSpec extends SparkSpec {
       Seq((99L, "v99", None)))
     assert(s2.sql(s"SELECT x FROM graft_target('$dir') WHERE k = 7")
       .as[String].collect().toSeq == Seq("extra7"))
+
+    // time-travel point lookups prune too: the 2-arg graft_target defers
+    // through the same node (version pinned), so a point read against an
+    // old version costs O(keys) buckets — not a full version-0 scan.
+    // Version 0 predates the k=7 update AND the added column x.
+    val v0All = MergeWriter.readTargetAt(s2, dir, 0).get.inputFiles.toSet
+    val ttAuto = s2.sql(s"SELECT k, v FROM graft_target('$dir', 0) WHERE k = 7")
+    assert(ttAuto.as[(Long, String)].collect().toSeq == Seq(7L -> "v7"))
+    assert(ttAuto.inputFiles.toSet.subsetOf(v0All) && ttAuto.inputFiles.length < v0All.size,
+      s"time-travel point lookup read ${ttAuto.inputFiles.length}/${v0All.size} files")
+    // non-point time-travel reads still see the whole old snapshot
+    assert(s2.sql(s"SELECT count(*) FROM graft_target('$dir', 0)")
+      .collect().head.getLong(0) == 400L)
   }
 
   test("point lookup finds every stored key (driver/executor hash parity fuzz)") {

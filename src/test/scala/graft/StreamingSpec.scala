@@ -71,6 +71,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge sink applies CDC tombstones: deletes remove keys idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val df = mem.toDF().toDF("k", "v", "is_del")
+    val target = Files.createTempDirectory("graft_stream_del").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_stream_del_ckpt").toString
+    val q = graft.streaming.StreamingMergeSink.start(df, target, "k", ckpt,
+      buckets = 8, deleteCol = Some("is_del"))
+    def state(): Map[Long, String] = graft.merge.MergeWriter.readTarget(spark, target).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    try {
+      mem.addData((1L, "a", false), (2L, "b", false), (3L, "c", false))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+      // a change batch with mixed actions: delete 2, update 3, insert 4,
+      // and a tombstone for a key that never existed (no-op, no insert)
+      mem.addData((2L, "b", true), (3L, "c2", false), (4L, "d", false), (9L, "x", true))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a", 3L -> "c2", 4L -> "d"))
+      // intra-batch: delete then re-insert the same key — LATEST action
+      // wins (source order), so the key survives with the new value
+      mem.addData((4L, "d", true), (4L, "d2", false))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a", 3L -> "c2", 4L -> "d2"))
+      // point lookup of a deleted key through the pruned read path
+      assert(graft.merge.MergeWriter.readTargetKeys(spark, target, Seq(2L)).get.count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops in-horizon duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
