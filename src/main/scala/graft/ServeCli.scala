@@ -34,7 +34,7 @@ object ServeCli {
     val schedules = new graft.scheduler.ScheduleRunner(
       s"$workDir/schedules", sc => runner.run(sc.sourcePath, sc.name)).start()
     val api = new ApiServer(catalog, runner, s"$workDir/uploads", port,
-      Some(schedules), Some(progress)).start()
+      Some(schedules), Some(progress), streamSession = Some(spark)).start()
     println(s"graft api listening on http://127.0.0.1:${api.boundPort}")
     Thread.currentThread().join()
   }

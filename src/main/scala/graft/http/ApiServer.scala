@@ -28,15 +28,21 @@ import graft.runner.PipelineRunner
   *                                        (workDir: per-request override)
   *   POST /runs/{id}/cancel               cooperative cancel
   *   POST /schedules/{id}/update?name=&scheduleType=&runAtTime=&...
+  *   GET  /streams                        active StreamingQuery progress
   *   POST /admin/sweep-timeouts?hours=    mark stale Running runs failed
   *
   * The coordination channel is the catalog (exactly the reference's
-  * design: the API reads what the background run writes).
+  * design: the API reads what the background run writes) — except
+  * `/streams`, which reads the live `SparkSession.streams` registry:
+  * the streaming twins (file-trigger, merge sink, dedup ingest) have
+  * no catalog runs, so their observability comes straight from the
+  * engine's StreamingQueryProgress.
   */
 class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
                 uploadDir: String, port: Int = 0,
                 schedules: Option[graft.scheduler.ScheduleRunner] = None,
-                progress: Option[graft.runner.ProgressListener] = None) {
+                progress: Option[graft.runner.ProgressListener] = None,
+                streamSession: Option[org.apache.spark.sql.SparkSession] = None) {
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
   private val MaxUploadBytes = 10 * 1024 * 1024
@@ -190,6 +196,24 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
       case ("POST", List("schedules", id, "delete")) =>
         schedules.foreach(_.delete(id))
         respond(x, 200, s"""{"scheduleId":"$id","deleted":true}""")
+      case ("GET", List("streams")) =>
+        // live streaming observability: one entry per active query on
+        // the session, carrying the engine's own last progress (batch
+        // id, rows/sec, event-time watermark) verbatim — the progress
+        // and status objects serialize themselves to JSON
+        def js(v: String): String = "\"" + v.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val items = streamSession.map(_.streams.active.toSeq).getOrElse(Seq.empty).map { sq =>
+          s"""{"id":"${sq.id}","runId":"${sq.runId}",""" +
+            s""""name":${Option(sq.name).map(js).getOrElse("null")},""" +
+            s""""isActive":${sq.isActive},"status":${sq.status.json},""" +
+            s""""lastProgress":${Option(sq.lastProgress).map(_.json).getOrElse("null")}}"""
+        }
+        respond(x, 200, items.mkString("[", ",", "]"))
       case ("POST", List("admin", "sweep-timeouts")) =>
         val swept = catalog.sweepTimeouts(q.get("hours").map(_.toInt).getOrElse(6))
         respond(x, 200, s"""{"swept":${swept.size}}""")
@@ -276,6 +300,10 @@ object ApiServer {
       |<table><thead><tr><th>name</th><th>type</th><th>at</th>
       |<th>enabled</th><th>next run</th><th>actions</th></tr></thead>
       |<tbody id="schedules"></tbody></table>
+      |<h3>Streams</h3>
+      |<table><thead><tr><th>name</th><th>id</th><th>active</th>
+      |<th>batch</th><th>rows</th><th>rows/sec</th><th>watermark</th></tr></thead>
+      |<tbody id="streams"></tbody></table>
       |<script>
       |let sel = null;
       |function row(values, onclick) {
@@ -346,9 +374,18 @@ object ApiServer {
       |  await fetch('/schedules?' + ps, {method: 'POST'});
       |  refreshSchedules();
       |});
+      |async function refreshStreams() {
+      |  const ss = await (await fetch('/streams')).json();
+      |  document.getElementById('streams').replaceChildren(...ss.map(s => {
+      |    const p = s.lastProgress || {};
+      |    return row([s.name, s.id, s.isActive, p.batchId, p.numInputRows,
+      |      p.inputRowsPerSecond, (p.eventTime || {}).watermark]);
+      |  }));
+      |}
       |for (const id of ['fPipeline', 'fStatus', 'fLevel'])
       |  document.getElementById(id).addEventListener('change', refresh);
-      |refresh(); refreshSchedules();
+      |refresh(); refreshSchedules(); refreshStreams();
       |setInterval(refresh, 2000); setInterval(refreshSchedules, 5000);
+      |setInterval(refreshStreams, 2000);
       |</script></body></html>""".stripMargin
 }

@@ -14,17 +14,21 @@ import graft.runner.PipelineRunner
   *   1. read the incremental JDBC window past the stored watermark
   *      ([[JdbcSource.readIncremental]] — the predicate is pushed to
   *      the database);
-  *   2. land it in the landing dir as an atomically-published
-  *      single-file CSV ([[BlobLanding]]; the name is unique per fire,
-  *      so a replayed window lands a NEW file rather than colliding
-  *      with the burned name of a previous attempt);
-  *   3. run the 4-step pipeline on the landed file;
+  *   2. land it in ONE source read: the window is written straight
+  *      into a hidden staging dir under landing ([[BlobLanding]]; the
+  *      name is unique per fire, so a replayed window lands a NEW file
+  *      rather than colliding with the burned name of a previous
+  *      attempt), and emptiness is decided from the landed file
+  *      itself — an up-front `isEmpty` probe would execute the JDBC
+  *      window a second time, doubling source latency per fire;
+  *   3. an empty window deletes the staged file and stops (`Empty`);
+  *      otherwise the file is atomically renamed into the landing dir
+  *      and the 4-step pipeline runs on it;
   *   4. commit the watermark IF AND ONLY IF the run succeeded.
   *
   * A failed (or crashed) run leaves the watermark unmoved, so the next
   * fire replays the same window — at-least-once delivery, which the
   * pipeline's merge-by-key target collapses to effectively-once.
-  * An empty window skips landing and pipeline entirely (`Empty`).
   *
   * Wire into a [[graft.scheduler.ScheduleRunner]] as its firing action:
   * {{{
@@ -46,21 +50,47 @@ object IncrementalIngestion {
            watermarkCol: String, stateDir: String, landingDir: String,
            props: java.util.Properties = new java.util.Properties,
            quoteLiteral: Boolean = false,
-           pipelineName: String = "OrdersPipeline"): FireOutcome = {
-    val inc = JdbcSource.readIncremental(spark, url, table, watermarkCol, stateDir,
-      props, quoteLiteral)
-    // early-terminating emptiness probe (take(1) stops the JDBC fetch
-    // after the first row) — cheaper than landing and running a whole
-    // pipeline on a header-only file
-    if (inc.df.isEmpty)
-      return FireOutcome("Empty", None, None, 0L, watermarkCommitted = false)
+           pipelineName: String = "OrdersPipeline"): FireOutcome =
+    fireWindow(runner,
+      JdbcSource.readIncremental(spark, url, table, watermarkCol, stateDir,
+        props, quoteLiteral),
+      table, landingDir, pipelineName)
+
+  /** Land-then-run for an already-constructed incremental window —
+    * the source query executes exactly ONCE per fire (the landing
+    * write); emptiness is read off the landed file, not probed with a
+    * second source execution. Public so custom incremental sources
+    * (and the execution-count spec) can drive the same path.
+    */
+  def fireWindow(runner: PipelineRunner, inc: JdbcSource.Incremental, table: String,
+                 landingDir: String,
+                 pipelineName: String = "OrdersPipeline"): FireOutcome = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val name = s"${table.replaceAll("[^A-Za-z0-9_]", "_")}_inc_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    val landed = BlobLanding.land(inc.df, landingDir, name, "csv")
-    val res = runner.run(landed, pipelineName)
+    // stage inside the landing dir (dot-prefixed = hidden from Spark
+    // readers and the file-trigger stream watching it) so the publish
+    // rename below stays a same-filesystem atomic move
+    val stage = Paths.get(landingDir, ".inc_stage")
+    val staged = Paths.get(BlobLanding.land(inc.df, stage.toString, name, "csv"))
+    // data rows = lines minus the header (quoted embedded newlines can
+    // only overcount — never make a non-empty window look empty)
+    val dataRows = {
+      val r = Files.newBufferedReader(staged)
+      try { var n = -1L; while (r.readLine() != null) n += 1; math.max(n, 0L) }
+      finally r.close()
+    }
+    if (dataRows == 0L) {
+      // nothing to ingest: no file ever becomes visible in landing
+      Files.deleteIfExists(staged)
+      return FireOutcome("Empty", None, None, 0L, watermarkCommitted = false)
+    }
+    val landed = Paths.get(landingDir, s"$name.csv")
+    Files.move(staged, landed, StandardCopyOption.ATOMIC_MOVE)
+    val res = runner.run(landed.toString, pipelineName)
     val ok = res.status == "Success"
     if (ok) inc.commit() // commit-after-landing: crash before this replays
-    FireOutcome(res.status, Some(res.runId), Some(landed),
+    FireOutcome(res.status, Some(res.runId), Some(landed.toString),
       res.rowsPerStep.getOrElse("Data Pull", 0L), watermarkCommitted = ok)
   }
 }

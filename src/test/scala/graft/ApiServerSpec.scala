@@ -131,6 +131,43 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("/streams surfaces live StreamingQuery progress and drops stopped queries") {
+    val work = Files.createTempDirectory("graft_api_streams").toString
+    val catalog = new RunCatalog(spark, s"$work/catalog")
+    val runner = new PipelineRunner(spark, catalog, work)
+    val api = new ApiServer(catalog, runner, s"$work/uploads",
+      streamSession = Some(spark)).start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // a server built WITHOUT a stream session reports nothing (and
+      // doesn't error) — streaming observability is opt-in
+      val none = new ApiServer(catalog, runner, s"$work/uploads2").start()
+      try assert(get(s"http://127.0.0.1:${none.boundPort}/streams").body() == "[]")
+      finally none.stop()
+
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("k", "v").writeStream.format("memory")
+        .queryName("graft_api_stream").start()
+      try {
+        mem.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+        val resp = get(s"$base/streams")
+        assert(resp.statusCode() == 200)
+        val body = resp.body()
+        // the engine's own progress JSON, addressable by query name:
+        // batch id, input rows, and activity flag round-trip
+        assert(body.startsWith("[") && body.contains("\"graft_api_stream\""))
+        assert(body.contains("\"isActive\":true"))
+        assert(body.contains("\"numInputRows\":2"))
+        assert(body.contains("\"batchId\""))
+        assert(body.contains(s""""id":"${q.id}""""))
+      } finally q.stop()
+      assert(!get(s"$base/streams").body().contains("graft_api_stream"))
+    } finally api.stop()
+  }
+
   test("multipart/form-data upload extracts the file part; raw body still works") {
     val work = Files.createTempDirectory("graft_api4").toString
     val catalog = new RunCatalog(spark, s"$work/catalog")

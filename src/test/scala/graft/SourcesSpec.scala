@@ -247,6 +247,46 @@ class SourcesSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("incremental fire executes the source window exactly once") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq("OrderId", "CustomerId", "Amount", "OrderDate")
+      .map(StructField(_, StringType)))
+    val landing = Files.createTempDirectory("graft_onefire_land").toString
+    val work = Files.createTempDirectory("graft_onefire_work").toString
+    val stateFile = Files.createTempDirectory("graft_onefire_wm").resolve("t.wm").toString
+    val runner = new graft.runner.PipelineRunner(spark,
+      new graft.catalog.RunCatalog(spark, s"$work/catalog"), work)
+    // a window whose every execution is observable: the accumulator
+    // bumps once per partition computation (1 partition → 1 per run)
+    val acc = spark.sparkContext.longAccumulator("graft_window_reads")
+    def window(rows: Seq[Row]): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1).mapPartitions { it => acc.add(1); it },
+        schema)
+
+    val rows = Seq(Row("1", "C1", "10.00", "2024-01-01"), Row("2", "C2", "20.00", "2024-01-02"))
+    val out = IncrementalIngestion.fireWindow(runner,
+      JdbcSource.Incremental(window(rows), Some("2"), stateFile), "t", landing)
+    assert(out.status == "Success" && out.rowsLanded == 2 && out.watermarkCommitted)
+    assert(acc.value == 1L, s"window executed ${acc.value} times — must be exactly once")
+    assert(Files.readString(java.nio.file.Paths.get(stateFile)) == "2")
+
+    // an empty window is ALSO one execution, publishes nothing visible
+    acc.reset()
+    val empty = IncrementalIngestion.fireWindow(runner,
+      JdbcSource.Incremental(window(Seq.empty), Some("2"), stateFile), "t", landing)
+    assert(empty.status == "Empty" && empty.landedPath.isEmpty && !empty.watermarkCommitted)
+    assert(acc.value == 1L)
+    val visible = {
+      val ls = Files.list(java.nio.file.Paths.get(landing))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(ls.iterator()).asScala
+        .map(_.getFileName.toString).filterNot(_.startsWith(".")).toList
+      finally ls.close()
+    }
+    assert(visible.size == 1 && visible.head.endsWith(".csv")) // only the first fire's file
+  }
+
   test("blob landing publishes atomically and feeds the pipeline") {
     val landing = Files.createTempDirectory("graft_landing").toString
     val df = Seq(("ORD-1", "C1", "25.00", "2024-01-05"),
