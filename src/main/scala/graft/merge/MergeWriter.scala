@@ -54,8 +54,8 @@ object MergeWriter {
   /** Bucket count fixed at first write; None before any merge. */
   def numBuckets(targetDir: String): Option[Int] = bucketMeta(targetDir).map(_._1)
 
-  /** (bucket count, key column) for the pruning rule; None = legacy. */
-  private[graft] def bucketLayout(targetDir: String): Option[(Int, String)] =
+  /** (bucket count, key columns) for the pruning rule; None = legacy. */
+  private[graft] def bucketLayout(targetDir: String): Option[(Int, Seq[String])] =
     bucketMeta(targetDir)
 
   /** Every snapshot version still on disk that [[readTargetAt]] can
@@ -95,13 +95,16 @@ object MergeWriter {
     }
   }
 
-  /** (bucket count, key column) recorded at first merge. */
-  private def bucketMeta(targetDir: String): Option[(Int, String)] = {
+  /** (bucket count, key columns) recorded at first merge. Composite
+    * keys are stored comma-joined — a single-key target written before
+    * composite support reads back identically (no comma, one key).
+    */
+  private def bucketMeta(targetDir: String): Option[(Int, Seq[String])] = {
     val p = bucketsFile(targetDir)
     if (!Files.exists(p)) None
     else {
       val parts = Files.readString(p).trim.split("\t")
-      Some((parts(0).toInt, parts(1)))
+      Some((parts(0).toInt, parts(1).split(",").toSeq))
     }
   }
 
@@ -197,7 +200,11 @@ object MergeWriter {
       : Option[DataFrame] = {
     val cur = if (version >= 0) version else currentVersion(targetDir)
     if (cur < 0 || !Files.exists(manifestFile(targetDir, cur))) return None
-    bucketMeta(targetDir).flatMap { case (nB, keyCol) =>
+    bucketMeta(targetDir).flatMap { case (nB, keyCols) =>
+      // stringly point lookup addresses exactly one key column; a
+      // composite-keyed target falls back to readTarget + typed filters
+      if (keyCols.size != 1) return None
+      val keyCol = keyCols.head
       val m = manifest(targetDir, cur)
       val all = m.values.map(rel => s"$targetDir/$rel").toSeq.sorted
       // a version's manifest (hence its file set and merged schema) is
@@ -334,27 +341,55 @@ object MergeWriter {
             keyCol: String, orderCol: String,
             buckets: Int = DefaultBuckets,
             leaseWaitMs: Long = 10000,
-            deleteCol: Option[String] = None): Long = lockFor(targetDir).synchronized {
+            deleteCol: Option[String] = None): Long =
+    mergeByKeys(spark, targetDir, updates, Seq(keyCol), orderCol, buckets,
+      leaseWaitMs, deleteCol)
+
+  /** Composite-key upsert: match on the conjunction of `keyCols`
+    * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
+    * single-key scale properties (touched-bucket I/O, key-sorted
+    * files) carry over. Point lookups via [[readTargetKeys]] remain
+    * single-key only — composite targets read through [[readTarget]]
+    * plus typed filters. Key columns must be non-null (standard merge
+    * keys; a null never equi-joins).
+    */
+  def mergeByKeys(spark: SparkSession, targetDir: String, updates: DataFrame,
+                  keyCols: Seq[String], orderCol: String,
+                  buckets: Int = DefaultBuckets,
+                  leaseWaitMs: Long = 10000,
+                  deleteCol: Option[String] = None): Long = lockFor(targetDir).synchronized {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
     Files.createDirectories(Paths.get(targetDir))
     val lease = acquireLease(targetDir, leaseWaitMs)
-    try mergeLocked(spark, targetDir, updates, keyCol, orderCol, buckets, deleteCol)
+    try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol)
     finally lease.release()
   }
 
   private def mergeLocked(spark: SparkSession, targetDir: String, updates: DataFrame,
-                          keyCol: String, orderCol: String, buckets: Int,
+                          keyCols: Seq[String], orderCol: String, buckets: Int,
                           deleteCol: Option[String]): Long = {
     val nB = bucketMeta(targetDir) match {
-      case Some((b, _)) => b
+      case Some((b, stored)) =>
+        // a different key set would hash rows into buckets the stored
+        // layout never wrote — corrupting every later lookup silently.
+        // Fail loudly instead (spelling may differ in case only).
+        require(stored.size == keyCols.size &&
+          stored.zip(keyCols).forall { case (a, bk) => a.equalsIgnoreCase(bk) },
+          s"merge keys ${keyCols.mkString(",")} do not match the target's " +
+            s"recorded layout ${stored.mkString(",")}")
+        b
       case None =>
-        Files.writeString(bucketsFile(targetDir), s"$buckets\t$keyCol"); buckets
+        Files.writeString(bucketsFile(targetDir), s"$buckets\t${keyCols.mkString(",")}")
+        buckets
     }
-    val dataCols =
-      updates.columns.filter(c => c != keyCol && c != orderCol && !deleteCol.contains(c))
+    val keySet = keyCols.toSet
+    val dataCols = updates.columns.filter(c =>
+      !keySet.contains(c) && c != orderCol && !deleteCol.contains(c))
+    def keyHash = pmod(hash(keyCols.map(col): _*), lit(nB))
 
     // last-wins dedup inside the batch (reference `migrate.js:10-15`) —
     // BEFORE the tombstone split, so the latest action per key decides
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
     val deduped0 = updates
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn", orderCol)
@@ -371,7 +406,7 @@ object MergeWriter {
     // Observation — no separate counting pass
     val obs = new org.apache.spark.sql.Observation()
     val dedupedObs = deduped.observe(obs, count(lit(1)).as("n_updates"))
-      .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nB)))
+      .withColumn("_bucket", keyHash)
       .persist()
 
     // ONE pass over the (possibly expensive) update chain: this action
@@ -401,26 +436,27 @@ object MergeWriter {
         val target = spark.read.option("mergeSchema", "true").parquet(oldPaths: _*)
         val oldCols = target.columns
         val t = (if (oldCols.contains("_bucket")) target else target
-          .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nB)))).as("t")
+          .withColumn("_bucket", keyHash)).as("t")
         val u = dedupedObs.as("u")
         // additive schema evolution: a column only in the updates reads
         // null for pre-existing rows; a column only in the target is
         // carried forward untouched
         val tData = oldCols.filterNot(c =>
-          c == keyCol || c == "migrated_at" || c == "_bucket" || c == "_gdel")
+          keySet.contains(c) || c == "migrated_at" || c == "_bucket" || c == "_gdel")
         val allData = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
         def dataCol(c: String) =
           if (dataCols.contains(c) && tData.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c"))
           else if (dataCols.contains(c)) col(s"u.$c")
           else col(s"t.$c")
         val outCols =
-          coalesce(col(s"u.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
+          keyCols.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
           allData.map(c => dataCol(c).as(c)) :+
           coalesce(col("u.migrated_at"), col("t.migrated_at")).as("migrated_at") :+
           coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
         // tombstones drop out here: a matched delete removes the target
         // row from its rewritten bucket, an unmatched one inserts nothing
-        val joined = t.join(u, col(s"t.$keyCol") === col(s"u.$keyCol"), "full_outer")
+        val joined = t.join(u,
+            keyCols.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _), "full_outer")
           .filter(!coalesce(col("u._gdel"), lit(false)))
           .select(outCols: _*)
         // legacy migration keeps every row; bucketed merge only carries
@@ -436,7 +472,7 @@ object MergeWriter {
     // groups WITHIN the one bucket it reads. Costs a local sort of the
     // touched buckets only; at 100 TB that is the difference between
     // reading a whole multi-GB bucket and a few row groups of it.
-    merged.sortWithinPartitions(col("_bucket"), col(keyCol))
+    merged.sortWithinPartitions((col("_bucket") +: keyCols.map(col)): _*)
       .write.mode("overwrite").partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
     dedupedObs.unpersist()
 
@@ -494,12 +530,13 @@ object MergeWriter {
   private def compactLocked(spark: SparkSession, targetDir: String): Unit = {
     val cur = currentVersion(targetDir)
     if (cur < 0) return
-    val (nB, keyCol) = bucketMeta(targetDir).getOrElse(return)
+    val (nB, keyCols) = bucketMeta(targetDir).getOrElse(return)
     val keyed = readTarget(spark, targetDir).get
-      .withColumn("_bucket", pmod(hash(col(keyCol)), lit(nB)))
+      .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(nB)))
     val next = cur + 1
     // same key-sorted bucket files as the merge write path
-    keyed.sortWithinPartitions(col("_bucket"), col(keyCol)).write.mode("overwrite")
+    keyed.sortWithinPartitions((col("_bucket") +: keyCols.map(col)): _*)
+      .write.mode("overwrite")
       .partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
     val written = listBucketDirs(Paths.get(targetDir, s"v$next", "data"))
     Files.writeString(manifestFile(targetDir, next),

@@ -17,7 +17,7 @@ import graft.merge.MergeWriter
   * INSERT`):
   *
   * {{{
-  *   MERGE INTO '/path/to/target' USING source_view ON key_col
+  *   MERGE INTO '/path/to/target' USING source_view ON key_col [AND key_col2 ...]
   *     [ORDER BY version_col] [BUCKETS n]
   *     [WHEN MATCHED [AND cond] THEN DELETE]
   *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
@@ -26,8 +26,10 @@ import graft.merge.MergeWriter
   * The target is a [[graft.merge.MergeWriter]] bucketed snapshot
   * directory (quoted path — these targets are filesystem-versioned,
   * not catalog tables); the source is any registered table or temp
-  * view. `ON t.k = s.k` is accepted when both sides name the same
-  * column. Without `ORDER BY`, last-in-source-order wins intra-batch
+  * view. `ON t.k = s.k [AND t.k2 = s.k2]` is accepted when each
+  * equality's sides name the same column; composite keys match on the
+  * conjunction (bucketed by the key tuple's hash).
+  * Without `ORDER BY`, last-in-source-order wins intra-batch
   * duplicate keys (the reference's semantics, `migrate.js:10-15`);
   * with it, the highest `version_col` wins.
   *
@@ -43,7 +45,7 @@ import graft.merge.MergeWriter
   * it, they do nothing. Anything else raises. Returns one row:
   * `rows_affected` (the reference's `@@ROWCOUNT`).
   */
-case class MergeIntoPathCommand(targetDir: String, source: String, keyCol: String,
+case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[String],
                                 orderCol: Option[String], buckets: Option[Int],
                                 deleteCond: Option[String] = None,
                                 upsert: Boolean = true)
@@ -74,7 +76,7 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCol: Strin
         val c = "_graft_src_order"
         (src.withColumn(c, monotonically_increasing_id()), c)
     }
-    val n = MergeWriter.merge(session, targetDir, updates, keyCol, ord,
+    val n = MergeWriter.mergeByKeys(session, targetDir, updates, keyCols, ord,
       buckets.getOrElse(MergeWriter.DefaultBuckets),
       deleteCol = deleteCond.map(_ => "_graft_delete"))
     Seq(Row(n))
@@ -121,9 +123,11 @@ object GraftTargetTvf {
     // The node wraps the ANALYZED relation — a leaf must expose
     // resolved output attributes, the analyzer won't descend into it.
     MergeWriter.bucketLayout(path) match {
-      case Some((_, keyCol)) =>
+      // the point-lookup node addresses one key column; composite-keyed
+      // targets read plainly (filters still push into the parquet scan)
+      case Some((_, Seq(keyCol))) =>
         GraftTargetNode(path, keyCol, resolved, df.queryExecution.analyzed)
-      case None => df.queryExecution.logical
+      case _ => df.queryExecution.logical
     }
   }
 }
@@ -219,8 +223,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val MergeRe =
     ("""(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+([\w.]+)""" +
-      """\s+ON\s+(?:[\w]+\.)?(\w+)(?:\s*=\s*(?:[\w]+\.)?(\w+))?""" +
+      """\s+ON\s+(.+?)""" +
       """(?:\s+ORDER\s+BY\s+(\w+))?(?:\s+BUCKETS\s+(\d+))?(\s+WHEN\s.*?)?\s*;?\s*$""").r
+
+  // one key spec of the ON conjunction: `k` or `t.k = s.k`
+  private val KeySpecRe = """(?is)^(?:[\w]+\.)?(\w+)(?:\s*=\s*(?:[\w]+\.)?(\w+))?$""".r
 
   private val UpsertWhenRe =
     """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
@@ -234,10 +241,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case MergeRe(dir, source, lhs, rhs, order, buckets, when) =>
-      if (rhs != null && rhs.toLowerCase != lhs.toLowerCase)
-        throw new UnsupportedOperationException(
-          s"MERGE INTO '<path>' requires an equi-key on one column; got ON $lhs = $rhs")
+    case MergeRe(dir, source, onClause, order, buckets, when) =>
+      // AND-separated key specs: each `k` or `t.k = s.k` with both
+      // sides naming the same column
+      val keyCols = onClause.trim.split("(?i)\\s+AND\\s+").toSeq.map {
+        case KeySpecRe(lhs, rhs) =>
+          if (rhs != null && rhs.toLowerCase != lhs.toLowerCase)
+            throw new UnsupportedOperationException(
+              s"MERGE INTO '<path>' requires same-named equi-keys; got $lhs = $rhs")
+          lhs
+        case other =>
+          throw new UnsupportedOperationException(
+            s"MERGE INTO '<path>' ON clause must be AND-joined equi-keys; got '$other'")
+      }
       // peel an optional delete branch off the front of the WHEN blob;
       // what remains must be the upsert pair (or nothing)
       val (deleteCond, rest) = when match {
@@ -253,7 +269,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // no WHEN clause at all defaults to the upsert pair; a lone
       // delete branch means delete-only (unselected rows take no action)
       val upsert = rest != null || when == null
-      MergeIntoPathCommand(dir, source, lhs,
+      MergeIntoPathCommand(dir, source, keyCols,
         Option(order), Option(buckets).map(_.toInt), deleteCond, upsert)
     case CompactRe(dir) => CompactPathCommand(dir)
     case VacuumRe(dir, keep) =>

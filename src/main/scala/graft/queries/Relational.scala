@@ -247,6 +247,48 @@ object Relational {
         |WHERE COALESCE(up.o_orderkey, tg.o_orderkey) % 10 <> 0
         |ORDER BY o_orderkey""".stripMargin),
 
+    // K2 with a COMPOSITE merge key: the MERGE matches on the
+    // (l_orderkey, l_linenumber) conjunction and buckets by the key
+    // tuple's hash. The testdata's lineitem repeats tuples, so both
+    // sides reduce to one row per tuple first (deterministic MAX) —
+    // otherwise the oracle's full outer would multiply where the
+    // merge's by-key semantics dedup. Oracle is the closed form:
+    // updates-win full outer on both key columns.
+    q("q_merge_composite")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_comp")
+        val s2 = mergeSqlSession(s)
+        try {
+          val li = t(s2, d, "lineitem")
+            .groupBy($"l_orderkey", $"l_linenumber")
+            .agg(max($"l_quantity").as("l_quantity"),
+              max($"l_returnflag").as("l_returnflag"))
+          li.filter($"l_orderkey" % 6 === 0).createOrReplaceTempView("graft_k1")
+          li.filter($"l_orderkey" % 4 === 0)
+            .withColumn("l_quantity", $"l_quantity" + 1.0)
+            .createOrReplaceTempView("graft_k2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_k1 ON l_orderkey AND l_linenumber").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_k2 " +
+            "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+            .orderBy($"l_orderkey", $"l_linenumber")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH li AS (SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity,
+        |            MAX(l_returnflag) AS l_returnflag FROM lineitem GROUP BY 1, 2),
+        |tg AS (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM li WHERE l_orderkey % 6 = 0),
+        |up AS (SELECT l_orderkey, l_linenumber, l_quantity + 1.0 AS l_quantity, l_returnflag FROM li WHERE l_orderkey % 4 = 0)
+        |SELECT COALESCE(up.l_orderkey, tg.l_orderkey) AS l_orderkey,
+        |COALESCE(up.l_linenumber, tg.l_linenumber) AS l_linenumber,
+        |COALESCE(up.l_quantity, tg.l_quantity) AS l_quantity,
+        |COALESCE(up.l_returnflag, tg.l_returnflag) AS l_returnflag
+        |FROM tg FULL OUTER JOIN up
+        |ON tg.l_orderkey = up.l_orderkey AND tg.l_linenumber = up.l_linenumber
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // K2 read side at point-lookup granularity: the same two-batch
     // target, read back through graft_target_lookup — the bucket-pruned
     // scan (only the buckets the keys hash into; ExtensionsSpec pins

@@ -172,6 +172,61 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("composite merge keys match on the conjunction; single-key behavior unchanged") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_comp").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[(Long, Int), String] = MergeWriter.readTarget(s2, dir).get
+      .select($"tenant", $"id", $"v").as[(Long, Int, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    // seed via the API overload: (tenant, id) is the key — the same id
+    // under different tenants must stay distinct rows
+    MergeWriter.mergeByKeys(spark, dir,
+      Seq((1L, 1, "t1-a"), (1L, 2, "t1-b"), (2L, 1, "t2-a")).toDF("tenant", "id", "v")
+        .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+      Seq("tenant", "id"), "ord", buckets = 4)
+    assert(state() == Map((1L, 1) -> "t1-a", (1L, 2) -> "t1-b", (2L, 1) -> "t2-a"))
+
+    // SQL surface: two-column ON updates one tuple, inserts another;
+    // tenant 2's id=1 is untouched by tenant 1's update of id=1
+    Seq((1L, 1, "t1-a2"), (2L, 7, "t2-c")).toDF("tenant", "id", "v")
+      .createOrReplaceTempView("comp_src")
+    val n = s2.sql(s"MERGE INTO '$dir' USING comp_src ON tenant AND id")
+      .collect().head.getLong(0)
+    assert(n == 2L)
+    assert(state() == Map((1L, 1) -> "t1-a2", (1L, 2) -> "t1-b",
+      (2L, 1) -> "t2-a", (2L, 7) -> "t2-c"))
+
+    // intra-batch last-wins dedups on the WHOLE tuple
+    Seq((1L, 2, "x"), (1L, 2, "y"), (3L, 2, "z")).toDF("tenant", "id", "v")
+      .createOrReplaceTempView("comp_dup")
+    s2.sql(s"MERGE INTO '$dir' USING comp_dup ON tenant AND id").collect()
+    assert(state()((1L, 2)) == "y" && state()((3L, 2)) == "z")
+
+    // delete branch composes with composite keys
+    Seq((1L, 2), (9L, 9)).toDF("tenant", "id").createOrReplaceTempView("comp_del")
+    s2.sql(s"MERGE INTO '$dir' USING comp_del ON tenant AND id " +
+      "WHEN MATCHED THEN DELETE").collect()
+    assert(!state().contains((1L, 2)) && state()((3L, 2)) == "z")
+
+    // read side: graft_target works (no point-lookup node for composite
+    // targets — the stringly lookup is single-key by design), COMPACT
+    // preserves the layout, and a mismatched key set fails loudly
+    assert(s2.sql(s"SELECT count(*) FROM graft_target('$dir') WHERE tenant = 1")
+      .collect().head.getLong(0) == 1L)
+    assert(MergeWriter.readTargetKeys(s2, dir, Seq(1L)).isEmpty)
+    s2.sql(s"COMPACT '$dir'").collect()
+    assert(state()((2L, 7)) == "t2-c")
+    intercept[IllegalArgumentException] {
+      MergeWriter.mergeByKeys(spark, dir,
+        Seq((1L, "w")).toDF("tenant", "v")
+          .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+        Seq("tenant"), "ord")
+    }
+  }
+
   test("bucket-pruned point lookup reads only the wanted buckets") {
     import graft.merge.MergeWriter
     val dir = java.nio.file.Files.createTempDirectory("target_lookup").toString
