@@ -142,17 +142,18 @@ object MergeWriter {
     }
   }
 
-  /** Bucket of one ALREADY-TYPED (catalyst-internal) key value under
+  /** Bucket of one ALREADY-TYPED (catalyst-internal) key tuple under
     * this target's layout — the SAME expression the writer buckets by
-    * (`pmod(hash(key), B)`, Spark's Murmur3 with its default seed),
-    * evaluated driver-side. Taking the typed value (not a string)
-    * guarantees the hashed value is the very one the lookup filter
-    * compares with. No Spark job.
+    * (`pmod(hash(key...), B)`, Spark's Murmur3 with its default seed
+    * chaining across the tuple's components), evaluated driver-side.
+    * Taking typed values (not strings) guarantees the hashed tuple is
+    * the very one the lookup filter compares with. No Spark job.
     */
-  private def bucketOf(typedKey: Any, keyType: org.apache.spark.sql.types.DataType,
+  private def bucketOf(typed: Seq[(Any, org.apache.spark.sql.types.DataType)],
                        nB: Int): Int = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
-    val h = new Murmur3Hash(Seq(Literal(typedKey, keyType))).eval(null).asInstanceOf[Int]
+    val h = new Murmur3Hash(typed.map { case (v, t) => Literal(v, t) })
+      .eval(null).asInstanceOf[Int]
     ((h % nB) + nB) % nB
   }
 
@@ -197,14 +198,29 @@ object MergeWriter {
   def readTargetKeys(spark: SparkSession, targetDir: String, keys: Seq[Any],
                      version: Int = -1,
                      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] =
+    // the single-key surface stays single-key: against a composite
+    // target it reports None (a bare key cannot address a key tuple)
+    bucketLayout(targetDir) match {
+      case Some((_, ks)) if ks.size == 1 =>
+        readTargetTuples(spark, targetDir, keys.map(Seq(_)), version, schemaHint)
+      case _ => None
+    }
+
+  /** Composite form of [[readTargetKeys]]: each element of `tuples` is
+    * one full key tuple in the target's recorded key-column order
+    * (single-key targets take 1-tuples). A tuple with the wrong arity,
+    * a null component, or an uncastable component matches nothing.
+    * I/O is O(|tuples| buckets); the pushed filter is the OR over
+    * tuples of the per-column equality conjunction.
+    */
+  def readTargetTuples(spark: SparkSession, targetDir: String, tuples: Seq[Seq[Any]],
+                       version: Int = -1,
+                       schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
       : Option[DataFrame] = {
     val cur = if (version >= 0) version else currentVersion(targetDir)
     if (cur < 0 || !Files.exists(manifestFile(targetDir, cur))) return None
     bucketMeta(targetDir).flatMap { case (nB, keyCols) =>
-      // stringly point lookup addresses exactly one key column; a
-      // composite-keyed target falls back to readTarget + typed filters
-      if (keyCols.size != 1) return None
-      val keyCol = keyCols.head
       val m = manifest(targetDir, cur)
       val all = m.values.map(rel => s"$targetDir/$rel").toSeq.sorted
       // a version's manifest (hence its file set and merged schema) is
@@ -217,42 +233,55 @@ object MergeWriter {
         lookupSchemaCache.computeIfAbsent(
           (Paths.get(targetDir).toAbsolutePath.normalize.toString, cur),
           _ => spark.read.option("mergeSchema", "true").parquet(all: _*).schema))
-      // resolve the key column case-insensitively, like the rest of the
+      // resolve the key columns case-insensitively, like the rest of the
       // engine: _BUCKETS may record the ON-clause spelling while the
       // parquet column carries the source frame's
-      val keyField = schema.fields.find(_.name.equalsIgnoreCase(keyCol))
-        .getOrElse(return None)
-      val keyType = keyField.dataType
-      if (!stringRoundTrippable(keyType)) return None
-      // one cast per key, shared by the filter literal AND the bucket
-      // hash, so the hashed value is provably the one compared; keys
-      // that fail the cast (or were null) can match nothing — drop
-      // them. EvalMode.TRY, explicitly: Spark 4 defaults ANSI on, and
-      // an ANSI cast would THROW on a malformed key instead of
-      // returning the documented empty result.
-      val internalKeys = keys.filter(_ != null).map { k =>
-        import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
-        Cast(Literal(
-          org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(k)),
-          org.apache.spark.sql.types.StringType), keyType, Some("UTC"),
-          EvalMode.TRY).eval(null)
-      }.filter(_ != null)
+      val keyFields = keyCols.map(kc =>
+        schema.fields.find(_.name.equalsIgnoreCase(kc)).getOrElse(return None))
+      if (!keyFields.forall(f => stringRoundTrippable(f.dataType))) return None
+      // one cast per component, shared by the filter literal AND the
+      // bucket hash, so the hashed tuple is provably the one compared;
+      // tuples with a component that fails the cast (or was null) can
+      // match nothing — drop them. EvalMode.TRY, explicitly: Spark 4
+      // defaults ANSI on, and an ANSI cast would THROW on a malformed
+      // key instead of returning the documented empty result.
+      val internalTuples = tuples.filter(_.size == keyCols.size).flatMap { tup =>
+        val cast = tup.zip(keyFields).map { case (k, f) =>
+          if (k == null) null
+          else {
+            import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+            Cast(Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(k)),
+              org.apache.spark.sql.types.StringType), f.dataType, Some("UTC"),
+              EvalMode.TRY).eval(null)
+          }
+        }
+        if (cast.contains(null)) None else Some(cast)
+      }
       // a wanted bucket can be absent from the manifest (never held a
-      // row) — then those keys simply have no rows to read
-      val wanted = internalKeys.map(v => bucketOf(v, keyType, nB)).toSet
+      // row) — then those tuples simply have no rows to read
+      val wanted = internalTuples
+        .map(vs => bucketOf(vs.zip(keyFields.map(_.dataType)), nB)).toSet
       val pruned = m.filter { case (b, _) => b == -1 || wanted.contains(b) }
         .values.map(rel => s"$targetDir/$rel").toSeq.sorted
-      if (internalKeys.isEmpty || pruned.isEmpty)
+      if (internalTuples.isEmpty || pruned.isEmpty)
         // provably empty: same schema, zero I/O — no point listing a
         // huge target's files just to filter(false) over them
         return Some(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-      val typedKeys = internalKeys.map { v =>
+      def typedLit(v: Any, f: org.apache.spark.sql.types.StructField) =
         org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          org.apache.spark.sql.catalyst.expressions.Literal(v, keyType))
-      }
-      Some(spark.read.schema(schema).parquet(pruned: _*)
-        .filter(col(keyField.name).isin(typedKeys: _*)))
+          org.apache.spark.sql.catalyst.expressions.Literal(v, f.dataType))
+      // single key: IN-list (pushes as one In filter); composite: OR
+      // over tuples of the per-column conjunction (pushes as Or(And))
+      val cond =
+        if (keyFields.size == 1)
+          col(keyFields.head.name).isin(internalTuples.map(t => typedLit(t.head, keyFields.head)): _*)
+        else internalTuples.map { vs =>
+          vs.zip(keyFields).map { case (v, f) => col(f.name) === typedLit(v, f) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+      Some(spark.read.schema(schema).parquet(pruned: _*).filter(cond))
     }
   }
 
@@ -348,10 +377,9 @@ object MergeWriter {
   /** Composite-key upsert: match on the conjunction of `keyCols`
     * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
     * single-key scale properties (touched-bucket I/O, key-sorted
-    * files) carry over. Point lookups via [[readTargetKeys]] remain
-    * single-key only — composite targets read through [[readTarget]]
-    * plus typed filters. Key columns must be non-null (standard merge
-    * keys; a null never equi-joins).
+    * files) carry over. Point lookups go through [[readTargetTuples]]
+    * with full key tuples. Key columns must be non-null (standard
+    * merge keys; a null never equi-joins).
     */
   def mergeByKeys(spark: SparkSession, targetDir: String, updates: DataFrame,
                   keyCols: Seq[String], orderCol: String,

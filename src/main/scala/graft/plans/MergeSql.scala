@@ -123,11 +123,9 @@ object GraftTargetTvf {
     // The node wraps the ANALYZED relation — a leaf must expose
     // resolved output attributes, the analyzer won't descend into it.
     MergeWriter.bucketLayout(path) match {
-      // the point-lookup node addresses one key column; composite-keyed
-      // targets read plainly (filters still push into the parquet scan)
-      case Some((_, Seq(keyCol))) =>
-        GraftTargetNode(path, keyCol, resolved, df.queryExecution.analyzed)
-      case _ => df.queryExecution.logical
+      case Some((_, keyCols)) =>
+        GraftTargetNode(path, keyCols, resolved, df.queryExecution.analyzed)
+      case None => df.queryExecution.logical
     }
   }
 }
@@ -135,26 +133,35 @@ object GraftTargetTvf {
 /** `graft_target_lookup('<path>', key[, key...])` table-valued
   * function — bucket-pruned point lookup on a merge target: the scan
   * underneath reads ONLY the bucket directories the given keys hash
-  * into ([[graft.merge.MergeWriter.readTargetKeys]]), so a point read
-  * against a huge target costs O(|keys| buckets), not a snapshot scan.
-  * Keys are literals, compared after a cast to the stored key type.
+  * into ([[graft.merge.MergeWriter.readTargetTuples]]), so a point
+  * read against a huge target costs O(|keys| buckets), not a snapshot
+  * scan. Keys are literals, compared after a cast to the stored key
+  * type. Against a COMPOSITE-keyed target the literals group into
+  * consecutive full key tuples in the recorded key-column order:
+  * `graft_target_lookup(p, t1, id1, t2, id2)` looks up (t1,id1) and
+  * (t2,id2) on a (tenant, id) target.
   */
 object GraftTargetLookupTvf {
   def build(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.size >= 2, "usage: graft_target_lookup('<path>', key[, key...])")
     require(exprs.forall(_.foldable), "graft_target_lookup arguments must be literals")
     val path = String.valueOf(exprs.head.eval())
-    // NULL keys match nothing (SQL semantics) — dropped BEFORE
-    // stringification, so they can never collide with a legitimate
-    // 'null' string key. eval() yields catalyst-INTERNAL values (a
-    // DATE literal is a days-int whose String.valueOf would be a
-    // nonsense key): convert each to its external form first.
-    val keys = exprs.tail.flatMap { e =>
+    val nKeys = MergeWriter.bucketLayout(path).map(_._2.size).getOrElse(1)
+    require((exprs.size - 1) % nKeys == 0,
+      s"graft_target_lookup: the target at $path has a $nKeys-column key — " +
+        s"literals must group into full key tuples (got ${exprs.size - 1})")
+    // a NULL component makes its tuple match nothing (SQL semantics) —
+    // kept as null here, dropped inside the lookup, so it can never
+    // collide with a legitimate 'null' string key. eval() yields
+    // catalyst-INTERNAL values (a DATE literal is a days-int whose
+    // String.valueOf would be a nonsense key): convert each to its
+    // external form first.
+    val tuples = exprs.tail.map { e =>
       Option(e.eval()).map(v => String.valueOf(
         org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToScalaConverter(e.dataType)(v)))
-    }
-    MergeWriter.readTargetKeys(SparkSession.active, path, keys)
+          .createToScalaConverter(e.dataType)(v))).orNull
+    }.grouped(nKeys).toSeq
+    MergeWriter.readTargetTuples(SparkSession.active, path, tuples)
       .getOrElse(throw new IllegalArgumentException(
         "graft_target_lookup: no bucketed merge target at " + path +
           " (or its key type does not support string-keyed lookup — " +

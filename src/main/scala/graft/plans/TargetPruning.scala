@@ -8,39 +8,51 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import graft.merge.MergeWriter
 
 /** Deferred `graft_target('<path>')` scan: a leaf that remembers the
-  * target path (and its bucket key) so the optimizer can still choose
-  * HOW to read it. The TVF returns this node instead of the concrete
-  * parquet relation whenever the target has a bucket layout; the two
-  * injected rules below lower it:
+  * target path (and its bucket key columns) so the optimizer can still
+  * choose HOW to read it. The TVF returns this node instead of the
+  * concrete parquet relation whenever the target has a bucket layout;
+  * the two injected rules below lower it:
   *
   *  - [[TargetPointLookupRule]] (operator-optimization fixed point):
   *    once filter pushdown has parked a `Filter` directly on the node,
-  *    a conjunct of the form `key = lit` / `key IN (lits)` lowers the
-  *    node to the bucket-pruned scan
-  *    ([[MergeWriter.readTargetKeys]] — only the buckets those keys
-  *    hash into), so `SELECT ... FROM graft_target(p) WHERE k = 7`
+  *    conjuncts restricting EVERY key column to literals (`key = lit`
+  *    / `key IN (lits)` per column) lower the node to the
+  *    bucket-pruned scan ([[MergeWriter.readTargetTuples]] — only the
+  *    buckets those key tuples hash into), so
+  *    `SELECT ... FROM graft_target(p) WHERE k = 7` — or
+  *    `WHERE tenant = 1 AND id = 7` on a composite-keyed target —
   *    reads O(1) buckets of a huge target with no special syntax.
   *  - [[TargetFinalizeRule]] (pre-CBO, i.e. after that fixed point):
-  *    any node still deferred (no filter, or no key-literal conjunct)
-  *    lowers to the full snapshot scan — exactly what the TVF returned
-  *    before this optimization existed.
+  *    any node still deferred (no filter, or a key column without a
+  *    literal conjunct) lowers to the full snapshot scan — exactly
+  *    what the TVF returned before this optimization existed.
   *
   * The node's `output` attributes ARE the snapshot relation's, so the
   * full-scan lowering is attribute-identical; the pruned lowering is a
   * fresh relation and gets re-aliased onto the node's exprIds.
   */
-case class GraftTargetNode(path: String, keyCol: String, version: Int,
+case class GraftTargetNode(path: String, keyCols: Seq[String], version: Int,
                            full: LogicalPlan)
     extends LeafNode {
   override def output: Seq[Attribute] = full.output
   override def computeStats(): Statistics = full.stats
 
-  /** The node's key attribute (by name, case-insensitive). */
-  def keyAttr: Option[Attribute] =
-    output.find(_.name.equalsIgnoreCase(keyCol))
+  /** The node's key attributes (by name, case-insensitive), in key
+    * order; None when any key column is missing from the output.
+    */
+  def keyAttrs: Option[Seq[Attribute]] = {
+    val found = keyCols.flatMap(k => output.find(_.name.equalsIgnoreCase(k)))
+    if (found.size == keyCols.size) Some(found) else None
+  }
 }
 
 object TargetPruning {
+
+  /** IN-list cross products beyond this many tuples read the snapshot
+    * instead — at that point the scan is no longer a point lookup and
+    * the OR-of-conjunctions filter would bloat the plan.
+    */
+  private val MaxTuples = 64
 
   /** Literal key values of every usable conjunct (`key = lit`,
     * `key <=> lit`, `key IN (lits)`, optimizer-converted `INSET`);
@@ -81,33 +93,52 @@ object TargetPruning {
   }
 
   private[plans] def lowerPruned(spark: SparkSession, g: GraftTargetNode,
-                                 key: Attribute, keys: Seq[Any]): Option[LogicalPlan] = {
-    // keys are catalyst-internal values (UTF8String, days-int, Decimal):
-    // convert to their external form before the stringly lookup API.
-    // The lookup is pinned to the node's analysis-time version and fed
-    // the full snapshot schema the node already resolved — no re-read
-    // of _CURRENT (a concurrent merge must not make the pruned and full
-    // lowerings observe different snapshots) and no all-files schema
-    // merge inside the optimizer.
-    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
-      .createToScalaConverter(key.dataType)
-    MergeWriter.readTargetKeys(spark, g.path, keys.map(toScala),
+                                 keys: Seq[Attribute],
+                                 tuples: Seq[Seq[Any]]): Option[LogicalPlan] = {
+    // tuple components are catalyst-internal values (UTF8String,
+    // days-int, Decimal): convert to their external form before the
+    // stringly lookup API. The lookup is pinned to the node's
+    // analysis-time version and fed the full snapshot schema the node
+    // already resolved — no re-read of _CURRENT (a concurrent merge
+    // must not make the pruned and full lowerings observe different
+    // snapshots) and no all-files schema merge inside the optimizer.
+    val toScala = keys.map(k =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(k.dataType))
+    MergeWriter.readTargetTuples(spark, g.path,
+      tuples.map(_.zip(toScala).map { case (v, f) => f(v) }),
       version = g.version, schemaHint = Some(g.full.schema))
       .map(df => remap(df.queryExecution.analyzed, g.output))
   }
+
+  /** Cross product of the per-column literal sets — the key tuples a
+    * conjunction like `k1 IN (a,b) AND k2 = c` can possibly match (a
+    * superset of the actual matches; the residual filter still applies
+    * on top of the pruned scan).
+    */
+  private def crossTuples(perCol: Seq[Seq[Any]]): Seq[Seq[Any]] =
+    perCol.foldLeft(Seq(Seq.empty[Any])) { (acc, vs) =>
+      for { t <- acc; v <- vs } yield t :+ v
+    }
 
   private[plans] def tryPrune(spark: SparkSession, f: Filter): Option[LogicalPlan] =
     f.child match {
       case g: GraftTargetNode =>
         for {
-          key <- g.keyAttr
-          if MergeWriter.stringRoundTrippable(key.dataType)
-          keys <- keyLiterals(f.condition, key)
-          if keys.nonEmpty
-          pruned <- lowerPruned(spark, g, key, keys)
+          keys <- g.keyAttrs
+          if keys.forall(k => MergeWriter.stringRoundTrippable(k.dataType))
+          perCol <- traverse(keys.map(k => keyLiterals(f.condition, k)))
+          if perCol.forall(_.nonEmpty)
+          tuples = crossTuples(perCol)
+          if tuples.nonEmpty && tuples.size <= MaxTuples
+          pruned <- lowerPruned(spark, g, keys, tuples)
         } yield Filter(f.condition, pruned)
       case _ => None
     }
+
+  /** Some(seq) iff every element is Some. */
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 }
 
 /** Operator-optimization rule: lower Filter-adjacent point lookups to

@@ -211,9 +211,9 @@ class ExtensionsSpec extends SparkSpec {
       "WHEN MATCHED THEN DELETE").collect()
     assert(!state().contains((1L, 2)) && state()((3L, 2)) == "z")
 
-    // read side: graft_target works (no point-lookup node for composite
-    // targets — the stringly lookup is single-key by design), COMPACT
-    // preserves the layout, and a mismatched key set fails loudly
+    // read side: partial-key filters scan (correctly), the single-key
+    // lookup API refuses a composite target, COMPACT preserves the
+    // layout, and a mismatched key set fails loudly
     assert(s2.sql(s"SELECT count(*) FROM graft_target('$dir') WHERE tenant = 1")
       .collect().head.getLong(0) == 1L)
     assert(MergeWriter.readTargetKeys(s2, dir, Seq(1L)).isEmpty)
@@ -225,6 +225,43 @@ class ExtensionsSpec extends SparkSpec {
           .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
         Seq("tenant"), "ord")
     }
+
+    // composite point lookups: full key tuples prune to their buckets
+    val allFiles = MergeWriter.readTarget(s2, dir).get.inputFiles.toSet
+    val tup = MergeWriter.readTargetTuples(s2, dir, Seq(Seq(2L, 7), Seq(9L, 9)))
+      .get
+    assert(tup.select($"tenant", $"id", $"v").as[(Long, Int, String)].collect().toSeq ==
+      Seq((2L, 7, "t2-c"))) // the absent tuple matches nothing
+    assert(tup.inputFiles.toSet.subsetOf(allFiles) && tup.inputFiles.length < allFiles.size,
+      s"composite lookup read ${tup.inputFiles.length}/${allFiles.size} files")
+    // (tenant=2, id=1) and (tenant=1, id=1): same id, different tenants
+    assert(MergeWriter.readTargetTuples(s2, dir, Seq(Seq(2L, 1L)))
+      .get.select($"v").as[String].collect().toSeq == Seq("t2-a"))
+    // wrong arity / null component tuples match nothing
+    assert(MergeWriter.readTargetTuples(s2, dir, Seq(Seq(2L))).get.count() == 0)
+    assert(MergeWriter.readTargetTuples(s2, dir, Seq(Seq(null, 7))).get.count() == 0)
+
+    // SQL: grouped literals, and the auto-prune rule fires when every
+    // key column carries an equality — with the residual exactness of
+    // the filter (tenant=2 AND id=7)
+    val viaSql = s2.sql(s"SELECT v FROM graft_target_lookup('$dir', 2, 7, 3, 2) ORDER BY v")
+      .as[String].collect().toSeq
+    assert(viaSql == Seq("t2-c", "z"))
+    intercept[Exception] { // literals not groupable into 2-tuples
+      s2.sql(s"SELECT * FROM graft_target_lookup('$dir', 2)").collect()
+    }
+    val auto = s2.sql(s"SELECT v FROM graft_target('$dir') WHERE tenant = 2 AND id = 7")
+    assert(auto.as[String].collect().toSeq == Seq("t2-c"))
+    assert(auto.inputFiles.length < allFiles.size,
+      s"composite auto-prune read ${auto.inputFiles.length}/${allFiles.size} files")
+    // IN-lists per column prune via the bounded cross product
+    val autoIn = s2.sql(
+      s"SELECT v FROM graft_target('$dir') WHERE tenant IN (1, 2) AND id IN (1, 7) ORDER BY v")
+    assert(autoIn.as[String].collect().toSeq == Seq("t1-a2", "t2-a", "t2-c"))
+    assert(autoIn.inputFiles.length < allFiles.size)
+    // a partial-key predicate does NOT prune (and stays correct)
+    assert(s2.sql(s"SELECT count(*) FROM graft_target('$dir') WHERE id = 2")
+      .collect().head.getLong(0) == 1L)
   }
 
   test("bucket-pruned point lookup reads only the wanted buckets") {
