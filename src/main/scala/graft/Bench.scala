@@ -25,6 +25,7 @@ object Bench {
     "q_asof_join", "q_range_join", "q_winnow",
     "q_length_decile", "q_span_mask", "q_merge_sql", "q_ivf_topk_probe2",
     "q_frame_sample",
+    "q_merge_delete", "q_merge_composite",
     "q_curation_pipeline", "q_decontaminate")
 
   def main(args: Array[String]): Unit = {

@@ -289,6 +289,46 @@ object Relational {
         |ON tg.l_orderkey = up.l_orderkey AND tg.l_linenumber = up.l_linenumber
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // Composite-key point lookups through the SQL surface: the same
+    // composite target, read back via graft_target_lookup with grouped
+    // (l_orderkey, l_linenumber) tuples — only the buckets those
+    // tuples hash into are read (ExtensionsSpec pins the file count).
+    // (7,1) is in neither batch: absent tuples return nothing.
+    q("q_target_lookup_composite")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_lookup_comp")
+        val s2 = mergeSqlSession(s)
+        try {
+          val li = t(s2, d, "lineitem")
+            .groupBy($"l_orderkey", $"l_linenumber")
+            .agg(max($"l_quantity").as("l_quantity"),
+              max($"l_returnflag").as("l_returnflag"))
+          li.filter($"l_orderkey" % 6 === 0).createOrReplaceTempView("graft_lk1")
+          li.filter($"l_orderkey" % 4 === 0)
+            .withColumn("l_quantity", $"l_quantity" + 1.0)
+            .createOrReplaceTempView("graft_lk2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_lk1 ON l_orderkey AND l_linenumber").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_lk2 ON l_orderkey AND l_linenumber").collect()
+          s2.sql("SELECT l_orderkey, l_linenumber, l_quantity FROM " +
+            s"graft_target_lookup('$dir', 12, 5, 24, 1, 36, 1, 7, 1) " +
+            "ORDER BY l_orderkey, l_linenumber")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH li AS (SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS l_quantity,
+        |            MAX(l_returnflag) AS l_returnflag FROM lineitem GROUP BY 1, 2),
+        |tg AS (SELECT l_orderkey, l_linenumber, l_quantity FROM li WHERE l_orderkey % 6 = 0),
+        |up AS (SELECT l_orderkey, l_linenumber, l_quantity + 1.0 AS l_quantity FROM li WHERE l_orderkey % 4 = 0)
+        |SELECT COALESCE(up.l_orderkey, tg.l_orderkey) AS l_orderkey,
+        |COALESCE(up.l_linenumber, tg.l_linenumber) AS l_linenumber,
+        |COALESCE(up.l_quantity, tg.l_quantity) AS l_quantity
+        |FROM tg FULL OUTER JOIN up
+        |ON tg.l_orderkey = up.l_orderkey AND tg.l_linenumber = up.l_linenumber
+        |WHERE (COALESCE(up.l_orderkey, tg.l_orderkey), COALESCE(up.l_linenumber, tg.l_linenumber))
+        |      IN ((12, 5), (24, 1), (36, 1), (7, 1))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // K2 read side at point-lookup granularity: the same two-batch
     // target, read back through graft_target_lookup — the bucket-pruned
     // scan (only the buckets the keys hash into; ExtensionsSpec pins
