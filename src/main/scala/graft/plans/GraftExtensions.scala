@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_versions"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_versions", null, "", "", "", "", "", "", "scala_udf"),
         GraftTargetVersionsTvf.build _))
+    // graft_target_layout('<path>') — bucket/key-column discoverability
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_layout"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_layout", null, "", "", "", "", "", "", "scala_udf"),
+        GraftTargetLayoutTvf.build _))
     // graft_target point lookups auto-prune: `WHERE key = lit` over the
     // deferred target node lowers to the bucket-pruned scan once filter
     // pushdown parks the predicate on it; anything left lowers to the

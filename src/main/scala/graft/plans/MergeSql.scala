@@ -26,7 +26,10 @@ import graft.merge.MergeWriter
   * The target is a [[graft.merge.MergeWriter]] bucketed snapshot
   * directory (quoted path — these targets are filesystem-versioned,
   * not catalog tables); the source is any registered table or temp
-  * view. `ON t.k = s.k [AND t.k2 = s.k2]` is accepted when each
+  * view, or an inline subquery `USING (SELECT ...) [AS alias]` (the
+  * T-SQL MERGE source form — the alias is accepted and ignored, the
+  * engine joins by the ON columns). `ON t.k = s.k [AND t.k2 = s.k2]`
+  * is accepted when each
   * equality's sides name the same column; composite keys match on the
   * conjunction (bucketed by the key tuple's hash).
   * Without `ORDER BY`, last-in-source-order wins intra-batch
@@ -48,7 +51,8 @@ import graft.merge.MergeWriter
 case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[String],
                                 orderCol: Option[String], buckets: Option[Int],
                                 deleteCond: Option[String] = None,
-                                upsert: Boolean = true)
+                                upsert: Boolean = true,
+                                sourceIsQuery: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -56,7 +60,7 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
 
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
-    val src0 = session.table(source)
+    val src0 = if (sourceIsQuery) session.sql(source) else session.table(source)
     // the tombstone flag is computed on the source BEFORE the merge:
     // delete-only form keeps just the rows the condition selects (the
     // others take no action at all), combined form flags them inline
@@ -222,6 +226,28 @@ object GraftTargetVersionsTvf {
   }
 }
 
+/** `graft_target_layout('<path>')` table-valued function — storage
+  * discoverability for the write side: the bucket count and key
+  * columns fixed at the target's first merge (what a caller must know
+  * to compose `MERGE INTO ... ON` / `graft_target_lookup` key tuples),
+  * plus the current version.
+  */
+object GraftTargetLayoutTvf {
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1, "usage: graft_target_layout('<path>')")
+    require(exprs.forall(_.foldable), "graft_target_layout argument must be a literal")
+    val path = String.valueOf(exprs.head.eval())
+    val (buckets, keyCols) = MergeWriter.bucketLayout(path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_target_layout: no bucketed merge target at $path"))
+    val spark = SparkSession.active
+    spark.createDataFrame(Seq(
+        (buckets, keyCols.mkString(","), MergeWriter.currentVersion(path))))
+      .toDF("buckets", "key_columns", "current_version")
+      .queryExecution.logical
+  }
+}
+
 /** Delegating parser that recognizes the path-target MERGE grammar
   * above (plus the COMPACT/VACUUM maintenance statements) and hands
   * everything else to Spark's parser. Injected via [[GraftExtensions]].
@@ -247,7 +273,69 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CompactRe = """(?is)^\s*COMPACT\s+'([^']+)'\s*;?\s*$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  private val UsingParenRe = """(?is)^(\s*MERGE\s+INTO\s+'[^']+'\s+USING\s+)\(""".r
+
+  /** `USING (SELECT ...) [AS alias]` support: extract the
+    * balanced-paren subquery (paren counting — a regex cannot balance;
+    * parens inside the subquery's string literals are not tracked,
+    * which is the documented limitation) and splice a placeholder name
+    * in, so the main grammar regex stays simple. Returns
+    * (rewritten statement, subquery SQL) or None when the source is a
+    * plain table name.
+    */
+  private def extractUsingSubquery(sql: String): Option[(String, String)] =
+    UsingParenRe.findFirstMatchIn(sql).flatMap { m =>
+      val open = m.end - 1
+      var depth = 0
+      var i = open
+      var close = -1
+      while (i < sql.length && close < 0) {
+        sql.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close < 0) None // unbalanced: let the delegate produce its error
+      else {
+        val sub = sql.substring(open + 1, close)
+        // an optional alias after the subquery (T-SQL requires one) is
+        // consumed and dropped — but never the ON keyword itself
+        val AliasRe = """(?is)^\s+(?:AS\s+)?([A-Za-z_]\w*)""".r
+        val afterParen = sql.substring(close + 1)
+        val rest = AliasRe.findFirstMatchIn(afterParen) match {
+          case Some(a) if !a.group(1).equalsIgnoreCase("on") =>
+            afterParen.substring(a.end)
+          case _ => afterParen
+        }
+        Some((sql.substring(0, m.end - 1) + "graft_using_subquery" + rest, sub))
+      }
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    extractUsingSubquery(sqlText) match {
+      case Some((rewritten, sub)) =>
+        rewritten match {
+          case MergeRe(_, _, _, _, _, _) =>
+            return parseMerge(rewritten, Some(sub))
+          case _ => // not our grammar after all: fall through on the ORIGINAL
+        }
+      case None =>
+    }
+    sqlText match {
+      case MergeRe(_, _, _, _, _, _) => parseMerge(sqlText, None)
+      case CompactRe(dir) => CompactPathCommand(dir)
+      case VacuumRe(dir, keep) =>
+        VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))
+      case _ => delegate.parsePlan(sqlText)
+    }
+  }
+
+  /** The MERGE grammar body; `subquery` is Some(sql) when the USING
+    * side was an inline subquery (already spliced out of `text`).
+    */
+  private def parseMerge(text: String, subquery: Option[String]): LogicalPlan = text match {
     case MergeRe(dir, source, onClause, order, buckets, when) =>
       // AND-separated key specs: each `k` or `t.k = s.k` with both
       // sides naming the same column
@@ -276,12 +364,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // no WHEN clause at all defaults to the upsert pair; a lone
       // delete branch means delete-only (unselected rows take no action)
       val upsert = rest != null || when == null
-      MergeIntoPathCommand(dir, source, keyCols,
-        Option(order), Option(buckets).map(_.toInt), deleteCond, upsert)
-    case CompactRe(dir) => CompactPathCommand(dir)
-    case VacuumRe(dir, keep) =>
-      VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))
-    case _ => delegate.parsePlan(sqlText)
+      MergeIntoPathCommand(dir, subquery.getOrElse(source), keyCols,
+        Option(order), Option(buckets).map(_.toInt), deleteCond, upsert,
+        sourceIsQuery = subquery.isDefined)
+    case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)

@@ -236,6 +236,9 @@ class ApiServerSpec extends SparkSpec {
         assert(b.contains("fetch('/schedules')") && b.contains("fetch('/schedules?"))
         assert(b.contains("id=\"schedules\"") && b.contains("sCreate")
           && b.contains("scheduleType") && b.contains("/' + action"))
+        // streams pane polls /streams for live StreamingQuery progress
+        assert(b.contains("fetch('/streams')") && b.contains("id=\"streams\"")
+          && b.contains("inputRowsPerSecond") && b.contains("watermark"))
       }
       // the filter params the page sends round-trip through GET /runs
       val r1 = runner.run(writeCsv(work, "F-1"), "alpha")

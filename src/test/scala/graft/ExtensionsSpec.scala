@@ -107,6 +107,24 @@ class ExtensionsSpec extends SparkSpec {
       assert(after == vers.map(_._1), s"orphan advertised: $after")
       graft.util.Fs.deleteRecursively(orphan)
 
+      // inline subquery source (the T-SQL MERGE form) — the alias is
+      // accepted and ignored; nested parens inside the subquery balance
+      val nSub = s2.sql(s"MERGE INTO '$dir' USING " +
+        "(SELECT k, upper(v) AS v FROM (SELECT * FROM src2) t WHERE k <> 2) s ON k")
+        .collect().head.getLong(0)
+      assert(nSub == 1L) // only key 3 after the filter + last-wins dedup
+      assert(MergeWriter.readTarget(s2, dir).get
+        .select("k", "v").as[(Long, String)].collect().toMap ==
+        Map(1L -> "a", 2L -> "c", 3L -> "E"))
+
+      // layout discoverability: buckets/key columns/current version
+      val lay = s2.sql(s"SELECT * FROM graft_target_layout('$dir')").collect().head
+      assert(lay.getInt(0) == 32 && lay.getString(1) == "k"
+        && lay.getInt(2) == MergeWriter.currentVersion(dir))
+      intercept[Exception] {
+        s2.sql("SELECT * FROM graft_target_layout('/nope/missing')").collect()
+      }
+
       // everything else still parses through the delegate
       assert(s2.sql("SELECT 1 AS one").collect().head.getInt(0) == 1)
       // the sibling never displaced the globals
@@ -225,6 +243,10 @@ class ExtensionsSpec extends SparkSpec {
           .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
         Seq("tenant"), "ord")
     }
+
+    // layout discoverability reports the composite key in order
+    val lay = s2.sql(s"SELECT * FROM graft_target_layout('$dir')").collect().head
+    assert(lay.getInt(0) == 4 && lay.getString(1) == "tenant,id")
 
     // composite point lookups: full key tuples prune to their buckets
     val allFiles = MergeWriter.readTarget(s2, dir).get.inputFiles.toSet
