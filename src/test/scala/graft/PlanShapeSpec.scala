@@ -107,6 +107,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.as[Long].collect().sorted.toSeq == (90L to 100L))
   }
 
+  test("q_bm25 broadcasts the 1-row corpus stats and keeps top-k sorted-limited") {
+    val p = plan("q_bm25")
+    // the corpus-constant side is one row: it must broadcast (a shuffle
+    // join or cartesian against the corpus scan would be the scale bug)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bm25 corpus constants not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // ORDER BY score LIMIT 100 must be a TakeOrderedAndProject, not a
+    // global sort of every scored document
+    assert(p.contains("TakeOrderedAndProject"), s"bm25 top-k is a global sort:\n$p")
+  }
+
+  test("q_chunk_windows generates chunks map-side (no shuffle before the sort)") {
+    val p = plan("q_chunk_windows")
+    assert(p.contains("Generate"), "chunk explode missing")
+    // exactly the one exchange the deterministic final ORDER BY needs —
+    // chunk generation itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q_chunk_windows shuffles $exchanges times:\n$p")
+  }
+
   test("q_seq_pack shuffles once on the pack key, no global window") {
     // a Window without PARTITION BY would collapse to a single
     // partition — the per-source partitioning must survive
