@@ -113,9 +113,45 @@ object Bench {
     val pipeline = s"""{"fixture_100k_sec":$p100k,"file_1m_sec":$p1m}"""
 
     val scale = scaleSmoke(spark, sfDir)
+    val streaming = streamingSmoke(spark, sfDir)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"scale":$scale,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pipeline":$pipeline,"scale":$scale,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming-ingest throughput: the documents corpus driven through
+    * [[graft.streaming.StreamingDedupIngest]] (quality gate off,
+    * near-dup LSH index on) as 5 micro-batches — the state-heavy
+    * streaming path, where per-batch cost is signatures + a band
+    * equi-join against the persistent index. Reports docs/sec over the
+    * whole run. Stateful, so no min-of-two (a second pass would dedup
+    * everything against the first); the number is a throughput smoke,
+    * not a latency signal. `SPARK_GRAFT_STREAM=0` skips. Nothing
+    * thrown in here may escape — the earlier sections' timings are
+    * already measured.
+    */
+  private def streamingSmoke(spark: SparkSession, sfDir: String): String = {
+    if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) return "null"
+    val work = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+    try {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val ingest = new graft.streaming.StreamingDedupIngest(
+        spark, work.toString, simThreshold = 0.5)
+      val t0 = System.nanoTime()
+      (0 until 5).foreach { b =>
+        ingest.processBatch(docs.filter(col("doc_id") % 5 === b), b.toLong)
+      }
+      val admitted = ingest.admitted().map(_.count()).getOrElse(0L)
+      val dt = (System.nanoTime() - t0) / 1e9
+      s"""{"docs":$n,"batches":5,"admitted":$admitted,"total_sec":$dt,"docs_per_sec":${n / dt}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming tier skipped: ${e.getMessage}")
+        "null"
+    } finally graft.util.Fs.deleteRecursively(work)
   }
 
   /** The most expensive headline queries at `SCALE_COPIES`× the bench
