@@ -235,4 +235,46 @@ class OpsSpec extends SparkSpec {
       assert(keys == keys.sorted, s"unsorted bucket file $p")
     }
   }
+
+  test("concurrent point lookups see only committed snapshots, never torn state") {
+    // the reader contract the pruning rule and the TVF both rest on:
+    // one _CURRENT resolve per read, immutable per-version manifests —
+    // so a lookup racing a merge returns SOME fully-committed version,
+    // never a mix of two. Each merge below rewrites EVERY key with one
+    // tag, so any torn read would surface as two tags in one result.
+    val dir = Files.createTempDirectory("graft_consistency").toString + "/t"
+    val keys = (0L until 100L)
+    def batch(tag: String) = keys.map(k => (k, tag)).toDF("k", "v")
+      .withColumn("ord", lit(1))
+    MergeWriter.merge(spark, dir, batch("t0"), "k", "ord", buckets = 8)
+    @volatile var writerDone = false
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      val rnd = new scala.util.Random(7)
+      try while (!writerDone) {
+        val want = Seq.fill(5)(rnd.nextInt(100).toLong).distinct
+        val rows = MergeWriter.readTargetKeys(spark, dir, want).get
+          .select($"k", $"v").as[(Long, String)].collect()
+        if (rows.map(_._1).toSet != want.toSet)
+          bad.add(s"missing keys: got ${rows.length} of ${want.size}")
+        if (rows.map(_._2).distinct.length > 1)
+          bad.add(s"torn read across versions: ${rows.map(_._2).distinct.toSeq}")
+        reads.incrementAndGet(): Unit
+      } catch { case e: Throwable => bad.add(s"reader threw: ${e.getMessage}") }
+    }, "graft-consistency-reader")
+    reader.start()
+    try (1 to 4).foreach(i => MergeWriter.merge(spark, dir, batch(s"t$i"), "k", "ord", buckets = 8))
+    finally writerDone = true
+    reader.join(120000)
+    assert(!reader.isAlive, "reader did not finish")
+    assert(bad.isEmpty, {
+      val it = bad.iterator(); val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) buf += it.next(); buf.mkString("; ")
+    })
+    assert(reads.get() > 0, "reader never completed a lookup during the merges")
+    // final state: the last merge's tag everywhere
+    assert(MergeWriter.readTarget(spark, dir).get
+      .select($"v").distinct().as[String].collect().toSeq == Seq("t4"))
+  }
 }
