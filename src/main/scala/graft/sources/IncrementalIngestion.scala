@@ -73,14 +73,14 @@ object IncrementalIngestion {
     // rename below stays a same-filesystem atomic move
     val stage = Paths.get(landingDir, ".inc_stage")
     val staged = Paths.get(BlobLanding.land(inc.df, stage.toString, name, "csv"))
-    // data rows = lines minus the header (quoted embedded newlines can
-    // only overcount — never make a non-empty window look empty)
-    val dataRows = {
+    // emptiness = fewer than two lines (header + at least one data
+    // row) — an O(1) peek, not a full re-read of a large landed window
+    val hasData = {
       val r = Files.newBufferedReader(staged)
-      try { var n = -1L; while (r.readLine() != null) n += 1; math.max(n, 0L) }
+      try r.readLine() != null && r.readLine() != null
       finally r.close()
     }
-    if (dataRows == 0L) {
+    if (!hasData) {
       // nothing to ingest: no file ever becomes visible in landing
       Files.deleteIfExists(staged)
       return FireOutcome("Empty", None, None, 0L, watermarkCommitted = false)
