@@ -39,14 +39,26 @@ object StreamingMergeSink {
             buckets: Int = MergeWriter.DefaultBuckets,
             trigger: Trigger = Trigger.ProcessingTime(0L),
             deleteCol: Option[String] = None): StreamingQuery =
+    startByKeys(updates, targetDir, Seq(keyCol), checkpointDir, buckets,
+      trigger, deleteCol)
+
+  /** Composite-key form: the change stream's key is the conjunction of
+    * `keyCols` (e.g. (tenant, id)) — same contract as
+    * [[MergeWriter.mergeByKeys]].
+    */
+  def startByKeys(updates: DataFrame, targetDir: String, keyCols: Seq[String],
+                  checkpointDir: String,
+                  buckets: Int = MergeWriter.DefaultBuckets,
+                  trigger: Trigger = Trigger.ProcessingTime(0L),
+                  deleteCol: Option[String] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          MergeWriter.merge(batch.sparkSession, targetDir,
+          MergeWriter.mergeByKeys(batch.sparkSession, targetDir,
             batch.withColumn("_src_order", monotonically_increasing_id()),
-            keyCol, "_src_order", buckets, deleteCol = deleteCol): Unit
+            keyCols, "_src_order", buckets, deleteCol = deleteCol): Unit
         }
       }
       .start()

@@ -100,6 +100,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge sink upserts on composite keys with tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, String, Boolean)]
+    val df = mem.toDF().toDF("tenant", "id", "v", "is_del")
+    val target = Files.createTempDirectory("graft_stream_comp").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_stream_comp_ckpt").toString
+    val q = graft.streaming.StreamingMergeSink.startByKeys(df, target,
+      Seq("tenant", "id"), ckpt, buckets = 4, deleteCol = Some("is_del"))
+    def state(): Map[(Long, Int), String] = graft.merge.MergeWriter.readTarget(spark, target)
+      .get.select($"tenant", $"id", $"v").as[(Long, Int, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    try {
+      mem.addData((1L, 1, "a", false), (1L, 2, "b", false), (2L, 1, "c", false))
+      q.processAllAvailable()
+      assert(state() == Map((1L, 1) -> "a", (1L, 2) -> "b", (2L, 1) -> "c"))
+      // tenant 1's delete of id=1 must not touch tenant 2's id=1
+      mem.addData((1L, 1, "x", true), (2L, 1, "c2", false))
+      q.processAllAvailable()
+      assert(state() == Map((1L, 2) -> "b", (2L, 1) -> "c2"))
+      // composite tuple lookup through the pruned read path
+      assert(graft.merge.MergeWriter.readTargetTuples(spark, target, Seq(Seq(2L, 1)))
+        .get.select($"v").as[String].collect().toSeq == Seq("c2"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops in-horizon duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
