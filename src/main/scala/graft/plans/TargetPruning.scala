@@ -48,9 +48,11 @@ case class GraftTargetNode(path: String, keyCols: Seq[String], version: Int,
 
 object TargetPruning {
 
-  /** IN-list cross products beyond this many tuples read the snapshot
-    * instead — at that point the scan is no longer a point lookup and
-    * the OR-of-conjunctions filter would bloat the plan.
+  /** COMPOSITE-key cross products beyond this many tuples read the
+    * snapshot instead — at that point the scan is no longer a point
+    * lookup and the OR-of-conjunctions filter would bloat the plan.
+    * Single-key IN lists are exempt (their filter is one IN, their
+    * bucket set is capped by the layout's bucket count anyway).
     */
   private val MaxTuples = 64
 
@@ -130,7 +132,7 @@ object TargetPruning {
           perCol <- traverse(keys.map(k => keyLiterals(f.condition, k)))
           if perCol.forall(_.nonEmpty)
           tuples = crossTuples(perCol)
-          if tuples.nonEmpty && tuples.size <= MaxTuples
+          if tuples.nonEmpty && (perCol.size == 1 || tuples.size <= MaxTuples)
           pruned <- lowerPruned(spark, g, keys, tuples)
         } yield Filter(f.condition, pruned)
       case _ => None

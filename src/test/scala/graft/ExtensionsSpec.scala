@@ -337,6 +337,11 @@ class ExtensionsSpec extends SparkSpec {
     // non-point predicates keep the full snapshot scan and full results
     val range = s2.sql(s"SELECT count(*) FROM graft_target('$dir') WHERE k >= 200")
     assert(range.collect().head.getLong(0) == 201L)
+    // single-key IN lists are exempt from the composite tuple cap: a
+    // wide list still lowers through the pruned path and stays correct
+    val wide = (1L to 80L).mkString(", ")
+    assert(s2.sql(s"SELECT count(*) FROM graft_target('$dir') WHERE k IN ($wide)")
+      .collect().head.getLong(0) == 80L)
 
     // string-keyed targets auto-prune too (internal UTF8String values
     // must convert to their external form on the way to the lookup)
