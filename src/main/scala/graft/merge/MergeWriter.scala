@@ -287,8 +287,11 @@ object MergeWriter {
 
   /** Upsert `updates` into the target by `keyCol`. `orderCol` breaks
     * intra-batch duplicate keys (highest wins = "last" in source
-    * order). Returns rows affected (size of the update batch after
-    * dedup, mirroring the reference's MERGE @@ROWCOUNT).
+    * order). Returns rows affected — rows that actually inserted,
+    * updated, or deleted, mirroring the reference's MERGE @@ROWCOUNT
+    * (a tombstone for an absent key takes no action and does not
+    * count; the count rides the write job via an Observation, no extra
+    * pass).
     *
     * `deleteCol` names an optional boolean column in `updates`: rows
     * where it is true are tombstones — a matched target key is removed,
@@ -298,6 +301,17 @@ object MergeWriter {
     * after upserts removes) — exactly the CDC change-stream contract.
     * Deletes cost the same O(touched buckets) I/O as upserts: the
     * tombstone's bucket is rewritten without the row.
+    *
+    * `updateCols` switches matched rows from update-all-columns to a
+    * partial-column update (the sparse-CDC `SET col = expr` form):
+    * each (targetCol, valueCol) pair routes `valueCol`'s value into
+    * `targetCol` on MATCH ONLY — unlisted columns keep their target
+    * values — while inserts still take the raw source columns (the
+    * `valueCol`s are internal carriers, never written). `syncDelete`
+    * additionally removes target rows whose key is absent from the
+    * batch (T-SQL `WHEN NOT MATCHED BY SOURCE THEN DELETE`,
+    * full-snapshot sync) — every bucket is touched in this mode, so
+    * the merge is O(|target|) by necessity, not O(touched buckets).
     */
   // one writer per target at a time. In-process: a JVM-level lock per
   // normalized path. Cross-JVM: a create-exclusive `_LEASE` file whose
@@ -370,9 +384,11 @@ object MergeWriter {
             keyCol: String, orderCol: String,
             buckets: Int = DefaultBuckets,
             leaseWaitMs: Long = 10000,
-            deleteCol: Option[String] = None): Long =
+            deleteCol: Option[String] = None,
+            updateCols: Option[Seq[(String, String)]] = None,
+            syncDelete: Boolean = false): Long =
     mergeByKeys(spark, targetDir, updates, Seq(keyCol), orderCol, buckets,
-      leaseWaitMs, deleteCol)
+      leaseWaitMs, deleteCol, updateCols, syncDelete)
 
   /** Composite-key upsert: match on the conjunction of `keyCols`
     * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
@@ -385,17 +401,27 @@ object MergeWriter {
                   keyCols: Seq[String], orderCol: String,
                   buckets: Int = DefaultBuckets,
                   leaseWaitMs: Long = 10000,
-                  deleteCol: Option[String] = None): Long = lockFor(targetDir).synchronized {
+                  deleteCol: Option[String] = None,
+                  updateCols: Option[Seq[(String, String)]] = None,
+                  syncDelete: Boolean = false): Long = lockFor(targetDir).synchronized {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    // key columns are persisted comma-joined (tab-separated from the
+    // bucket count) in _BUCKETS — a separator inside a name would
+    // silently corrupt the recorded layout and every later lookup
+    require(keyCols.forall(k => !k.contains(",") && !k.contains("\t")),
+      s"merge key column names must not contain ',' or tab: ${keyCols.mkString(", ")}")
     Files.createDirectories(Paths.get(targetDir))
     val lease = acquireLease(targetDir, leaseWaitMs)
-    try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol)
+    try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol,
+      updateCols, syncDelete)
     finally lease.release()
   }
 
   private def mergeLocked(spark: SparkSession, targetDir: String, updates: DataFrame,
                           keyCols: Seq[String], orderCol: String, buckets: Int,
-                          deleteCol: Option[String]): Long = {
+                          deleteCol: Option[String],
+                          updateCols: Option[Seq[(String, String)]],
+                          syncDelete: Boolean): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, stored)) =>
         // a different key set would hash rows into buckets the stored
@@ -411,8 +437,12 @@ object MergeWriter {
         buckets
     }
     val keySet = keyCols.toSet
+    // partial-update value carriers are internal — never data columns,
+    // never written
+    val exprCols = updateCols.map(_.map(_._2).toSet).getOrElse(Set.empty[String])
     val dataCols = updates.columns.filter(c =>
-      !keySet.contains(c) && c != orderCol && !deleteCol.contains(c))
+      !keySet.contains(c) && c != orderCol && !deleteCol.contains(c) &&
+        !exprCols.contains(c))
     def keyHash = pmod(hash(keyCols.map(col): _*), lit(nB))
 
     // last-wins dedup inside the batch (reference `migrate.js:10-15`) —
@@ -439,14 +469,20 @@ object MergeWriter {
 
     // ONE pass over the (possibly expensive) update chain: this action
     // both materializes the cache and yields the touched bucket set.
-    val touched = dedupedObs.select(col("_bucket")).distinct()
+    val batchTouched = dedupedObs.select(col("_bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val affected = graft.util.Metrics.long(obs, "n_updates", dedupedObs.count())
 
     val cur = currentVersion(targetDir)
     val next = cur + 1
     val oldManifest = if (cur < 0) Map.empty[Int, String] else manifest(targetDir, cur)
     val legacy = oldManifest.contains(-1)
+
+    // full-snapshot sync must examine every target row (any bucket may
+    // hold keys absent from the batch), so every manifest bucket is
+    // touched — the merge degrades to O(|target|) by definition
+    val touched =
+      if (syncDelete) batchTouched ++ oldManifest.keys.filter(_ >= 0)
+      else batchTouched
 
     // old rows the merge must look at: touched buckets only (a legacy
     // self-contained snapshot has no bucket layout — read and rewrite
@@ -456,8 +492,16 @@ object MergeWriter {
       else oldManifest.filter { case (b, _) => touched.contains(b) }
         .values.toSet.map((rel: String) => s"$targetDir/$rel").toSeq.sorted
 
+    // the @@ROWCOUNT-style action count rides the write job: rows that
+    // actually insert, update, or delete (an unmatched tombstone takes
+    // no action and does not count)
+    val actObs = new org.apache.spark.sql.Observation()
+
     val merged =
-      if (oldPaths.isEmpty) dedupedObs.filter(!col("_gdel")).drop("_gdel")
+      if (oldPaths.isEmpty)
+        dedupedObs.filter(!col("_gdel"))
+          .observe(actObs, count(lit(1)).as("n_actions"))
+          .drop(("_gdel" +: exprCols.toSeq): _*)
       else {
         // mergeSchema: touched buckets written before an additive
         // schema change may carry older column sets
@@ -466,26 +510,59 @@ object MergeWriter {
         val t = (if (oldCols.contains("_bucket")) target else target
           .withColumn("_bucket", keyHash)).as("t")
         val u = dedupedObs.as("u")
+        // u-side presence / t-side match, readable once for the
+        // partial-update routing, sync filter, and action count below
+        val uPresent = col("u._gdel").isNotNull
+        val tPresent = col(s"t.${keyCols.head}").isNotNull
         // additive schema evolution: a column only in the updates reads
         // null for pre-existing rows; a column only in the target is
         // carried forward untouched
         val tData = oldCols.filterNot(c =>
           keySet.contains(c) || c == "migrated_at" || c == "_bucket" || c == "_gdel")
-        val allData = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
-        def dataCol(c: String) =
-          if (dataCols.contains(c) && tData.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c"))
-          else if (dataCols.contains(c)) col(s"u.$c")
-          else col(s"t.$c")
+        val allData0 = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
+        // a SET-introduced column absent from both sides still needs an
+        // output slot (matched rows get the expression, others null)
+        val allData = allData0 ++ updateCols.map(_.map(_._1)
+          .filterNot(c => allData0.exists(_.equalsIgnoreCase(c)))).getOrElse(Seq.empty)
+        def assignedValueCol(c: String): Option[String] =
+          updateCols.flatMap(_.find(_._1.equalsIgnoreCase(c)).map(_._2))
+        def dataCol(c: String) = assignedValueCol(c) match {
+          case Some(vc) =>
+            // assigned column: matched → the SET expression's value,
+            // insert → the raw source value, target-only → carried
+            when(uPresent && tPresent, col(s"u.$vc"))
+              .when(uPresent, if (dataCols.contains(c)) col(s"u.$c") else lit(null))
+              .otherwise(if (tData.contains(c)) col(s"t.$c") else lit(null))
+          case None if updateCols.isDefined =>
+            // partial update: unassigned columns KEEP the target value
+            // on match; inserts still take the source value
+            if (dataCols.contains(c) && tData.contains(c))
+              when(uPresent && !tPresent, col(s"u.$c")).otherwise(col(s"t.$c"))
+            else if (dataCols.contains(c)) when(uPresent && !tPresent, col(s"u.$c"))
+            else col(s"t.$c")
+          case None =>
+            if (dataCols.contains(c) && tData.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c"))
+            else if (dataCols.contains(c)) col(s"u.$c")
+            else col(s"t.$c")
+        }
         val outCols =
           keyCols.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
           allData.map(c => dataCol(c).as(c)) :+
           coalesce(col("u.migrated_at"), col("t.migrated_at")).as("migrated_at") :+
           coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
+        // an action: any present source row except an unmatched
+        // tombstone, plus (sync mode) every target row being dropped
+        val isAction = (uPresent && !(col("u._gdel") && !tPresent)) ||
+          (lit(syncDelete) && !uPresent)
         // tombstones drop out here: a matched delete removes the target
-        // row from its rewritten bucket, an unmatched one inserts nothing
+        // row from its rewritten bucket, an unmatched one inserts
+        // nothing; sync mode additionally drops target rows with no
+        // matching source row
         val joined = t.join(u,
             keyCols.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _), "full_outer")
-          .filter(!coalesce(col("u._gdel"), lit(false)))
+          .observe(actObs, coalesce(sum(when(isAction, 1L)), lit(0L)).as("n_actions"))
+          .filter(!coalesce(col("u._gdel"), lit(false)) &&
+            (if (syncDelete) uPresent else lit(true)))
           .select(outCols: _*)
         // legacy migration keeps every row; bucketed merge only carries
         // rows of touched buckets (untouched buckets stay where they are)
@@ -502,6 +579,12 @@ object MergeWriter {
     // reading a whole multi-GB bucket and a few row groups of it.
     merged.sortWithinPartitions((col("_bucket") +: keyCols.map(col)): _*)
       .write.mode("overwrite").partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
+    // resolve AFTER the write job that carried the action observation.
+    // Fallback (observation machinery unavailable, e.g. inside
+    // foreachBatch): the deduped batch size — an upper bound that only
+    // differs when the batch carries no-op tombstones or sync deletes
+    val affected = graft.util.Metrics.long(actObs, "n_actions",
+      graft.util.Metrics.long(obs, "n_updates", dedupedObs.count()))
     dedupedObs.unpersist()
 
     // manifest: rewritten buckets point here, untouched buckets carry

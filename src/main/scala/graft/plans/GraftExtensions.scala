@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_lookup"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_lookup", null, "", "", "", "", "", "", "scala_udf"),
         GraftTargetLookupTvf.build _))
+    // graft_target_lookup_at('<path>', version, key...) — the same
+    // pruned point read pinned to a time-travel version
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_lookup_at"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_lookup_at", null, "", "", "", "", "", "", "scala_udf"),
+        GraftTargetLookupAtTvf.build _))
     // graft_target_versions('<path>') — time-travel discoverability
     e.injectTableFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_versions"),

@@ -20,7 +20,9 @@ import graft.merge.MergeWriter
   *   MERGE INTO '/path/to/target' USING source_view ON key_col [AND key_col2 ...]
   *     [ORDER BY version_col] [BUCKETS n]
   *     [WHEN MATCHED [AND cond] THEN DELETE]
-  *     [WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]
+  *     [WHEN MATCHED THEN UPDATE SET * | SET col = expr [, ...]]
+  *     [WHEN NOT MATCHED THEN INSERT *]
+  *     [WHEN NOT MATCHED BY SOURCE THEN DELETE]
   * }}}
   *
   * The target is a [[graft.merge.MergeWriter]] bucketed snapshot
@@ -36,23 +38,41 @@ import graft.merge.MergeWriter
   * duplicate keys (the reference's semantics, `migrate.js:10-15`);
   * with it, the highest `version_col` wins.
   *
-  * WHEN actions: the upsert pair `UPDATE SET * / INSERT *` (the
-  * default when no WHEN clause is given — exactly what the engine's
-  * merge does), optionally preceded by a delete branch (the T-SQL
-  * MERGE delete form, reference `005_sp_migrate.sql:14-24`'s
-  * statement family). `cond` is any boolean expression over the
-  * SOURCE columns; omitted = every source row is a delete. A source
-  * row satisfying `cond` removes its key from the target (a no-op
-  * when absent — CDC semantics: a tombstone never inserts); with the
-  * upsert pair present, the remaining rows upsert as usual; without
-  * it, they do nothing. Anything else raises. Returns one row:
-  * `rows_affected` (the reference's `@@ROWCOUNT`).
+  * WHEN actions, in any order (each at most once):
+  *  - the upsert pair `UPDATE SET ... / INSERT *` (the default when no
+  *    WHEN clause is given — exactly what the engine's merge does).
+  *    `SET *` updates every non-key column from the source (the
+  *    reference's `005_sp_migrate.sql:14-24` updates all non-key
+  *    columns); `SET col = expr [, ...]` updates ONLY the listed
+  *    columns on match — unlisted columns keep their target values —
+  *    while inserts still take the raw source row. `expr` is over the
+  *    SOURCE columns (alias `s`, the sparse-CDC shape
+  *    `SET t.col = s.col`); key columns cannot be assigned.
+  *  - a delete branch (the T-SQL MERGE delete form): `cond` is any
+  *    boolean expression over the SOURCE columns; omitted = every
+  *    source row is a delete. A source row satisfying `cond` removes
+  *    its key from the target (a no-op when absent — CDC semantics: a
+  *    tombstone never inserts); with the upsert pair present, the
+  *    remaining rows upsert as usual; without it, they do nothing.
+  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` (full-snapshot sync):
+  *    target rows whose key is absent from the source are removed.
+  *    Requires the upsert pair (matched rows update, new rows insert,
+  *    stale rows drop — the complete synchronization). In this mode
+  *    every bucket is touched — the merge rewrites the whole target,
+  *    O(|target|), not O(touched buckets): full-snapshot sync must
+  *    examine every target row by definition.
+  * Anything else raises. Returns one row: `rows_affected` — rows that
+  * actually inserted, updated, or deleted (the reference's
+  * `@@ROWCOUNT`: a tombstone for an absent key takes no action and
+  * does not count).
   */
 case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[String],
                                 orderCol: Option[String], buckets: Option[Int],
                                 deleteCond: Option[String] = None,
                                 upsert: Boolean = true,
-                                sourceIsQuery: Boolean = false)
+                                sourceIsQuery: Boolean = false,
+                                setClause: Option[Seq[(String, String)]] = None,
+                                syncDelete: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -60,7 +80,18 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
 
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
-    val src0 = if (sourceIsQuery) session.sql(source) else session.table(source)
+    val srcBase = if (sourceIsQuery) session.sql(source) else session.table(source)
+    // partial SET: evaluate each assignment's RHS on the source (alias
+    // `s`, so `s.col` and bare `col` both resolve) into an internal
+    // column; the writer routes it to matched rows only, while inserts
+    // keep the raw source value
+    val src0 = setClause match {
+      case Some(assigns) =>
+        assigns.zipWithIndex.foldLeft(srcBase.as("s")) { case (df, ((_, e), i)) =>
+          df.withColumn(s"_graft_set_$i", expr(e))
+        }
+      case None => srcBase
+    }
     // the tombstone flag is computed on the source BEFORE the merge:
     // delete-only form keeps just the rows the condition selects (the
     // others take no action at all), combined form flags them inline
@@ -82,7 +113,10 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
     }
     val n = MergeWriter.mergeByKeys(session, targetDir, updates, keyCols, ord,
       buckets.getOrElse(MergeWriter.DefaultBuckets),
-      deleteCol = deleteCond.map(_ => "_graft_delete"))
+      deleteCol = deleteCond.map(_ => "_graft_delete"),
+      updateCols = setClause.map(_.zipWithIndex.map { case ((c, _), i) =>
+        c -> s"_graft_set_$i" }),
+      syncDelete = syncDelete)
     Seq(Row(n))
   }
 }
@@ -146,31 +180,61 @@ object GraftTargetTvf {
   * (t2,id2) on a (tenant, id) target.
   */
 object GraftTargetLookupTvf {
-  def build(exprs: Seq[Expression]): LogicalPlan = {
-    require(exprs.size >= 2, "usage: graft_target_lookup('<path>', key[, key...])")
-    require(exprs.forall(_.foldable), "graft_target_lookup arguments must be literals")
-    val path = String.valueOf(exprs.head.eval())
+
+  /** Shared body of the current-version and version-pinned lookup
+    * TVFs: group the key literals into full tuples under the target's
+    * recorded layout and hand them to the pruned read.
+    */
+  private[plans] def buildLookup(fn: String, path: String, version: Int,
+                                 keyExprs: Seq[Expression]): LogicalPlan = {
     val nKeys = MergeWriter.bucketLayout(path).map(_._2.size).getOrElse(1)
-    require((exprs.size - 1) % nKeys == 0,
-      s"graft_target_lookup: the target at $path has a $nKeys-column key — " +
-        s"literals must group into full key tuples (got ${exprs.size - 1})")
+    require(keyExprs.nonEmpty && keyExprs.size % nKeys == 0,
+      s"$fn: the target at $path has a $nKeys-column key — " +
+        s"literals must group into full key tuples (got ${keyExprs.size})")
     // a NULL component makes its tuple match nothing (SQL semantics) —
     // kept as null here, dropped inside the lookup, so it can never
     // collide with a legitimate 'null' string key. eval() yields
     // catalyst-INTERNAL values (a DATE literal is a days-int whose
     // String.valueOf would be a nonsense key): convert each to its
     // external form first.
-    val tuples = exprs.tail.map { e =>
+    val tuples = keyExprs.map { e =>
       Option(e.eval()).map(v => String.valueOf(
         org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToScalaConverter(e.dataType)(v))).orNull
     }.grouped(nKeys).toSeq
-    MergeWriter.readTargetTuples(SparkSession.active, path, tuples)
+    MergeWriter.readTargetTuples(SparkSession.active, path, tuples, version = version)
       .getOrElse(throw new IllegalArgumentException(
-        "graft_target_lookup: no bucketed merge target at " + path +
+        s"$fn: no bucketed merge target (or no such version) at " + path +
           " (or its key type does not support string-keyed lookup — " +
           "use graft_target + a typed filter)"))
       .queryExecution.logical
+  }
+
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size >= 2, "usage: graft_target_lookup('<path>', key[, key...])")
+    require(exprs.forall(_.foldable), "graft_target_lookup arguments must be literals")
+    val path = String.valueOf(exprs.head.eval())
+    buildLookup("graft_target_lookup", path, -1, exprs.tail)
+  }
+}
+
+/** `graft_target_lookup_at('<path>', version, key[, key...])` —
+  * [[GraftTargetLookupTvf]] pinned to a time-travel `version` (subject
+  * to vacuum retention): the same O(|keys| buckets) pruned read, but
+  * against that version's immutable manifest instead of the current
+  * pointer — the TVF twin of `graft_target(path, version) WHERE k = …`,
+  * closing the read-surface asymmetry between current-version and
+  * versioned point lookups.
+  */
+object GraftTargetLookupAtTvf {
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size >= 3,
+      "usage: graft_target_lookup_at('<path>', version, key[, key...])")
+    require(exprs.forall(_.foldable), "graft_target_lookup_at arguments must be literals")
+    val path = String.valueOf(exprs.head.eval())
+    val version = String.valueOf(exprs(1).eval()).toInt
+    require(version >= 0, s"graft_target_lookup_at: version must be >= 0, got $version")
+    GraftTargetLookupTvf.buildLookup("graft_target_lookup_at", path, version, exprs.drop(2))
   }
 }
 
@@ -262,26 +326,48 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // one key spec of the ON conjunction: `k` or `t.k = s.k`
   private val KeySpecRe = """(?is)^(?:[\w]+\.)?(\w+)(?:\s*=\s*(?:[\w]+\.)?(\w+))?$""".r
 
-  private val UpsertWhenRe =
-    """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+  // one WHEN branch each, anchored end-to-end — a clause that matches
+  // none of these raises, so no trailing action is ever silently
+  // ignored (clauses may appear in any T-SQL order)
+  private val DeleteClauseRe =
+    """(?is)^\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*$""".r
+  private val UpdateClauseRe =
+    """(?is)^\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
+  private val InsertClauseRe =
+    """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*\s*$""".r
+  private val SyncDeleteClauseRe =
+    """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*$""".r
 
-  // optional leading delete branch of the WHEN blob: condition (over
-  // source columns) lazily up to THEN DELETE, then whatever follows
-  private val DeleteWhenRe =
-    """(?is)^\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*(WHEN\s.*)?$""".r
+  // one assignment of a partial SET list: `[t.]col = expr`
+  private val AssignRe = """(?is)^\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(.+?)\s*$""".r
 
   private val CompactRe = """(?is)^\s*COMPACT\s+'([^']+)'\s*;?\s*$""".r
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
 
   private val UsingParenRe = """(?is)^(\s*MERGE\s+INTO\s+'[^']+'\s+USING\s+)\(""".r
 
+  /** Index just past the end of the single-quoted literal opening at
+    * `start` (which must hold a `'`), honoring `''` escapes; the
+    * string's end if unterminated.
+    */
+  private def skipQuoted(sql: String, start: Int): Int = {
+    var j = start + 1
+    while (j < sql.length) {
+      if (sql.charAt(j) == '\'') {
+        if (j + 1 < sql.length && sql.charAt(j + 1) == '\'') j += 2 // '' escape
+        else return j + 1
+      } else j += 1
+    }
+    j
+  }
+
   /** `USING (SELECT ...) [AS alias]` support: extract the
-    * balanced-paren subquery (paren counting — a regex cannot balance;
-    * parens inside the subquery's string literals are not tracked,
-    * which is the documented limitation) and splice a placeholder name
-    * in, so the main grammar regex stays simple. Returns
-    * (rewritten statement, subquery SQL) or None when the source is a
-    * plain table name.
+    * balanced-paren subquery (paren counting — a regex cannot balance)
+    * and splice a placeholder name in, so the main grammar regex stays
+    * simple. Single-quoted literals inside the subquery are skipped
+    * while counting, so a literal containing parens — `WHERE v = ':)'`
+    * — parses. Returns (rewritten statement, subquery SQL) or None
+    * when the source is a plain table name.
     */
   private def extractUsingSubquery(sql: String): Option[(String, String)] =
     UsingParenRe.findFirstMatchIn(sql).flatMap { m =>
@@ -291,6 +377,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       var close = -1
       while (i < sql.length && close < 0) {
         sql.charAt(i) match {
+          case '\'' => i = skipQuoted(sql, i) - 1
           case '(' => depth += 1
           case ')' => depth -= 1; if (depth == 0) close = i
           case _ =>
@@ -349,25 +436,114 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           throw new UnsupportedOperationException(
             s"MERGE INTO '<path>' ON clause must be AND-joined equi-keys; got '$other'")
       }
-      // peel an optional delete branch off the front of the WHEN blob;
-      // what remains must be the upsert pair (or nothing)
-      val (deleteCond, rest) = when match {
-        case null                 => (None, null)
-        case DeleteWhenRe(c, r)   => (Some(Option(c).getOrElse("true")), r)
-        case w                    => (None, w)
+      // split the WHEN blob into branches and match each against the
+      // anchored clause grammar — every branch must parse, in any order,
+      // each at most once, so no action is ever silently dropped
+      var deleteCond: Option[String] = None
+      var update: Option[Option[Seq[(String, String)]]] = None
+      var insert = false
+      var syncDelete = false
+      def once(already: Boolean, what: String): Unit =
+        if (already) throw new UnsupportedOperationException(
+          s"MERGE INTO '<path>': duplicate $what clause")
+      splitWhenClauses(when).foreach {
+        case SyncDeleteClauseRe() =>
+          once(syncDelete, "WHEN NOT MATCHED BY SOURCE"); syncDelete = true
+        case InsertClauseRe() =>
+          once(insert, "WHEN NOT MATCHED ... INSERT"); insert = true
+        case DeleteClauseRe(c) =>
+          once(deleteCond.isDefined, "WHEN MATCHED ... DELETE")
+          deleteCond = Some(Option(c).getOrElse("true"))
+        case UpdateClauseRe(setSpec) =>
+          once(update.isDefined, "WHEN MATCHED ... UPDATE")
+          update = Some(parseSetSpec(setSpec, keyCols))
+        case other => throw new UnsupportedOperationException(
+          "MERGE INTO '<path>' WHEN actions are limited to " +
+            "'WHEN MATCHED [AND cond] THEN DELETE', " +
+            "'WHEN MATCHED THEN UPDATE SET * | SET col = expr, ...', " +
+            "'WHEN NOT MATCHED THEN INSERT *' and " +
+            s"'WHEN NOT MATCHED BY SOURCE THEN DELETE'; got '${other.trim}'")
       }
-      if (rest != null && UpsertWhenRe.findFirstIn(rest).isEmpty)
+      if (update.isDefined != insert)
         throw new UnsupportedOperationException(
-          "MERGE INTO '<path>' supports only an optional " +
-            "'WHEN MATCHED [AND cond] THEN DELETE' branch followed by the upsert pair " +
-            "'WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *'")
+          "MERGE INTO '<path>': UPDATE and INSERT form a pair — " +
+            "both must be present (or both absent)")
+      if (syncDelete && update.isEmpty)
+        throw new UnsupportedOperationException(
+          "MERGE INTO '<path>': WHEN NOT MATCHED BY SOURCE THEN DELETE " +
+            "requires the UPDATE/INSERT pair (full-snapshot synchronization)")
       // no WHEN clause at all defaults to the upsert pair; a lone
       // delete branch means delete-only (unselected rows take no action)
-      val upsert = rest != null || when == null
+      val upsert = update.isDefined || when == null
       MergeIntoPathCommand(dir, subquery.getOrElse(source), keyCols,
         Option(order), Option(buckets).map(_.toInt), deleteCond, upsert,
-        sourceIsQuery = subquery.isDefined)
+        sourceIsQuery = subquery.isDefined,
+        setClause = update.flatten, syncDelete = syncDelete)
     case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")
+  }
+
+  /** Split the WHEN blob into one string per branch, cutting at every
+    * `WHEN [NOT] MATCHED` outside single-quoted literals — the MATCHED
+    * lookahead keeps a `CASE WHEN … END` inside a delete condition or
+    * SET expression from being mistaken for a branch boundary.
+    */
+  private def splitWhenClauses(when: String): Seq[String] = {
+    if (when == null) return Seq.empty
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < when.length) {
+      when.charAt(i) match {
+        case '\'' => i = skipQuoted(when, i)
+        case c if (c == 'w' || c == 'W') &&
+            (i == 0 || !Character.isLetterOrDigit(when.charAt(i - 1)) &&
+              when.charAt(i - 1) != '_') &&
+            """(?is)^WHEN\s+(?:NOT\s+)?MATCHED\b""".r
+              .findPrefixOf(when.substring(i)).isDefined =>
+          starts += i; i += 4
+        case _ => i += 1
+      }
+    }
+    if (starts.isEmpty || when.substring(0, starts.head).trim.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"MERGE INTO '<path>': unrecognized WHEN actions '${when.trim}'")
+    starts.indices.map { k =>
+      when.substring(starts(k), if (k + 1 < starts.length) starts(k + 1) else when.length)
+    }
+  }
+
+  /** Parse an UPDATE's SET spec: `*` → None (update every non-key
+    * column); otherwise the comma-separated assignment list (commas
+    * inside quotes or parens — function calls, CASE arms — do not
+    * split). Assigning a merge key is rejected.
+    */
+  private def parseSetSpec(spec: String,
+                           keyCols: Seq[String]): Option[Seq[(String, String)]] = {
+    if (spec.trim == "*") return None
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    var depth = 0
+    while (i < spec.length) {
+      spec.charAt(i) match {
+        case '\'' =>
+          val end = skipQuoted(spec, i); cur.append(spec.substring(i, end)); i = end
+        case '(' => depth += 1; cur.append('('); i += 1
+        case ')' => depth -= 1; cur.append(')'); i += 1
+        case ',' if depth == 0 => parts += cur.result(); cur.clear(); i += 1
+        case c => cur.append(c); i += 1
+      }
+    }
+    parts += cur.result()
+    Some(parts.toSeq.map {
+      case AssignRe(colName, rhs) =>
+        if (keyCols.exists(_.equalsIgnoreCase(colName)))
+          throw new UnsupportedOperationException(
+            s"MERGE INTO '<path>': SET cannot assign merge key column '$colName'")
+        colName -> rhs
+      case other => throw new UnsupportedOperationException(
+        s"MERGE INTO '<path>': malformed SET assignment '${other.trim}' " +
+          "(expected 'col = expr')")
+    })
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)

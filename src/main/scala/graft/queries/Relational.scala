@@ -289,6 +289,79 @@ object Relational {
         |ON tg.l_orderkey = up.l_orderkey AND tg.l_linenumber = up.l_linenumber
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // K2 + the T-SQL partial-column UPDATE SET (sparse CDC — the
+    // change stream carries only the changed columns): matched rows
+    // get ONLY o_totalprice replaced (through the SET expression),
+    // o_orderstatus keeps its TARGET value; inserts take the raw
+    // source row, including the status and WITHOUT the SET
+    // expression's +0.5. Oracle is the closed form: a full outer
+    // where the assigned column routes matched → expr / insert → raw,
+    // and the unassigned column routes matched → target.
+    q("q_merge_partial")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_part")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_p1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .withColumn("o_orderstatus", lit("X"))
+            .createOrReplaceTempView("graft_p2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_p1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_p2 ON o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 0.5 " +
+            "WHEN NOT MATCHED THEN INSERT *").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'X' AS o_orderstatus
+        |       FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |CASE WHEN up.o_orderkey IS NOT NULL AND tg.o_orderkey IS NOT NULL THEN up.o_totalprice + 0.5
+        |     WHEN up.o_orderkey IS NOT NULL THEN up.o_totalprice
+        |     ELSE tg.o_totalprice END AS o_totalprice,
+        |CASE WHEN tg.o_orderkey IS NOT NULL THEN tg.o_orderstatus
+        |     ELSE up.o_orderstatus END AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // K2 + WHEN NOT MATCHED BY SOURCE THEN DELETE (full-snapshot
+    // synchronization): after the sync merge the target IS the source
+    // snapshot — matched rows updated, new rows inserted, rows absent
+    // from the source removed. Oracle is the closed form: the source
+    // view itself (which only equals the target if the stale %3 rows
+    // actually dropped).
+    q("q_merge_sync")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_sync")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_s1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .createOrReplaceTempView("graft_s2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_s1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_s2 ON o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Composite-key point lookups through the SQL surface: the same
     // composite target, read back via graft_target_lookup with grouped
     // (l_orderkey, l_linenumber) tuples — only the buckets those

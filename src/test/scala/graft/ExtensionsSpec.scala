@@ -147,11 +147,12 @@ class ExtensionsSpec extends SparkSpec {
     s2.sql(s"MERGE INTO '$dir' USING del_seed ON k BUCKETS 4").collect()
 
     // delete-only form: matched keys removed, an unmatched tombstone is
-    // a no-op (never inserts); rows_affected counts the tombstones
+    // a no-op (never inserts) — and, like @@ROWCOUNT, takes no part in
+    // rows_affected: only k=2 actually deleted
     Seq(2L, 9L).toDF("k").createOrReplaceTempView("del_batch")
     val n = s2.sql(s"MERGE INTO '$dir' USING del_batch ON k WHEN MATCHED THEN DELETE")
       .collect().head.getLong(0)
-    assert(n == 2L)
+    assert(n == 1L)
     assert(state() == Map(1L -> "a", 3L -> "c"))
 
     // conditional delete combined with the upsert pair: flagged rows
@@ -286,6 +287,147 @@ class ExtensionsSpec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("MERGE WHEN branches parse in any T-SQL order; trailing actions never drop") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_order").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, String] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .createOrReplaceTempView("ord_seed")
+    s2.sql(s"MERGE INTO '$dir' USING ord_seed ON k BUCKETS 4").collect()
+
+    // the delete branch WRITTEN AFTER the upsert pair (legal T-SQL
+    // ordering) must apply — the round-11 parser silently dropped it
+    Seq((2L, "b2", false), (3L, "x", true), (4L, "d", false))
+      .toDF("k", "v", "is_del").createOrReplaceTempView("ord_mixed")
+    s2.sql(s"MERGE INTO '$dir' USING ord_mixed ON k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN MATCHED AND is_del THEN DELETE").collect()
+    assert(state() == Map(1L -> "a", 2L -> "b2", 4L -> "d"),
+      "trailing DELETE branch was not applied")
+
+    // a trailing clause that is not part of the grammar still raises
+    // instead of being ignored
+    intercept[UnsupportedOperationException] {
+      s2.sql(s"MERGE INTO '$dir' USING ord_mixed ON k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN MATCHED THEN FROBNICATE")
+    }
+    // duplicate branches raise
+    intercept[UnsupportedOperationException] {
+      s2.sql(s"MERGE INTO '$dir' USING ord_mixed ON k " +
+        "WHEN MATCHED THEN DELETE WHEN MATCHED THEN DELETE")
+    }
+    // a CASE WHEN inside the delete condition is not a branch boundary
+    s2.sql(s"MERGE INTO '$dir' USING ord_mixed ON k " +
+      "WHEN MATCHED AND (CASE WHEN v = 'never' THEN true ELSE false END) THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
+    assert(state() == Map(1L -> "a", 2L -> "b2", 3L -> "x", 4L -> "d"))
+  }
+
+  test("MERGE partial-column UPDATE SET updates only the listed columns on match") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_partial").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, (String, Long)] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v", $"amt").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("p_seed")
+    s2.sql(s"MERGE INTO '$dir' USING p_seed ON k BUCKETS 4").collect()
+
+    // matched k=2: only amt updates (v keeps the TARGET value, not the
+    // source's); unmatched k=3 inserts the RAW source row (v included,
+    // and amt without the SET expression's +1)
+    Seq((2L, "IGNORED", 200L), (3L, "c", 30L)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("p_upd")
+    val n = s2.sql(s"MERGE INTO '$dir' USING p_upd ON k " +
+      "WHEN MATCHED THEN UPDATE SET amt = s.amt + 1 " +
+      "WHEN NOT MATCHED THEN INSERT *").collect().head.getLong(0)
+    assert(n == 2L)
+    assert(state() == Map(1L -> (("a", 10L)), 2L -> (("b", 201L)), 3L -> (("c", 30L))))
+
+    // multi-assignment with a function call (comma inside parens does
+    // not split) and a bare column reference on the RHS
+    Seq((3L, "zz", 5L)).toDF("k", "v", "amt").createOrReplaceTempView("p_upd2")
+    s2.sql(s"MERGE INTO '$dir' USING p_upd2 ON k " +
+      "WHEN MATCHED THEN UPDATE SET v = concat(v, '!'), amt = greatest(amt, 7) " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()
+    assert(state()(3L) == (("zz!", 7L)))
+
+    // assigning a merge key is rejected
+    intercept[UnsupportedOperationException] {
+      s2.sql(s"MERGE INTO '$dir' USING p_upd ON k " +
+        "WHEN MATCHED THEN UPDATE SET k = 99 WHEN NOT MATCHED THEN INSERT *")
+    }
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE synchronizes to the source") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_sync").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, String] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .createOrReplaceTempView("sy_seed")
+    s2.sql(s"MERGE INTO '$dir' USING sy_seed ON k BUCKETS 4").collect()
+
+    // source = {2 updated, 5 new}: 1/3/4 are absent from the source and
+    // drop; rows_affected = 1 update + 1 insert + 3 sync deletes
+    Seq((2L, "b2"), (5L, "e")).toDF("k", "v").createOrReplaceTempView("sy_src")
+    val n = s2.sql(s"MERGE INTO '$dir' USING sy_src ON k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect().head.getLong(0)
+    assert(n == 5L)
+    assert(state() == Map(2L -> "b2", 5L -> "e"))
+
+    // sync-delete without the upsert pair is rejected (full-snapshot
+    // sync is defined as update+insert+delete)
+    intercept[UnsupportedOperationException] {
+      s2.sql(s"MERGE INTO '$dir' USING sy_src ON k " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    // an idempotent replay of the same snapshot: same final state
+    s2.sql(s"MERGE INTO '$dir' USING sy_src ON k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
+    assert(state() == Map(2L -> "b2", 5L -> "e"))
+  }
+
+  test("USING subquery parens inside string literals parse; key names with separators refuse") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_quote").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+
+    // a ')' inside a string literal must not terminate the subquery
+    // scan ('' escape included)
+    val n = s2.sql(s"MERGE INTO '$dir' USING " +
+      "(SELECT 1 AS k, ':)' AS v UNION ALL SELECT 2 AS k, 'it''s (fine)' AS v) s " +
+      "ON k BUCKETS 2").collect().head.getLong(0)
+    assert(n == 2L)
+    assert(MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap ==
+      Map(1L -> ":)", 2L -> "it's (fine)"))
+
+    // _BUCKETS persists key columns comma-joined: a separator inside a
+    // key name would corrupt the layout — refused up front
+    intercept[IllegalArgumentException] {
+      MergeWriter.mergeByKeys(spark,
+        java.nio.file.Files.createTempDirectory("merge_badkey").toString,
+        Seq((1L, "x")).toDF("a,b", "v")
+          .withColumn("ord", org.apache.spark.sql.functions.lit(1)),
+        Seq("a,b"), "ord")
+    }
+  }
+
   test("bucket-pruned point lookup reads only the wanted buckets") {
     import graft.merge.MergeWriter
     val dir = java.nio.file.Files.createTempDirectory("target_lookup").toString
@@ -385,6 +527,20 @@ class ExtensionsSpec extends SparkSpec {
     // non-point time-travel reads still see the whole old snapshot
     assert(s2.sql(s"SELECT count(*) FROM graft_target('$dir', 0)")
       .collect().head.getLong(0) == 400L)
+
+    // graft_target_lookup_at: the TVF twin of the versioned point read —
+    // pinned to v0 (before the k=7 update), pruned to the wanted buckets
+    val ttTvf = s2.sql(s"SELECT k, v FROM graft_target_lookup_at('$dir', 0, 7, 99) ORDER BY k")
+    assert(ttTvf.as[(Long, String)].collect().toSeq == Seq(7L -> "v7", 99L -> "v99"))
+    assert(ttTvf.inputFiles.toSet.subsetOf(v0All) && ttTvf.inputFiles.length < v0All.size,
+      s"versioned TVF lookup read ${ttTvf.inputFiles.length}/${v0All.size} files")
+    // the current-version TVF sees the update the pinned one predates
+    assert(s2.sql(s"SELECT v FROM graft_target_lookup('$dir', 7)")
+      .as[String].collect().toSeq == Seq("v7b"))
+    // a vacuumed/never-written version raises instead of returning empty
+    intercept[Exception] {
+      s2.sql(s"SELECT * FROM graft_target_lookup_at('$dir', 99, 7)").collect()
+    }
   }
 
   test("point lookup finds every stored key (driver/executor hash parity fuzz)") {
