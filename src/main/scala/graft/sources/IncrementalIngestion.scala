@@ -72,6 +72,7 @@ object IncrementalIngestion {
     // readers and the file-trigger stream watching it) so the publish
     // rename below stays a same-filesystem atomic move
     val stage = Paths.get(landingDir, ".inc_stage")
+    sweepStaleStage(stage)
     val staged = Paths.get(BlobLanding.land(inc.df, stage.toString, name, "csv"))
     // emptiness = fewer than two lines (header + at least one data
     // row) — an O(1) peek, not a full re-read of a large landed window
@@ -92,5 +93,28 @@ object IncrementalIngestion {
     if (ok) inc.commit() // commit-after-landing: crash before this replays
     FireOutcome(res.status, Some(res.runId), Some(landed.toString),
       res.rowsPerStep.getOrElse("Data Pull", 0L), watermarkCommitted = ok)
+  }
+
+  /** A crash between landing into the staging dir and the atomic
+    * publish rename orphans the staged file (and its claim) — nothing
+    * else ever looks at them. Best-effort sweep at the start of each
+    * fire: anything in `.inc_stage` older than `staleMs` is crash
+    * debris (age-based, like BlobLanding's stale-claim takeover; a
+    * CONCURRENT fire's staging files are seconds old and untouched).
+    */
+  private[sources] def sweepStaleStage(stage: java.nio.file.Path,
+                                       staleMs: Long = 3600000L): Unit = {
+    import java.nio.file.Files
+    if (!Files.isDirectory(stage)) return
+    val cutoff = System.currentTimeMillis() - staleMs
+    try {
+      val ls = Files.list(stage)
+      try ls.iterator().forEachRemaining { p =>
+        try if (Files.isRegularFile(p) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff)
+          Files.deleteIfExists(p)
+        catch { case _: Exception => () } // best-effort, per-file
+      } finally ls.close()
+    } catch { case _: Exception => () } // sweep failure never blocks a fire
   }
 }
