@@ -202,37 +202,20 @@ object TextOps3 {
 
     // BM25-style relevance scoring against a fixed query — the
     // retrieval/quality-ranking primitive (select the most on-topic
-    // docs for a domain mix). Uses the RATIONAL idf variant
-    // (N - df + 0.5)/(df + 0.5) WITHOUT the log: every op is then
-    // IEEE-exact (+ - * / are correctly rounded), so Spark and DuckDB
-    // produce bit-identical doubles — a log would differ in the last
-    // ulp between libm implementations and break the hash compare.
-    // Monotonicity (hence ranking) is identical to standard BM25.
-    // Corpus stats (N, avgdl, per-term df) are one 1-row aggregate
-    // broadcast under the scoring pass; integer-valued double sums
-    // stay exact under shuffle reorder (< 2^53).
+    // docs for a domain mix), through the public parameterized API
+    // ([[graft.retrieval.Retrieval.bm25Score]] — the rational-idf
+    // variant whose ops are all IEEE-exact, so Spark and DuckDB
+    // produce bit-identical doubles; see its doc). Corpus stats are
+    // one 1-row aggregate broadcast under the scoring pass;
+    // integer-valued double sums stay exact under shuffle reorder
+    // (< 2^53). The k1+1 / 1-b constants are single IEEE ops computed
+    // identically on both sides ((1.2 + 1.0), (1.0 - 0.75) in the
+    // SQL).
     q("q_bm25")(
       (s, d) => {
         import s.implicits._
-        val terms = Seq("hash", "spark", "window")
-        val base0 = t(s, d, "documents").select($"doc_id",
-            split(lower(trim($"text")), "\\s+").as("tk"))
-          .withColumn("len_d", size($"tk").cast("double"))
-        val base = terms.zipWithIndex.foldLeft(base0) { case (df, (tm, i)) =>
-          df.withColumn(s"tf$i", size(filter($"tk", x => x === lit(tm))).cast("double"))
-        }.drop("tk")
-        val aggs = Seq(count(lit(1)).cast("double").as("n_docs"),
-            sum($"len_d").as("sum_len")) ++
-          terms.indices.map(i =>
-            sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
-        val consts = base.agg(aggs.head, aggs.tail: _*)
-        val avgdl = $"sum_len" / $"n_docs"
-        def part(i: Int) =
-          (($"n_docs" - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
-            (col(s"tf$i") * lit(2.2)) /
-            (col(s"tf$i") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * ($"len_d" / avgdl)))
-        base.crossJoin(broadcast(consts))
-          .select($"doc_id", (part(0) + part(1) + part(2)).as("score"))
+        graft.retrieval.Retrieval.bm25Score(
+            t(s, d, "documents"), Seq("hash", "spark", "window"), k1 = 1.2, b = 0.75)
           .orderBy($"score".desc, $"doc_id")
           .limit(100)
       },
@@ -248,9 +231,9 @@ object TextOps3 {
         |  SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
         |  FROM base)
         |SELECT doc_id,
-        |  (n_docs - df0 + 0.5) / (df0 + 0.5) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * (len_d / (sum_len / n_docs))))
-        |+ (n_docs - df1 + 0.5) / (df1 + 0.5) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (len_d / (sum_len / n_docs))))
-        |+ (n_docs - df2 + 0.5) / (df2 + 0.5) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (len_d / (sum_len / n_docs))))
+        |  (n_docs - df0 + 0.5) / (df0 + 0.5) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (len_d / (sum_len / n_docs))))
+        |+ (n_docs - df1 + 0.5) / (df1 + 0.5) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (len_d / (sum_len / n_docs))))
+        |+ (n_docs - df2 + 0.5) / (df2 + 0.5) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (len_d / (sum_len / n_docs))))
         |  AS score
         |FROM base, c
         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin),
@@ -258,18 +241,15 @@ object TextOps3 {
     // Sliding-window chunking with overlap — the long-document
     // counterpart of q_seq_pack: each doc is cut into 64-token
     // context windows on a 48-token stride (16-token overlap), the
-    // retrieval/embedding prep shape. Map-side explode of a generated
-    // start sequence: no shuffle at all until the final ORDER BY; at
-    // 100 TB this is a pure map stage.
+    // retrieval/embedding prep shape, through the public parameterized
+    // API ([[graft.retrieval.Retrieval.chunkWindows]]). Map-side
+    // explode of a generated start sequence: no shuffle at all until
+    // the final ORDER BY; at 100 TB this is a pure map stage.
     q("q_chunk_windows")(
       (s, d) => {
         import s.implicits._
-        t(s, d, "documents")
-          .select($"doc_id", TextFns.tokenCount($"text").cast("long").as("n_tokens"))
-          .filter($"n_tokens" > 0)
-          .withColumn("start", explode(sequence(lit(0L), $"n_tokens" - 1L, lit(48L))))
-          .select($"doc_id", $"n_tokens", ($"start" / 48L).cast("long").as("chunk_id"),
-            $"start", least(lit(64L), $"n_tokens" - $"start").as("chunk_len"))
+        graft.retrieval.Retrieval.chunkWindows(
+            t(s, d, "documents"), window = 64, stride = 48)
           .orderBy($"doc_id", $"start")
       },
       """SELECT doc_id, n_tokens, CAST(start // 48 AS BIGINT) AS chunk_id, start,
@@ -278,7 +258,7 @@ object TextOps3 {
         |  unnest(generate_series(0, n_tokens - 1, 48)) AS start
         |  FROM (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        |    FROM documents) WHERE n_tokens > 0)
+        |    FROM documents WHERE trim(text) <> '') WHERE n_tokens > 0)
         |ORDER BY doc_id, start""".stripMargin)
   )
 

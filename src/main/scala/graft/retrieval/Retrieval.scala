@@ -1,0 +1,99 @@
+package graft.retrieval
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval prep over a document corpus: BM25 relevance scoring
+  * against a query-term bag and sliding-window chunking — the two
+  * operators between curation and embedding/indexing in a
+  * training-data pipeline (select the most on-topic docs for a domain
+  * mix; cut long docs into overlapping context windows).
+  *
+  * Both are parameterized public APIs over any frame with an id and a
+  * text column; the engine's oracle queries (`q_bm25`,
+  * `q_chunk_windows`) run through these same entry points.
+  *
+  * Scale shape: [[bm25Score]] is one corpus aggregate broadcast under
+  * a map-side scoring pass (no per-term shuffle, no join on doc id);
+  * [[chunkWindows]] is a pure map-side explode (no shuffle at all).
+  * Both hold at 100 TB: cost is O(corpus) with a 1-row broadcast.
+  */
+object Retrieval {
+
+  /** BM25 score of every document against the bag of `terms`
+    * (whitespace tokenization, lowercased exact match), appended as a
+    * `score` column on (`idCol`, `score`).
+    *
+    * Uses the RATIONAL idf variant `(N - df + 0.5) / (df + 0.5)`
+    * WITHOUT the log: every operation is then IEEE-exact (+ - * / are
+    * correctly rounded), so results are bit-reproducible across
+    * engines — a `log` differs in the last ulp between libm
+    * implementations. Monotonicity (hence ranking) is identical to
+    * standard BM25. Derived constants (k1+1, 1-b) are single IEEE
+    * operations, reproducible by any engine computing the same.
+    *
+    * An empty `terms` list scores every document 0.0. A repeated term
+    * contributes once per occurrence in the list (standard bag-of-terms
+    * query semantics). Corpus stats (N, avgdl, per-term df) are one
+    * 1-row aggregate broadcast under the scoring pass.
+    */
+  def bm25Score(docs: DataFrame, terms: Seq[String],
+                k1: Double = 1.2, b: Double = 0.75,
+                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    if (terms.isEmpty)
+      return docs.select(id, lit(0.0).as("score"))
+    val tk = split(lower(trim(col(textCol))), "\\s+")
+    val base0 = docs.select(id, tk.as("tk"))
+      .withColumn("len_d", size(col("tk")).cast("double"))
+    val base = terms.zipWithIndex.foldLeft(base0) { case (df, (tm, i)) =>
+      df.withColumn(s"tf$i", size(filter(col("tk"), x => x === lit(tm))).cast("double"))
+    }.drop("tk")
+    val aggs = Seq(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("len_d")).as("sum_len")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val consts = base.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sum_len") / col("n_docs")
+    def part(i: Int): Column =
+      ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+        (col(s"tf$i") * lit(k1 + 1.0)) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("len_d") / avgdl)))
+    base.crossJoin(broadcast(consts))
+      .select(id, terms.indices.map(part).reduce(_ + _).as("score"))
+  }
+
+  /** Cut each document into `window`-token chunks on a `stride`-token
+    * step (stride < window ⇒ overlapping context windows, the
+    * retrieval/embedding prep shape; stride > window leaves gaps —
+    * allowed, occasionally useful for sampling). Output columns:
+    * `idCol`, `n_tokens`, `chunk_id`, `start`, `chunk_len`.
+    *
+    * The final chunk of a doc is short (`chunk_len < window`) when the
+    * token count is not a multiple of the stride; a doc shorter than
+    * one window yields exactly one short chunk; an empty doc yields no
+    * chunks. Tokens are whitespace-delimited (the engine's standard
+    * token count). Map-side explode of a generated start sequence —
+    * no shuffle at all.
+    */
+  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"chunkWindows needs window >= 1, got $window")
+    require(stride >= 1, s"chunkWindows needs stride >= 1, got $stride")
+    val id = col(idCol)
+    docs
+      // the standard whitespace split counts a whitespace-only doc as
+      // one empty token — filter those up front so an empty doc yields
+      // no chunks rather than one zero-content chunk
+      .filter(trim(col(textCol)) =!= "")
+      .select(id, graft.functions.TextFns.tokenCount(col(textCol))
+        .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0L), col("n_tokens") - 1L, lit(stride.toLong))))
+      .select(id, col("n_tokens"),
+        (col("start") / stride.toLong).cast("long").as("chunk_id"),
+        col("start"),
+        least(lit(window.toLong), col("n_tokens") - col("start")).as("chunk_len"))
+  }
+}

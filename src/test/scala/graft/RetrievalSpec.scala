@@ -1,0 +1,93 @@
+package graft
+
+import graft.retrieval.Retrieval
+
+/** Edge-case semantics of the public retrieval APIs (the oracle
+  * queries `q_bm25` / `q_chunk_windows` cover the corpus-scale happy
+  * path through the same entry points).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark spark spark engine"),
+    (2L, "hash join hash"),
+    (3L, "a completely unrelated sentence about nothing"),
+    (4L, "Spark") // case-insensitive match, shortest doc
+  ).toDF("doc_id", "text")
+
+  test("bm25Score ranks term-bearing docs above term-free ones; parameters bind") {
+    val scored = Retrieval.bm25Score(corpus, Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.keySet == Set(1L, 2L, 3L, 4L))
+    assert(scored(3L) == 0.0 && scored(2L) == 0.0) // no 'spark' → zero
+    assert(scored(1L) > 0.0 && scored(4L) > 0.0)
+    // shorter doc with the term outranks the longer one at equal-ish tf
+    // saturation (len normalization): doc 4 is 1 token, all of them hits
+    assert(scored(4L) > scored(1L) * 0.5) // sanity: both clearly positive
+
+    // b = 0 disables length normalization: score then depends only on
+    // tf, so doc 1 (tf=3) strictly outranks doc 4 (tf=1)
+    val noLen = Retrieval.bm25Score(corpus, Seq("spark"), b = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(noLen(1L) > noLen(4L))
+    // larger k1 rewards repeated terms more (less tf saturation)
+    val k1Low = Retrieval.bm25Score(corpus, Seq("spark"), k1 = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val k1High = Retrieval.bm25Score(corpus, Seq("spark"), k1 = 5.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(k1High(1L) / k1High(4L) > k1Low(1L) / k1Low(4L))
+
+    // multi-term scores add; a term absent from the corpus contributes
+    // 0 to every doc (df = 0 never divides by zero: idf = (N+0.5)/0.5)
+    val multi = Retrieval.bm25Score(corpus, Seq("spark", "hash", "zzz_absent"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(multi(2L) > 0.0) // hash-only doc now scores
+    assert(multi(3L) == 0.0)
+  }
+
+  test("bm25Score: empty term list scores zero; empty corpus returns empty") {
+    val zero = Retrieval.bm25Score(corpus, Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(zero.values.toSet == Set(0.0) && zero.size == 4)
+    assert(Retrieval.bm25Score(corpus.limit(0), Seq("spark")).count() == 0)
+    // custom column names bind
+    val renamed = corpus.toDF("id", "body")
+    val viaNames = Retrieval.bm25Score(renamed, Seq("spark"),
+      textCol = "body", idCol = "id")
+    assert(viaNames.columns.toSeq == Seq("id", "score"))
+    assert(viaNames.count() == 4)
+  }
+
+  test("chunkWindows covers every token; final/short-doc chunks truncate") {
+    def doc(n: Int) = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9; last chunk len 1
+    val chunks = Retrieval.chunkWindows(doc(10), window = 4, stride = 3)
+      .select($"chunk_id", $"start", $"chunk_len")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(chunks == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    // overlap: consecutive chunks share window - stride = 1 token;
+    // every token position is inside at least one chunk
+    val covered = chunks.flatMap { case (_, s, l) => s until (s + l) }.toSet
+    assert(covered == (0L until 10L).toSet)
+
+    // doc shorter than one window: exactly one chunk, its own length
+    assert(Retrieval.chunkWindows(doc(3), window = 64, stride = 48)
+      .select($"start", $"chunk_len").as[(Long, Long)].collect().toSeq ==
+      Seq((0L, 3L)))
+    // stride > window is allowed and leaves gaps (sampling shape)
+    val gapped = Retrieval.chunkWindows(doc(10), window = 2, stride = 5)
+      .select($"start", $"chunk_len").as[(Long, Long)].collect().toSeq.sorted
+    assert(gapped == Seq((0L, 2L), (5L, 2L)))
+    // empty / whitespace-free docs yield no chunks; empty corpus empty
+    assert(Retrieval.chunkWindows(Seq((1L, "")).toDF("doc_id", "text")).count() == 0)
+    // degenerate parameters refuse
+    intercept[IllegalArgumentException] {
+      Retrieval.chunkWindows(doc(5), window = 0, stride = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.chunkWindows(doc(5), window = 4, stride = 0)
+    }
+  }
+}
