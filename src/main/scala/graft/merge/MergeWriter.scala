@@ -437,9 +437,14 @@ object MergeWriter {
         buckets
     }
     val keySet = keyCols.toSet
-    // partial-update value carriers are internal — never data columns,
-    // never written
-    val exprCols = updateCols.map(_.map(_._2).toSet).getOrElse(Set.empty[String])
+    // partial-update value carriers DISTINCT from their target column
+    // (the SQL path's _graft_set_i expression columns) are internal —
+    // never data columns, never written. A same-named pair (the API
+    // form `amount -> amount`: update amount from the stream's amount)
+    // IS the data column: inserts must still take its raw value.
+    val exprCols = updateCols.map(_.collect {
+      case (tc, vc) if !tc.equalsIgnoreCase(vc) => vc }.toSet)
+      .getOrElse(Set.empty[String])
     val dataCols = updates.columns.filter(c =>
       !keySet.contains(c) && c != orderCol && !deleteCol.contains(c) &&
         !exprCols.contains(c))

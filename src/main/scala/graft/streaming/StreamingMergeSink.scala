@@ -38,19 +38,29 @@ object StreamingMergeSink {
             checkpointDir: String,
             buckets: Int = MergeWriter.DefaultBuckets,
             trigger: Trigger = Trigger.ProcessingTime(0L),
-            deleteCol: Option[String] = None): StreamingQuery =
+            deleteCol: Option[String] = None,
+            updateCols: Option[Seq[(String, String)]] = None): StreamingQuery =
     startByKeys(updates, targetDir, Seq(keyCol), checkpointDir, buckets,
-      trigger, deleteCol)
+      trigger, deleteCol, updateCols)
 
   /** Composite-key form: the change stream's key is the conjunction of
     * `keyCols` (e.g. (tenant, id)) — same contract as
     * [[MergeWriter.mergeByKeys]].
+    *
+    * `updateCols` switches matched rows to a partial-column update
+    * (the sparse-CDC shape: the change stream carries only the changed
+    * columns — each (targetCol, valueCol) pair routes `valueCol` into
+    * `targetCol` on match, unlisted columns keep their target values,
+    * inserts take the raw stream row). There is deliberately no
+    * sync-delete option: a change stream is a delta, not a snapshot —
+    * full-snapshot synchronization belongs to the batch MERGE surface.
     */
   def startByKeys(updates: DataFrame, targetDir: String, keyCols: Seq[String],
                   checkpointDir: String,
                   buckets: Int = MergeWriter.DefaultBuckets,
                   trigger: Trigger = Trigger.ProcessingTime(0L),
-                  deleteCol: Option[String] = None): StreamingQuery =
+                  deleteCol: Option[String] = None,
+                  updateCols: Option[Seq[(String, String)]] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -58,7 +68,8 @@ object StreamingMergeSink {
         if (!batch.isEmpty) {
           MergeWriter.mergeByKeys(batch.sparkSession, targetDir,
             batch.withColumn("_src_order", monotonically_increasing_id()),
-            keyCols, "_src_order", buckets, deleteCol = deleteCol): Unit
+            keyCols, "_src_order", buckets, deleteCol = deleteCol,
+            updateCols = updateCols): Unit
         }
       }
       .start()

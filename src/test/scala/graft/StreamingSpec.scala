@@ -125,6 +125,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge sink partial-column updates keep unlisted target columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val df = mem.toDF().toDF("k", "status", "amount")
+    val target = Files.createTempDirectory("graft_stream_part").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_stream_part_ckpt").toString
+    // sparse CDC: only `amount` carries changes — matched rows keep
+    // their target `status`, inserts take the full stream row
+    val q = graft.streaming.StreamingMergeSink.start(df, target, "k", ckpt,
+      buckets = 4, updateCols = Some(Seq("amount" -> "amount")))
+    def state(): Map[Long, (String, Double)] = graft.merge.MergeWriter
+      .readTarget(spark, target).get
+      .select($"k", $"status", $"amount").as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    try {
+      mem.addData((1L, "new", 10.0), (2L, "new", 20.0))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> (("new", 10.0)), 2L -> (("new", 20.0))))
+      // k=1 re-priced (status must NOT become "IGNORED"), k=3 inserted
+      mem.addData((1L, "IGNORED", 11.5), (3L, "new", 30.0))
+      q.processAllAvailable()
+      assert(state() == Map(
+        1L -> (("new", 11.5)), 2L -> (("new", 20.0)), 3L -> (("new", 30.0))))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops in-horizon duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
