@@ -77,23 +77,45 @@ object Retrieval {
     * no shuffle at all.
     */
   def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 48,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    chunked(docs, window, stride, textCol, idCol, withText = false)
+
+  /** [[chunkWindows]] plus the chunk's actual content as a
+    * `chunk_text` column (tokens rejoined on single spaces) — the
+    * embedding-prep form: downstream encoders consume the text
+    * directly instead of re-tokenizing to resolve offsets. Same
+    * map-only plan; the token array is carried through the explode and
+    * sliced per chunk, so cost stays O(sum of chunk lengths).
+    */
+  def chunkWindowsWithText(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                           textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    chunked(docs, window, stride, textCol, idCol, withText = true)
+
+  private def chunked(docs: DataFrame, window: Int, stride: Int,
+                      textCol: String, idCol: String, withText: Boolean): DataFrame = {
     require(window >= 1, s"chunkWindows needs window >= 1, got $window")
     require(stride >= 1, s"chunkWindows needs stride >= 1, got $stride")
     val id = col(idCol)
-    docs
+    val base = docs
       // the standard whitespace split counts a whitespace-only doc as
       // one empty token — filter those up front so an empty doc yields
       // no chunks rather than one zero-content chunk
       .filter(trim(col(textCol)) =!= "")
-      .select(id, graft.functions.TextFns.tokenCount(col(textCol))
-        .cast("long").as("n_tokens"))
+      .select(id, graft.functions.TextFns.tokens(col(textCol)).as("_tk"))
+      .withColumn("n_tokens", size(col("_tk")).cast("long"))
       .filter(col("n_tokens") > 0)
       .withColumn("start",
         explode(sequence(lit(0L), col("n_tokens") - 1L, lit(stride.toLong))))
-      .select(id, col("n_tokens"),
-        (col("start") / stride.toLong).cast("long").as("chunk_id"),
-        col("start"),
-        least(lit(window.toLong), col("n_tokens") - col("start")).as("chunk_len"))
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("n_tokens") - col("start")))
+    val out = Seq(id, col("n_tokens"),
+      (col("start") / stride.toLong).cast("long").as("chunk_id"),
+      col("start"), col("chunk_len")) ++
+      // slice is 1-based; chunk_len is capped at Int range by window
+      (if (withText)
+        Seq(array_join(slice(col("_tk"), (col("start") + 1L).cast("int"),
+          col("chunk_len").cast("int")), " ").as("chunk_text"))
+      else Seq.empty)
+    base.select(out: _*)
   }
 }

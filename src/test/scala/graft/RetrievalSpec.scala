@@ -90,4 +90,18 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.chunkWindows(doc(5), window = 4, stride = 0)
     }
   }
+
+  test("chunkWindowsWithText materializes each chunk's exact token span") {
+    val doc = Seq((1L, "  a b c d e f g  ")).toDF("doc_id", "text") // trim applies
+    val chunks = Retrieval.chunkWindowsWithText(doc, window = 3, stride = 2)
+      .select($"start", $"chunk_text").as[(Long, String)].collect().toSeq.sorted
+    assert(chunks == Seq((0L, "a b c"), (2L, "c d e"), (4L, "e f g"), (6L, "g")))
+    // same rows as the offsets-only form, plus the text column
+    val plain = Retrieval.chunkWindows(doc, window = 3, stride = 2)
+    assert(plain.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "chunk_id", "start", "chunk_len"))
+    assert(Retrieval.chunkWindowsWithText(doc, 3, 2).columns.toSeq ==
+      plain.columns.toSeq :+ "chunk_text")
+    assert(plain.count() == 4)
+  }
 }
