@@ -259,6 +259,31 @@ object TextOps3 {
         |  FROM (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |    FROM documents WHERE trim(text) <> '') WHERE n_tokens > 0)
+        |ORDER BY doc_id, start""".stripMargin),
+
+    // Chunking with the content materialized — the embedding-prep form
+    // ([[graft.retrieval.Retrieval.chunkWindowsWithText]]): each chunk
+    // carries its exact token span rejoined on single spaces, so
+    // downstream encoders consume text directly instead of re-splitting
+    // to resolve offsets. Still a pure map stage (the token array rides
+    // the explode and is sliced per chunk). String equality is exact, so
+    // the oracle hash-compares the chunk text verbatim.
+    q("q_chunk_text")(
+      (s, d) => {
+        import s.implicits._
+        graft.retrieval.Retrieval.chunkWindowsWithText(
+            t(s, d, "documents"), window = 64, stride = 48)
+          .select($"doc_id", $"start", $"chunk_text")
+          .orderBy($"doc_id", $"start")
+      },
+      """SELECT doc_id, start,
+        |  array_to_string(list_slice(tk, CAST(start + 1 AS BIGINT),
+        |    CAST(start + LEAST(64, n_tokens - start) AS BIGINT)), ' ') AS chunk_text
+        |FROM (SELECT doc_id, n_tokens, tk,
+        |  unnest(generate_series(0, n_tokens - 1, 48)) AS start
+        |  FROM (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+        |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |      FROM documents WHERE trim(text) <> '')) WHERE n_tokens > 0)
         |ORDER BY doc_id, start""".stripMargin)
   )
 
