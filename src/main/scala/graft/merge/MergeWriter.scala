@@ -312,6 +312,11 @@ object MergeWriter {
     * batch (T-SQL `WHEN NOT MATCHED BY SOURCE THEN DELETE`,
     * full-snapshot sync) — every bucket is touched in this mode, so
     * the merge is O(|target|) by necessity, not O(touched buckets).
+    * `updateCondCol` names an optional boolean column guarding the
+    * update branch (T-SQL `WHEN MATCHED AND cond THEN UPDATE`): a
+    * matched row where it is false or null takes no action — the
+    * target row stays byte-identical, `migrated_at` included, and the
+    * row is not counted — while unmatched rows still insert.
     */
   // one writer per target at a time. In-process: a JVM-level lock per
   // normalized path. Cross-JVM: a create-exclusive `_LEASE` file whose
@@ -386,9 +391,10 @@ object MergeWriter {
             leaseWaitMs: Long = 10000,
             deleteCol: Option[String] = None,
             updateCols: Option[Seq[(String, String)]] = None,
-            syncDelete: Boolean = false): Long =
+            syncDelete: Boolean = false,
+            updateCondCol: Option[String] = None): Long =
     mergeByKeys(spark, targetDir, updates, Seq(keyCol), orderCol, buckets,
-      leaseWaitMs, deleteCol, updateCols, syncDelete)
+      leaseWaitMs, deleteCol, updateCols, syncDelete, updateCondCol)
 
   /** Composite-key upsert: match on the conjunction of `keyCols`
     * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
@@ -403,7 +409,8 @@ object MergeWriter {
                   leaseWaitMs: Long = 10000,
                   deleteCol: Option[String] = None,
                   updateCols: Option[Seq[(String, String)]] = None,
-                  syncDelete: Boolean = false): Long = lockFor(targetDir).synchronized {
+                  syncDelete: Boolean = false,
+                  updateCondCol: Option[String] = None): Long = lockFor(targetDir).synchronized {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // key columns are persisted comma-joined (tab-separated from the
     // bucket count) in _BUCKETS — a separator inside a name would
@@ -413,7 +420,7 @@ object MergeWriter {
     Files.createDirectories(Paths.get(targetDir))
     val lease = acquireLease(targetDir, leaseWaitMs)
     try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol,
-      updateCols, syncDelete)
+      updateCols, syncDelete, updateCondCol)
     finally lease.release()
   }
 
@@ -421,7 +428,8 @@ object MergeWriter {
                           keyCols: Seq[String], orderCol: String, buckets: Int,
                           deleteCol: Option[String],
                           updateCols: Option[Seq[(String, String)]],
-                          syncDelete: Boolean): Long = {
+                          syncDelete: Boolean,
+                          updateCondCol: Option[String]): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, stored)) =>
         // a different key set would hash rows into buckets the stored
@@ -447,7 +455,7 @@ object MergeWriter {
       .getOrElse(Set.empty[String])
     val dataCols = updates.columns.filter(c =>
       !keySet.contains(c) && c != orderCol && !deleteCol.contains(c) &&
-        !exprCols.contains(c))
+        !updateCondCol.contains(c) && !exprCols.contains(c))
     def keyHash = pmod(hash(keyCols.map(col): _*), lit(nB))
 
     // last-wins dedup inside the batch (reference `migrate.js:10-15`) —
@@ -459,10 +467,18 @@ object MergeWriter {
       .withColumn("migrated_at", current_timestamp())
     // normalize the tombstone flag (null = not a delete) to an internal
     // column so the join/filter below is uniform; dropped before write
-    val deduped = deleteCol match {
+    val dedupedD = deleteCol match {
       case Some(dc) => deduped0
         .withColumn("_gdel", coalesce(col(dc).cast("boolean"), lit(false))).drop(dc)
       case None => deduped0.withColumn("_gdel", lit(false))
+    }
+    // likewise the update-branch condition (null = does not apply, the
+    // SQL three-valued rule): a matched row with a false flag takes no
+    // action — the target row stays byte-identical
+    val deduped = updateCondCol match {
+      case Some(uc) => dedupedD
+        .withColumn("_gupd", coalesce(col(uc).cast("boolean"), lit(false))).drop(uc)
+      case None => dedupedD.withColumn("_gupd", lit(true))
     }
 
     // affected count rides on the bucket-discovery job via an
@@ -504,9 +520,11 @@ object MergeWriter {
 
     val merged =
       if (oldPaths.isEmpty)
+        // empty target: every surviving row is an insert (the update
+        // branch and its condition only ever guard MATCHED rows)
         dedupedObs.filter(!col("_gdel"))
           .observe(actObs, count(lit(1)).as("n_actions"))
-          .drop(("_gdel" +: exprCols.toSeq): _*)
+          .drop(("_gdel" +: "_gupd" +: exprCols.toSeq): _*)
       else {
         // mergeSchema: touched buckets written before an additive
         // schema change may carry older column sets
@@ -515,15 +533,19 @@ object MergeWriter {
         val t = (if (oldCols.contains("_bucket")) target else target
           .withColumn("_bucket", keyHash)).as("t")
         val u = dedupedObs.as("u")
-        // u-side presence / t-side match, readable once for the
-        // partial-update routing, sync filter, and action count below
+        // u-side presence / t-side match / update-branch applicability,
+        // readable once for the routing, sync filter, and action count
         val uPresent = col("u._gdel").isNotNull
         val tPresent = col(s"t.${keyCols.head}").isNotNull
+        // this source row's values take effect for its output row:
+        // inserts always, matched rows only when the update branch fires
+        val uApplies = uPresent && (!tPresent || col("u._gupd"))
         // additive schema evolution: a column only in the updates reads
         // null for pre-existing rows; a column only in the target is
         // carried forward untouched
         val tData = oldCols.filterNot(c =>
-          keySet.contains(c) || c == "migrated_at" || c == "_bucket" || c == "_gdel")
+          keySet.contains(c) || c == "migrated_at" || c == "_bucket" ||
+            c == "_gdel" || c == "_gupd")
         val allData0 = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
         // a SET-introduced column absent from both sides still needs an
         // output slot (matched rows get the expression, others null)
@@ -533,10 +555,12 @@ object MergeWriter {
           updateCols.flatMap(_.find(_._1.equalsIgnoreCase(c)).map(_._2))
         def dataCol(c: String) = assignedValueCol(c) match {
           case Some(vc) =>
-            // assigned column: matched → the SET expression's value,
-            // insert → the raw source value, target-only → carried
-            when(uPresent && tPresent, col(s"u.$vc"))
-              .when(uPresent, if (dataCols.contains(c)) col(s"u.$c") else lit(null))
+            // assigned column: matched (update branch firing) → the SET
+            // expression's value, insert → the raw source value,
+            // matched-no-fire / target-only → carried
+            when(uPresent && tPresent && col("u._gupd"), col(s"u.$vc"))
+              .when(uPresent && !tPresent,
+                if (dataCols.contains(c)) col(s"u.$c") else lit(null))
               .otherwise(if (tData.contains(c)) col(s"t.$c") else lit(null))
           case None if updateCols.isDefined =>
             // partial update: unassigned columns KEEP the target value
@@ -546,18 +570,28 @@ object MergeWriter {
             else if (dataCols.contains(c)) when(uPresent && !tPresent, col(s"u.$c"))
             else col(s"t.$c")
           case None =>
-            if (dataCols.contains(c) && tData.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c"))
-            else if (dataCols.contains(c)) col(s"u.$c")
+            // full SET *: source values win wherever the source row
+            // takes effect (null source values still fall back to the
+            // target's — additive evolution)
+            if (dataCols.contains(c) && tData.contains(c))
+              when(uApplies, coalesce(col(s"u.$c"), col(s"t.$c")))
+                .otherwise(col(s"t.$c"))
+            else if (dataCols.contains(c)) when(uApplies, col(s"u.$c"))
             else col(s"t.$c")
         }
         val outCols =
           keyCols.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
           allData.map(c => dataCol(c).as(c)) :+
-          coalesce(col("u.migrated_at"), col("t.migrated_at")).as("migrated_at") :+
+          // a matched row whose update branch does not fire keeps its
+          // old migrated_at — it was not migrated this round
+          when(uApplies, coalesce(col("u.migrated_at"), col("t.migrated_at")))
+            .otherwise(col("t.migrated_at")).as("migrated_at") :+
           coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
-        // an action: any present source row except an unmatched
-        // tombstone, plus (sync mode) every target row being dropped
-        val isAction = (uPresent && !(col("u._gdel") && !tPresent)) ||
+        // an action: a matched tombstone, an insert, a matched row whose
+        // update branch fires, plus (sync mode) every dropped target row
+        val isAction = (uPresent &&
+            ((col("u._gdel") && tPresent) ||
+              (!col("u._gdel") && (!tPresent || col("u._gupd"))))) ||
           (lit(syncDelete) && !uPresent)
         // tombstones drop out here: a matched delete removes the target
         // row from its rewritten bucket, an unmatched one inserts

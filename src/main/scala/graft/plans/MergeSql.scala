@@ -47,7 +47,13 @@ import graft.merge.MergeWriter
   *    columns on match — unlisted columns keep their target values —
   *    while inserts still take the raw source row. `expr` is over the
   *    SOURCE columns (alias `s`, the sparse-CDC shape
-  *    `SET t.col = s.col`); key columns cannot be assigned.
+  *    `SET t.col = s.col`); key columns cannot be assigned. An
+  *    optional `WHEN MATCHED AND cond THEN UPDATE` condition (over the
+  *    SOURCE columns, like the delete branch's) guards the update: a
+  *    matched row failing it takes no action at all — the target row
+  *    stays byte-identical, `migrated_at` included — while unmatched
+  *    rows still insert. The delete branch is evaluated first; the
+  *    update condition applies to the remaining matched rows.
   *  - a delete branch (the T-SQL MERGE delete form): `cond` is any
   *    boolean expression over the SOURCE columns; omitted = every
   *    source row is a delete. A source row satisfying `cond` removes
@@ -72,7 +78,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
                                 upsert: Boolean = true,
                                 sourceIsQuery: Boolean = false,
                                 setClause: Option[Seq[(String, String)]] = None,
-                                syncDelete: Boolean = false)
+                                syncDelete: Boolean = false,
+                                updateCond: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -80,17 +87,26 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
 
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
-    val srcBase = if (sourceIsQuery) session.sql(source) else session.table(source)
-    // partial SET: evaluate each assignment's RHS on the source (alias
-    // `s`, so `s.col` and bare `col` both resolve) into an internal
-    // column; the writer routes it to matched rows only, while inserts
-    // keep the raw source value
-    val src0 = setClause match {
+    val srcBase0 = if (sourceIsQuery) session.sql(source) else session.table(source)
+    // SET expressions and the update condition are over the SOURCE
+    // columns — alias it `s` so `s.col` and bare `col` both resolve
+    val srcBase =
+      if (setClause.isDefined || updateCond.isDefined) srcBase0.as("s") else srcBase0
+    // partial SET: evaluate each assignment's RHS on the source into an
+    // internal column; the writer routes it to matched rows only, while
+    // inserts keep the raw source value
+    val srcSet = setClause match {
       case Some(assigns) =>
-        assigns.zipWithIndex.foldLeft(srcBase.as("s")) { case (df, ((_, e), i)) =>
+        assigns.zipWithIndex.foldLeft(srcBase) { case (df, ((_, e), i)) =>
           df.withColumn(s"_graft_set_$i", expr(e))
         }
       case None => srcBase
+    }
+    // the update-branch condition is evaluated on the source like the
+    // delete condition; a null condition value means "does not apply"
+    val src0 = updateCond match {
+      case Some(c) => srcSet.withColumn("_graft_update", expr(c).cast("boolean"))
+      case None => srcSet
     }
     // the tombstone flag is computed on the source BEFORE the merge:
     // delete-only form keeps just the rows the condition selects (the
@@ -116,7 +132,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
       deleteCol = deleteCond.map(_ => "_graft_delete"),
       updateCols = setClause.map(_.zipWithIndex.map { case ((c, _), i) =>
         c -> s"_graft_set_$i" }),
-      syncDelete = syncDelete)
+      syncDelete = syncDelete,
+      updateCondCol = updateCond.map(_ => "_graft_update"))
     Seq(Row(n))
   }
 }
@@ -332,7 +349,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val DeleteClauseRe =
     """(?is)^\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*$""".r
   private val UpdateClauseRe =
-    """(?is)^\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
+    """(?is)^\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
   private val InsertClauseRe =
     """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*\s*$""".r
   private val SyncDeleteClauseRe =
@@ -441,6 +458,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // each at most once, so no action is ever silently dropped
       var deleteCond: Option[String] = None
       var update: Option[Option[Seq[(String, String)]]] = None
+      var updateCond: Option[String] = None
       var insert = false
       var syncDelete = false
       def once(already: Boolean, what: String): Unit =
@@ -454,9 +472,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case DeleteClauseRe(c) =>
           once(deleteCond.isDefined, "WHEN MATCHED ... DELETE")
           deleteCond = Some(Option(c).getOrElse("true"))
-        case UpdateClauseRe(setSpec) =>
+        case UpdateClauseRe(c, setSpec) =>
           once(update.isDefined, "WHEN MATCHED ... UPDATE")
           update = Some(parseSetSpec(setSpec, keyCols))
+          updateCond = Option(c)
         case other => throw new UnsupportedOperationException(
           "MERGE INTO '<path>' WHEN actions are limited to " +
             "'WHEN MATCHED [AND cond] THEN DELETE', " +
@@ -478,7 +497,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       MergeIntoPathCommand(dir, subquery.getOrElse(source), keyCols,
         Option(order), Option(buckets).map(_.toInt), deleteCond, upsert,
         sourceIsQuery = subquery.isDefined,
-        setClause = update.flatten, syncDelete = syncDelete)
+        setClause = update.flatten, syncDelete = syncDelete,
+        updateCond = updateCond)
     case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")
   }
 

@@ -331,6 +331,46 @@ object Relational {
         |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
         |ORDER BY o_orderkey""".stripMargin),
 
+    // K2 + the conditional update branch (T-SQL WHEN MATCHED AND cond
+    // THEN UPDATE — out-of-order / selective-apply CDC): matched rows
+    // update only where the source-side condition fires (keys % 4 = 0);
+    // non-firing matched rows keep their target values entirely, while
+    // inserts land regardless of the condition. Oracle is the closed
+    // form: a full outer where the update side wins only on
+    // (matched AND cond) or insert.
+    q("q_merge_conditional")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_cond")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_c1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .withColumn("o_orderstatus", lit("U"))
+            .createOrReplaceTempView("graft_c2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_c1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_c2 ON o_orderkey " +
+            "WHEN MATCHED AND s.o_orderkey % 4 = 0 THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'U' AS o_orderstatus
+        |       FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |CASE WHEN up.o_orderkey IS NOT NULL AND (tg.o_orderkey IS NULL OR up.o_orderkey % 4 = 0)
+        |     THEN up.o_totalprice ELSE tg.o_totalprice END AS o_totalprice,
+        |CASE WHEN up.o_orderkey IS NOT NULL AND (tg.o_orderkey IS NULL OR up.o_orderkey % 4 = 0)
+        |     THEN up.o_orderstatus ELSE tg.o_orderstatus END AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
     // K2 + WHEN NOT MATCHED BY SOURCE THEN DELETE (full-snapshot
     // synchronization): after the sync merge the target IS the source
     // snapshot — matched rows updated, new rows inserted, rows absent

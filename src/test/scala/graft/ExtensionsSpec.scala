@@ -367,6 +367,47 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("MERGE conditional update branch: non-firing matched rows take no action") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_cond").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, (String, Long)] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v", $"ver").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("k", "v", "ver")
+      .createOrReplaceTempView("c_seed")
+    s2.sql(s"MERGE INTO '$dir' USING c_seed ON k BUCKETS 4").collect()
+    val before = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"migrated_at".cast("long")).as[(Long, Long)].collect().toMap
+
+    // k=1 carries ver=3 (< 5: update branch does not fire, row stays
+    // byte-identical including migrated_at); k=2 carries ver=9 (fires);
+    // k=3 is new (inserts regardless of the condition). rows_affected
+    // counts the firing update + the insert only.
+    Seq((1L, "STALE", 3L), (2L, "b2", 9L), (3L, "c", 1L))
+      .toDF("k", "v", "ver").createOrReplaceTempView("c_upd")
+    val n = s2.sql(s"MERGE INTO '$dir' USING c_upd ON k " +
+      "WHEN MATCHED AND s.ver > 5 THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").collect().head.getLong(0)
+    assert(n == 2L)
+    assert(state() == Map(1L -> (("a", 5L)), 2L -> (("b2", 9L)), 3L -> (("c", 1L))))
+    val after = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"migrated_at".cast("long")).as[(Long, Long)].collect().toMap
+    assert(after(1L) == before(1L), "non-firing matched row was rewritten")
+    assert(after(2L) != before(2L))
+
+    // the condition composes with partial SET: only the listed column
+    // updates, and only where the condition fires
+    Seq((2L, "IGNORED", 20L), (3L, "IGNORED", 0L)).toDF("k", "v", "ver")
+      .createOrReplaceTempView("c_upd2")
+    s2.sql(s"MERGE INTO '$dir' USING c_upd2 ON k " +
+      "WHEN MATCHED AND ver > 5 THEN UPDATE SET ver = s.ver " +
+      "WHEN NOT MATCHED THEN INSERT *").collect()
+    assert(state() == Map(1L -> (("a", 5L)), 2L -> (("b2", 20L)), 3L -> (("c", 1L))))
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE synchronizes to the source") {
     import graft.merge.MergeWriter
     val dir = java.nio.file.Files.createTempDirectory("merge_sync").toString
