@@ -39,9 +39,10 @@ object StreamingMergeSink {
             buckets: Int = MergeWriter.DefaultBuckets,
             trigger: Trigger = Trigger.ProcessingTime(0L),
             deleteCol: Option[String] = None,
-            updateCols: Option[Seq[(String, String)]] = None): StreamingQuery =
+            updateCols: Option[Seq[(String, String)]] = None,
+            updateCondCol: Option[String] = None): StreamingQuery =
     startByKeys(updates, targetDir, Seq(keyCol), checkpointDir, buckets,
-      trigger, deleteCol, updateCols)
+      trigger, deleteCol, updateCols, updateCondCol)
 
   /** Composite-key form: the change stream's key is the conjunction of
     * `keyCols` (e.g. (tenant, id)) — same contract as
@@ -51,16 +52,21 @@ object StreamingMergeSink {
     * (the sparse-CDC shape: the change stream carries only the changed
     * columns — each (targetCol, valueCol) pair routes `valueCol` into
     * `targetCol` on match, unlisted columns keep their target values,
-    * inserts take the raw stream row). There is deliberately no
-    * sync-delete option: a change stream is a delta, not a snapshot —
-    * full-snapshot synchronization belongs to the batch MERGE surface.
+    * inserts take the raw stream row). `updateCondCol` names a boolean
+    * column guarding the update branch (selective-apply CDC: a matched
+    * row where it is false/null takes no action, the target row stays
+    * byte-identical; unmatched rows still insert). There is
+    * deliberately no sync-delete option: a change stream is a delta,
+    * not a snapshot — full-snapshot synchronization belongs to the
+    * batch MERGE surface.
     */
   def startByKeys(updates: DataFrame, targetDir: String, keyCols: Seq[String],
                   checkpointDir: String,
                   buckets: Int = MergeWriter.DefaultBuckets,
                   trigger: Trigger = Trigger.ProcessingTime(0L),
                   deleteCol: Option[String] = None,
-                  updateCols: Option[Seq[(String, String)]] = None): StreamingQuery =
+                  updateCols: Option[Seq[(String, String)]] = None,
+                  updateCondCol: Option[String] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -69,7 +75,7 @@ object StreamingMergeSink {
           MergeWriter.mergeByKeys(batch.sparkSession, targetDir,
             batch.withColumn("_src_order", monotonically_increasing_id()),
             keyCols, "_src_order", buckets, deleteCol = deleteCol,
-            updateCols = updateCols): Unit
+            updateCols = updateCols, updateCondCol = updateCondCol): Unit
         }
       }
       .start()

@@ -151,6 +151,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge sink conditional updates skip non-firing matched rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val df = mem.toDF().toDF("k", "v", "apply_upd")
+    val target = Files.createTempDirectory("graft_stream_cond").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_stream_cond_ckpt").toString
+    val q = graft.streaming.StreamingMergeSink.start(df, target, "k", ckpt,
+      buckets = 4, updateCondCol = Some("apply_upd"))
+    def state(): Map[Long, String] = graft.merge.MergeWriter.readTarget(spark, target)
+      .get.select($"k", $"v").as[(Long, String)].collect().toMap
+    try {
+      mem.addData((1L, "a", true), (2L, "b", true))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a", 2L -> "b"))
+      // k=1's change is guarded off (target keeps "a"), k=2's fires,
+      // k=3 inserts regardless of its guard value
+      mem.addData((1L, "STALE", false), (2L, "b2", true), (3L, "c", false))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops in-horizon duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
