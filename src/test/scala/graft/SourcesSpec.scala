@@ -285,6 +285,22 @@ class SourcesSpec extends SparkSpec {
       finally ls.close()
     }
     assert(visible.size == 1 && visible.head.endsWith(".csv")) // only the first fire's file
+
+    // crash-orphaned staging debris (a stale file in .inc_stage, e.g. a
+    // JVM that died between landing and the publish rename) is swept at
+    // the next fire; a FRESH staging file — a concurrent fire's — is not
+    val stage = java.nio.file.Paths.get(landing, ".inc_stage")
+    Files.createDirectories(stage)
+    val stale = stage.resolve("t_inc_deadbeef.csv")
+    val fresh = stage.resolve("t_inc_concurrent.csv")
+    Files.writeString(stale, "OrderId\n1\n")
+    Files.writeString(fresh, "OrderId\n2\n")
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 3600 * 1000L))
+    IncrementalIngestion.fireWindow(runner,
+      JdbcSource.Incremental(window(Seq.empty), Some("2"), stateFile), "t", landing)
+    assert(!Files.exists(stale), "stale staging debris survived the sweep")
+    assert(Files.exists(fresh), "a fresh (concurrent) staging file was swept")
   }
 
   test("blob landing publishes atomically and feeds the pipeline") {
