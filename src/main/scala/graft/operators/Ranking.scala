@@ -65,6 +65,61 @@ object Ranking {
                       out: String = "rank", numPartitions: Int = 0): DataFrame =
     withRank(df, sortCols, out, numPartitions)._1
 
+  /** Exact global INCLUSIVE running sum of `valueCol` (cast to long)
+    * in `sortCols` order as column `out`, fully parallel — identical
+    * values to `sum(valueCol).over(Window.orderBy(sortCols).rowsBetween
+    * (unboundedPreceding, currentRow))` without the single-task global
+    * window: range-partition on the sort key, per-partition totals in
+    * one small aggregation, then a codegen'd partition-local
+    * accumulator seeded with the prefix of the preceding partitions'
+    * totals ([[graft.plans.PartitionOffsetRunningSum]]). The result
+    * frame is ordered by `sortCols` (range partitions + sorted within).
+    */
+  def globalRunningSum(df: DataFrame, valueCol: Column, sortCols: Seq[Column],
+                       out: String = "running_sum", numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "global running sum needs at least one sort column")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, spark.sparkContext.defaultParallelism)
+    val prepared = df.withColumn("_rs_val", valueCol.cast("long"))
+    val sorted = graft.util.CacheScope.pin(
+      prepared.repartitionByRange(parts, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*))
+    val totals = sorted.groupBy(spark_partition_id().as("_rs_pid"))
+      .agg(sum(col("_rs_val")).as("s"))
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+    val perPart = new Array[Long](parts)
+    totals.foreach { case (pid, s) => perPart(pid) = s }
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    var i = 0
+    while (i < parts) { offsets(i) = acc; acc += perPart(i); i += 1 }
+    sorted.withColumn(out, org.apache.spark.sql.graftbridge.ColumnBridge
+        .column(graft.plans.PartitionOffsetRunningSum(offsets,
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("_rs_val")))))
+      .drop("_rs_val")
+  }
+
+  /** Token-budget corpus selection — the dataset-curation cut "take
+    * the best documents until the token budget is spent": rank by
+    * `sortCols` (a TOTAL order — append a unique id tie-break), keep
+    * the maximal prefix whose INCLUSIVE cumulative `tokensCol` stays
+    * within `budget`. Prefix semantics: the first document that
+    * overflows the budget is dropped and nothing after it is taken —
+    * deterministic, unlike best-fit packing. Fully parallel via
+    * [[globalRunningSum]]; at 100 TB this is one range shuffle plus a
+    * small totals aggregation, never a single-task window.
+    */
+  def tokenBudgetSelect(df: DataFrame, budget: Long, tokensCol: Column,
+                        sortCols: Seq[Column],
+                        cumCol: String = "cum_tokens",
+                        numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"tokenBudgetSelect needs budget >= 0, got $budget")
+    globalRunningSum(df, tokensCol, sortCols, cumCol, numPartitions)
+      .filter(col(cumCol) <= budget)
+  }
+
   /** Exact global ntile(k) as column `out` — identical buckets to
     * `ntile(k).over(Window.orderBy(sortCols))`: SQL ntile FRONT-LOADS
     * the remainder, so the first `n mod k` buckets hold `n div k + 1`

@@ -152,6 +152,38 @@ object TextOps3 {
         |ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Token-budget corpus selection — the dataset-curation cut: rank
+    // docs by a quality prior (stopword count — a natural-language-ness
+    // signal — descending, doc_id tie-break) and keep the maximal
+    // prefix whose cumulative token count fits the budget. Exact cumsum
+    // WITHOUT a global window (the oracle's SUM OVER (ORDER BY) moves
+    // everything into one task at scale): Ranking.globalRunningSum
+    // range-partitions on the total order, aggregates per-partition
+    // totals once, and seeds a codegen'd partition-local accumulator
+    // with the broadcast prefix — both passes fully parallel. Integer
+    // token sums are exact under any ordering.
+    q("q_token_budget")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id",
+          TextFns.tokenCount($"text").cast("long").as("n_tokens"),
+          TextFns.stopwordCount($"text").cast("long").as("n_stop"))
+        graft.operators.Ranking.tokenBudgetSelect(docs, budget = 20000L,
+            tokensCol = $"n_tokens", sortCols = Seq($"n_stop".desc, $"doc_id"))
+          .select($"doc_id", $"n_stop", $"n_tokens", $"cum_tokens")
+          .orderBy($"doc_id")
+      },
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_stop, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY n_stop DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM d)
+        |SELECT doc_id, n_stop, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin),
+
     // Per-source top terms — the corpus vocabulary report. Explode →
     // partial-aggregated count → per-source top-k window; the explode
     // shuffles (source, term) pairs, never whole documents.

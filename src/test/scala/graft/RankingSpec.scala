@@ -63,6 +63,48 @@ class RankingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("globalRunningSum matches the window cumsum on random data, nulls as 0") {
+    for (seed <- 1 to 4) {
+      val n = 29 * seed * seed + 13
+      val vals = Gen.listOfN(n, Gen.choose(0, 500))
+        .apply(Gen.Parameters.default, Seed(2000L + seed)).get
+      val df = vals.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v % 11, if (v % 7 == 0) None else Some(v.toLong)) }
+        .toDF("id", "k", "w")
+        .repartition(7)
+      val sortCols = Seq($"k", $"id")
+      val viaOp = Ranking.globalRunningSum(df, $"w", sortCols, "cum")
+        .select($"id", $"cum").as[(Long, Long)].collect().toMap
+      val viaWindow = df.withColumn("cum",
+          coalesce(sum($"w").over(Window.orderBy($"k", $"id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(0L)))
+        .select($"id", $"cum").as[(Long, Long)].collect().toMap
+      assert(viaOp == viaWindow, s"running sum mismatch at n=$n")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("tokenBudgetSelect keeps the maximal in-budget prefix") {
+    val df = Seq(
+      (1L, 40L, 9L), (2L, 30L, 9L), (3L, 25L, 5L), (4L, 10L, 5L), (5L, 100L, 1L)
+    ).toDF("id", "tokens", "quality")
+    // order: quality desc, id → 1(40) 2(70) 3(95) 4(105: overflows) 5 —
+    // prefix semantics: 4 overflows at budget 100 and nothing after it
+    // is taken, even though doc 4 alone would have fit
+    val kept = Ranking.tokenBudgetSelect(df, 100L, $"tokens",
+      Seq($"quality".desc, $"id")).select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // budget 0 or smaller than the first doc: nothing selected
+    assert(Ranking.tokenBudgetSelect(df, 0L, $"tokens",
+      Seq($"quality".desc, $"id")).count() == 0)
+    // budget covering everything: all rows, cum column exposed
+    val all = Ranking.tokenBudgetSelect(df, 1000L, $"tokens",
+      Seq($"quality".desc, $"id"))
+    assert(all.count() == 5 &&
+      all.agg(max($"cum_tokens")).as[Long].head() == 205L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ranking operators stay parallel and release their pin in a loan") {
     val df = (1L to 1000L).toDF("id").withColumn("v", $"id" % 13)
     val (ranked, released) = graft.util.CacheScope.loanCapturing {
