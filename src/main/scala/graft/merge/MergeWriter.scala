@@ -317,6 +317,10 @@ object MergeWriter {
     * matched row where it is false or null takes no action — the
     * target row stays byte-identical, `migrated_at` included, and the
     * row is not counted — while unmatched rows still insert.
+    * `syncDeleteCond` scopes the sync delete (T-SQL
+    * `WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE`): a boolean SQL
+    * expression over the TARGET columns — target-only rows failing it
+    * (or evaluating null) are kept. Only meaningful with `syncDelete`.
     */
   // one writer per target at a time. In-process: a JVM-level lock per
   // normalized path. Cross-JVM: a create-exclusive `_LEASE` file whose
@@ -392,9 +396,10 @@ object MergeWriter {
             deleteCol: Option[String] = None,
             updateCols: Option[Seq[(String, String)]] = None,
             syncDelete: Boolean = false,
-            updateCondCol: Option[String] = None): Long =
+            updateCondCol: Option[String] = None,
+            syncDeleteCond: Option[String] = None): Long =
     mergeByKeys(spark, targetDir, updates, Seq(keyCol), orderCol, buckets,
-      leaseWaitMs, deleteCol, updateCols, syncDelete, updateCondCol)
+      leaseWaitMs, deleteCol, updateCols, syncDelete, updateCondCol, syncDeleteCond)
 
   /** Composite-key upsert: match on the conjunction of `keyCols`
     * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
@@ -410,7 +415,8 @@ object MergeWriter {
                   deleteCol: Option[String] = None,
                   updateCols: Option[Seq[(String, String)]] = None,
                   syncDelete: Boolean = false,
-                  updateCondCol: Option[String] = None): Long = lockFor(targetDir).synchronized {
+                  updateCondCol: Option[String] = None,
+                  syncDeleteCond: Option[String] = None): Long = lockFor(targetDir).synchronized {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // key columns are persisted comma-joined (tab-separated from the
     // bucket count) in _BUCKETS — a separator inside a name would
@@ -420,7 +426,7 @@ object MergeWriter {
     Files.createDirectories(Paths.get(targetDir))
     val lease = acquireLease(targetDir, leaseWaitMs)
     try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol,
-      updateCols, syncDelete, updateCondCol)
+      updateCols, syncDelete, updateCondCol, syncDeleteCond)
     finally lease.release()
   }
 
@@ -429,7 +435,8 @@ object MergeWriter {
                           deleteCol: Option[String],
                           updateCols: Option[Seq[(String, String)]],
                           syncDelete: Boolean,
-                          updateCondCol: Option[String]): Long = {
+                          updateCondCol: Option[String],
+                          syncDeleteCond: Option[String]): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, stored)) =>
         // a different key set would hash rows into buckets the stored
@@ -528,10 +535,18 @@ object MergeWriter {
       else {
         // mergeSchema: touched buckets written before an additive
         // schema change may carry older column sets
-        val target = spark.read.option("mergeSchema", "true").parquet(oldPaths: _*)
-        val oldCols = target.columns
-        val t = (if (oldCols.contains("_bucket")) target else target
-          .withColumn("_bucket", keyHash)).as("t")
+        val target0 = spark.read.option("mergeSchema", "true").parquet(oldPaths: _*)
+        val oldCols = target0.columns
+        val targetB = if (oldCols.contains("_bucket")) target0
+          else target0.withColumn("_bucket", keyHash)
+        // the sync-delete scope condition is over the TARGET columns
+        // (the only side that exists for a not-matched-by-source row) —
+        // computed BEFORE the join so plain names resolve unambiguously
+        val t = (syncDeleteCond match {
+          case Some(c) if syncDelete =>
+            targetB.withColumn("_gsyncdel", expr(c).cast("boolean"))
+          case _ => targetB
+        }).as("t")
         val u = dedupedObs.as("u")
         // u-side presence / t-side match / update-branch applicability,
         // readable once for the routing, sync filter, and action count
@@ -545,7 +560,7 @@ object MergeWriter {
         // carried forward untouched
         val tData = oldCols.filterNot(c =>
           keySet.contains(c) || c == "migrated_at" || c == "_bucket" ||
-            c == "_gdel" || c == "_gupd")
+            c == "_gdel" || c == "_gupd" || c == "_gsyncdel")
         val allData0 = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
         // a SET-introduced column absent from both sides still needs an
         // output slot (matched rows get the expression, others null)
@@ -587,12 +602,19 @@ object MergeWriter {
           when(uApplies, coalesce(col("u.migrated_at"), col("t.migrated_at")))
             .otherwise(col("t.migrated_at")).as("migrated_at") :+
           coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
+        // sync mode: which target-only rows actually drop (all of them,
+        // or — with a scope condition — only those satisfying it; a
+        // null condition value keeps the row, SQL three-valued rule)
+        val syncDrops =
+          if (syncDeleteCond.isDefined)
+            !uPresent && coalesce(col("t._gsyncdel"), lit(false))
+          else !uPresent
         // an action: a matched tombstone, an insert, a matched row whose
         // update branch fires, plus (sync mode) every dropped target row
         val isAction = (uPresent &&
             ((col("u._gdel") && tPresent) ||
               (!col("u._gdel") && (!tPresent || col("u._gupd"))))) ||
-          (lit(syncDelete) && !uPresent)
+          (lit(syncDelete) && syncDrops)
         // tombstones drop out here: a matched delete removes the target
         // row from its rewritten bucket, an unmatched one inserts
         // nothing; sync mode additionally drops target rows with no
@@ -601,7 +623,7 @@ object MergeWriter {
             keyCols.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _), "full_outer")
           .observe(actObs, coalesce(sum(when(isAction, 1L)), lit(0L)).as("n_actions"))
           .filter(!coalesce(col("u._gdel"), lit(false)) &&
-            (if (syncDelete) uPresent else lit(true)))
+            (if (syncDelete) !syncDrops else lit(true)))
           .select(outCols: _*)
         // legacy migration keeps every row; bucketed merge only carries
         // rows of touched buckets (untouched buckets stay where they are)

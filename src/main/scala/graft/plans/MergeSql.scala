@@ -60,13 +60,16 @@ import graft.merge.MergeWriter
   *    its key from the target (a no-op when absent — CDC semantics: a
   *    tombstone never inserts); with the upsert pair present, the
   *    remaining rows upsert as usual; without it, they do nothing.
-  *  - `WHEN NOT MATCHED BY SOURCE THEN DELETE` (full-snapshot sync):
-  *    target rows whose key is absent from the source are removed.
-  *    Requires the upsert pair (matched rows update, new rows insert,
-  *    stale rows drop — the complete synchronization). In this mode
-  *    every bucket is touched — the merge rewrites the whole target,
-  *    O(|target|), not O(touched buckets): full-snapshot sync must
-  *    examine every target row by definition.
+  *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`
+  *    (full-snapshot sync): target rows whose key is absent from the
+  *    source are removed. `cond` — over the TARGET columns, the only
+  *    side that exists for such rows — scopes the sync (the T-SQL
+  *    partition-scoped sync form): target-only rows failing it are
+  *    kept. Requires the upsert pair (matched rows update, new rows
+  *    insert, stale rows drop — the complete synchronization). In
+  *    this mode every bucket is touched — the merge rewrites the
+  *    whole target, O(|target|), not O(touched buckets):
+  *    full-snapshot sync must examine every target row by definition.
   * Anything else raises. Returns one row: `rows_affected` — rows that
   * actually inserted, updated, or deleted (the reference's
   * `@@ROWCOUNT`: a tombstone for an absent key takes no action and
@@ -79,7 +82,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
                                 sourceIsQuery: Boolean = false,
                                 setClause: Option[Seq[(String, String)]] = None,
                                 syncDelete: Boolean = false,
-                                updateCond: Option[String] = None)
+                                updateCond: Option[String] = None,
+                                syncDeleteCond: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -133,7 +137,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
       updateCols = setClause.map(_.zipWithIndex.map { case ((c, _), i) =>
         c -> s"_graft_set_$i" }),
       syncDelete = syncDelete,
-      updateCondCol = updateCond.map(_ => "_graft_update"))
+      updateCondCol = updateCond.map(_ => "_graft_update"),
+      syncDeleteCond = syncDeleteCond)
     Seq(Row(n))
   }
 }
@@ -353,7 +358,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val InsertClauseRe =
     """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*\s*$""".r
   private val SyncDeleteClauseRe =
-    """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*$""".r
+    """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*$""".r
 
   // one assignment of a partial SET list: `[t.]col = expr`
   private val AssignRe = """(?is)^\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(.+?)\s*$""".r
@@ -461,12 +466,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       var updateCond: Option[String] = None
       var insert = false
       var syncDelete = false
+      var syncDeleteCond: Option[String] = None
       def once(already: Boolean, what: String): Unit =
         if (already) throw new UnsupportedOperationException(
           s"MERGE INTO '<path>': duplicate $what clause")
       splitWhenClauses(when).foreach {
-        case SyncDeleteClauseRe() =>
-          once(syncDelete, "WHEN NOT MATCHED BY SOURCE"); syncDelete = true
+        case SyncDeleteClauseRe(c) =>
+          once(syncDelete, "WHEN NOT MATCHED BY SOURCE")
+          syncDelete = true
+          syncDeleteCond = Option(c)
         case InsertClauseRe() =>
           once(insert, "WHEN NOT MATCHED ... INSERT"); insert = true
         case DeleteClauseRe(c) =>
@@ -498,7 +506,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(order), Option(buckets).map(_.toInt), deleteCond, upsert,
         sourceIsQuery = subquery.isDefined,
         setClause = update.flatten, syncDelete = syncDelete,
-        updateCond = updateCond)
+        updateCond = updateCond, syncDeleteCond = syncDeleteCond)
     case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")
   }
 

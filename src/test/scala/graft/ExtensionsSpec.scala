@@ -440,6 +440,18 @@ class ExtensionsSpec extends SparkSpec {
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
       "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
     assert(state() == Map(2L -> "b2", 5L -> "e"))
+
+    // scoped sync (T-SQL's AND cond form, cond over TARGET columns):
+    // re-seed with extra rows, then sync only the v < 'm' slice — the
+    // target-only row "z9" is OUT of scope and survives; the in-scope
+    // target-only row "a9" drops; matched/inserted rows unaffected
+    Seq((7L, "a9"), (8L, "z9")).toDF("k", "v").createOrReplaceTempView("sy_extra")
+    s2.sql(s"MERGE INTO '$dir' USING sy_extra ON k").collect()
+    val n2 = s2.sql(s"MERGE INTO '$dir' USING sy_src ON k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND v < 'm' THEN DELETE").collect().head.getLong(0)
+    assert(n2 == 3L) // update k=2, insert... k=5 matched now: 2 updates + 1 scoped delete
+    assert(state() == Map(2L -> "b2", 5L -> "e", 8L -> "z9"))
   }
 
   test("USING subquery parens inside string literals parse; key names with separators refuse") {
