@@ -184,6 +184,34 @@ object TextOps3 {
         |SELECT doc_id, n_stop, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin),
 
+    // Per-source token budgets — domain token caps in mix construction:
+    // within each source, keep docs in doc_id order until that SOURCE's
+    // token budget is spent (the token-weighted twin of q_source_cap's
+    // count cap). A hash-PARTITIONED window — cumsum state never leaves
+    // its source partition, so this parallelizes on plain Spark windows
+    // at any scale (only the GLOBAL budget cut needs Ranking's
+    // partition-offset machinery, q_token_budget).
+    q("q_source_token_budget")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select($"doc_id", $"source",
+            TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+          .withColumn("cum_tokens", sum($"n_tokens").over(w))
+          .filter($"cum_tokens" <= 800L)
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    FROM documents))
+        |WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin),
+
     // Per-source top terms — the corpus vocabulary report. Explode →
     // partial-aggregated count → per-source top-k window; the explode
     // shuffles (source, term) pairs, never whole documents.

@@ -111,6 +111,8 @@ class RankingSpec extends SparkSpec {
       val r = Ranking.globalRowNumber(df, Seq($"v", $"id"), "rk")
       // no single-partition exchange in the executed plan
       assert(!r.queryExecution.executedPlan.toString.contains("SinglePartition"))
+      val rs = Ranking.globalRunningSum(df, $"v", Seq($"v", $"id"), "cum")
+      assert(!rs.queryExecution.executedPlan.toString.contains("SinglePartition"))
       r.count()
     }
     assert(ranked == 1000L)
