@@ -32,6 +32,7 @@ class MergeModelSpec extends SparkSpec {
   private case object Conditional extends Mode      // SET * guarded by updOk
   private case object WithDeletes extends Mode      // tombstones + SET *
   private case object Sync extends Mode             // SET * + sync delete
+  private case object Combined extends Mode         // tombstones + guarded partial SET
 
   test("random action batches: target state and rows_affected match the model") {
     val rnd = new scala.util.Random(20260813L)
@@ -42,7 +43,7 @@ class MergeModelSpec extends SparkSpec {
       k = 1L + rnd.nextInt(12),
       v = if (rnd.nextInt(6) == 0) None else Some("v" + rnd.nextInt(100)),
       w = if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(1000).toLong),
-      del = mode == WithDeletes && rnd.nextInt(3) == 0,
+      del = (mode == WithDeletes || mode == Combined) && rnd.nextInt(3) == 0,
       updOk = rnd.nextBoolean())
 
     def applyModel(mode: Mode, batch: Seq[R]): Long = {
@@ -62,8 +63,8 @@ class MergeModelSpec extends SparkSpec {
           case (None, true) => // unmatched tombstone: no action
           case (None, false) => model(r.k) = S(r.v, r.w); actions += 1
           case (Some(old), false) => mode match {
-            case Conditional if !r.updOk => // guard off: byte-identical row
-            case Partial =>
+            case Conditional | Combined if !r.updOk => // guard off: byte-identical row
+            case Partial | Combined =>
               // assigned column takes the carrier value verbatim (null
               // included); unassigned columns keep the target's
               model(r.k) = S(old.v, r.w); actions += 1
@@ -80,6 +81,7 @@ class MergeModelSpec extends SparkSpec {
       val dropCols = mode match {
         case WithDeletes => Seq("upd_ok")
         case Conditional => Seq("is_del")
+        case Combined => Seq.empty
         case _ => Seq("is_del", "upd_ok")
       }
       val df = batch.zipWithIndex
@@ -87,9 +89,12 @@ class MergeModelSpec extends SparkSpec {
         .toDF("k", "v", "w", "ord", "is_del", "upd_ok")
         .drop(dropCols: _*)
       MergeWriter.mergeByKeys(spark, dir, df, Seq("k"), "ord", buckets = 4,
-        deleteCol = if (mode == WithDeletes) Some("is_del") else None,
-        updateCols = if (mode == Partial) Some(Seq("w" -> "w")) else None,
-        updateCondCol = if (mode == Conditional) Some("upd_ok") else None,
+        deleteCol =
+          if (mode == WithDeletes || mode == Combined) Some("is_del") else None,
+        updateCols =
+          if (mode == Partial || mode == Combined) Some(Seq("w" -> "w")) else None,
+        updateCondCol =
+          if (mode == Conditional || mode == Combined) Some("upd_ok") else None,
         syncDelete = mode == Sync)
     }
 
@@ -99,8 +104,8 @@ class MergeModelSpec extends SparkSpec {
         .as[(Long, Option[String], Option[Long])].collect()
         .map { case (k, v, w) => k -> S(v, w) }.toMap
 
-    val modes = Seq(Plain, Partial, Conditional, WithDeletes, Sync)
-    for (round <- 1 to 24) {
+    val modes = Seq(Plain, Partial, Conditional, WithDeletes, Sync, Combined)
+    for (round <- 1 to 30) {
       val mode = modes(rnd.nextInt(modes.length))
       val batch = Seq.fill(3 + rnd.nextInt(6))(randomRow(mode))
       val expected = applyModel(mode, batch)
