@@ -110,6 +110,15 @@ object TextFns {
       graft.plans.DeflateRatio(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Unicode NFC normalization — folds decomposed sequences into their
+    * precomposed characters so dedup/fingerprint keys don't split on
+    * encoding provenance ([[graft.plans.NfcNormalize]]).
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.NfcNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** Count of stopword tokens (quality signal). */

@@ -228,3 +228,30 @@ case class DeflateRatio(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unicode NFC normalization (java.text.Normalizer, the canonical
+  * composition form) — the corpus-cleaning primitive that folds
+  * decomposed sequences (`e` + combining acute) into their precomposed
+  * characters, so dedup/fingerprint keys don't split on encoding
+  * provenance. Deterministic and engine-portable: DuckDB's
+  * `nfc_normalize` is the oracle twin (both implement Unicode
+  * normalization, a fully specified mapping).
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // fast path: Normalizer.isNormalized is a cheap scan, and most real
+    // corpus text is already NFC — skip the allocation for it
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

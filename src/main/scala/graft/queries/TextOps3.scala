@@ -112,6 +112,48 @@ object TextOps3 {
         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS scrubbed
         |FROM dirty ORDER BY doc_id""".stripMargin),
 
+    // Unicode cleaning — NFC normalization + mojibake/control-char
+    // stats, the encoding-hygiene pass before dedup (decomposed
+    // sequences would split fingerprint keys on provenance). The
+    // synthetic corpus is ASCII, so a deterministic suffix plants an
+    // NFD pair (e + combining acute U+0301), a replacement char U+FFFD
+    // and a control char U+0007 on BOTH sides — the oracle checks the
+    // normalization/scrub transform itself, not the fixture. Unicode
+    // normalization is a fully specified mapping, so Spark's
+    // java.text.Normalizer and DuckDB's nfc_normalize agree verbatim;
+    // both engines count string length in codepoints.
+    q("q_unicode_clean")(
+      (s, d) => {
+        import s.implicits._
+        val ctrl = "[\u0001-\u0008\u000B\u000C\u000E-\u001F]"
+        t(s, d, "documents")
+          .select($"doc_id",
+            concat($"text", lit(" cafe\u0301 \uFFFD\u0007end")).as("dirty"))
+          .select($"doc_id",
+            TextFns.nfcNormalize($"dirty").as("nfc_text"),
+            (length($"dirty") - length(TextFns.nfcNormalize($"dirty"))).as("n_composed"),
+            (length($"dirty") - length(regexp_replace($"dirty", "\uFFFD", ""))).as("n_repl"),
+            (length($"dirty") - length(regexp_replace($"dirty", ctrl, ""))).as("n_ctrl"))
+          .withColumn("clean_text",
+            regexp_replace($"nfc_text",
+              "[\u0001-\u0008\u000B\u000C\u000E-\u001F\uFFFD]", ""))
+          .orderBy($"doc_id")
+      },
+      """WITH dirty AS (SELECT doc_id,
+        |  concat(text, ' cafe', chr(769), ' ', chr(65533), chr(7), 'end') AS dirty
+        |  FROM documents),
+        |ctrl AS (SELECT '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) ||
+        |                chr(14) || '-' || chr(31) || ']' AS re)
+        |SELECT doc_id,
+        |  nfc_normalize(dirty) AS nfc_text,
+        |  len(dirty) - len(nfc_normalize(dirty)) AS n_composed,
+        |  len(dirty) - len(replace(dirty, chr(65533), '')) AS n_repl,
+        |  len(dirty) - len(regexp_replace(dirty, re, '', 'g')) AS n_ctrl,
+        |  regexp_replace(nfc_normalize(dirty),
+        |    '[' || chr(1) || '-' || chr(8) || chr(11) || chr(12) ||
+        |    chr(14) || '-' || chr(31) || chr(65533) || ']', '', 'g') AS clean_text
+        |FROM dirty, ctrl ORDER BY doc_id""".stripMargin),
+
     // Corpus report: per (source, lang) doc/token/char rollup — the
     // partial-aggregated one-shuffle summary a curation run publishes.
     q("q_corpus_stats")(
