@@ -254,6 +254,30 @@ object TextOps3 {
         |    FROM documents))
         |WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin),
 
+    // Balanced output sharding — the corpus-export step: assign docs
+    // round-robin over a size-DESCENDING total order (classic
+    // LPT-style balancing: the k largest docs land in k different
+    // shards, so shard token totals stay within one doc of each
+    // other). The global rank comes from Ranking.globalRowNumber —
+    // fully parallel, no single-task window; the oracle uses the
+    // equivalent row_number window form.
+    q("q_shard_assign")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id",
+          TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+        graft.operators.Ranking.globalRowNumber(docs,
+            Seq($"n_tokens".desc, $"doc_id"), out = "rk")
+          .select($"doc_id", $"n_tokens", (($"rk" - 1L) % 8L).as("shard"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, n_tokens,
+        |  (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1) % 8 AS shard
+        |FROM (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+
     // Per-source top terms — the corpus vocabulary report. Explode →
     // partial-aggregated count → per-source top-k window; the explode
     // shuffles (source, term) pairs, never whole documents.
