@@ -328,6 +328,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(state() == Map(1L -> "a", 2L -> "b2", 3L -> "x", 4L -> "d"))
   }
 
+  test("MERGE WHEN grammar: every branch combination accepts or rejects correctly") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_perm").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("perm_seed")
+    s2.sql(s"MERGE INTO '$dir' USING perm_seed ON k BUCKETS 2").collect()
+    Seq((2L, "b2"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("perm_src")
+
+    val branches = Map(
+      'U' -> "WHEN MATCHED AND v <> 'zz' THEN UPDATE SET *",
+      'I' -> "WHEN NOT MATCHED THEN INSERT *",
+      'D' -> "WHEN MATCHED AND v = 'zz' THEN DELETE",
+      'S' -> "WHEN NOT MATCHED BY SOURCE AND v = 'zz' THEN DELETE")
+    // validity: UPDATE and INSERT pair up; sync delete needs the pair
+    def valid(set: Set[Char]): Boolean =
+      set.contains('U') == set.contains('I') && (!set.contains('S') || set.contains('U'))
+    for {
+      subset <- branches.keySet.subsets() if subset.nonEmpty
+      perm <- subset.toSeq.permutations.take(3)
+    } {
+      val stmt = s"MERGE INTO '$dir' USING perm_src ON k " +
+        perm.map(branches).mkString(" ")
+      if (valid(subset)) s2.sql(stmt).collect()
+      else intercept[UnsupportedOperationException] { s2.sql(stmt) }
+    }
+    // the target stayed consistent through every accepted permutation
+    // (conditions above never fire, so state is just the seed + upserts)
+    assert(MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   test("MERGE partial-column UPDATE SET updates only the listed columns on match") {
     import graft.merge.MergeWriter
     val dir = java.nio.file.Files.createTempDirectory("merge_partial").toString
