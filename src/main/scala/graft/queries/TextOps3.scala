@@ -278,6 +278,43 @@ object TextOps3 {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin),
 
+    // Per-source TF-IDF signature terms — what q_top_terms' raw counts
+    // cannot give: corpus-wide common terms are down-weighted by the
+    // rational idf (S - df + 0.5)/(df + 0.5) over the number of SOURCES
+    // containing the term (no log — every op IEEE-exact, so the score
+    // hash-compares bit-identically; see q_bm25). Shape at scale: one
+    // (source, term) shuffle for tf, one term shuffle for df, a 1-row
+    // broadcast for the source count, and a per-source top-k window —
+    // never whole documents.
+    q("q_tfidf_terms")(
+      (s, d) => {
+        import s.implicits._
+        val tf = t(s, d, "documents")
+          .select($"source", explode(TextFns.tokens($"text")).as("term"))
+          .groupBy($"source", $"term").agg(count(lit(1)).cast("double").as("tf"))
+        val dfT = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+        val nSrc = t(s, d, "documents")
+          .agg(count_distinct($"source").cast("double").as("n_src"))
+        val scored = tf.join(dfT, "term").crossJoin(broadcast(nSrc))
+          .select($"source", $"term", $"tf",
+            ($"tf" * (($"n_src" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))).as("score"))
+        val w = Window.partitionBy($"source").orderBy($"score".desc, $"term")
+        scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+          .orderBy($"source", $"rn")
+      },
+      """WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_src FROM documents),
+        |sc AS (SELECT tf.source, tf.term, tf.tf,
+        |  tf.tf * ((ns.n_src - df.df + 0.5) / (df.df + 0.5)) AS score
+        |  FROM tf JOIN df USING (term), ns),
+        |r AS (SELECT source, term, tf, score,
+        |  row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rn FROM sc)
+        |SELECT source, term, tf, score, rn FROM r WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin),
+
     // Per-source top terms — the corpus vocabulary report. Explode →
     // partial-aggregated count → per-source top-k window; the explode
     // shuffles (source, term) pairs, never whole documents.
