@@ -120,6 +120,28 @@ object Ranking {
       .filter(col(cumCol) <= budget)
   }
 
+  /** Exact global percent_rank and cume_dist as columns `pctOut` /
+    * `cumeOut`, fully parallel — identical values to the
+    * `Window.orderBy(sortCols)` forms without the single-task window.
+    * `sortCols` must be a TOTAL order (unique tie-break), under which
+    * rank == dense position, so `percent_rank = (rank-1)/(n-1)` and
+    * `cume_dist = rank/n` are the SQL definitions verbatim (a single
+    * IEEE division each — engine-exact). A 1-row frame defines
+    * percent_rank as 0.0, like SQL.
+    */
+  def globalPercentRank(df: DataFrame, sortCols: Seq[Column],
+                        pctOut: String = "pct_rank", cumeOut: String = "cume_dist",
+                        numPartitions: Int = 0): DataFrame = {
+    val (ranked, n) = withRank(df, sortCols, "_rk_rank", numPartitions)
+    val pct =
+      if (n <= 1L) lit(0.0)
+      else (col("_rk_rank") - lit(1L)).cast("double") / lit((n - 1L).toDouble)
+    ranked
+      .withColumn(pctOut, pct)
+      .withColumn(cumeOut, col("_rk_rank").cast("double") / lit(math.max(1L, n).toDouble))
+      .drop("_rk_rank")
+  }
+
   /** Exact global ntile(k) as column `out` — identical buckets to
     * `ntile(k).over(Window.orderBy(sortCols))`: SQL ntile FRONT-LOADS
     * the remainder, so the first `n mod k` buckets hold `n div k + 1`

@@ -194,6 +194,27 @@ object TextOps3 {
         |ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Global percentile position of every doc's length — score
+    // normalization for mixing/filtering thresholds ("drop the bottom
+    // 5% by length" works cross-corpus where absolute cutoffs don't).
+    // Exact percent_rank/cume_dist WITHOUT a single-task window via
+    // the same partition-offset machinery as q_length_decile; under a
+    // total order both are one IEEE division from the global rank, so
+    // the oracle's window forms hash-match bit-identically.
+    q("q_percent_rank")(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Ranking.globalPercentRank(
+            t(s, d, "documents").select($"doc_id", $"n_chars"),
+            sortCols = Seq($"n_chars", $"doc_id"))
+          .select($"doc_id", $"n_chars", $"pct_rank", $"cume_dist")
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, n_chars,
+        |  percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct_rank,
+        |  cume_dist() OVER (ORDER BY n_chars, doc_id) AS cume_dist
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // Token-budget corpus selection — the dataset-curation cut: rank
     // docs by a quality prior (stopword count — a natural-language-ness
     // signal — descending, doc_id tie-break) and keep the maximal

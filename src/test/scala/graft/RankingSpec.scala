@@ -84,6 +84,31 @@ class RankingSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("globalPercentRank matches the window percent_rank/cume_dist forms") {
+    for (seed <- 1 to 3) {
+      val n = 41 * seed + 7
+      val vals = Gen.listOfN(n, Gen.choose(0, 9))
+        .apply(Gen.Parameters.default, Seed(3000L + seed)).get
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        .repartition(5)
+      val sortCols = Seq($"v", $"id")
+      val viaOp = Ranking.globalPercentRank(df, sortCols)
+        .select($"id", $"pct_rank", $"cume_dist")
+        .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val w = Window.orderBy($"v", $"id")
+      val viaWindow = df
+        .withColumn("p", percent_rank().over(w)).withColumn("c", cume_dist().over(w))
+        .select($"id", $"p", $"c")
+        .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(viaOp == viaWindow, s"percent_rank/cume_dist mismatch at n=$n")
+    }
+    // 1-row frame: percent_rank 0.0, cume_dist 1.0 (SQL definitions)
+    val one = Ranking.globalPercentRank(Seq((1L, 5)).toDF("id", "v"), Seq($"v", $"id"))
+      .select($"pct_rank", $"cume_dist").as[(Double, Double)].head()
+    assert(one == ((0.0, 1.0)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("tokenBudgetSelect keeps the maximal in-budget prefix") {
     val df = Seq(
       (1L, 40L, 9L), (2L, 30L, 9L), (3L, 25L, 5L), (4L, 10L, 5L), (5L, 100L, 1L)
