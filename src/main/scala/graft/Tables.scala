@@ -15,10 +15,16 @@ object Tables {
     if (name == "events") events(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is written with TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects; read nanos as long and rebuild a proper
-    * microsecond timestamp (the data is µs-aligned). Integer division —
-    * going through double would lose precision above 2^53 ns.
+  /** The events table's `ts` physical type has varied across driver
+    * testdata generations — TIMESTAMP(NANOS) (which Spark's parquet
+    * reader rejects; read nanos as long and rebuild, integer division
+    * because double would lose precision above 2^53 ns) and
+    * TIMESTAMP(MICROS) without UTC adjustment (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize both to a session-TZ TIMESTAMP so every
+    * downstream instant function (`unix_micros`, watermarking, lag
+    * deltas) sees one type regardless of generation; the session runs
+    * in UTC, so the NTZ→LTZ cast maps wall time to the same instant
+    * DuckDB's naive-timestamp oracle computes with.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -26,6 +32,8 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
