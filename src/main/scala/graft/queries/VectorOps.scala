@@ -45,6 +45,35 @@ object VectorOps {
          |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin),
 
+    // The same top-5 search over the scalar-quantized (int8) index —
+    // 4× less index memory/IO; the oracle re-derives the exact codes
+    // (every quantization step is a correctly-rounded IEEE op) and
+    // ranks on them, so this also pins that SQ8 ranking ≈ FP32
+    // ranking on real data (codes, not original floats, on BOTH
+    // sides — the compare is exact, not recall-based).
+    q("q_sq8_topk")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        Similarity.sq8TopK(e.filter($"vec_id" < 5), e, "vec_id", "embedding", 5)
+          .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
+          .orderBy($"q_id", $"rn")
+      },
+      s"""WITH enc AS (
+         |  SELECT vec_id, CASE WHEN m = 0
+         |      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |      ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)) END AS codes
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM embeddings)),
+         |q AS (SELECT vec_id AS q_id, codes AS qv FROM enc WHERE vec_id < 5),
+         |sims AS (SELECT q.q_id, e.vec_id, ${cosineSql("q.qv", "e.codes")} AS sim
+         |  FROM q, enc e WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+         |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin),
+
     // IVF-style cell assignment: nearest of 8 centroids per vector,
     // rolled up to cell sizes (the scale path for ANN).
     q("q_nearest_centroid")(

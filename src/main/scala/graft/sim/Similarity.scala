@@ -185,6 +185,55 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector
+    * max-abs scale, `codes[i] = floor(x[i]·127/scale + 0.5)` in
+    * [-127, 127] stored as TINYINT — 4× smaller than FP32, the
+    * standard memory/IO-compression step before a 100 TB-scale vector
+    * index (a 64-dim corpus drops from 256 B to 64 B + 8 B scale per
+    * row, so 4× more of the index fits in executor memory or a
+    * broadcast). Map-only, no shuffle. Output: (`idCol`, `sq8_scale`
+    * DOUBLE, `sq8_codes` ARRAY<TINYINT>); dequantize as
+    * `code·scale/127`. A zero vector encodes as scale 0, codes all 0.
+    *
+    * Every arithmetic step (promote to double, ·127, /scale, +0.5,
+    * floor) is a correctly-rounded IEEE op, so codes are
+    * bit-reproducible across engines — the DuckDB oracle re-derives
+    * them exactly.
+    */
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        col(vecCol),
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("sq8_scale"))
+      .select(col(idCol), col("sq8_scale"),
+        when(col("sq8_scale") === 0d, transform(col(vecCol), _ => lit(0L)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast("double") * lit(127.0) / col("sq8_scale") + lit(0.5))))
+          .cast("array<tinyint>").as("sq8_codes"))
+
+  /** Brute-force top-k cosine over SQ8 codes — approximate ANN on the
+    * quantized index. Cosine is scale-invariant, so ranking on the raw
+    * int codes equals ranking on the dequantized vectors; the only
+    * error vs FP32 search is the per-dimension rounding (≤ scale/254),
+    * which preserves top-k order for all but near-tied neighbors.
+    * Same plan shape as [[bruteForceTopK]]: queries broadcast, corpus
+    * scanned map-only — but the scanned index is 4× smaller.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    // tinyint→float is exact (|code| <= 127), so the double-precision
+    // cosine over the cast codes is deterministic
+    def codesOf(df: DataFrame, outId: String, outVec: String): DataFrame =
+      sq8Encode(df, idCol, vecCol)
+        .select(col(idCol).as(outId), col("sq8_codes").cast("array<float>").as(outVec))
+    val c = codesOf(corpus, "id", "vec")
+    val q = codesOf(queries, "q_id", "q_vec")
+    val sims = c.join(broadcast(q), col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        VectorFns.cosineR(col("q_vec"), col("vec")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Near-dup pairs via LSH blocking — the scale path: candidates are
     * pairs sharing any SRP bucket (near-identical vectors share ALL
     * buckets, so recall at high thresholds ≈ 1), verified by exact

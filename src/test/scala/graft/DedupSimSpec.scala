@@ -329,4 +329,42 @@ class DedupSimSpec extends SparkSpec {
       .select($"id").as[Long].head()
     assert(brute == 20L)            // ...matching brute force
   }
+
+  test("sq8: codes bounded, extremes exact, scale-invariant, zero vector safe") {
+    val vecs = Seq(
+      (0L, Array(1f, -1f, 0.5f, 0f)),
+      (1L, Array(100f, -100f, 50f, 0f)), // same direction, 100× magnitude
+      (2L, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val enc = Similarity.sq8Encode(vecs, "vec_id", "embedding")
+      .orderBy($"vec_id")
+      .select($"sq8_scale", $"sq8_codes").as[(Double, Array[Byte])].collect()
+    // max-abs dim hits ±127 exactly; half-scale dim rounds to 64
+    assert(enc(0)._1 == 1.0 && enc(0)._2.toSeq == Seq[Byte](127, -127, 64, 0))
+    // quantization is scale-invariant in the codes (only scale differs)
+    assert(enc(1)._1 == 100.0 && enc(1)._2.toSeq == enc(0)._2.toSeq)
+    // zero vector: scale 0, all-zero codes, no division blowup
+    assert(enc(2)._1 == 0.0 && enc(2)._2.forall(_ == 0))
+  }
+
+  test("sq8 top-k ranking matches FP32 brute force on real embeddings") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 3)
+    def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.select($"q_id", $"rn", $"id").as[(Long, Int, Long)].collect()
+        .toSeq.sortBy(r => (r._1, r._2))
+    val sq8 = ranked(Similarity.sq8TopK(q, e, "vec_id", "embedding", 5))
+    val fp32 = ranked(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    assert(sq8.size == 15)
+    // 8-bit rounding can swap near-ties, but on these embeddings the
+    // top-5 sets should be identical per query and mostly same-order
+    val agree = sq8.zip(fp32).count { case (a, b) => a._3 == b._3 }
+    assert(agree >= 12, s"sq8 vs fp32 rank agreement only $agree/15")
+    val sq8Sets = sq8.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val fpSets = fp32.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    sq8Sets.foreach { case (qid, s) =>
+      assert((s & fpSets(qid)).size >= 4, s"query $qid top-5 overlap < 4")
+    }
+  }
 }
