@@ -242,8 +242,8 @@ object TextOps3 {
         |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS n_stop
         |  FROM documents),
         |c AS (SELECT doc_id, n_stop, n_tokens,
-        |  SUM(n_tokens) OVER (ORDER BY n_stop DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM d)
+        |  CAST(SUM(n_tokens) OVER (ORDER BY n_stop DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM d)
         |SELECT doc_id, n_stop, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin),
 
@@ -268,8 +268,8 @@ object TextOps3 {
       },
       """SELECT doc_id, source, n_tokens, cum_tokens FROM (
         |  SELECT doc_id, source, n_tokens,
-        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM (SELECT doc_id, source,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |    FROM documents))

@@ -200,15 +200,25 @@ object Similarity {
     * bit-reproducible across engines — the DuckDB oracle re-derives
     * them exactly.
     */
-  def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  def sq8Encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // Degenerate inputs get explicit semantics instead of engine-specific
+    // float quirks: an empty embedding encodes as scale 0 / empty codes
+    // (array_max of [] is NULL → coalesced), and a vector containing NaN
+    // encodes as NULL scale / NULL codes (excluded from the index) —
+    // Spark's floor(NaN) would silently yield code 0 where DuckDB
+    // propagates NaN, so NaN vectors must not reach the quantizer.
+    val rawScale = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
     df.select(col(idCol),
         col(vecCol),
-        array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("sq8_scale"))
+        when(isnan(rawScale), lit(null).cast("double"))
+          .otherwise(coalesce(rawScale, lit(0d))).as("sq8_scale"))
       .select(col(idCol), col("sq8_scale"),
-        when(col("sq8_scale") === 0d, transform(col(vecCol), _ => lit(0L)))
+        when(col("sq8_scale").isNull, lit(null))
+          .when(col("sq8_scale") === 0d, transform(col(vecCol), _ => lit(0L)))
           .otherwise(transform(col(vecCol),
             x => floor(x.cast("double") * lit(127.0) / col("sq8_scale") + lit(0.5))))
           .cast("array<tinyint>").as("sq8_codes"))
+  }
 
   /** Brute-force top-k cosine over SQ8 codes — approximate ANN on the
     * quantized index. Cosine is scale-invariant, so ranking on the raw
