@@ -41,7 +41,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Local-iteration filter: SPARK_GRAFT_QUERIES=q_a,q_b limits the
+    // headline AND scale tiers to those queries (e.g. to bisect one
+    // regression without paying for the whole suite). Unset = all.
+    val onlyQ: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => onlyQ.forall(_.contains(n)))
     // Each execution runs inside CacheScope.loan: the engine's internal
     // pins (signature/shingle/postings frames) are released on exit, so
     // no per-query cache leaks into the next measurement — and the bench
@@ -113,18 +119,28 @@ object Bench {
     // host has shown 35% swings with identical code — the min is the
     // steady-state signal. Each pass generates its own fixture (cheap,
     // outside the timed window inside pipelineSecs).
-    val p100k = (pipelineSecs(100000), pipelineSecs(100000))
-    val p1m = (pipelineSecs(1000000), pipelineSecs(1000000))
-    val pipeline =
+    // SPARK_GRAFT_PIPE=0 skips the pipeline tier (local iteration)
+    val pipeline = if (sys.env.get("SPARK_GRAFT_PIPE").contains("0")) "null" else {
+      val p100k = (pipelineSecs(100000), pipelineSecs(100000))
+      val p1m = (pipelineSecs(1000000), pipelineSecs(1000000))
       s"""{"fixture_100k_sec":${math.min(p100k._1, p100k._2)},""" +
         s""""file_1m_sec":${math.min(p1m._1, p1m._2)},""" +
         s""""passes":{"fixture_100k_sec":[${p100k._1},${p100k._2}],""" +
         s""""file_1m_sec":[${p1m._1},${p1m._2}]}}"""
+    }
 
     val scale = scaleSmoke(spark, sfDir)
     val streaming = streamingSmoke(spark, sfDir)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"pipeline":$pipeline,"scale":$scale,"streaming":$streaming,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"pipeline":$pipeline,"scale":$scale,"streaming":$streaming,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file the driver can read whole: the per-pass
+    // records overflowed the driver's captured stdout tail in round 12,
+    // truncating BENCH_r12.json mid-record.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     spark.stop()
   }
 
@@ -231,9 +247,12 @@ object Bench {
       // q_merge_sql exercises bucketed write amplification at 10x the
       // update volume, q_merge_composite the tuple-hash bucketing on
       // the same volume, q_span_mask the postings index at 10x tokens
+      val onlyQ: Option[Set[String]] =
+        sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
       val names = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
         "q_jaccard_pairs", "q_curation_pipeline", "q_merge_sql",
         "q_merge_composite", "q_span_mask")
+        .filter(n => onlyQ.forall(_.contains(n)))
       // min of two passes, like the headline set: a single pass on this
       // noisy host has produced 7x outliers on individual queries, and
       // these are the numbers the scale argument is judged on. A pass
