@@ -271,6 +271,17 @@ object Bench {
             System.err.println(s"[bench] scale $n: ${e.getMessage}"); None
         }
       }
+      // untimed warm pass first: the scaled parquet was JUST written,
+      // so the first execution pays cold page-cache first-touch and
+      // scale-specific codegen — round-13 A/B runs showed that cold
+      // pass at 2-3x the warm time (49.8s vs 14.0s on identical code),
+      // wasting one of only two samples. Warming makes BOTH timed
+      // passes steady-state. (The round-12 "curation 2.2x regression"
+      // was adjudicated this way: r11 and r12 code measure identical
+      // min-of-two in the same host window — 13.88 vs 14.05s — while
+      // the same code+data swings 4x across windows; host noise, not
+      // code.)
+      names.foreach(n => timeOnce(n): Unit)
       val pass1 = names.map(n => n -> timeOnce(n)).toMap
       val pass2 = names.map(n => n -> timeOnce(n)).toMap
       val times = names.map { n =>
