@@ -2,7 +2,7 @@ package graft.merge
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -397,9 +397,12 @@ object MergeWriter {
             updateCols: Option[Seq[(String, String)]] = None,
             syncDelete: Boolean = false,
             updateCondCol: Option[String] = None,
-            syncDeleteCond: Option[String] = None): Long =
+            syncDeleteCond: Option[String] = None,
+            insertCondCol: Option[String] = None,
+            insertCols: Option[Seq[(String, String)]] = None): Long =
     mergeByKeys(spark, targetDir, updates, Seq(keyCol), orderCol, buckets,
-      leaseWaitMs, deleteCol, updateCols, syncDelete, updateCondCol, syncDeleteCond)
+      leaseWaitMs, deleteCol, updateCols, syncDelete, updateCondCol, syncDeleteCond,
+      insertCondCol, insertCols)
 
   /** Composite-key upsert: match on the conjunction of `keyCols`
     * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
@@ -416,7 +419,9 @@ object MergeWriter {
                   updateCols: Option[Seq[(String, String)]] = None,
                   syncDelete: Boolean = false,
                   updateCondCol: Option[String] = None,
-                  syncDeleteCond: Option[String] = None): Long = lockFor(targetDir).synchronized {
+                  syncDeleteCond: Option[String] = None,
+                  insertCondCol: Option[String] = None,
+                  insertCols: Option[Seq[(String, String)]] = None): Long = lockFor(targetDir).synchronized {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // key columns are persisted comma-joined (tab-separated from the
     // bucket count) in _BUCKETS — a separator inside a name would
@@ -426,7 +431,7 @@ object MergeWriter {
     Files.createDirectories(Paths.get(targetDir))
     val lease = acquireLease(targetDir, leaseWaitMs)
     try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol,
-      updateCols, syncDelete, updateCondCol, syncDeleteCond)
+      updateCols, syncDelete, updateCondCol, syncDeleteCond, insertCondCol, insertCols)
     finally lease.release()
   }
 
@@ -436,7 +441,9 @@ object MergeWriter {
                           updateCols: Option[Seq[(String, String)]],
                           syncDelete: Boolean,
                           updateCondCol: Option[String],
-                          syncDeleteCond: Option[String]): Long = {
+                          syncDeleteCond: Option[String],
+                          insertCondCol: Option[String],
+                          insertCols: Option[Seq[(String, String)]]): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, stored)) =>
         // a different key set would hash rows into buckets the stored
@@ -457,12 +464,12 @@ object MergeWriter {
     // never data columns, never written. A same-named pair (the API
     // form `amount -> amount`: update amount from the stream's amount)
     // IS the data column: inserts must still take its raw value.
-    val exprCols = updateCols.map(_.collect {
-      case (tc, vc) if !tc.equalsIgnoreCase(vc) => vc }.toSet)
-      .getOrElse(Set.empty[String])
+    val exprCols = (updateCols.toSeq ++ insertCols.toSeq).flatten.collect {
+      case (tc, vc) if !tc.equalsIgnoreCase(vc) => vc }.toSet
     val dataCols = updates.columns.filter(c =>
       !keySet.contains(c) && c != orderCol && !deleteCol.contains(c) &&
-        !updateCondCol.contains(c) && !exprCols.contains(c))
+        !updateCondCol.contains(c) && !insertCondCol.contains(c) &&
+        !exprCols.contains(c))
     def keyHash = pmod(hash(keyCols.map(col): _*), lit(nB))
 
     // last-wins dedup inside the batch (reference `migrate.js:10-15`) —
@@ -482,10 +489,18 @@ object MergeWriter {
     // likewise the update-branch condition (null = does not apply, the
     // SQL three-valued rule): a matched row with a false flag takes no
     // action — the target row stays byte-identical
-    val deduped = updateCondCol match {
+    val dedupedU = updateCondCol match {
       case Some(uc) => dedupedD
         .withColumn("_gupd", coalesce(col(uc).cast("boolean"), lit(false))).drop(uc)
       case None => dedupedD.withColumn("_gupd", lit(true))
+    }
+    // and the insert-branch condition (WHEN NOT MATCHED AND cond THEN
+    // INSERT): an unmatched source row with a false/null flag takes no
+    // action at all — it neither inserts nor counts
+    val deduped = insertCondCol match {
+      case Some(ic) => dedupedU
+        .withColumn("_gins", coalesce(col(ic).cast("boolean"), lit(false))).drop(ic)
+      case None => dedupedU.withColumn("_gins", lit(true))
     }
 
     // affected count rides on the bucket-discovery job via an
@@ -526,13 +541,29 @@ object MergeWriter {
     val actObs = new org.apache.spark.sql.Observation()
 
     val merged =
-      if (oldPaths.isEmpty)
+      if (oldPaths.isEmpty) {
         // empty target: every surviving row is an insert (the update
-        // branch and its condition only ever guard MATCHED rows)
-        dedupedObs.filter(!col("_gdel"))
+        // branch and its condition only ever guard MATCHED rows; the
+        // insert condition and column list apply in full)
+        val inserted0 = dedupedObs.filter(!col("_gdel") && col("_gins"))
           .observe(actObs, count(lit(1)).as("n_actions"))
-          .drop(("_gdel" +: "_gupd" +: exprCols.toSeq): _*)
-      else {
+        val inserted = insertCols match {
+          case Some(list) =>
+            // explicit INSERT list: listed columns take their VALUES
+            // expression, unlisted data columns insert NULL (T-SQL
+            // semantics); keys and migrated_at always carry
+            val listed = list.map(_._1.toLowerCase).toSet
+            val nulled = dataCols.foldLeft(inserted0) { (df, c) =>
+              if (listed.contains(c.toLowerCase)) df
+              else df.withColumn(c, lit(null).cast(df.schema(c).dataType))
+            }
+            list.foldLeft(nulled) { case (df, (tc, vc)) =>
+              if (tc.equalsIgnoreCase(vc)) df else df.withColumn(tc, col(vc))
+            }
+          case None => inserted0
+        }
+        inserted.drop(("_gdel" +: "_gupd" +: "_gins" +: exprCols.toSeq): _*)
+      } else {
         // mergeSchema: touched buckets written before an additive
         // schema change may carry older column sets
         val target0 = spark.read.option("mergeSchema", "true").parquet(oldPaths: _*)
@@ -560,15 +591,23 @@ object MergeWriter {
         // carried forward untouched
         val tData = oldCols.filterNot(c =>
           keySet.contains(c) || c == "migrated_at" || c == "_bucket" ||
-            c == "_gdel" || c == "_gupd" || c == "_gsyncdel")
+            c == "_gdel" || c == "_gupd" || c == "_gins" || c == "_gsyncdel")
         val allData0 = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
-        // a SET-introduced column absent from both sides still needs an
-        // output slot (matched rows get the expression, others null)
-        val allData = allData0 ++ updateCols.map(_.map(_._1)
+        // a SET- or INSERT-introduced column absent from both sides
+        // still needs an output slot (rows its branch touches get the
+        // expression's value, every other row null)
+        val allData1 = allData0 ++ updateCols.map(_.map(_._1)
           .filterNot(c => allData0.exists(_.equalsIgnoreCase(c)))).getOrElse(Seq.empty)
+        val allData = allData1 ++ insertCols.map(_.map(_._1)
+          .filterNot(c => allData1.exists(_.equalsIgnoreCase(c)))).getOrElse(Seq.empty)
         def assignedValueCol(c: String): Option[String] =
           updateCols.flatMap(_.find(_._1.equalsIgnoreCase(c)).map(_._2))
-        def dataCol(c: String) = assignedValueCol(c) match {
+        // explicit INSERT list: an inserted row's value for c is its
+        // VALUES expression, or NULL when c is unlisted (T-SQL)
+        def insertValueCol(c: String): Column = insertCols.get
+          .find(_._1.equalsIgnoreCase(c))
+          .map { case (_, vc) => col(s"u.$vc") }.getOrElse(lit(null))
+        def routedCol(c: String) = assignedValueCol(c) match {
           case Some(vc) =>
             // assigned column: matched (update branch firing) → the SET
             // expression's value, insert → the raw source value,
@@ -583,7 +622,8 @@ object MergeWriter {
             if (dataCols.contains(c) && tData.contains(c))
               when(uPresent && !tPresent, col(s"u.$c")).otherwise(col(s"t.$c"))
             else if (dataCols.contains(c)) when(uPresent && !tPresent, col(s"u.$c"))
-            else col(s"t.$c")
+            else if (tData.contains(c)) col(s"t.$c")
+            else lit(null) // INSERT-introduced: only the insert arm fills it
           case None =>
             // full SET *: source values win wherever the source row
             // takes effect (null source values still fall back to the
@@ -592,8 +632,16 @@ object MergeWriter {
               when(uApplies, coalesce(col(s"u.$c"), col(s"t.$c")))
                 .otherwise(col(s"t.$c"))
             else if (dataCols.contains(c)) when(uApplies, col(s"u.$c"))
-            else col(s"t.$c")
+            else if (tData.contains(c)) col(s"t.$c")
+            else lit(null) // INSERT-introduced: only the insert arm fills it
         }
+        // the insert arm overrides the default source-row routing when
+        // an explicit INSERT list is present; every non-insert row
+        // falls through to the branch routing above untouched
+        def dataCol(c: String) =
+          if (insertCols.isDefined)
+            when(uPresent && !tPresent, insertValueCol(c)).otherwise(routedCol(c))
+          else routedCol(c)
         val outCols =
           keyCols.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
           allData.map(c => dataCol(c).as(c)) :+
@@ -609,11 +657,13 @@ object MergeWriter {
           if (syncDeleteCond.isDefined)
             !uPresent && coalesce(col("t._gsyncdel"), lit(false))
           else !uPresent
-        // an action: a matched tombstone, an insert, a matched row whose
-        // update branch fires, plus (sync mode) every dropped target row
+        // an action: a matched tombstone, an insert whose branch fires,
+        // a matched row whose update branch fires, plus (sync mode)
+        // every dropped target row
         val isAction = (uPresent &&
             ((col("u._gdel") && tPresent) ||
-              (!col("u._gdel") && (!tPresent || col("u._gupd"))))) ||
+              (!col("u._gdel") &&
+                ((!tPresent && col("u._gins")) || (tPresent && col("u._gupd")))))) ||
           (lit(syncDelete) && syncDrops)
         // tombstones drop out here: a matched delete removes the target
         // row from its rewritten bucket, an unmatched one inserts
@@ -622,7 +672,11 @@ object MergeWriter {
         val joined = t.join(u,
             keyCols.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _), "full_outer")
           .observe(actObs, coalesce(sum(when(isAction, 1L)), lit(0L)).as("n_actions"))
+          // drop tombstones, non-firing inserts (unmatched source rows
+          // whose insert condition is false produce no output row), and
+          // (sync mode) target-only rows
           .filter(!coalesce(col("u._gdel"), lit(false)) &&
+            (tPresent || coalesce(col("u._gins"), lit(true))) &&
             (if (syncDelete) !syncDrops else lit(true)))
           .select(outCols: _*)
         // legacy migration keeps every row; bucketed merge only carries

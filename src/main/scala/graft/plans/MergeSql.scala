@@ -20,9 +20,9 @@ import graft.merge.MergeWriter
   *   MERGE INTO '/path/to/target' USING source_view ON key_col [AND key_col2 ...]
   *     [ORDER BY version_col] [BUCKETS n]
   *     [WHEN MATCHED [AND cond] THEN DELETE]
-  *     [WHEN MATCHED THEN UPDATE SET * | SET col = expr [, ...]]
-  *     [WHEN NOT MATCHED THEN INSERT *]
-  *     [WHEN NOT MATCHED BY SOURCE THEN DELETE]
+  *     [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr [, ...]]
+  *     [WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (col [, ...]) VALUES (expr [, ...])]
+  *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
   * }}}
   *
   * The target is a [[graft.merge.MergeWriter]] bucketed snapshot
@@ -60,13 +60,29 @@ import graft.merge.MergeWriter
   *    its key from the target (a no-op when absent — CDC semantics: a
   *    tombstone never inserts); with the upsert pair present, the
   *    remaining rows upsert as usual; without it, they do nothing.
+  *  - the insert branch takes the full T-SQL form: `WHEN NOT MATCHED
+  *    [AND cond] THEN INSERT *` inserts the raw source row, `INSERT
+  *    (col [, ...]) VALUES (expr [, ...])` (the reference's explicit
+  *    form, `005_sp_migrate.sql:20-24`) inserts the listed columns
+  *    from their VALUES expressions (over the SOURCE columns) and
+  *    NULL for every unlisted data column. `cond` — over the SOURCE
+  *    columns — gates admission: an unmatched row failing it takes no
+  *    action at all (it neither inserts nor counts). Merge keys always
+  *    flow from the ON-matched source row (this target is keyed
+  *    storage; a NULL or rewritten key has no meaning), so a key may
+  *    appear in the column list only as its own identity reference.
   *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`
   *    (full-snapshot sync): target rows whose key is absent from the
   *    source are removed. `cond` — over the TARGET columns, the only
   *    side that exists for such rows — scopes the sync (the T-SQL
   *    partition-scoped sync form): target-only rows failing it are
-  *    kept. Requires the upsert pair (matched rows update, new rows
-  *    insert, stale rows drop — the complete synchronization). In
+  *    kept. With the upsert pair: matched rows update, new rows
+  *    insert, stale rows drop — the complete synchronization. WITHOUT
+  *    the pair, the mirror-deletes-only form: source keys act purely
+  *    as the presence set (matched rows keep their bytes, unmatched
+  *    source rows insert nothing) and only the drops count; adding a
+  *    matched-delete branch gives the purge form (drop rows the
+  *    source tombstones AND rows the source no longer carries). In
   *    this mode every bucket is touched — the merge rewrites the
   *    whole target, O(|target|), not O(touched buckets):
   *    full-snapshot sync must examine every target row by definition.
@@ -83,7 +99,9 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
                                 setClause: Option[Seq[(String, String)]] = None,
                                 syncDelete: Boolean = false,
                                 updateCond: Option[String] = None,
-                                syncDeleteCond: Option[String] = None)
+                                syncDeleteCond: Option[String] = None,
+                                insertCond: Option[String] = None,
+                                insertCols: Option[Seq[(String, String)]] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -95,7 +113,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
     // SET expressions and the update condition are over the SOURCE
     // columns — alias it `s` so `s.col` and bare `col` both resolve
     val srcBase =
-      if (setClause.isDefined || updateCond.isDefined) srcBase0.as("s") else srcBase0
+      if (setClause.isDefined || updateCond.isDefined ||
+        insertCond.isDefined || insertCols.isDefined) srcBase0.as("s") else srcBase0
     // partial SET: evaluate each assignment's RHS on the source into an
     // internal column; the writer routes it to matched rows only, while
     // inserts keep the raw source value
@@ -108,9 +127,25 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
     }
     // the update-branch condition is evaluated on the source like the
     // delete condition; a null condition value means "does not apply"
-    val src0 = updateCond match {
+    val src0a = updateCond match {
       case Some(c) => srcSet.withColumn("_graft_update", expr(c).cast("boolean"))
       case None => srcSet
+    }
+    // explicit INSERT column list: evaluate each VALUES expression on
+    // the source into an internal carrier; the writer routes it to
+    // inserted rows only (unlisted columns insert NULL)
+    val src0b = insertCols match {
+      case Some(assigns) =>
+        assigns.zipWithIndex.foldLeft(src0a) { case (df, ((_, e), i)) =>
+          df.withColumn(s"_graft_ins_$i", expr(e))
+        }
+      case None => src0a
+    }
+    // the insert-branch condition (over the SOURCE columns): an
+    // unmatched row failing it takes no action at all
+    val src0 = insertCond match {
+      case Some(c) => src0b.withColumn("_graft_insert", expr(c).cast("boolean"))
+      case None => src0b
     }
     // the tombstone flag is computed on the source BEFORE the merge:
     // delete-only form keeps just the rows the condition selects (the
@@ -138,7 +173,10 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
         c -> s"_graft_set_$i" }),
       syncDelete = syncDelete,
       updateCondCol = updateCond.map(_ => "_graft_update"),
-      syncDeleteCond = syncDeleteCond)
+      syncDeleteCond = syncDeleteCond,
+      insertCondCol = insertCond.map(_ => "_graft_insert"),
+      insertCols = insertCols.map(_.zipWithIndex.map { case ((c, _), i) =>
+        c -> s"_graft_ins_$i" }))
     Seq(Row(n))
   }
 }
@@ -356,7 +394,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val UpdateClauseRe =
     """(?is)^\s*WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
   private val InsertClauseRe =
-    """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*\s*$""".r
+    """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+(\*|\(.+?)\s*$""".r
   private val SyncDeleteClauseRe =
     """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*$""".r
 
@@ -465,6 +503,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       var update: Option[Option[Seq[(String, String)]]] = None
       var updateCond: Option[String] = None
       var insert = false
+      var insertCond: Option[String] = None
+      var insertCols: Option[Seq[(String, String)]] = None
       var syncDelete = false
       var syncDeleteCond: Option[String] = None
       def once(already: Boolean, what: String): Unit =
@@ -475,8 +515,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           once(syncDelete, "WHEN NOT MATCHED BY SOURCE")
           syncDelete = true
           syncDeleteCond = Option(c)
-        case InsertClauseRe() =>
+        case InsertClauseRe(c, spec) =>
           once(insert, "WHEN NOT MATCHED ... INSERT"); insert = true
+          insertCond = Option(c)
+          insertCols = parseInsertSpec(spec, keyCols)
         case DeleteClauseRe(c) =>
           once(deleteCond.isDefined, "WHEN MATCHED ... DELETE")
           deleteCond = Some(Option(c).getOrElse("true"))
@@ -487,26 +529,34 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         case other => throw new UnsupportedOperationException(
           "MERGE INTO '<path>' WHEN actions are limited to " +
             "'WHEN MATCHED [AND cond] THEN DELETE', " +
-            "'WHEN MATCHED THEN UPDATE SET * | SET col = expr, ...', " +
-            "'WHEN NOT MATCHED THEN INSERT *' and " +
-            s"'WHEN NOT MATCHED BY SOURCE THEN DELETE'; got '${other.trim}'")
+            "'WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...', " +
+            "'WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (col, ...) VALUES (expr, ...)' and " +
+            s"'WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE'; got '${other.trim}'")
       }
       if (update.isDefined != insert)
         throw new UnsupportedOperationException(
           "MERGE INTO '<path>': UPDATE and INSERT form a pair — " +
             "both must be present (or both absent)")
-      if (syncDelete && update.isEmpty)
-        throw new UnsupportedOperationException(
-          "MERGE INTO '<path>': WHEN NOT MATCHED BY SOURCE THEN DELETE " +
-            "requires the UPDATE/INSERT pair (full-snapshot synchronization)")
+      // WHEN NOT MATCHED BY SOURCE without the upsert pair: mirror
+      // deletes (plus, with a matched-delete branch, the purge form) —
+      // the source then acts only as the presence set. Expressed via
+      // always-false branch guards: matched rows keep their bytes,
+      // unmatched source rows insert nothing, and only the sync (and
+      // matched-delete) drops act or count.
+      val syncOnly = syncDelete && update.isEmpty
       // no WHEN clause at all defaults to the upsert pair; a lone
-      // delete branch means delete-only (unselected rows take no action)
-      val upsert = update.isDefined || when == null
+      // delete branch means delete-only (unselected rows take no
+      // action); sync-only must NOT filter the source to tombstones —
+      // every source key protects its target row from the sync drop
+      val upsert = update.isDefined || when == null || syncOnly
       MergeIntoPathCommand(dir, subquery.getOrElse(source), keyCols,
         Option(order), Option(buckets).map(_.toInt), deleteCond, upsert,
         sourceIsQuery = subquery.isDefined,
         setClause = update.flatten, syncDelete = syncDelete,
-        updateCond = updateCond, syncDeleteCond = syncDeleteCond)
+        updateCond = if (syncOnly) Some("false") else updateCond,
+        syncDeleteCond = syncDeleteCond,
+        insertCond = if (syncOnly) Some("false") else insertCond,
+        insertCols = insertCols)
     case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")
   }
 
@@ -539,14 +589,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
-  /** Parse an UPDATE's SET spec: `*` → None (update every non-key
-    * column); otherwise the comma-separated assignment list (commas
-    * inside quotes or parens — function calls, CASE arms — do not
-    * split). Assigning a merge key is rejected.
+  /** Split on top-level commas — commas inside quotes or parens
+    * (function calls, CASE arms) do not split.
     */
-  private def parseSetSpec(spec: String,
-                           keyCols: Seq[String]): Option[Seq[(String, String)]] = {
-    if (spec.trim == "*") return None
+  private def splitTopLevel(spec: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var i = 0
@@ -562,7 +608,87 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       }
     }
     parts += cur.result()
-    Some(parts.toSeq.map {
+    parts.toSeq
+  }
+
+  /** Index of the `)` balancing the `(` at `open` (quote-aware), or -1. */
+  private def closingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => i = skipQuoted(s, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse an INSERT's spec: `*` → None (insert the raw source row);
+    * otherwise the T-SQL `(col [, ...]) VALUES (expr [, ...])` form —
+    * listed columns take their VALUES expression (over the SOURCE
+    * columns), unlisted data columns insert NULL. Merge key columns
+    * always flow from the source row the ON clause matched on (this
+    * target is keyed storage — a NULL or rewritten key has no meaning
+    * here), so a key may appear in the list only as its own identity
+    * reference (`k` / `s.k`); anything else raises.
+    */
+  private def parseInsertSpec(spec0: String,
+                              keyCols: Seq[String]): Option[Seq[(String, String)]] = {
+    val spec = spec0.trim
+    if (spec == "*") return None
+    def bad(why: String): Nothing = throw new UnsupportedOperationException(
+      s"MERGE INTO '<path>': malformed INSERT spec '${spec.trim}' ($why — " +
+        "expected '*' or '(col, ...) VALUES (expr, ...)')")
+    if (!spec.startsWith("(")) bad("no column list")
+    val closeCols = closingParen(spec, 0)
+    if (closeCols < 0) bad("unbalanced column list")
+    val colList = splitTopLevel(spec.substring(1, closeCols)).map(_.trim)
+    val afterCols = spec.substring(closeCols + 1)
+    val ValuesRe = """(?is)^\s*VALUES\s*(\(.*)$""".r
+    val valuesPart = afterCols match {
+      case ValuesRe(v) => v
+      case _ => bad("missing VALUES")
+    }
+    val closeVals = closingParen(valuesPart, 0)
+    if (closeVals < 0) bad("unbalanced VALUES list")
+    if (valuesPart.substring(closeVals + 1).trim.nonEmpty)
+      bad("trailing text after VALUES list")
+    val exprList = splitTopLevel(valuesPart.substring(1, closeVals)).map(_.trim)
+    if (colList.size != exprList.size)
+      bad(s"${colList.size} columns but ${exprList.size} values")
+    val ColNameRe = """(?is)^(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)$""".r
+    val pairs = colList.zip(exprList).map {
+      case (ColNameRe(c), e) => c -> e
+      case (other, _) => bad(s"bad column name '$other'")
+    }
+    pairs.groupBy(_._1.toLowerCase).collect { case (c, ps) if ps.size > 1 => c }
+      .headOption.foreach(c => bad(s"column '$c' listed twice"))
+    // keys: identity references only, then dropped (keys come from the
+    // ON-matched source row, exactly what an identity reference names)
+    val (keyPairs, dataPairs) = pairs.partition { case (c, _) =>
+      keyCols.exists(_.equalsIgnoreCase(c)) }
+    keyPairs.foreach {
+      case (c, ColNameRe(v)) if v.equalsIgnoreCase(c) => ()
+      case (c, e) => throw new UnsupportedOperationException(
+        s"MERGE INTO '<path>': INSERT cannot rewrite merge key column " +
+          s"'$c' (got '$c = $e'; keys always flow from the source row)")
+    }
+    Some(dataPairs)
+  }
+
+  /** Parse an UPDATE's SET spec: `*` → None (update every non-key
+    * column); otherwise the comma-separated assignment list (commas
+    * inside quotes or parens — function calls, CASE arms — do not
+    * split). Assigning a merge key is rejected.
+    */
+  private def parseSetSpec(spec: String,
+                           keyCols: Seq[String]): Option[Seq[(String, String)]] = {
+    if (spec.trim == "*") return None
+    Some(splitTopLevel(spec).map {
       case AssignRe(colName, rhs) =>
         if (keyCols.exists(_.equalsIgnoreCase(colName)))
           throw new UnsupportedOperationException(

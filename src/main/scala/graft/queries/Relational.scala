@@ -402,6 +402,117 @@ object Relational {
         |FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY o_orderkey""".stripMargin),
 
+    // K2 + the conditional insert branch (T-SQL WHEN NOT MATCHED AND
+    // cond THEN INSERT — gated admission of new keys, the first thing
+    // a filtering CDC consumer reaches for): matched rows update as
+    // usual, but an unmatched source row inserts only when the
+    // source-side condition fires (% 4 = 0); the rest take no action.
+    // Oracle: full outer where source-only rows survive only under the
+    // condition.
+    q("q_merge_insert_cond")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_inscond")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_ic1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .withColumn("o_orderstatus", lit("I"))
+            .createOrReplaceTempView("graft_ic2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_ic1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_ic2 ON o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED AND s.o_orderkey % 4 = 0 THEN INSERT *").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'I' AS o_orderstatus
+        |       FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
+        |COALESCE(up.o_orderstatus, tg.o_orderstatus) AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |WHERE tg.o_orderkey IS NOT NULL OR up.o_orderkey % 4 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // K2 + the explicit INSERT column list (the reference's production
+    // form, 005_sp_migrate.sql:20-24 INSERT (OrderId, ...) VALUES
+    // (...)): inserted rows take the VALUES expressions — here a
+    // +10.0 admission adjustment — and NULL for the unlisted
+    // o_orderstatus, while matched rows update every column from the
+    // source as usual.
+    q("q_merge_insert_cols")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_inscols")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_il1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .withColumn("o_orderstatus", lit("C"))
+            .createOrReplaceTempView("graft_il2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_il1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_il2 ON o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) " +
+            "VALUES (s.o_orderkey, s.o_totalprice + 10.0)").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'C' AS o_orderstatus
+        |       FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |CASE WHEN up.o_orderkey IS NOT NULL AND tg.o_orderkey IS NOT NULL THEN up.o_totalprice
+        |     WHEN up.o_orderkey IS NOT NULL THEN up.o_totalprice + 10.0
+        |     ELSE tg.o_totalprice END AS o_totalprice,
+        |CASE WHEN up.o_orderkey IS NOT NULL AND tg.o_orderkey IS NOT NULL THEN up.o_orderstatus
+        |     WHEN up.o_orderkey IS NOT NULL THEN NULL
+        |     ELSE tg.o_orderstatus END AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // The mirror-deletes-only sync form (WHEN NOT MATCHED BY SOURCE
+    // THEN DELETE with no other branch): the source acts purely as the
+    // presence set — matched target rows keep their ORIGINAL bytes
+    // (the +1.0 in the source view must NOT apply), absent keys drop,
+    // source-only keys do not insert. Result: exactly the %6 keys with
+    // untouched values.
+    q("q_merge_sync_only")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_synconly")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_so1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .createOrReplaceTempView("graft_so2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_so1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_so2 ON o_orderkey " +
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 6 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Composite-key point lookups through the SQL surface: the same
     // composite target, read back via graft_target_lookup with grouped
     // (l_orderkey, l_linenumber) tuples — only the buckets those

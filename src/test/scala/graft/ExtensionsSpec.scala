@@ -342,9 +342,10 @@ class ExtensionsSpec extends SparkSpec {
       'I' -> "WHEN NOT MATCHED THEN INSERT *",
       'D' -> "WHEN MATCHED AND v = 'zz' THEN DELETE",
       'S' -> "WHEN NOT MATCHED BY SOURCE AND v = 'zz' THEN DELETE")
-    // validity: UPDATE and INSERT pair up; sync delete needs the pair
+    // validity: UPDATE and INSERT pair up (sync delete no longer needs
+    // the pair — alone it is the mirror-deletes form, with D the purge)
     def valid(set: Set[Char]): Boolean =
-      set.contains('U') == set.contains('I') && (!set.contains('S') || set.contains('U'))
+      set.contains('U') == set.contains('I')
     for {
       subset <- branches.keySet.subsets() if subset.nonEmpty
       perm <- subset.toSeq.permutations.take(3)
@@ -462,12 +463,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 5L)
     assert(state() == Map(2L -> "b2", 5L -> "e"))
 
-    // sync-delete without the upsert pair is rejected (full-snapshot
-    // sync is defined as update+insert+delete)
-    intercept[UnsupportedOperationException] {
-      s2.sql(s"MERGE INTO '$dir' USING sy_src ON k " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-    }
+    // sync-delete WITHOUT the upsert pair: mirror-deletes-only — the
+    // source acts purely as the presence set. Against the seed view
+    // (keys 1-4): 2 is present and keeps its CURRENT bytes (the seed's
+    // v='b' must not apply), 5 is absent and drops, seed-only keys
+    // 1/3/4 do not insert; only the drop counts
+    val nm = s2.sql(s"MERGE INTO '$dir' USING sy_seed ON k " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect().head.getLong(0)
+    assert(nm == 1L)
+    assert(state() == Map(2L -> "b2"))
     // an idempotent replay of the same snapshot: same final state
     s2.sql(s"MERGE INTO '$dir' USING sy_src ON k " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
@@ -485,6 +489,57 @@ class ExtensionsSpec extends SparkSpec {
       "WHEN NOT MATCHED BY SOURCE AND v < 'm' THEN DELETE").collect().head.getLong(0)
     assert(n2 == 3L) // update k=2, insert... k=5 matched now: 2 updates + 1 scoped delete
     assert(state() == Map(2L -> "b2", 5L -> "e", 8L -> "z9"))
+  }
+
+  test("MERGE insert branch: condition gates admission; column list routes values") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_ins").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, (String, Option[Int])] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v", $"amt").as[(Long, String, Option[Int])].collect()
+      .map { case (k, v, a) => k -> ((v, a)) }.toMap
+
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("ins_seed")
+    s2.sql(s"MERGE INTO '$dir' USING ins_seed ON k BUCKETS 2").collect()
+
+    // conditional insert: 3 fires the gate and inserts, 5 fails it and
+    // takes NO action (and does not count); matched 2 updates as usual
+    Seq((2L, "b2", 21), (3L, "c", 30), (5L, "e", 50)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("ins_src")
+    val n = s2.sql(s"MERGE INTO '$dir' USING ins_src ON k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED AND s.amt < 40 THEN INSERT *").collect().head.getLong(0)
+    assert(n == 2L) // 1 update + 1 gated insert; k=5 is no action
+    assert(state() == Map(1L -> (("a", Some(10))), 2L -> (("b2", Some(21))),
+      3L -> (("c", Some(30)))))
+
+    // explicit column list: inserted rows take the VALUES expressions
+    // (amt doubled), unlisted v inserts NULL; matched rows are guarded
+    // off here, so 3 keeps its bytes
+    Seq((3L, "zz", 1), (7L, "g", 70)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("ins_src2")
+    val n2 = s2.sql(s"MERGE INTO '$dir' USING ins_src2 ON k " +
+      "WHEN MATCHED AND s.amt > 99 THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (s.k, s.amt * 2)")
+      .collect().head.getLong(0)
+    assert(n2 == 1L) // the insert; matched 3 fails the update gate
+    assert(state()(7L) == ((null, Some(140))))
+    assert(state()(3L) == (("c", Some(30))))
+
+    // grammar: arity mismatch, key rewrite, duplicate column, missing
+    // VALUES all raise instead of silently mis-routing
+    for (badTail <- Seq(
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)",
+      "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.amt)",
+      "WHEN NOT MATCHED THEN INSERT (v, v) VALUES (s.v, s.v)",
+      "WHEN NOT MATCHED THEN INSERT (k, v)")) {
+      intercept[UnsupportedOperationException] {
+        s2.sql(s"MERGE INTO '$dir' USING ins_src2 ON k " +
+          "WHEN MATCHED THEN UPDATE SET * " + badTail)
+      }
+    }
   }
 
   test("USING subquery parens inside string literals parse; key names with separators refuse") {
