@@ -399,10 +399,12 @@ object MergeWriter {
             updateCondCol: Option[String] = None,
             syncDeleteCond: Option[String] = None,
             insertCondCol: Option[String] = None,
-            insertCols: Option[Seq[(String, String)]] = None): Long =
+            insertCols: Option[Seq[(String, String)]] = None,
+            syncUpdateCols: Option[Seq[(String, String)]] = None,
+            syncUpdateCond: Option[String] = None): Long =
     mergeByKeys(spark, targetDir, updates, Seq(keyCol), orderCol, buckets,
       leaseWaitMs, deleteCol, updateCols, syncDelete, updateCondCol, syncDeleteCond,
-      insertCondCol, insertCols)
+      insertCondCol, insertCols, syncUpdateCols, syncUpdateCond)
 
   /** Composite-key upsert: match on the conjunction of `keyCols`
     * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
@@ -421,7 +423,9 @@ object MergeWriter {
                   updateCondCol: Option[String] = None,
                   syncDeleteCond: Option[String] = None,
                   insertCondCol: Option[String] = None,
-                  insertCols: Option[Seq[(String, String)]] = None): Long = lockFor(targetDir).synchronized {
+                  insertCols: Option[Seq[(String, String)]] = None,
+                  syncUpdateCols: Option[Seq[(String, String)]] = None,
+                  syncUpdateCond: Option[String] = None): Long = lockFor(targetDir).synchronized {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // key columns are persisted comma-joined (tab-separated from the
     // bucket count) in _BUCKETS — a separator inside a name would
@@ -431,7 +435,8 @@ object MergeWriter {
     Files.createDirectories(Paths.get(targetDir))
     val lease = acquireLease(targetDir, leaseWaitMs)
     try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol,
-      updateCols, syncDelete, updateCondCol, syncDeleteCond, insertCondCol, insertCols)
+      updateCols, syncDelete, updateCondCol, syncDeleteCond, insertCondCol, insertCols,
+      syncUpdateCols, syncUpdateCond)
     finally lease.release()
   }
 
@@ -443,7 +448,9 @@ object MergeWriter {
                           updateCondCol: Option[String],
                           syncDeleteCond: Option[String],
                           insertCondCol: Option[String],
-                          insertCols: Option[Seq[(String, String)]]): Long = {
+                          insertCols: Option[Seq[(String, String)]],
+                          syncUpdateCols: Option[Seq[(String, String)]],
+                          syncUpdateCond: Option[String]): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, stored)) =>
         // a different key set would hash rows into buckets the stored
@@ -523,8 +530,9 @@ object MergeWriter {
     // full-snapshot sync must examine every target row (any bucket may
     // hold keys absent from the batch), so every manifest bucket is
     // touched — the merge degrades to O(|target|) by definition
+    val syncUpdate = syncUpdateCols.isDefined
     val touched =
-      if (syncDelete) batchTouched ++ oldManifest.keys.filter(_ >= 0)
+      if (syncDelete || syncUpdate) batchTouched ++ oldManifest.keys.filter(_ >= 0)
       else batchTouched
 
     // old rows the merge must look at: touched buckets only (a legacy
@@ -570,14 +578,30 @@ object MergeWriter {
         val oldCols = target0.columns
         val targetB = if (oldCols.contains("_bucket")) target0
           else target0.withColumn("_bucket", keyHash)
-        // the sync-delete scope condition is over the TARGET columns
-        // (the only side that exists for a not-matched-by-source row) —
-        // computed BEFORE the join so plain names resolve unambiguously
-        val t = (syncDeleteCond match {
+        // the sync-delete scope condition, the sync-update SET
+        // expressions, and the sync-update condition are all over the
+        // TARGET columns (the only side that exists for a
+        // not-matched-by-source row) — computed BEFORE the join so
+        // plain names resolve unambiguously
+        val targetD = syncDeleteCond match {
           case Some(c) if syncDelete =>
             targetB.withColumn("_gsyncdel", expr(c).cast("boolean"))
           case _ => targetB
-        }).as("t")
+        }
+        val targetS = syncUpdateCols match {
+          case Some(list) =>
+            // aliased "t" so `t.col` and bare `col` both resolve in the
+            // SET expressions and condition (mirroring the source's "s")
+            val withVals = list.zipWithIndex.foldLeft(targetD.as("t")) { case (df, ((_, e), i)) =>
+              df.withColumn(s"_gsup_$i", expr(e))
+            }
+            syncUpdateCond match {
+              case Some(c) => withVals.withColumn("_gsupcond", expr(c).cast("boolean"))
+              case None => withVals
+            }
+          case None => targetD
+        }
+        val t = targetS.as("t")
         val u = dedupedObs.as("u")
         // u-side presence / t-side match / update-branch applicability,
         // readable once for the routing, sync filter, and action count
@@ -591,15 +615,18 @@ object MergeWriter {
         // carried forward untouched
         val tData = oldCols.filterNot(c =>
           keySet.contains(c) || c == "migrated_at" || c == "_bucket" ||
-            c == "_gdel" || c == "_gupd" || c == "_gins" || c == "_gsyncdel")
+            c == "_gdel" || c == "_gupd" || c == "_gins" || c == "_gsyncdel" ||
+            c == "_gsupcond" || c.startsWith("_gsup_"))
         val allData0 = (dataCols ++ tData.filterNot(dataCols.contains)).toSeq
         // a SET- or INSERT-introduced column absent from both sides
         // still needs an output slot (rows its branch touches get the
         // expression's value, every other row null)
         val allData1 = allData0 ++ updateCols.map(_.map(_._1)
           .filterNot(c => allData0.exists(_.equalsIgnoreCase(c)))).getOrElse(Seq.empty)
-        val allData = allData1 ++ insertCols.map(_.map(_._1)
+        val allData2 = allData1 ++ insertCols.map(_.map(_._1)
           .filterNot(c => allData1.exists(_.equalsIgnoreCase(c)))).getOrElse(Seq.empty)
+        val allData = allData2 ++ syncUpdateCols.map(_.map(_._1)
+          .filterNot(c => allData2.exists(_.equalsIgnoreCase(c)))).getOrElse(Seq.empty)
         def assignedValueCol(c: String): Option[String] =
           updateCols.flatMap(_.find(_._1.equalsIgnoreCase(c)).map(_._2))
         // explicit INSERT list: an inserted row's value for c is its
@@ -635,21 +662,6 @@ object MergeWriter {
             else if (tData.contains(c)) col(s"t.$c")
             else lit(null) // INSERT-introduced: only the insert arm fills it
         }
-        // the insert arm overrides the default source-row routing when
-        // an explicit INSERT list is present; every non-insert row
-        // falls through to the branch routing above untouched
-        def dataCol(c: String) =
-          if (insertCols.isDefined)
-            when(uPresent && !tPresent, insertValueCol(c)).otherwise(routedCol(c))
-          else routedCol(c)
-        val outCols =
-          keyCols.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
-          allData.map(c => dataCol(c).as(c)) :+
-          // a matched row whose update branch does not fire keeps its
-          // old migrated_at — it was not migrated this round
-          when(uApplies, coalesce(col("u.migrated_at"), col("t.migrated_at")))
-            .otherwise(col("t.migrated_at")).as("migrated_at") :+
-          coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
         // sync mode: which target-only rows actually drop (all of them,
         // or — with a scope condition — only those satisfying it; a
         // null condition value keeps the row, SQL three-valued rule)
@@ -657,14 +669,49 @@ object MergeWriter {
           if (syncDeleteCond.isDefined)
             !uPresent && coalesce(col("t._gsyncdel"), lit(false))
           else !uPresent
+        // WHEN NOT MATCHED BY SOURCE ... UPDATE: which target-only rows
+        // the stale-row update touches — never one the sync delete is
+        // about to drop (T-SQL: a row takes at most one action)
+        val syncUpdApplies =
+          (if (syncUpdateCond.isDefined) !uPresent && coalesce(col("t._gsupcond"), lit(false))
+           else !uPresent) &&
+            (if (syncDelete) !syncDrops else lit(true))
+        def syncUpdValueCol(c: String): Option[Column] = syncUpdateCols
+          .flatMap(_.zipWithIndex.find(_._1._1.equalsIgnoreCase(c))
+            .map { case (_, i) => col(s"t._gsup_$i") })
+        // the insert arm (explicit INSERT list) and the stale-row
+        // update arm override the default routing for the rows their
+        // branch touches; every other row falls through untouched
+        def dataCol(c: String) = {
+          val withIns =
+            if (insertCols.isDefined)
+              when(uPresent && !tPresent, insertValueCol(c)).otherwise(routedCol(c))
+            else routedCol(c)
+          syncUpdValueCol(c) match {
+            case Some(v) if syncUpdateCols.isDefined =>
+              when(syncUpdApplies, v).otherwise(withIns)
+            case _ => withIns
+          }
+        }
+        val outCols =
+          keyCols.map(k => coalesce(col(s"u.$k"), col(s"t.$k")).as(k)) ++
+          allData.map(c => dataCol(c).as(c)) :+
+          // a matched row whose update branch does not fire keeps its
+          // old migrated_at — it was not migrated this round; a
+          // stale-row sync update IS a modification and re-stamps
+          when(uApplies, coalesce(col("u.migrated_at"), col("t.migrated_at")))
+            .when(syncUpdApplies && lit(syncUpdateCols.isDefined), current_timestamp())
+            .otherwise(col("t.migrated_at")).as("migrated_at") :+
+          coalesce(col("u._bucket"), col("t._bucket")).as("_bucket")
         // an action: a matched tombstone, an insert whose branch fires,
         // a matched row whose update branch fires, plus (sync mode)
-        // every dropped target row
+        // every dropped target row and every stale-row update
         val isAction = (uPresent &&
             ((col("u._gdel") && tPresent) ||
               (!col("u._gdel") &&
                 ((!tPresent && col("u._gins")) || (tPresent && col("u._gupd")))))) ||
-          (lit(syncDelete) && syncDrops)
+          (lit(syncDelete) && syncDrops) ||
+          (lit(syncUpdateCols.isDefined) && syncUpdApplies)
         // tombstones drop out here: a matched delete removes the target
         // row from its rewritten bucket, an unmatched one inserts
         // nothing; sync mode additionally drops target rows with no

@@ -23,6 +23,7 @@ import graft.merge.MergeWriter
   *     [WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr [, ...]]
   *     [WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (col [, ...]) VALUES (expr [, ...])]
   *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
+  *     [WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col = expr [, ...]]
   * }}}
   *
   * The target is a [[graft.merge.MergeWriter]] bucketed snapshot
@@ -86,6 +87,17 @@ import graft.merge.MergeWriter
   *    this mode every bucket is touched — the merge rewrites the
   *    whole target, O(|target|), not O(touched buckets):
   *    full-snapshot sync must examine every target row by definition.
+  *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col =
+  *    expr [, ...]` (the last T-SQL branch family member — flag stale
+  *    rows instead of deleting them): target rows whose key is absent
+  *    from the source take the SET expressions, which — like `cond` —
+  *    are over the TARGET columns (alias `t` or bare names; there is
+  *    no source row to reference, so `SET *` is rejected). May combine
+  *    with the sync delete: a row the delete drops is never also
+  *    updated (one action per row, as in T-SQL). Usable with or
+  *    without the upsert pair; same O(|target|) full-scan footprint as
+  *    the sync delete. A re-stamped `migrated_at` marks the touched
+  *    rows; each counts in `rows_affected`.
   * Anything else raises. Returns one row: `rows_affected` — rows that
   * actually inserted, updated, or deleted (the reference's
   * `@@ROWCOUNT`: a tombstone for an absent key takes no action and
@@ -101,7 +113,9 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
                                 updateCond: Option[String] = None,
                                 syncDeleteCond: Option[String] = None,
                                 insertCond: Option[String] = None,
-                                insertCols: Option[Seq[(String, String)]] = None)
+                                insertCols: Option[Seq[(String, String)]] = None,
+                                syncUpdateSet: Option[Seq[(String, String)]] = None,
+                                syncUpdateCond: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -176,7 +190,11 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
       syncDeleteCond = syncDeleteCond,
       insertCondCol = insertCond.map(_ => "_graft_insert"),
       insertCols = insertCols.map(_.zipWithIndex.map { case ((c, _), i) =>
-        c -> s"_graft_ins_$i" }))
+        c -> s"_graft_ins_$i" }),
+      // target-side SET expressions travel as raw SQL — the writer
+      // evaluates them on the target frame, the only side they can see
+      syncUpdateCols = syncUpdateSet,
+      syncUpdateCond = syncUpdateCond)
     Seq(Row(n))
   }
 }
@@ -397,6 +415,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+(\*|\(.+?)\s*$""".r
   private val SyncDeleteClauseRe =
     """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*$""".r
+  private val SyncUpdateClauseRe =
+    """(?is)^\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*$""".r
 
   // one assignment of a partial SET list: `[t.]col = expr`
   private val AssignRe = """(?is)^\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(.+?)\s*$""".r
@@ -507,14 +527,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       var insertCols: Option[Seq[(String, String)]] = None
       var syncDelete = false
       var syncDeleteCond: Option[String] = None
+      var syncUpdate: Option[Seq[(String, String)]] = None
+      var syncUpdateCond: Option[String] = None
       def once(already: Boolean, what: String): Unit =
         if (already) throw new UnsupportedOperationException(
           s"MERGE INTO '<path>': duplicate $what clause")
       splitWhenClauses(when).foreach {
         case SyncDeleteClauseRe(c) =>
-          once(syncDelete, "WHEN NOT MATCHED BY SOURCE")
+          once(syncDelete, "WHEN NOT MATCHED BY SOURCE ... DELETE")
           syncDelete = true
           syncDeleteCond = Option(c)
+        case SyncUpdateClauseRe(c, setSpec) =>
+          once(syncUpdate.isDefined, "WHEN NOT MATCHED BY SOURCE ... UPDATE")
+          syncUpdate = parseSetSpec(setSpec, keyCols) match {
+            case None => throw new UnsupportedOperationException(
+              "MERGE INTO '<path>': WHEN NOT MATCHED BY SOURCE ... UPDATE " +
+                "needs an explicit SET list (there is no source row for SET *)")
+            case some => some
+          }
+          syncUpdateCond = Option(c)
         case InsertClauseRe(c, spec) =>
           once(insert, "WHEN NOT MATCHED ... INSERT"); insert = true
           insertCond = Option(c)
@@ -543,7 +574,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // always-false branch guards: matched rows keep their bytes,
       // unmatched source rows insert nothing, and only the sync (and
       // matched-delete) drops act or count.
-      val syncOnly = syncDelete && update.isEmpty
+      val syncOnly = (syncDelete || syncUpdate.isDefined) && update.isEmpty
       // no WHEN clause at all defaults to the upsert pair; a lone
       // delete branch means delete-only (unselected rows take no
       // action); sync-only must NOT filter the source to tombstones —
@@ -556,7 +587,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         updateCond = if (syncOnly) Some("false") else updateCond,
         syncDeleteCond = syncDeleteCond,
         insertCond = if (syncOnly) Some("false") else insertCond,
-        insertCols = insertCols)
+        insertCols = insertCols,
+        syncUpdateSet = syncUpdate, syncUpdateCond = syncUpdateCond)
     case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")
   }
 

@@ -513,6 +513,42 @@ object Relational {
         |FROM orders WHERE o_orderkey % 6 = 0
         |ORDER BY o_orderkey""".stripMargin),
 
+    // The last T-SQL branch family member: WHEN NOT MATCHED BY SOURCE
+    // THEN UPDATE — flag stale rows instead of deleting them. Matched
+    // rows take the source values, new keys insert, and target rows
+    // the source no longer carries get o_orderstatus = 'S' with their
+    // price untouched.
+    q("q_merge_sync_update")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_syncupd")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_su1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .withColumn("o_orderstatus", lit("U"))
+            .createOrReplaceTempView("graft_su2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_su1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_su2 ON o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'S'").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'U' AS o_orderstatus
+        |       FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
+        |CASE WHEN up.o_orderkey IS NOT NULL THEN up.o_orderstatus ELSE 'S' END AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
     // Composite-key point lookups through the SQL surface: the same
     // composite target, read back via graft_target_lookup with grouped
     // (l_orderkey, l_linenumber) tuples — only the buckets those

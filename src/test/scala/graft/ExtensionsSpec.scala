@@ -491,6 +491,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(state() == Map(2L -> "b2", 5L -> "e", 8L -> "z9"))
   }
 
+  test("MERGE sync-update branch flags stale rows; sync delete wins on overlap") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_syncupd").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, (String, Int)] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v", $"amt").as[(Long, String, Int)].collect()
+      .map { case (k, v, a) => k -> ((v, a)) }.toMap
+
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("su_seed")
+    s2.sql(s"MERGE INTO '$dir' USING su_seed ON k BUCKETS 2").collect()
+
+    // stale-flag WITHOUT the pair: 2 is present and keeps its bytes;
+    // 1/3/4 are absent and take the SET (t-prefixed and bare names,
+    // an expression over the target's own columns); 3 counts each
+    Seq((2L, "x", 99)).toDF("k", "v", "amt").createOrReplaceTempView("su_src")
+    val n = s2.sql(s"MERGE INTO '$dir' USING su_src ON k " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '!'), amt = amt + 100")
+      .collect().head.getLong(0)
+    assert(n == 3L)
+    assert(state() == Map(1L -> (("a!", 110)), 2L -> (("b", 20)),
+      3L -> (("c!", 130)), 4L -> (("d!", 140))))
+
+    // scoped stale-flag combined with scoped sync delete: the delete
+    // wins where both conditions hold (one action per row, T-SQL);
+    // 1 (amt 110) drops, 3/4 (amt 130/140 >= 120) flag, 2 untouched
+    val n2 = s2.sql(s"MERGE INTO '$dir' USING su_src ON k " +
+      "WHEN NOT MATCHED BY SOURCE AND amt < 120 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'")
+      .collect().head.getLong(0)
+    assert(n2 == 3L) // 1 delete + 2 stale flags
+    assert(state() == Map(2L -> (("b", 20)),
+      3L -> (("stale", 130)), 4L -> (("stale", 140))))
+
+    // SET * is meaningless without a source row
+    intercept[UnsupportedOperationException] {
+      s2.sql(s"MERGE INTO '$dir' USING su_src ON k " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
+    }
+    // keys cannot be rewritten from the stale-row branch either
+    intercept[UnsupportedOperationException] {
+      s2.sql(s"MERGE INTO '$dir' USING su_src ON k " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = k + 1")
+    }
+  }
+
   test("MERGE insert branch: condition gates admission; column list routes values") {
     import graft.merge.MergeWriter
     val dir = java.nio.file.Files.createTempDirectory("merge_ins").toString
