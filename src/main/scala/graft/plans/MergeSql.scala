@@ -39,7 +39,11 @@ import graft.merge.MergeWriter
   * duplicate keys (the reference's semantics, `migrate.js:10-15`);
   * with it, the highest `version_col` wins.
   *
-  * WHEN actions, in any order (each at most once):
+  * WHEN actions, in any order (each at most once, any combination —
+  * exactly as in T-SQL, an absent branch means that action never
+  * fires: `INSERT` alone is ignore-if-exists, `UPDATE` alone is
+  * update-if-exists CDC, a matched row with no matched branch / an
+  * unmatched row with no insert branch takes no action at all):
   *  - the upsert pair `UPDATE SET ... / INSERT *` (the default when no
   *    WHEN clause is given — exactly what the engine's merge does).
   *    `SET *` updates every non-key column from the source (the
@@ -564,29 +568,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             "'WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (col, ...) VALUES (expr, ...)' and " +
             s"'WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE'; got '${other.trim}'")
       }
-      if (update.isDefined != insert)
-        throw new UnsupportedOperationException(
-          "MERGE INTO '<path>': UPDATE and INSERT form a pair — " +
-            "both must be present (or both absent)")
-      // WHEN NOT MATCHED BY SOURCE without the upsert pair: mirror
-      // deletes (plus, with a matched-delete branch, the purge form) —
-      // the source then acts only as the presence set. Expressed via
-      // always-false branch guards: matched rows keep their bytes,
-      // unmatched source rows insert nothing, and only the sync (and
-      // matched-delete) drops act or count.
-      val syncOnly = (syncDelete || syncUpdate.isDefined) && update.isEmpty
-      // no WHEN clause at all defaults to the upsert pair; a lone
-      // delete branch means delete-only (unselected rows take no
-      // action); sync-only must NOT filter the source to tombstones —
-      // every source key protects its target row from the sync drop
-      val upsert = update.isDefined || when == null || syncOnly
+      // every branch combination is legal, exactly as in T-SQL: an
+      // absent branch simply means "that action never fires". A branch
+      // that is absent while OTHERS run in combined mode is expressed
+      // through an always-false guard: insert-only leaves matched rows
+      // byte-identical (ignore-if-exists), update-only leaves unmatched
+      // source rows inert (update-if-exists CDC), sync-only treats the
+      // source purely as the presence set. The one special case stays:
+      // a LONE matched-delete branch runs the dedicated delete-only
+      // path (source filtered to tombstones — O(tombstone buckets),
+      // no full upsert machinery).
+      val hasSync = syncDelete || syncUpdate.isDefined
+      val combined = update.isDefined || insert || hasSync
+      // no WHEN clause at all defaults to the upsert pair; combined
+      // mode must NOT filter the source to tombstones — every source
+      // key carries presence/match information for the other branches
+      val upsert = combined || when == null
       MergeIntoPathCommand(dir, subquery.getOrElse(source), keyCols,
         Option(order), Option(buckets).map(_.toInt), deleteCond, upsert,
         sourceIsQuery = subquery.isDefined,
         setClause = update.flatten, syncDelete = syncDelete,
-        updateCond = if (syncOnly) Some("false") else updateCond,
+        updateCond =
+          if (update.isEmpty && combined && when != null) Some("false") else updateCond,
         syncDeleteCond = syncDeleteCond,
-        insertCond = if (syncOnly) Some("false") else insertCond,
+        insertCond =
+          if (!insert && combined && when != null) Some("false") else insertCond,
         insertCols = insertCols,
         syncUpdateSet = syncUpdate, syncUpdateCond = syncUpdateCond)
     case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")

@@ -513,6 +513,74 @@ object Relational {
         |FROM orders WHERE o_orderkey % 6 = 0
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Insert-only MERGE (WHEN NOT MATCHED THEN INSERT with no matched
+    // branch — T-SQL ignore-if-exists): existing target rows keep
+    // their bytes even where the source carries changed values; only
+    // genuinely new keys land. Oracle: target wins on match.
+    q("q_merge_insert_only")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_insonly")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_io1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .withColumn("o_orderstatus", lit("N"))
+            .createOrReplaceTempView("graft_io2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_io1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_io2 ON o_orderkey " +
+            "WHEN NOT MATCHED THEN INSERT *").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'N' AS o_orderstatus
+        |       FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(tg.o_orderkey, up.o_orderkey) AS o_orderkey,
+        |COALESCE(tg.o_totalprice, up.o_totalprice) AS o_totalprice,
+        |COALESCE(tg.o_orderstatus, up.o_orderstatus) AS o_orderstatus
+        |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Update-only MERGE (WHEN MATCHED THEN UPDATE with no insert
+    // branch — T-SQL update-if-exists CDC): matched rows take the
+    // source values, unmatched source rows are inert. Oracle: a left
+    // join from the target.
+    q("q_merge_update_only")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_updonly")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_uo1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .withColumn("o_orderstatus", lit("U"))
+            .createOrReplaceTempView("graft_uo2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_uo1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_uo2 ON o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET *").collect()
+          graft.merge.MergeWriter.readTarget(s2, dir.toString).get
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, 'U' AS o_orderstatus
+        |       FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT tg.o_orderkey AS o_orderkey,
+        |COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
+        |COALESCE(up.o_orderstatus, tg.o_orderstatus) AS o_orderstatus
+        |FROM tg LEFT JOIN up ON tg.o_orderkey = up.o_orderkey
+        |ORDER BY tg.o_orderkey""".stripMargin),
+
     // The last T-SQL branch family member: WHEN NOT MATCHED BY SOURCE
     // THEN UPDATE — flag stale rows instead of deleting them. Matched
     // rows take the source values, new keys insert, and target rows

@@ -54,10 +54,19 @@ class ExtensionsSpec extends SparkSpec {
         .select("k", "v").as[(Long, String)].collect().toMap
       assert(after2 == Map(1L -> "a", 2L -> "c", 3L -> "e"))
 
-      // non-upsert WHEN actions and mismatched ON keys are rejected
-      intercept[UnsupportedOperationException] {
-        s2.sql(s"MERGE INTO '$dir' USING src2 ON k WHEN MATCHED THEN UPDATE SET v = 1")
-      }
+      // update-only MERGE (no insert branch): matched rows take the
+      // SET, unmatched source rows are inert — update-if-exists CDC
+      // (a throwaway target: `dir` is read again further down)
+      val dirU = java.nio.file.Files.createTempDirectory("merge_updonly").toString
+      s2.sql(s"MERGE INTO '$dirU' USING src2 ON k").collect() // {2->c, 3->e}
+      Seq((3L, "zz"), (9L, "nine")).toDF("k", "v").createOrReplaceTempView("uo_src")
+      val n3 = s2.sql(s"MERGE INTO '$dirU' USING uo_src ON k " +
+        "WHEN MATCHED THEN UPDATE SET v = 'u'").collect().head.getLong(0)
+      assert(n3 == 1L) // 3 updates; unmatched 9 is inert
+      assert(MergeWriter.readTarget(s2, dirU).get
+        .select("k", "v").as[(Long, String)].collect().toMap ==
+        Map(2L -> "c", 3L -> "u"))
+      // mismatched ON keys are rejected
       intercept[UnsupportedOperationException] {
         s2.sql(s"MERGE INTO '$dir' USING src2 ON t.k = s.other")
       }
@@ -186,8 +195,7 @@ class ExtensionsSpec extends SparkSpec {
 
     // a malformed WHEN blob still raises
     intercept[UnsupportedOperationException] {
-      s2.sql(s"MERGE INTO '$dir' USING del_seed ON k WHEN MATCHED THEN DELETE " +
-        "WHEN NOT MATCHED THEN INSERT *")
+      s2.sql(s"MERGE INTO '$dir' USING del_seed ON k WHEN MATCHED THEN FROBNICATE")
     }
   }
 
@@ -342,18 +350,16 @@ class ExtensionsSpec extends SparkSpec {
       'I' -> "WHEN NOT MATCHED THEN INSERT *",
       'D' -> "WHEN MATCHED AND v = 'zz' THEN DELETE",
       'S' -> "WHEN NOT MATCHED BY SOURCE AND v = 'zz' THEN DELETE")
-    // validity: UPDATE and INSERT pair up (sync delete no longer needs
-    // the pair — alone it is the mirror-deletes form, with D the purge)
-    def valid(set: Set[Char]): Boolean =
-      set.contains('U') == set.contains('I')
+    // every branch combination is legal (T-SQL): an absent branch
+    // simply never fires — U alone is update-if-exists, I alone
+    // ignore-if-exists, S alone the mirror-deletes form
     for {
       subset <- branches.keySet.subsets() if subset.nonEmpty
       perm <- subset.toSeq.permutations.take(3)
     } {
       val stmt = s"MERGE INTO '$dir' USING perm_src ON k " +
         perm.map(branches).mkString(" ")
-      if (valid(subset)) s2.sql(stmt).collect()
-      else intercept[UnsupportedOperationException] { s2.sql(stmt) }
+      s2.sql(stmt).collect()
     }
     // the target stayed consistent through every accepted permutation
     // (conditions above never fire, so state is just the seed + upserts)
