@@ -32,6 +32,23 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the BEST row per content group under an
+    * explicit priority ordering (ascending, lexicographic over
+    * `priorityCols` then `idCol`) — the keep-from-preferred-source
+    * pattern: when the same content lands in several corpora, keep the
+    * curated copy, not the lowest id. Same one-`min_by`-shuffle plan
+    * shape as [[exactGroups]]; the struct comparison never
+    * materializes a group.
+    */
+  def exactGroupsPriority(df: DataFrame, idCol: String, textCol: String,
+                          priorityCols: Seq[String]): DataFrame = {
+    val ord = struct((priorityCols :+ idCol).map(col): _*)
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min_by(ord, ord).as("r"), count(lit(1)).as("n_dups"))
+      .select(col("text_hash") +: col(s"r.$idCol").as("keep_id") +:
+        priorityCols.map(c => col(s"r.$c").as(s"keep_$c")) :+ col("n_dups"): _*)
+  }
+
   /** MinHash parameters: k permutations of the 32-bit shingle hash
     * under (a·h + b) mod p — re-exported from the native expression
     * (single source of truth, see [[graft.plans.MinhashSig]]).

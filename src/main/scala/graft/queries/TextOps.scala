@@ -590,6 +590,76 @@ object TextOps {
          |  FROM comp GROUP BY cluster_id) n USING (cluster_id)
          |ORDER BY doc_id""".stripMargin),
 
+    // Cluster representative selection — what production dedup keeps:
+    // per near-dup cluster, the LONGEST member (ties → lowest id),
+    // not the lowest id. A near-dup mutant is usually a truncated or
+    // mangled copy; length-priority keeps the fullest text. One
+    // `min_by` over (-len, id) per cluster on top of the clustering —
+    // no group ever materializes.
+    q("q_cluster_rep")(
+      (s, d) => {
+        import s.implicits._
+        val corpus = nearDupCorpus(s, d)
+        val sig = Dedup.minhashSignatures(corpus, "doc_id", "text", K)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5)
+        val comp = Dedup.connectedComponents(pairs)
+        comp.join(corpus.select($"doc_id".as("id"), length($"text").as("n_len")), "id")
+          .groupBy($"cluster_id")
+          .agg(min_by(struct($"id", $"n_len"), struct((-$"n_len").as("o1"), $"id")).as("r"),
+            count(lit(1)).as("n_members"))
+          .select($"cluster_id", $"r.id".as("keep_id"), $"r.n_len".as("keep_len"),
+            $"n_members")
+          .orderBy($"cluster_id")
+      },
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |withlen AS (SELECT comp.id, comp.cluster_id, len(c.text) AS n_len
+         |  FROM comp JOIN corpus c ON c.doc_id = comp.id)
+         |SELECT cluster_id, id AS keep_id, n_len AS keep_len, n_members FROM (
+         |  SELECT id, cluster_id, n_len,
+         |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_len DESC, id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM withlen) WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+
+    // Source-priority exact dedup — keep-from-preferred-source: the
+    // same content duplicated across corpora keeps its copy from the
+    // lexicographically smallest source (then lowest id), NOT the
+    // lowest id — the planted 'mirror' copies (higher ids) win over
+    // their 'srcN' originals, pinning that the priority really routes.
+    q("q_dedup_priority")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id", $"source", $"text")
+        val corpus = docs.union(docs.filter($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 200000L).as("doc_id"), lit("mirror").as("source"), $"text"))
+        Dedup.exactGroupsPriority(corpus, "doc_id", "text", Seq("source"))
+          .orderBy($"text_hash")
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'mirror', text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT text_hash, doc_id AS keep_id, source AS keep_source, n_dups FROM (
+        |  SELECT md5(text) AS text_hash, doc_id, source,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY source, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS n_dups
+        |  FROM corpus) WHERE rn = 1 ORDER BY text_hash""".stripMargin),
+
     // Leakage-free train/val split: near-dup CLUSTERS (not docs) are
     // the split unit — members of one cluster always land on the same
     // side, so no near-duplicate pair straddles the boundary (the

@@ -20,6 +20,18 @@ class DedupSimSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("priority dedup keeps the preferred-source copy, not the min id") {
+    val df = Seq(
+      (1L, "web", "a b c"), (2L, "curated", "a b c"), // curated wins despite higher id
+      (3L, "web", "x y z"),                           // singleton keeps itself
+      (4L, "web", "p q"), (5L, "web", "p q"))         // same source: min id breaks the tie
+      .toDF("id", "source", "text")
+    val g = Dedup.exactGroupsPriority(df, "id", "text", Seq("source"))
+      .select($"keep_id", $"keep_source", $"n_dups")
+      .as[(Long, String, Long)].collect().toSet
+    assert(g == Set((2L, "curated", 2L), (3L, "web", 1L), (4L, "web", 2L)))
+  }
+
   test("shingles: 3-grams, distinct, short docs empty") {
     val df = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("text")
       .select(TextFns.shingles($"text", 3).as("sh"))
