@@ -40,9 +40,10 @@ object StreamingMergeSink {
             trigger: Trigger = Trigger.ProcessingTime(0L),
             deleteCol: Option[String] = None,
             updateCols: Option[Seq[(String, String)]] = None,
-            updateCondCol: Option[String] = None): StreamingQuery =
+            updateCondCol: Option[String] = None,
+            insertCondCol: Option[String] = None): StreamingQuery =
     startByKeys(updates, targetDir, Seq(keyCol), checkpointDir, buckets,
-      trigger, deleteCol, updateCols, updateCondCol)
+      trigger, deleteCol, updateCols, updateCondCol, insertCondCol)
 
   /** Composite-key form: the change stream's key is the conjunction of
     * `keyCols` (e.g. (tenant, id)) — same contract as
@@ -55,7 +56,10 @@ object StreamingMergeSink {
     * inserts take the raw stream row). `updateCondCol` names a boolean
     * column guarding the update branch (selective-apply CDC: a matched
     * row where it is false/null takes no action, the target row stays
-    * byte-identical; unmatched rows still insert). There is
+    * byte-identical; unmatched rows still insert). `insertCondCol`
+    * names a boolean column gating admission of NEW keys (filtering
+    * CDC consumption: an unmatched row where it is false/null neither
+    * inserts nor counts — existing keys still update). There is
     * deliberately no sync-delete option: a change stream is a delta,
     * not a snapshot — full-snapshot synchronization belongs to the
     * batch MERGE surface.
@@ -66,7 +70,8 @@ object StreamingMergeSink {
                   trigger: Trigger = Trigger.ProcessingTime(0L),
                   deleteCol: Option[String] = None,
                   updateCols: Option[Seq[(String, String)]] = None,
-                  updateCondCol: Option[String] = None): StreamingQuery =
+                  updateCondCol: Option[String] = None,
+                  insertCondCol: Option[String] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -75,7 +80,8 @@ object StreamingMergeSink {
           MergeWriter.mergeByKeys(batch.sparkSession, targetDir,
             batch.withColumn("_src_order", monotonically_increasing_id()),
             keyCols, "_src_order", buckets, deleteCol = deleteCol,
-            updateCols = updateCols, updateCondCol = updateCondCol): Unit
+            updateCols = updateCols, updateCondCol = updateCondCol,
+            insertCondCol = insertCondCol): Unit
         }
       }
       .start()

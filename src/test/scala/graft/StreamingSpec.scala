@@ -173,6 +173,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming merge sink gated inserts admit only flagged new keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val df = mem.toDF().toDF("k", "v", "admit")
+    val target = Files.createTempDirectory("graft_stream_ins").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ins_ckpt").toString
+    val q = graft.streaming.StreamingMergeSink.start(df, target, "k", ckpt,
+      buckets = 4, insertCondCol = Some("admit"))
+    def state(): Map[Long, String] = graft.merge.MergeWriter.readTarget(spark, target)
+      .get.select($"k", $"v").as[(Long, String)].collect().toMap
+    try {
+      mem.addData((1L, "a", true), (2L, "b", false))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a")) // 2 fails the admission gate
+      // existing key 1 updates regardless of its gate value; 2 is
+      // re-offered with the flag on and lands; 3 stays gated off
+      mem.addData((1L, "a2", false), (2L, "b", true), (3L, "c", false))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a2", 2L -> "b"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup drops in-horizon duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
