@@ -279,6 +279,30 @@ object TextOps4 {
         |CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bucket
         |FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 20
+        |ORDER BY doc_id""".stripMargin),
+
+    // Stratified train/val/test split — 80/10/10 WITHIN each source
+    // stratum: the hash is salted with the source, so each stratum is
+    // split independently (an unsalted hash would give every stratum
+    // the same doc_id→side mapping, correlating splits across sources
+    // that share id ranges). Deterministic and map-only: reproducible
+    // on any engine, partitioning, or rerun — no RNG state across
+    // 1000 executors, and a regenerated corpus re-splits identically
+    // for unchanged (source, doc_id) pairs.
+    q("q_stratified_split")(
+      (s, d) => {
+        import s.implicits._
+        val b = TextFns.hash48(concat($"source", lit(":"), $"doc_id".cast("string"))) % 100
+        t(s, d, "documents")
+          .select($"doc_id", $"source", b.as("bucket"),
+            when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, source, bucket,
+        |CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
         |ORDER BY doc_id""".stripMargin)
   )
 

@@ -209,6 +209,16 @@ class OpsSpec extends SparkSpec {
     assert(t.count() == 100)
     assert(t.filter($"order_id" === "K1").select($"customer_id").as[String].head() == "B")
     assert(t.filter($"order_id" === "K2").select($"customer_id").as[String].head() == "A")
+
+    // the insert-gate and explicit-column-list branches ride the same
+    // touched-bucket machinery: a one-key gated merge still rewrites
+    // ONE bucket, never the whole target
+    MergeWriter.merge(spark, dir,
+      Seq(("K1", "C", true, 1)).toDF("order_id", "customer_id", "adm", "_src_order"),
+      "order_id", "_src_order", insertCondCol = Some("adm"))
+    val v2Buckets = new java.io.File(s"$dir/v2/data").listFiles()
+      .map(_.getName).filter(_.startsWith("_bucket=")).toSet
+    assert(v2Buckets.size == 1, s"expected 1 rewritten bucket, got $v2Buckets")
   }
 
   test("bucket files are written key-sorted (row-group skipping layout)") {
