@@ -419,8 +419,10 @@ class ExtensionsSpec extends SparkSpec {
     Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("k", "v", "ver")
       .createOrReplaceTempView("c_seed")
     s2.sql(s"MERGE INTO '$dir' USING c_seed ON k BUCKETS 4").collect()
+    // microsecond granularity: a seconds cast makes the changed-stamp
+    // assertion below flaky when both merges land in the same second
     val before = MergeWriter.readTarget(s2, dir).get
-      .select($"k", $"migrated_at".cast("long")).as[(Long, Long)].collect().toMap
+      .select($"k", unix_micros($"migrated_at")).as[(Long, Long)].collect().toMap
 
     // k=1 carries ver=3 (< 5: update branch does not fire, row stays
     // byte-identical including migrated_at); k=2 carries ver=9 (fires);
@@ -434,7 +436,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 2L)
     assert(state() == Map(1L -> (("a", 5L)), 2L -> (("b2", 9L)), 3L -> (("c", 1L))))
     val after = MergeWriter.readTarget(s2, dir).get
-      .select($"k", $"migrated_at".cast("long")).as[(Long, Long)].collect().toMap
+      .select($"k", unix_micros($"migrated_at")).as[(Long, Long)].collect().toMap
     assert(after(1L) == before(1L), "non-firing matched row was rewritten")
     assert(after(2L) != before(2L))
 
