@@ -129,7 +129,7 @@ object Bench {
         s""""file_1m_sec":[${p1m._1},${p1m._2}]}}"""
     }
 
-    val scale = scaleSmoke(spark, sfDir)
+    val scale = scaleSmoke(spark, sfDir, onlyQ)
     val streaming = streamingSmoke(spark, sfDir)
 
     val json =
@@ -204,7 +204,16 @@ object Bench {
     * facts. `SPARK_GRAFT_SCALE=0` skips; generation is outside the
     * timed windows; the dataset is cleaned up afterwards.
     */
-  private def scaleSmoke(spark: SparkSession, sfDir: String): String = {
+  // read-heavy representatives plus the write/token-heavy ones:
+  // q_merge_sql exercises bucketed write amplification at 10x the
+  // update volume, q_merge_composite the tuple-hash bucketing on the
+  // same volume, q_span_mask the postings index at 10x tokens
+  private val scaleNames = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
+    "q_jaccard_pairs", "q_curation_pipeline", "q_merge_sql",
+    "q_merge_composite", "q_span_mask")
+
+  private def scaleSmoke(spark: SparkSession, sfDir: String,
+                         onlyQ: Option[Set[String]]): String = {
     if (sys.env.get("SPARK_GRAFT_SCALE").contains("0")) return "null"
     // a malformed or non-positive copies value skips the tier rather
     // than aborting; and NOTHING thrown in here may escape — the
@@ -213,8 +222,13 @@ object Bench {
     val copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(10)
     if (copies < 1) return "null"
+    // an all-filtered tier skips BEFORE generating the 10x dataset —
+    // and before the emitter, whose joined times list would otherwise
+    // leave a malformed `{"copies":10,,...}` in the JSON line
+    val names = scaleNames.filter(n => onlyQ.forall(_.contains(n)))
+    if (names.isEmpty) return "null"
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_scale")
-    try scaleSmokeIn(spark, sfDir, dir.toString, copies)
+    try scaleSmokeIn(spark, sfDir, dir.toString, copies, names)
     catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale tier skipped: ${e.getMessage}")
@@ -223,7 +237,7 @@ object Bench {
   }
 
   private def scaleSmokeIn(spark: SparkSession, sfDir: String,
-                           dir: String, copies: Int): String = {
+                           dir: String, copies: Int, names: Seq[String]): String = {
       import org.apache.spark.sql.functions.{col, lit, regexp_replace}
       def src(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
       def dest(t: String) = s"$dir/$t.parquet"
@@ -243,16 +257,6 @@ object Bench {
           if (i == 0) col("text") else regexp_replace(col("text"), "(\\S+)", "$1_" + i)))
         .reduce(_ union _).write.mode("overwrite").parquet(dest("documents"))
 
-      // read-heavy representatives plus the write/token-heavy ones:
-      // q_merge_sql exercises bucketed write amplification at 10x the
-      // update volume, q_merge_composite the tuple-hash bucketing on
-      // the same volume, q_span_mask the postings index at 10x tokens
-      val onlyQ: Option[Set[String]] =
-        sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-      val names = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
-        "q_jaccard_pairs", "q_curation_pipeline", "q_merge_sql",
-        "q_merge_composite", "q_span_mask")
-        .filter(n => onlyQ.forall(_.contains(n)))
       // min of two passes, like the headline set: a single pass on this
       // noisy host has produced 7x outliers on individual queries, and
       // these are the numbers the scale argument is judged on. A pass

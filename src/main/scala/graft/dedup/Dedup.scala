@@ -34,17 +34,23 @@ object Dedup {
 
   /** Exact dedup keeping the BEST row per content group under an
     * explicit priority ordering (ascending, lexicographic over
-    * `priorityCols` then `idCol`) — the keep-from-preferred-source
-    * pattern: when the same content lands in several corpora, keep the
-    * curated copy, not the lowest id. Same one-`min_by`-shuffle plan
-    * shape as [[exactGroups]]; the struct comparison never
-    * materializes a group.
+    * `priorityCols` then `idCol`, NULLS LAST) — the
+    * keep-from-preferred-source pattern: when the same content lands
+    * in several corpora, keep the curated copy, not the lowest id.
+    * NULLS LAST (SQL's default ascending and what a DuckDB
+    * `ORDER BY source` twin computes): an UNSOURCED copy must never
+    * beat a sourced one, where Spark's native struct ordering would
+    * put the null first and silently win the group. Same
+    * one-`min_by`-shuffle plan shape as [[exactGroups]]; the struct
+    * comparison never materializes a group.
     */
   def exactGroupsPriority(df: DataFrame, idCol: String, textCol: String,
                           priorityCols: Seq[String]): DataFrame = {
-    val ord = struct((priorityCols :+ idCol).map(col): _*)
+    val ord = struct(priorityCols.flatMap(c =>
+      Seq(col(c).isNull.as(s"_n_$c"), col(c))) :+ col(idCol): _*)
+    val keep = struct((priorityCols :+ idCol).map(col): _*)
     df.groupBy(md5(col(textCol)).as("text_hash"))
-      .agg(min_by(ord, ord).as("r"), count(lit(1)).as("n_dups"))
+      .agg(min_by(keep, ord).as("r"), count(lit(1)).as("n_dups"))
       .select(col("text_hash") +: col(s"r.$idCol").as("keep_id") +:
         priorityCols.map(c => col(s"r.$c").as(s"keep_$c")) :+ col("n_dups"): _*)
   }

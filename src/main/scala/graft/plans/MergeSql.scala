@@ -565,8 +565,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           "MERGE INTO '<path>' WHEN actions are limited to " +
             "'WHEN MATCHED [AND cond] THEN DELETE', " +
             "'WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...', " +
-            "'WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (col, ...) VALUES (expr, ...)' and " +
-            s"'WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE'; got '${other.trim}'")
+            "'WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (col, ...) VALUES (expr, ...)', " +
+            "'WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE' and " +
+            "'WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col = expr, ...'; " +
+            s"got '${other.trim}'")
       }
       // every branch combination is legal, exactly as in T-SQL: an
       // absent branch simply means "that action never fires". A branch

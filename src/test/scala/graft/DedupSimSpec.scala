@@ -24,12 +24,14 @@ class DedupSimSpec extends SparkSpec {
     val df = Seq(
       (1L, "web", "a b c"), (2L, "curated", "a b c"), // curated wins despite higher id
       (3L, "web", "x y z"),                           // singleton keeps itself
-      (4L, "web", "p q"), (5L, "web", "p q"))         // same source: min id breaks the tie
+      (4L, "web", "p q"), (5L, "web", "p q"),         // same source: min id breaks the tie
+      (6L, null, "m n"), (7L, "web", "m n"))          // NULLS LAST: unsourced never wins
       .toDF("id", "source", "text")
     val g = Dedup.exactGroupsPriority(df, "id", "text", Seq("source"))
       .select($"keep_id", $"keep_source", $"n_dups")
       .as[(Long, String, Long)].collect().toSet
-    assert(g == Set((2L, "curated", 2L), (3L, "web", 1L), (4L, "web", 2L)))
+    assert(g == Set((2L, "curated", 2L), (3L, "web", 1L), (4L, "web", 2L),
+      (7L, "web", 2L)))
   }
 
   test("shingles: 3-grams, distinct, short docs empty") {
