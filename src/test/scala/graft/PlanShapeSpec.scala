@@ -135,4 +135,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"))
     assert(!p.contains("SinglePartition"), "q_seq_pack window lost its partition key")
   }
+
+  test("q_stratified_split stays map-only up to its deterministic ORDER BY") {
+    // the split is a pure per-row hash — any extra exchange means a
+    // stray aggregation/window crept into what must scan-and-label
+    val p = plan("q_stratified_split")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"q_stratified_split shuffles $exchanges times:\n$p")
+    assert(!p.contains("Window") && !p.contains("HashAggregate"),
+      s"q_stratified_split picked up non-map-only operators:\n$p")
+  }
+
+  test("q_dedup_priority is one partial-aggregated shuffle, no join-back") {
+    // keep-from-preferred-source must stay the exactGroups plan shape:
+    // min_by carries the surviving row through ONE aggregation — a
+    // groupBy-then-join formulation would shuffle the corpus twice
+    val p = plan("q_dedup_priority")
+    assert(!p.contains("Join"), s"q_dedup_priority joins back:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("min_by"),
+      s"q_dedup_priority lost its min_by aggregation:\n$p")
+  }
 }
