@@ -401,10 +401,13 @@ object MergeWriter {
             insertCondCol: Option[String] = None,
             insertCols: Option[Seq[(String, String)]] = None,
             syncUpdateCols: Option[Seq[(String, String)]] = None,
-            syncUpdateCond: Option[String] = None): Long =
+            syncUpdateCond: Option[String] = None,
+            deleteMatchedOnly: Boolean = false,
+            syncUpdateFirst: Boolean = false): Long =
     mergeByKeys(spark, targetDir, updates, Seq(keyCol), orderCol, buckets,
       leaseWaitMs, deleteCol, updateCols, syncDelete, updateCondCol, syncDeleteCond,
-      insertCondCol, insertCols, syncUpdateCols, syncUpdateCond)
+      insertCondCol, insertCols, syncUpdateCols, syncUpdateCond,
+      deleteMatchedOnly, syncUpdateFirst)
 
   /** Composite-key upsert: match on the conjunction of `keyCols`
     * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
@@ -425,7 +428,9 @@ object MergeWriter {
                   insertCondCol: Option[String] = None,
                   insertCols: Option[Seq[(String, String)]] = None,
                   syncUpdateCols: Option[Seq[(String, String)]] = None,
-                  syncUpdateCond: Option[String] = None): Long = lockFor(targetDir).synchronized {
+                  syncUpdateCond: Option[String] = None,
+                  deleteMatchedOnly: Boolean = false,
+                  syncUpdateFirst: Boolean = false): Long = lockFor(targetDir).synchronized {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // key columns are persisted comma-joined (tab-separated from the
     // bucket count) in _BUCKETS — a separator inside a name would
@@ -436,7 +441,7 @@ object MergeWriter {
     val lease = acquireLease(targetDir, leaseWaitMs)
     try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol,
       updateCols, syncDelete, updateCondCol, syncDeleteCond, insertCondCol, insertCols,
-      syncUpdateCols, syncUpdateCond)
+      syncUpdateCols, syncUpdateCond, deleteMatchedOnly, syncUpdateFirst)
     finally lease.release()
   }
 
@@ -450,7 +455,9 @@ object MergeWriter {
                           insertCondCol: Option[String],
                           insertCols: Option[Seq[(String, String)]],
                           syncUpdateCols: Option[Seq[(String, String)]],
-                          syncUpdateCond: Option[String]): Long = {
+                          syncUpdateCond: Option[String],
+                          deleteMatchedOnly: Boolean,
+                          syncUpdateFirst: Boolean): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, stored)) =>
         // a different key set would hash rows into buckets the stored
@@ -552,8 +559,12 @@ object MergeWriter {
       if (oldPaths.isEmpty) {
         // empty target: every surviving row is an insert (the update
         // branch and its condition only ever guard MATCHED rows; the
-        // insert condition and column list apply in full)
-        val inserted0 = dedupedObs.filter(!col("_gdel") && col("_gins"))
+        // insert condition and column list apply in full). A
+        // matched-only delete branch (T-SQL) never fires here — nothing
+        // matches — so flagged rows still insert; a CDC tombstone
+        // (matched or not) always suppresses its row.
+        val inserted0 = dedupedObs.filter(
+            (if (deleteMatchedOnly) lit(true) else !col("_gdel")) && col("_gins"))
           .observe(actObs, count(lit(1)).as("n_actions"))
         val inserted = insertCols match {
           case Some(list) =>
@@ -607,6 +618,14 @@ object MergeWriter {
         // readable once for the routing, sync filter, and action count
         val uPresent = col("u._gdel").isNotNull
         val tPresent = col(s"t.${keyCols.head}").isNotNull
+        // when this source row's delete flag takes effect: always under
+        // CDC-tombstone semantics (the API/streaming path: an unmatched
+        // tombstone is a no-op and never inserts), only against a
+        // MATCHED target row under T-SQL semantics (the SQL MERGE path:
+        // WHEN MATCHED ... DELETE never applies to an unmatched row,
+        // which falls through to the insert branch instead)
+        val uDel = coalesce(col("u._gdel"), lit(false)) &&
+          (if (deleteMatchedOnly) tPresent else lit(true))
         // this source row's values take effect for its output row:
         // inserts always, matched rows only when the update branch fires
         val uApplies = uPresent && (!tPresent || col("u._gupd"))
@@ -662,20 +681,26 @@ object MergeWriter {
             else if (tData.contains(c)) col(s"t.$c")
             else lit(null) // INSERT-introduced: only the insert arm fills it
         }
-        // sync mode: which target-only rows actually drop (all of them,
-        // or — with a scope condition — only those satisfying it; a
-        // null condition value keeps the row, SQL three-valued rule)
-        val syncDrops =
+        // sync mode: which target-only rows each NOT MATCHED BY SOURCE
+        // branch selects on its own (all of them, or — with a scope
+        // condition — only those satisfying it; a null condition value
+        // keeps the row, SQL three-valued rule)
+        val rawSyncDrop =
           if (syncDeleteCond.isDefined)
             !uPresent && coalesce(col("t._gsyncdel"), lit(false))
           else !uPresent
-        // WHEN NOT MATCHED BY SOURCE ... UPDATE: which target-only rows
-        // the stale-row update touches — never one the sync delete is
-        // about to drop (T-SQL: a row takes at most one action)
-        val syncUpdApplies =
-          (if (syncUpdateCond.isDefined) !uPresent && coalesce(col("t._gsupcond"), lit(false))
-           else !uPresent) &&
-            (if (syncDelete) !syncDrops else lit(true))
+        val rawSyncUpd =
+          if (syncUpdateCond.isDefined) !uPresent && coalesce(col("t._gsupcond"), lit(false))
+          else !uPresent
+        // a row takes at most one action (T-SQL): with BOTH sync
+        // branches present, the FIRST clause in statement order wins
+        // for a row satisfying both conditions — exactly T-SQL's
+        // first-applicable-clause rule
+        val (syncDrops, syncUpdApplies) =
+          if (syncUpdateFirst && syncDelete && syncUpdateCols.isDefined)
+            (rawSyncDrop && !rawSyncUpd, rawSyncUpd)
+          else
+            (rawSyncDrop, rawSyncUpd && (if (syncDelete) !rawSyncDrop else lit(true)))
         def syncUpdValueCol(c: String): Option[Column] = syncUpdateCols
           .flatMap(_.zipWithIndex.find(_._1._1.equalsIgnoreCase(c))
             .map { case (_, i) => col(s"t._gsup_$i") })
@@ -707,8 +732,8 @@ object MergeWriter {
         // a matched row whose update branch fires, plus (sync mode)
         // every dropped target row and every stale-row update
         val isAction = (uPresent &&
-            ((col("u._gdel") && tPresent) ||
-              (!col("u._gdel") &&
+            ((uDel && tPresent) ||
+              (!uDel &&
                 ((!tPresent && col("u._gins")) || (tPresent && col("u._gupd")))))) ||
           (lit(syncDelete) && syncDrops) ||
           (lit(syncUpdateCols.isDefined) && syncUpdApplies)
@@ -719,10 +744,11 @@ object MergeWriter {
         val joined = t.join(u,
             keyCols.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _), "full_outer")
           .observe(actObs, coalesce(sum(when(isAction, 1L)), lit(0L)).as("n_actions"))
-          // drop tombstones, non-firing inserts (unmatched source rows
-          // whose insert condition is false produce no output row), and
-          // (sync mode) target-only rows
-          .filter(!coalesce(col("u._gdel"), lit(false)) &&
+          // drop deletes (matched tombstones — and unmatched ones too
+          // under CDC semantics), non-firing inserts (unmatched source
+          // rows whose insert condition is false produce no output
+          // row), and (sync mode) target-only rows
+          .filter(!uDel &&
             (tPresent || coalesce(col("u._gins"), lit(true))) &&
             (if (syncDelete) !syncDrops else lit(true)))
           .select(outCols: _*)

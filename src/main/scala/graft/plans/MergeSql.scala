@@ -61,10 +61,16 @@ import graft.merge.MergeWriter
   *    update condition applies to the remaining matched rows.
   *  - a delete branch (the T-SQL MERGE delete form): `cond` is any
   *    boolean expression over the SOURCE columns; omitted = every
-  *    source row is a delete. A source row satisfying `cond` removes
-  *    its key from the target (a no-op when absent — CDC semantics: a
-  *    tombstone never inserts); with the upsert pair present, the
-  *    remaining rows upsert as usual; without it, they do nothing.
+  *    source row is a delete. A MATCHED source row satisfying `cond`
+  *    removes its key from the target. Exactly as in T-SQL, the branch
+  *    never applies to an UNMATCHED row: with an insert branch present
+  *    the row falls through to it (`WHEN MATCHED THEN DELETE WHEN NOT
+  *    MATCHED THEN INSERT *` deletes what it matches and inserts the
+  *    rest); without one it takes no action. Matched rows failing
+  *    `cond` fall through to the update branch. (CDC-tombstone
+  *    semantics — an unmatched delete row is a no-op that never
+  *    inserts — live on the API/streaming path's `deleteCol`, not in
+  *    SQL MERGE.)
   *  - the insert branch takes the full T-SQL form: `WHEN NOT MATCHED
   *    [AND cond] THEN INSERT *` inserts the raw source row, `INSERT
   *    (col [, ...]) VALUES (expr [, ...])` (the reference's explicit
@@ -97,8 +103,9 @@ import graft.merge.MergeWriter
   *    from the source take the SET expressions, which — like `cond` —
   *    are over the TARGET columns (alias `t` or bare names; there is
   *    no source row to reference, so `SET *` is rejected). May combine
-  *    with the sync delete: a row the delete drops is never also
-  *    updated (one action per row, as in T-SQL). Usable with or
+  *    with the sync delete: a row both branches select takes the FIRST
+  *    clause in statement order (one action per row, first applicable
+  *    clause wins — as in T-SQL). Usable with or
   *    without the upsert pair; same O(|target|) full-scan footprint as
   *    the sync delete. A re-stamped `migrated_at` marks the touched
   *    rows; each counts in `rows_affected`.
@@ -119,7 +126,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
                                 insertCond: Option[String] = None,
                                 insertCols: Option[Seq[(String, String)]] = None,
                                 syncUpdateSet: Option[Seq[(String, String)]] = None,
-                                syncUpdateCond: Option[String] = None)
+                                syncUpdateCond: Option[String] = None,
+                                syncUpdateFirst: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -128,6 +136,20 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit}
     val srcBase0 = if (sourceIsQuery) session.sql(source) else session.table(source)
+    // an INSERT column naming neither a source column nor an existing
+    // target column is almost certainly a typo — T-SQL raises for an
+    // unknown target column, so we do too (additive schema evolution
+    // stays available through UPDATE SET, where the intent is explicit)
+    insertCols.foreach { list =>
+      val targetCols = MergeWriter.readTarget(session, targetDir)
+        .map(_.columns.toSeq).getOrElse(Seq.empty)
+      val known = (srcBase0.columns ++ targetCols).map(_.toLowerCase).toSet
+      list.collect { case (c, _) if !known.contains(c.toLowerCase) => c }
+        .foreach(c => throw new UnsupportedOperationException(
+          s"MERGE INTO '<path>': INSERT column '$c' exists neither in the " +
+            "source nor the target (unknown target column — T-SQL raises; " +
+            "to add a new column additively, assign it with UPDATE SET)"))
+    }
     // SET expressions and the update condition are over the SOURCE
     // columns — alias it `s` so `s.col` and bare `col` both resolve
     val srcBase =
@@ -198,7 +220,14 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
       // target-side SET expressions travel as raw SQL — the writer
       // evaluates them on the target frame, the only side they can see
       syncUpdateCols = syncUpdateSet,
-      syncUpdateCond = syncUpdateCond)
+      syncUpdateCond = syncUpdateCond,
+      // SQL MERGE is the T-SQL dialect: WHEN MATCHED ... DELETE only
+      // fires against a matched row — an unmatched source row falls
+      // through to the insert branch. (The delete-ONLY form pre-filters
+      // the source, where unmatched rows are inert either way; the
+      // API/streaming path keeps CDC-tombstone semantics instead.)
+      deleteMatchedOnly = upsert,
+      syncUpdateFirst = syncUpdateFirst)
     Seq(Row(n))
   }
 }
@@ -533,6 +562,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       var syncDeleteCond: Option[String] = None
       var syncUpdate: Option[Seq[(String, String)]] = None
       var syncUpdateCond: Option[String] = None
+      // statement order of the two NOT MATCHED BY SOURCE branches: the
+      // first applicable clause wins for a row both would select (T-SQL)
+      var syncUpdateFirst = false
       def once(already: Boolean, what: String): Unit =
         if (already) throw new UnsupportedOperationException(
           s"MERGE INTO '<path>': duplicate $what clause")
@@ -543,6 +575,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           syncDeleteCond = Option(c)
         case SyncUpdateClauseRe(c, setSpec) =>
           once(syncUpdate.isDefined, "WHEN NOT MATCHED BY SOURCE ... UPDATE")
+          if (!syncDelete) syncUpdateFirst = true
           syncUpdate = parseSetSpec(setSpec, keyCols) match {
             case None => throw new UnsupportedOperationException(
               "MERGE INTO '<path>': WHEN NOT MATCHED BY SOURCE ... UPDATE " +
@@ -596,7 +629,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         insertCond =
           if (!insert && combined && when != null) Some("false") else insertCond,
         insertCols = insertCols,
-        syncUpdateSet = syncUpdate, syncUpdateCond = syncUpdateCond)
+        syncUpdateSet = syncUpdate, syncUpdateCond = syncUpdateCond,
+        syncUpdateFirst = syncUpdateFirst)
     case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")
   }
 

@@ -210,12 +210,13 @@ object Relational {
         |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
         |ORDER BY o_orderkey""".stripMargin),
 
-    // K2 + the T-SQL MERGE delete branch (CDC tombstones): batch 1
-    // seeds the target, batch 2 carries mixed actions — keys divisible
-    // by 10 are tombstones (matched → key removed; unmatched → no-op,
-    // a tombstone never inserts), the rest upsert. Oracle is the
-    // relational closed form: updates-win full outer with every
-    // tombstoned key removed.
+    // K2 + the T-SQL MERGE delete branch: batch 1 seeds the target,
+    // batch 2 carries mixed actions — keys divisible by 10 hit the
+    // WHEN MATCHED ... DELETE branch (matched → key removed;
+    // unmatched → falls through to the insert branch, exactly as in
+    // T-SQL), the rest upsert. Oracle is the relational closed form:
+    // updates-win full outer minus the keys present on BOTH sides that
+    // the delete condition selects.
     q("q_merge_delete")(
       (s, d) => {
         import s.implicits._
@@ -239,12 +240,13 @@ object Relational {
       },
       """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0),
         |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus FROM orders
-        |       WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0)
+        |       WHERE o_orderkey % 2 = 0)
         |SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
         |COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
         |COALESCE(up.o_orderstatus, tg.o_orderstatus) AS o_orderstatus
         |FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
-        |WHERE COALESCE(up.o_orderkey, tg.o_orderkey) % 10 <> 0
+        |WHERE NOT (tg.o_orderkey IS NOT NULL AND up.o_orderkey IS NOT NULL
+        |           AND up.o_orderkey % 10 = 0)
         |ORDER BY o_orderkey""".stripMargin),
 
     // K2 with a COMPOSITE merge key: the MERGE matches on the

@@ -30,9 +30,11 @@ object StreamingMergeSink {
   /** `deleteCol` names an optional boolean column in the stream: rows
     * where it is true are CDC tombstones — the key is removed from the
     * target instead of upserted (a replayed tombstone re-deletes an
-    * already-absent key: still idempotent). Within a micro-batch the
-    * LATEST action per key wins, so an upsert after a delete
-    * re-inserts — the change-stream contract.
+    * already-absent key: still idempotent, a no-op that NEVER inserts —
+    * deliberately the CDC contract, not SQL MERGE's T-SQL rule where an
+    * unmatched source row falls through to the insert branch). Within a
+    * micro-batch the LATEST action per key wins, so an upsert after a
+    * delete re-inserts — the change-stream contract.
     */
   def start(updates: DataFrame, targetDir: String, keyCol: String,
             checkpointDir: String,

@@ -524,7 +524,8 @@ class ExtensionsSpec extends SparkSpec {
       3L -> (("c!", 130)), 4L -> (("d!", 140))))
 
     // scoped stale-flag combined with scoped sync delete: the delete
-    // wins where both conditions hold (one action per row, T-SQL);
+    // is listed FIRST, so it wins where both conditions hold (one
+    // action per row, first applicable clause — T-SQL);
     // 1 (amt 110) drops, 3/4 (amt 130/140 >= 120) flag, 2 untouched
     val n2 = s2.sql(s"MERGE INTO '$dir' USING su_src ON k " +
       "WHEN NOT MATCHED BY SOURCE AND amt < 120 THEN DELETE " +
@@ -543,6 +544,97 @@ class ExtensionsSpec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       s2.sql(s"MERGE INTO '$dir' USING su_src ON k " +
         "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = k + 1")
+    }
+  }
+
+  test("MERGE sync branches fire in statement order: UPDATE listed first wins overlap") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_syncord").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, (String, Int)] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v", $"amt").as[(Long, String, Int)].collect()
+      .map { case (k, v, a) => k -> ((v, a)) }.toMap
+
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("so_seed")
+    s2.sql(s"MERGE INTO '$dir' USING so_seed ON k BUCKETS 2").collect()
+
+    // UPDATE listed before DELETE: a stale row both clauses select
+    // (amt < 25: keys 1 and 2... key 2 is in the source, so stale rows
+    // are 1 and 3) takes the UPDATE — the first applicable clause in
+    // statement order, as in T-SQL. Key 1 satisfies both (amt 10 < 25)
+    // → updated, NOT deleted; key 3 fails the update condition
+    // (amt 30) and satisfies the unconditional delete → dropped.
+    Seq((2L, "b2", 21)).toDF("k", "v", "amt").createOrReplaceTempView("so_src")
+    val n = s2.sql(s"MERGE INTO '$dir' USING so_src ON k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED BY SOURCE AND amt < 25 THEN UPDATE SET v = 'stale' " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect().head.getLong(0)
+    assert(n == 3L) // 1 matched update + 1 stale flag + 1 sync delete
+    assert(state() == Map(1L -> (("stale", 10)), 2L -> (("b2", 21))),
+      "UPDATE listed first must win the overlap; DELETE takes the rest")
+
+    // same clauses, DELETE listed first: the overlap row now drops
+    Seq((2L, "b3", 22)).toDF("k", "v", "amt").createOrReplaceTempView("so_src2")
+    s2.sql(s"MERGE INTO '$dir' USING so_src2 ON k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED BY SOURCE AND amt < 25 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'kept'").collect()
+    assert(state() == Map(2L -> (("b3", 22))),
+      "DELETE listed first must win the overlap")
+  }
+
+  test("MERGE matched DELETE is T-SQL: unmatched rows fall through to INSERT") {
+    import graft.merge.MergeWriter
+    val dir = java.nio.file.Files.createTempDirectory("merge_tsqldel").toString
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def state(): Map[Long, String] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("td_seed")
+    s2.sql(s"MERGE INTO '$dir' USING td_seed ON k BUCKETS 2").collect()
+
+    // the advisor's exact case: unconditional matched DELETE combined
+    // with INSERT — matched keys drop, unmatched keys INSERT (the
+    // delete branch never applies to an unmatched row in T-SQL; under
+    // the old CDC reading this statement inserted nothing)
+    Seq((2L, "x"), (3L, "c")).toDF("k", "v").createOrReplaceTempView("td_src")
+    val n = s2.sql(s"MERGE INTO '$dir' USING td_src ON k " +
+      "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+      .collect().head.getLong(0)
+    assert(n == 2L) // 1 delete + 1 insert
+    assert(state() == Map(1L -> "a", 3L -> "c"),
+      "matched 2 must delete; unmatched 3 must insert")
+
+    // a CONDITIONAL delete with a firing condition: an unmatched row
+    // satisfying it still inserts (the branch is matched-only), a
+    // matched row satisfying it deletes, the rest upsert
+    Seq((1L, "del", true), (3L, "c2", false), (9L, "del-too", true))
+      .toDF("k", "v", "is_del").createOrReplaceTempView("td_mix")
+    val n2 = s2.sql(s"MERGE INTO '$dir' USING td_mix ON k " +
+      "WHEN MATCHED AND is_del THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      .collect().head.getLong(0)
+    assert(n2 == 3L) // delete 1, update 3, insert 9
+    assert(state() == Map(3L -> "c2", 9L -> "del-too"),
+      "unmatched row with a true delete condition must still insert")
+
+    // on an EMPTY target nothing matches: matched DELETE never fires,
+    // every source row inserts
+    val dir2 = java.nio.file.Files.createTempDirectory("merge_tsqldel2").toString
+    Seq((5L, "e")).toDF("k", "v").createOrReplaceTempView("td_fresh")
+    s2.sql(s"MERGE INTO '$dir2' USING td_fresh ON k BUCKETS 2 " +
+      "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *").collect()
+    assert(MergeWriter.readTarget(s2, dir2).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap == Map(5L -> "e"))
+
+    // an INSERT column unknown to BOTH sides is a typo, not schema
+    // evolution — raises like T-SQL instead of minting a NULL column
+    intercept[UnsupportedOperationException] {
+      s2.sql(s"MERGE INTO '$dir' USING td_src ON k " +
+        "WHEN NOT MATCHED THEN INSERT (k, vv) VALUES (s.k, s.v)").collect()
     }
   }
 
