@@ -65,7 +65,11 @@ object VectorOps {
          |      ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)) END AS codes
          |  FROM (SELECT vec_id, embedding,
          |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-         |        FROM embeddings)),
+         |        FROM embeddings
+         |        -- mirror the engine: NaN-containing vectors are excluded
+         |        -- from the SQ8 index (Spark encodes them as NULL codes;
+         |        -- DuckDB's floor() would propagate NaN and still rank them)
+         |        WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0)),
          |q AS (SELECT vec_id AS q_id, codes AS qv FROM enc WHERE vec_id < 5),
          |sims AS (SELECT q.q_id, e.vec_id, ${cosineSql("q.qv", "e.codes")} AS sim
          |  FROM q, enc e WHERE e.vec_id <> q.q_id),

@@ -232,9 +232,13 @@ object Similarity {
               idCol: String, vecCol: String, k: Int): DataFrame = {
     // tinyint→float is exact (|code| <= 127), so the double-precision
     // cosine over the cast codes is deterministic
+    // NaN-containing vectors encode as NULL codes ([[sq8Encode]]) and
+    // are EXCLUDED from the index and the query set — they would
+    // otherwise ride along as NULL-sim rows in the ranking
     def codesOf(df: DataFrame, outId: String, outVec: String): DataFrame =
       sq8Encode(df, idCol, vecCol)
         .select(col(idCol).as(outId), col("sq8_codes").cast("array<float>").as(outVec))
+        .filter(col(outVec).isNotNull)
     val c = codesOf(corpus, "id", "vec")
     val q = codesOf(queries, "q_id", "q_vec")
     val sims = c.join(broadcast(q), col("q_id") =!= col("id"))

@@ -287,4 +287,22 @@ class OpsSpec extends SparkSpec {
     assert(MergeWriter.readTarget(spark, dir).get
       .select($"v").distinct().as[String].collect().toSeq == Seq("t4"))
   }
+
+  test("Tables.events pins UTC: a non-UTC session reads the same instants") {
+    // Tables.events casts NTZ wall time to a session-TZ timestamp; that
+    // cast is only instant-preserving under UTC, so events() pins the
+    // session timezone itself. A caller-built session in another zone
+    // must therefore see byte-identical instants, not a shifted clock.
+    def checksum(s: org.apache.spark.sql.SparkSession): (Long, Long) = {
+      val d = graft.Tables.t(s, sf(), "events")
+        .agg(sum(unix_micros(col("ts"))), count(lit(1)))
+      val r = d.collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val utc = checksum(spark)
+    val foreign = spark.newSession()
+    foreign.conf.set("spark.sql.session.timeZone", "America/New_York")
+    assert(checksum(foreign) == utc,
+      "events instants shifted under a non-UTC caller session")
+  }
 }
