@@ -1,0 +1,222 @@
+package graft.export
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One published shard: `file` is relative to the export directory;
+  * `sha256` is the hex digest of the shard file's bytes — the
+  * byte-reproducibility receipt a re-run (or a copy at the far end of
+  * a transfer) is checked against.
+  */
+case class ShardEntry(shard: Int, file: String, rows: Long, sha256: String)
+
+case class ExportManifest(shards: Int, totalRows: Long, entries: Seq[ShardEntry])
+
+/** Deterministic corpus materialization — the last mile of a curation
+  * pipeline (select → dedup → mix → **export**): write a DataFrame as
+  * `shards` parquet shard files with a pinned global order and an
+  * atomic, hash-bearing manifest.
+  *
+  * Contract:
+  *  - rows are globally ordered by `sortCols`, which MUST be a total
+  *    order (append a unique id tie-break) — ties split across range
+  *    partitions would make shard membership run-dependent;
+  *  - shard assignment is round-robin on the global rank
+  *    (`(rank-1) % shards`), so shard sizes are balanced to ±1 row and
+  *    every shard sees the same rank-order mix (no shard is "all the
+  *    longest documents" the way contiguous-block splitting would be);
+  *  - each shard is ONE parquet file, rows in rank order, carrying two
+  *    provenance columns: `shard` and `pos` (1-based position within
+  *    the shard) — a shard file is self-describing and a resumed
+  *    training run can seek by (shard, pos);
+  *  - the SAME input rows produce byte-identical shard files no matter
+  *    how the input was partitioned — re-running an export is a no-op
+  *    check, not a new dataset;
+  *  - publication is atomic: data files move into place first, the
+  *    manifest lands last via an atomic rename, and readers trust only
+  *    manifest-listed files. A crash mid-export leaves staging debris
+  *    (swept by the next attempt), never a half-readable corpus.
+  *
+  * Scale shape: one range shuffle (the global rank), one small
+  * per-partition count aggregation, one hash-partitioned write, and a
+  * distributed hash pass over the shard bytes ([[SparkSession]]'s
+  * `binaryFiles` — the driver never touches data bytes). At 100 TB
+  * with shards sized in the GB range every stage is fully parallel.
+  */
+object CorpusExport {
+
+  val ManifestName = "_MANIFEST.tsv"
+
+  /** Export `df` into `dir` as `shards` round-robin shard files ordered
+    * by `sortCols`; returns the published manifest. `dir` must not
+    * already hold a published export unless `overwrite` (exports are
+    * immutable-once-published, like landed blobs).
+    */
+  def write(df: DataFrame, dir: String, shards: Int, sortCols: Seq[Column],
+            overwrite: Boolean = false): ExportManifest = graft.util.CacheScope.loan {
+    require(shards >= 1, s"corpus export needs shards >= 1, got $shards")
+    require(sortCols.nonEmpty, "corpus export needs a total-order sort key")
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val manifestPath = root.resolve(ManifestName)
+    if (Files.exists(manifestPath)) {
+      if (!overwrite)
+        throw new java.nio.file.FileAlreadyExistsException(
+          s"$manifestPath (published exports are immutable; pass overwrite=true)")
+      readManifest(dir).foreach(_.entries.foreach(e =>
+        Files.deleteIfExists(root.resolve(e.file))))
+      Files.delete(manifestPath)
+    }
+    val staging = root.resolve(".staging")
+    deleteRecursively(staging) // debris from a crashed attempt
+
+    // global rank → round-robin shard → hash-cluster by shard so each
+    // shard's rows land in exactly one task, pre-sorted (shard, pos) so
+    // the partitioned writer needs no second sort and emits rank-order
+    // rows; `pshard` duplicates `shard` because partitionBy consumes its
+    // column while the shard file must still carry it
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(df, sortCols, out = "_ce_rank")
+      .withColumn("shard", ((col("_ce_rank") - 1L) % shards).cast("long"))
+      .withColumn("pos", ((col("_ce_rank") - 1L).divide(shards)).cast("long") + 1L)
+      .drop("_ce_rank")
+    ranked
+      .withColumn("pshard", col("shard"))
+      .repartition(shards, col("pshard"))
+      .sortWithinPartitions(col("pshard"), col("pos"))
+      .write.mode("overwrite").partitionBy("pshard").parquet(staging.toString)
+
+    // deterministic final names; hashes computed executor-side over the
+    // staged bytes (renames below don't change content)
+    val spark = df.sparkSession
+    val moves = (0 until shards).flatMap { sh =>
+      val shardDir = staging.resolve(s"pshard=$sh")
+      if (!Files.exists(shardDir)) None // empty shard: no file at all
+      else {
+        val listing = Files.list(shardDir)
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally listing.close()
+        require(parts.size == 1,
+          s"shard $sh staged as ${parts.size} files (expected 1)")
+        Some(sh -> parts.head)
+      }
+    }
+    val hashes: Map[String, String] =
+      if (moves.isEmpty) Map.empty
+      else spark.sparkContext
+        .binaryFiles(moves.map(_._2.toString).mkString(","))
+        .mapValues { pds =>
+          val md = MessageDigest.getInstance("SHA-256")
+          val in = pds.open()
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          md.digest().map("%02x".format(_)).mkString
+        }
+        .collect().toMap.map { case (k, v) => normalizeUri(k) -> v }
+
+    val counts: Map[Int, Long] =
+      if (moves.isEmpty) Map.empty
+      else spark.read.parquet(staging.toString)
+        .groupBy(col("pshard").cast("long").as("pshard")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+
+    val entries = moves.map { case (sh, staged) =>
+      val name = f"shard-$sh%05d.parquet"
+      Files.move(staged, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      ShardEntry(sh, name, counts.getOrElse(sh, 0L),
+        hashes.getOrElse(normalizeUri(staged.toUri.toString),
+          sys.error(s"no hash for staged shard $sh")))
+    }
+    deleteRecursively(staging)
+
+    // manifest LAST, atomically: header line then one TSV row per shard
+    val manifest = ExportManifest(shards, entries.map(_.rows).sum, entries)
+    val body = (s"#graft-corpus-export\tv1\tshards=${manifest.shards}" +
+      s"\ttotal_rows=${manifest.totalRows}\n") +
+      entries.map(e => s"${e.shard}\t${e.file}\t${e.rows}\t${e.sha256}\n").mkString
+    val tmp = root.resolve(s".$ManifestName.tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE)
+    manifest
+  }
+
+  def readManifest(dir: String): Option[ExportManifest] = {
+    val p = Paths.get(dir, ManifestName)
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p).asScala.toSeq
+    val header = lines.headOption.getOrElse("")
+    require(header.startsWith("#graft-corpus-export\tv1"),
+      s"not a corpus-export manifest: $p")
+    val hdr = header.split("\t").drop(2)
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v.toLong }.toMap
+    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(sh, f, n, h) = l.split("\t", 4)
+      ShardEntry(sh.toInt, f, n.toLong, h)
+    }
+    Some(ExportManifest(hdr("shards").toInt, hdr("total_rows"), entries))
+  }
+
+  /** Read a published export — manifest-listed shard files ONLY (a
+    * concurrent writer's staging debris is invisible). Shard and pos
+    * columns ride along, so `orderBy(shard, pos)` reproduces the
+    * exact written order.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(dir).getOrElse(
+      throw new IllegalArgumentException(s"no corpus export at $dir"))
+    if (m.entries.isEmpty)
+      throw new IllegalArgumentException(s"corpus export at $dir has no shards")
+    spark.read.parquet(m.entries.map(e => s"$dir/${e.file}"): _*)
+  }
+
+  /** Re-hash the published shard bytes (executor-side) and compare to
+    * the manifest — the transfer/bit-rot check. True iff every listed
+    * shard is present with matching bytes.
+    */
+  def verify(spark: SparkSession, dir: String): Boolean =
+    readManifest(dir).exists { m =>
+      m.entries.forall(e => Files.exists(Paths.get(dir, e.file))) && {
+        if (m.entries.isEmpty) true
+        else {
+          val hashes = spark.sparkContext
+            .binaryFiles(m.entries.map(e => s"$dir/${e.file}").mkString(","))
+            .mapValues { pds =>
+              val md = MessageDigest.getInstance("SHA-256")
+              val in = pds.open()
+              try {
+                val buf = new Array[Byte](1 << 16)
+                var n = in.read(buf)
+                while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+              } finally in.close()
+              md.digest().map("%02x".format(_)).mkString
+            }.collect().toMap.map { case (k, v) => normalizeUri(k) -> v }
+          m.entries.forall { e =>
+            hashes.get(normalizeUri(Paths.get(dir, e.file).toUri.toString))
+              .contains(e.sha256)
+          }
+        }
+      }
+    }
+
+  /** `binaryFiles` keys are URIs whose scheme/slash form varies by
+    * Hadoop version — compare on the path component only.
+    */
+  private def normalizeUri(s: String): String =
+    java.net.URI.create(s).getPath
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f): Unit)
+    }
+}

@@ -303,7 +303,41 @@ object TextOps4 {
         |FROM (SELECT doc_id, source,
         |  CAST(concat('0x', substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) % 100 AS bucket
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // Deterministic corpus export, end-to-end through the REAL writer
+    // (graft.export.CorpusExport — the q_merge_sql pattern): the
+    // documents are exported to 8 round-robin shard files ordered by
+    // (n_tokens desc, doc_id), then the PUBLISHED files are read back
+    // and their provenance columns compared against the closed form —
+    // shard = (rank-1) % 8, pos = (rank-1)//8 + 1 over the global
+    // row_number. Pins that the on-disk artifact (not just a plan)
+    // carries the pinned order; the byte-determinism half of the
+    // contract is CorpusExportSpec's.
+    q("q_corpus_export")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_corpus_export")
+        try {
+          val docs = t(s, d, "documents").select($"doc_id",
+            TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+          graft.export.CorpusExport.write(docs, dir.toString, 8,
+            Seq($"n_tokens".desc, $"doc_id"))
+          graft.export.CorpusExport.read(s, dir.toString)
+            .select($"doc_id", $"n_tokens", $"shard", $"pos")
+            .orderBy($"doc_id")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH ranked AS (SELECT doc_id, n_tokens,
+        |  row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        |  FROM (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    FROM documents))
+        |SELECT doc_id, n_tokens,
+        |  CAST((rn - 1) % 8 AS BIGINT) AS shard,
+        |  CAST((rn - 1) // 8 + 1 AS BIGINT) AS pos
+        |FROM ranked ORDER BY doc_id""".stripMargin)
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

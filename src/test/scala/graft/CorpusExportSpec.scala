@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.export.CorpusExport
+
+/** Deterministic corpus-export writer: byte-identical shards across
+  * reruns and input partitionings, balanced round-robin assignment,
+  * atomic manifest-gated publication.
+  */
+class CorpusExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs() = spark.read.parquet(sf() + "/documents.parquet")
+    .select($"doc_id", $"source", length($"text").cast("long").as("n_chars"))
+
+  test("same input, any partitioning -> byte-identical shards and manifest") {
+    val d1 = Files.createTempDirectory("ce_a").toString
+    val d2 = Files.createTempDirectory("ce_b").toString
+    val sort = Seq($"n_chars".desc, $"doc_id")
+    val m1 = CorpusExport.write(docs(), d1, 4, sort)
+    // adversarial second run: same rows, scrambled partitioning + order
+    val shuffled = docs().repartition(7, $"source").sortWithinPartitions($"source")
+    val m2 = CorpusExport.write(shuffled, d2, 4, sort)
+    assert(m1 == m2, "manifests (incl. sha256 per shard) must be identical")
+    assert(m1.entries.size == 4 && m1.totalRows == docs().count())
+    m1.entries.foreach { e =>
+      val b1 = Files.readAllBytes(Paths.get(d1, e.file))
+      val b2 = Files.readAllBytes(Paths.get(d2, e.file))
+      assert(java.util.Arrays.equals(b1, b2), s"shard ${e.shard} bytes differ")
+    }
+    // round-robin balance: sizes differ by at most 1
+    val sizes = m1.entries.map(_.rows)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    // verify() passes on pristine bytes, fails after corruption
+    assert(CorpusExport.verify(spark, d1))
+    val victim = Paths.get(d1, m1.entries.head.file)
+    Files.write(victim, Files.readAllBytes(victim) ++ Array[Byte](0))
+    assert(!CorpusExport.verify(spark, d1), "corrupted shard must fail verify")
+  }
+
+  test("read() reproduces the written order; assignment matches the closed form") {
+    val dir = Files.createTempDirectory("ce_read").toString
+    CorpusExport.write(docs(), dir, 3, Seq($"n_chars".desc, $"doc_id"))
+    val back = CorpusExport.read(spark, dir)
+    // (shard, pos) is the written order: reassembling global rank
+    // rank = (pos-1)*shards + shard + 1 and sorting by it must yield
+    // exactly the (n_chars desc, doc_id) order the export pinned
+    val seq = back
+      .withColumn("rank", ($"pos" - 1L) * 3L + $"shard" + 1L)
+      .orderBy($"rank")
+      .select($"n_chars", $"doc_id").as[(Long, Long)].collect().toSeq
+    assert(seq == seq.sortBy { case (n, id) => (-n, id) }, "global order broken")
+    // reassembled ranks are exactly 1..N with no gap or duplicate —
+    // i.e. (shard, pos) really is the round-robin image of a global
+    // row numbering, not just some consistent-looking labeling
+    val n = docs().count()
+    val ranks = back.select((($"pos" - 1L) * 3L + $"shard" + 1L).as("rank"))
+      .as[Long].collect().sorted.toSeq
+    assert(ranks == (1L to n).toSeq, "ranks are not a 1..N bijection")
+  }
+
+  test("published exports are immutable; overwrite republishes; no staging debris") {
+    val dir = Files.createTempDirectory("ce_imm").toString
+    val small = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_chars")
+    CorpusExport.write(small, dir, 8, Seq($"doc_id"))
+    // fewer rows than shards: only populated shards get files/entries
+    val m = CorpusExport.readManifest(dir).get
+    assert(m.shards == 8 && m.totalRows == 3 && m.entries.size == 3)
+    assert(m.entries.forall(_.rows == 1L))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      CorpusExport.write(small, dir, 8, Seq($"doc_id"))
+    }
+    val m2 = CorpusExport.write(small.filter($"doc_id" =!= 2L), dir, 2,
+      Seq($"doc_id"), overwrite = true)
+    assert(m2.totalRows == 2 && CorpusExport.verify(spark, dir))
+    // publication left no staging residue or temp manifest
+    assert(!Files.exists(Paths.get(dir, ".staging")))
+    assert(!Files.exists(Paths.get(dir, s".${CorpusExport.ManifestName}.tmp")))
+  }
+}
