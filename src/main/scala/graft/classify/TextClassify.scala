@@ -1,0 +1,196 @@
+package graft.classify
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFns
+
+/** Corpus-level text classification and vocabulary statistics — the
+  * "model-free modeling" layer of a training-data pipeline: a
+  * multinomial Naive-Bayes scorer (the closed-form stand-in for a
+  * fasttext-style quality/language classifier), frequency-ranked
+  * vocabulary induction with a coverage cutoff, per-document
+  * out-of-vocabulary rates, and per-source token-distribution drift.
+  *
+  * Every result is exact and engine-reproducible: integer counts stay
+  * integers, ratios are compared cross-multiplied in the integer
+  * domain, and the one genuinely transcendental quantity (the NB
+  * log-likelihood) is built from per-(token,class) log terms rounded
+  * to 9 decimals and summed as DECIMAL — an order-independent sum, so
+  * the score is identical under any shuffle and matches a SQL oracle
+  * computing the same rounded terms (cf. the rational-idf BM25 in
+  * [[graft.retrieval.Retrieval]]).
+  *
+  * Scale shape (100 TB): the NB model is a (classes × vocab) grid —
+  * vocabulary-sized, broadcast; scoring is a map-side broadcast join
+  * over token occurrences plus ONE aggregation shuffle on
+  * (doc, class). Vocabulary induction and drift aggregate to
+  * vocabulary-sized frames (one (token[,class/source]) shuffle over
+  * corpus tokens with map-side partial aggregation); the OOV pass
+  * re-joins that tiny vocab broadcast, map-only. Nothing here carries
+  * per-document state across documents.
+  */
+object TextClassify {
+
+  /** One row per token occurrence: (idCol, labelCol, tok). */
+  private def occurrences(docs: DataFrame, labelCol: String, textCol: String,
+                          idCol: String): DataFrame =
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), col(labelCol),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+
+  /** A per-(token,class) NB log term rounded to 9 decimals as
+    * DECIMAL(18,9): IEEE division of exact integers is reproducible,
+    * `ln` may differ in the last ulp between libms, so the round to 9
+    * decimals (half-up in both Spark and DuckDB) pins the value far
+    * above ulp noise and the DECIMAL sum is order-independent.
+    */
+  private def logTerm(num: Column, den: Column): Column =
+    round(log(num.cast("double") / den.cast("double")), 9)
+      .cast(DecimalType(18, 9))
+
+  /** Multinomial Naive Bayes with Laplace (+1) smoothing, trained and
+    * scored on the same corpus (the resubstitution form — swap in a
+    * labeled seed frame for `docs` to train on curated data and score
+    * the wild corpus; the plan shape is identical).
+    *
+    * Output: (idCol, labelCol, `pred_label`, `score`) — the argmax
+    * class by log-likelihood `ln P(c) + Σ_t ln P(t|c)` with
+    * `P(t|c) = (n_tc + 1) / (T_c + V)`; ties break on ascending class
+    * label. `score` is the winning log-likelihood as DOUBLE (an exact
+    * DECIMAL(18,9)-termwise sum rendered as double at the end).
+    *
+    * Tokens unseen in the whole training corpus contribute the same
+    * `ln(1/(T_c+V))` a vocabulary-grid model assigns any zero-count
+    * token; here train==score so the case only arises for foreign
+    * frames, and the grid covers it because the grid is built from the
+    * scored corpus vocabulary.
+    */
+  def naiveBayesScore(docs: DataFrame, labelCol: String = "lang",
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val occ = occurrences(docs, labelCol, textCol, idCol)
+    // model statistics — all vocabulary- or class-sized
+    val vocab = occ.select(col("tok")).distinct()
+    val vsz = vocab.agg(count(lit(1)).as("vsz"))
+    val classTok = occ.groupBy(col(labelCol).as("c"), col("tok"))
+      .agg(count(lit(1)).as("n_tc"))
+    val classTot = occ.groupBy(col(labelCol).as("c"))
+      .agg(count(lit(1)).as("t_c"))
+    val priors = docs.groupBy(col(labelCol).as("c"))
+      .agg(count(lit(1)).as("d_c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("d_all"))))
+      .select(col("c"), logTerm(col("d_c"), col("d_all")).as("prior"))
+    // the (class × vocab) grid of per-token log terms: zero-count
+    // cells smooth to ln(1/(T_c+V)). Vocabulary-sized — broadcast.
+    val grid = classTot.crossJoin(vocab).crossJoin(broadcast(vsz))
+      .join(classTok, Seq("c", "tok"), "left")
+      .select(col("c"), col("tok"),
+        logTerm(coalesce(col("n_tc"), lit(0L)) + lit(1L),
+          col("t_c") + col("vsz")).as("term"))
+    // map-side scoring: occurrences × broadcast grid fan each token
+    // occurrence out to its k class terms; ONE shuffle on (doc, class)
+    val scored = occ
+      .join(broadcast(grid), Seq("tok"))
+      .groupBy(col(idCol), col(labelCol), col("c"))
+      .agg(sum(col("term")).as("tsum"))
+      .join(broadcast(priors), Seq("c"))
+      .select(col(idCol), col(labelCol), col("c"),
+        (col("prior") + col("tsum")).as("ll"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ll").desc, col("c").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol), col(labelCol), col("c").as("pred_label"),
+        col("ll").cast("double").as("score"))
+  }
+
+  /** Frequency-ranked vocabulary with a token-mass coverage cutoff.
+    *
+    * Output, one row per distinct token: (`tok`, `cnt`, `rank`,
+    * `cum_cnt`, `in_vocab`) — rank by (count desc, token asc);
+    * `in_vocab` marks the smallest rank prefix whose cumulative count
+    * reaches `coveragePct` percent of total token mass (the token that
+    * crosses the threshold is included). The test is cross-multiplied
+    * in the integer domain — `(cum - cnt) * 100 < pct * total` — so no
+    * ratio is ever materialized and the cut is exact.
+    *
+    * The distinct-token frame is vocabulary-sized; the ranking window
+    * runs on that tiny frame, not the corpus.
+    */
+  def vocabInduce(docs: DataFrame, coveragePct: Int = 95,
+                  textCol: String = "text"): DataFrame = {
+    require(coveragePct >= 1 && coveragePct <= 100,
+      s"coveragePct must be in [1,100], got $coveragePct")
+    val cnts = docs.filter(trim(col(textCol)) =!= "")
+      .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    cnts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(cnts.agg(sum(col("cnt")).as("total"))))
+      .select(col("tok"), col("cnt"), col("rank"), col("cum_cnt"),
+        ((col("cum_cnt") - col("cnt")) * 100 <
+          lit(coveragePct.toLong) * col("total")).as("in_vocab"))
+  }
+
+  /** Per-document out-of-vocabulary counts against the
+    * [[vocabInduce]]-induced vocabulary: (idCol, `n_tokens`, `n_oov`).
+    * The vocabulary broadcasts; the scan is one map-side pass plus the
+    * per-doc aggregation shuffle. Integers only.
+    */
+  def oovRate(docs: DataFrame, coveragePct: Int = 95,
+              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabInduce(docs, coveragePct, textCol)
+      .filter(col("in_vocab")).select(col("tok"))
+    docs.filter(trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .join(broadcast(vocab.withColumn("_iv", lit(1L))), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** Per-group token-distribution drift from the whole corpus as an
+    * EXACT scaled total-variation distance. For group g with token
+    * counts n_tg (total T_g) against corpus counts n_t (total T):
+    *
+    *   TVD(g, corpus) = ½ Σ_t | n_tg/T_g − n_t/T |
+    *                  = tvd_num / (2 · T_g · T)
+    *
+    * and the output carries the integer numerator
+    * `tvd_num = Σ_t | n_tg·T − n_t·T_g |` plus `n_tokens` (T_g) and
+    * `corpus_tokens` (T), so the distance is exact rational — no
+    * float division anywhere, reproducible on any engine. Rank groups
+    * by tvd_num/(T_g·T) to find sources whose token mix diverges most
+    * (domain skew, scraper drift, template contamination).
+    *
+    * One (group, token) aggregation over corpus tokens (map-side
+    * partial), then a broadcast join against the vocabulary-sized
+    * corpus counts. A token absent from a group still contributes
+    * `n_t·T_g` — handled by building the (group × vocab) grid from the
+    * group totals, vocabulary-sized, never corpus-sized.
+    */
+  def tokenDrift(docs: DataFrame, groupCol: String = "source",
+                 textCol: String = "text"): DataFrame = {
+    val occ = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+    val byGroupTok = occ.groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("n_tg"))
+    val byTok = occ.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
+    val byGroup = occ.groupBy(col(groupCol)).agg(count(lit(1)).as("t_g"))
+    val corpusTot = occ.agg(count(lit(1)).as("t_all"))
+    // (group × vocab) grid so zero-count cells still contribute n_t·T_g
+    byGroup.crossJoin(broadcast(byTok))
+      .join(byGroupTok, Seq(groupCol, "tok"), "left")
+      .crossJoin(broadcast(corpusTot))
+      .groupBy(col(groupCol), col("t_g"), col("t_all"))
+      .agg(sum(abs(coalesce(col("n_tg"), lit(0L)) * col("t_all") -
+        col("n_t") * col("t_g"))).as("tvd_num"))
+      .select(col(groupCol), col("t_g").as("n_tokens"),
+        col("t_all").as("corpus_tokens"), col("tvd_num"))
+  }
+}

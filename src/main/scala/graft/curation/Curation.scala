@@ -89,6 +89,33 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** [[decontaminate]] with a bloom-sketch prefilter on the corpus
+    * side — the form that holds when the eval/blocklist set is too
+    * large to broadcast exactly: the corpus scan probes a driver-held
+    * sketch of the eval hashes (`numBits/8` bytes, ~10× smaller than
+    * the exact hash set at ~1% FP), and only sketch-positive grams —
+    * true contaminations plus the small FP stream — reach the exact
+    * confirm join. The result is EXACTLY [[decontaminate]]'s: the
+    * sketch shrinks the candidate stream, the exact join decides.
+    */
+  def decontaminateBloom(df: DataFrame, evalDocs: DataFrame,
+                         cfg: Config = Config(),
+                         numBits: Long = 1L << 23): DataFrame = {
+    val n = cfg.decontaminateNgram
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(array_distinct(
+        TextFns.shingleHashes48(TextFns.tokens(col("text")), n))).as("hv"))
+    val evalH = grams(evalDocs).select(col("hv")).distinct()
+    val items = math.max(1L, evalH.count())
+    val bf = graft.sketch.Bloom.sketch(evalH, col("hv"), items, numBits)
+    val contaminated = grams(df)
+      .filter(graft.sketch.Bloom.mightContain(bf, col("hv")))
+      .join(broadcast(evalH), "hv") // exact confirm: FPs die here
+      .select(col("doc_id")).distinct()
+    df.join(broadcast(evalDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** The full funnel. Quality-gated + exact-deduped frame is cached
     * (it feeds the signature, anti-join and decontamination branches —
     * Spark has no common-subtree elimination).

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.classify.TextClassify
+import graft.curation.Curation
+import graft.functions.TextFns
+
+/** Fifth text batch: corpus statistics and model-free classification
+  * — Naive-Bayes language scoring, coverage-cut vocabulary induction,
+  * per-document OOV rates, per-source token-distribution drift, and
+  * the bloom-prefiltered decontamination scale path.
+  *
+  * Reproducibility contracts: counts and drift stay in the integer
+  * domain end-to-end; the NB log-likelihood is a DECIMAL sum of
+  * per-(token,class) terms rounded to 9 decimals, so both engines add
+  * the identical decimals in any order (see
+  * [[graft.classify.TextClassify]]).
+  */
+object TextOps5 {
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  /** Shared oracle CTE: one row per token occurrence. */
+  private val occSql =
+    """occ AS (SELECT doc_id, lang, source,
+      |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE trim(text) <> '')""".stripMargin
+
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // Multinomial NB language classifier (Laplace +1), trained and
+    // scored on the corpus — the closed-form stand-in for the
+    // fasttext-style lang/quality classifiers of CCNet-descended
+    // pipelines. Model = (classes × vocab) broadcast grid; scoring is
+    // map-side with ONE (doc, class) aggregation shuffle.
+    q("q_nb_classify")(
+      (s, d) => TextClassify.naiveBayesScore(
+          t(s, d, "documents"), labelCol = "lang")
+        .orderBy(col("doc_id")),
+      s"""WITH $occSql,
+        |vsz AS (SELECT COUNT(DISTINCT tok) AS v FROM occ),
+        |ct AS (SELECT lang AS c, tok, COUNT(*) AS n_tc FROM occ GROUP BY 1, 2),
+        |tot AS (SELECT lang AS c, COUNT(*) AS t_c FROM occ GROUP BY 1),
+        |pri AS (SELECT lang AS c, COUNT(*) AS d_c FROM documents GROUP BY 1),
+        |dall AS (SELECT COUNT(*) AS d_all FROM documents),
+        |prior AS (SELECT c, CAST(round(ln(CAST(d_c AS DOUBLE) / d_all), 9)
+        |  AS DECIMAL(18,9)) AS prior FROM pri CROSS JOIN dall),
+        |vocab AS (SELECT DISTINCT tok FROM occ),
+        |grid AS (SELECT tot.c, vocab.tok,
+        |  CAST(round(ln(CAST(coalesce(ct.n_tc, 0) + 1 AS DOUBLE)
+        |    / (tot.t_c + vsz.v)), 9) AS DECIMAL(18,9)) AS term
+        |  FROM tot CROSS JOIN vocab CROSS JOIN vsz
+        |  LEFT JOIN ct ON ct.c = tot.c AND ct.tok = vocab.tok),
+        |sc AS (SELECT occ.doc_id, occ.lang, grid.c, SUM(grid.term) AS tsum
+        |  FROM occ JOIN grid ON grid.tok = occ.tok GROUP BY 1, 2, 3),
+        |ll AS (SELECT sc.doc_id, sc.lang, sc.c, prior.prior + sc.tsum AS ll
+        |  FROM sc JOIN prior ON prior.c = sc.c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY ll DESC, c ASC) AS rn FROM ll)
+        |SELECT doc_id, lang, c AS pred_label, CAST(ll AS DOUBLE) AS score
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    // Coverage-cut vocabulary induction: rank tokens by corpus
+    // frequency, keep the smallest prefix reaching 90% of token mass.
+    // The cut is cross-multiplied in integers — exact on any engine.
+    q("q_vocab_coverage")(
+      (s, d) => TextClassify.vocabInduce(
+          t(s, d, "documents"), coveragePct = 90)
+        .orderBy(col("rank")),
+      s"""WITH $occSql,
+        |cnts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+        |r AS (SELECT tok, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank,
+        |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt FROM cnts)
+        |SELECT tok, cnt, rank, cum_cnt,
+        |  ((cum_cnt - cnt) * 100 < 90 * total) AS in_vocab
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin),
+
+    // Per-document OOV counts against that induced 90% vocabulary —
+    // the "will my tokenizer cover this doc" gate. Vocab broadcasts;
+    // integers only.
+    q("q_oov_rate")(
+      (s, d) => TextClassify.oovRate(
+          t(s, d, "documents"), coveragePct = 90)
+        .orderBy(col("doc_id")),
+      s"""WITH $occSql,
+        |cnts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnts),
+        |r AS (SELECT tok, cnt,
+        |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt FROM cnts),
+        |vocab AS (SELECT tok FROM r CROSS JOIN tot
+        |  WHERE (cum_cnt - cnt) * 100 < 90 * total)
+        |SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM occ LEFT JOIN vocab ON vocab.tok = occ.tok
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin),
+
+    // Per-source token-distribution drift from the corpus as an EXACT
+    // scaled total-variation distance: tvd_num = Σ_t |n_tg·T − n_t·T_g|
+    // with TVD = tvd_num / (2·T_g·T) — integer arithmetic end-to-end.
+    q("q_source_drift")(
+      (s, d) => TextClassify.tokenDrift(
+          t(s, d, "documents"), groupCol = "source")
+        .orderBy(col("source")),
+      s"""WITH $occSql,
+        |gt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n_tg
+        |  FROM occ GROUP BY 1, 2),
+        |bt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM occ GROUP BY 1),
+        |bg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_g FROM occ GROUP BY 1),
+        |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_all FROM occ)
+        |SELECT bg.source, bg.t_g AS n_tokens, ct.t_all AS corpus_tokens,
+        |  CAST(SUM(abs(coalesce(gt.n_tg, 0) * ct.t_all - bt.n_t * bg.t_g))
+        |    AS BIGINT) AS tvd_num
+        |FROM bg CROSS JOIN bt CROSS JOIN ct
+        |LEFT JOIN gt ON gt.source = bg.source AND gt.tok = bt.tok
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+
+    // Bloom-prefiltered eval-set decontamination: the q_decontaminate
+    // fixture (planted eval-prefix contamination) pushed through
+    // Curation.decontaminateBloom — corpus grams probe a driver-held
+    // sketch of the eval hashes, sketch positives confirm against the
+    // exact set, so the surviving-doc list is EXACTLY the exact path's.
+    // The oracle is the closed form: survivors = non-eval docs sharing
+    // no 8-gram with any eval doc.
+    q("q_bloom_decontaminate")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val evalPrefix = base.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" / 50).cast("long").as("k"),
+            concat_ws(" ", slice(TextFns.tokens($"text"), 1, 8)).as("prefix"))
+        val corpus = base
+          .join(broadcast(evalPrefix), ($"doc_id" % 10) + 1 === $"k", "left")
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0 && $"doc_id" % 50 =!= 0,
+              concat($"text", lit(" "), $"prefix")).otherwise($"text").as("text"))
+        val evalDocs = corpus.filter($"doc_id" % 50 === 0)
+        Curation.decontaminateBloom(corpus, evalDocs)
+          .select($"doc_id").orderBy($"doc_id")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |evalp AS (SELECT doc_id // 50 AS k,
+        |  array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ') AS prefix
+        |  FROM base WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 = 0 AND b.doc_id % 50 <> 0
+        |       THEN b.text || ' ' || e.prefix ELSE b.text END AS text
+        |  FROM base b LEFT JOIN evalp e ON e.k = (b.doc_id % 10) + 1),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, len(tk) - 7),
+        |  i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |       tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s
+        |  FROM toks WHERE len(tk) >= 8),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM sh),
+        |eval_h AS (SELECT DISTINCT hv FROM h WHERE doc_id % 50 = 0),
+        |cont AS (SELECT DISTINCT h.doc_id FROM h JOIN eval_h USING (hv)
+        |  WHERE h.doc_id % 50 <> 0)
+        |SELECT c.doc_id FROM corpus c
+        |WHERE c.doc_id % 50 <> 0
+        |  AND c.doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY c.doc_id""".stripMargin))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  def oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}
