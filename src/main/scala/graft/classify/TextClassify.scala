@@ -154,6 +154,59 @@ object TextClassify {
         sum(when(col("_iv").isNull, 1L).otherwise(0L)).as("n_oov"))
   }
 
+  /** Bigram language-model scoring — the perplexity-proxy quality
+    * filter of CCNet-descended pipelines: train add-one-smoothed
+    * bigram statistics on a curated reference corpus (`train`), score
+    * every document of `docs` by its total bigram log-likelihood
+    *
+    *   ll(d) = Σ_{(w1,w2) ∈ d} ln( (c(w1,w2) + 1) / (c1(w1) + V) )
+    *
+    * where `c` counts train bigrams, `c1` counts train bigram
+    * PREFIXES (occurrences of w1 in positions 1..n-1), and V is the
+    * train vocabulary size. Output: (idCol, `n_bigrams`,
+    * `ll` DOUBLE, rendered from the order-independent DECIMAL(18,9)
+    * term sum — engine-exact like [[naiveBayesScore]]). Rank by
+    * ll/n_bigrams (per-token normalization) to filter gibberish /
+    * boilerplate; docs with fewer than 2 tokens carry no evidence and
+    * are excluded.
+    *
+    * Scale shape: the model is the train corpus's bigram table — a
+    * curated reference set (the CCNet assumption), so it broadcasts;
+    * unseen bigrams and unseen prefixes need no grid, just two
+    * broadcast left joins with coalesce-to-zero. One aggregation
+    * shuffle on the doc id.
+    */
+  def bigramScore(docs: DataFrame, train: DataFrame,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    def bigrams(d: DataFrame, cols: Column*): DataFrame = {
+      val tk = TextFns.tokens(col(textCol))
+      d.filter(trim(col(textCol)) =!= "")
+        .select(cols :+ tk.as("_tk"): _*)
+        .filter(size(col("_tk")) >= 2)
+        .select(cols :+ explode(arrays_zip(
+          slice(col("_tk"), lit(1), size(col("_tk")) - 1).as("w1"),
+          slice(col("_tk"), lit(2), size(col("_tk")) - 1).as("w2"))).as("bg"): _*)
+        .select(cols :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    }
+    val trainBg = bigrams(train)
+    val c12 = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = trainBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vsz = train.filter(trim(col(textCol)) =!= "")
+      .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vsz"))
+    bigrams(docs, col(idCol))
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vsz))
+      .select(col(idCol),
+        logTerm(coalesce(col("c12"), lit(0L)) + lit(1L),
+          coalesce(col("c1"), lit(0L)) + col("vsz")).as("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("term")).cast("double").as("ll"))
+  }
+
   /** Per-group token-distribution drift from the whole corpus as an
     * EXACT scaled total-variation distance. For group g with token
     * counts n_tg (total T_g) against corpus counts n_t (total T):

@@ -86,7 +86,7 @@ object Curation {
       .join(broadcast(evalH), "hv")
       .select(col("doc_id")).distinct()
     df.join(broadcast(evalDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
   }
 
   /** [[decontaminate]] with a bloom-sketch prefilter on the corpus
@@ -113,7 +113,7 @@ object Curation {
       .join(broadcast(evalH), "hv") // exact confirm: FPs die here
       .select(col("doc_id")).distinct()
     df.join(broadcast(evalDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
   }
 
   /** The full funnel. Quality-gated + exact-deduped frame is cached

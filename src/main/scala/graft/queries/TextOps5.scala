@@ -123,6 +123,37 @@ object TextOps5 {
         |LEFT JOIN gt ON gt.source = bg.source AND gt.tok = bt.tok
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
 
+    // Bigram-LM quality scoring (perplexity proxy): add-one-smoothed
+    // bigram stats trained on the English reference slice, every doc
+    // scored by total bigram log-likelihood. Model broadcasts (curated
+    // reference corpus); terms are DECIMAL-rounded logs, engine-exact.
+    q("q_bigram_ppl")(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextClassify.bigramScore(docs, docs.filter(col("lang") === "en"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH toks AS (SELECT doc_id, lang,
+        |  string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |bi AS (SELECT doc_id, lang,
+        |  unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1,
+        |  unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i+1])) AS w2
+        |  FROM toks WHERE len(tk) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi WHERE lang = 'en' GROUP BY 1),
+        |vsz AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+        |  SELECT unnest(tk) AS tok FROM toks WHERE lang = 'en')),
+        |terms AS (SELECT bi.doc_id,
+        |  CAST(round(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+        |    / (coalesce(c1.c1, 0) + vsz.v)), 9) AS DECIMAL(18,9)) AS term
+        |  FROM bi CROSS JOIN vsz
+        |  LEFT JOIN c12 ON c12.w1 = bi.w1 AND c12.w2 = bi.w2
+        |  LEFT JOIN c1 ON c1.w1 = bi.w1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(term) AS DOUBLE) AS ll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Bloom-prefiltered eval-set decontamination: the q_decontaminate
     // fixture (planted eval-prefix contamination) pushed through
     // Curation.decontaminateBloom — corpus grams probe a driver-held

@@ -59,6 +59,32 @@ class ClassifySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  // ---- Bigram LM ------------------------------------------------------
+
+  test("bigramScore: hand-computed smoothed log-likelihoods, unseen prefixes included") {
+    // train "a b a b": bigrams (a,b)x2, (b,a)x1; c1: a=2, b=1; V=2
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b"), (2L, "c c"), (3L, "a")) // 3: <2 tokens, excluded
+      .toDF("doc_id", "text")
+    val out = TextClassify.bigramScore(score, train).orderBy($"doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ll"))).toMap
+    // doc 1: ln((2+1)/(2+2)) = ln(0.75) ≈ -0.287682072
+    assert(byId(1L)._1 == 1L && math.abs(byId(1L)._2 - (-0.287682072)) < 1e-9)
+    // doc 2: unseen prefix c -> ln((0+1)/(0+2)) = ln(0.5) ≈ -0.693147181
+    assert(byId(2L)._1 == 1L && math.abs(byId(2L)._2 - (-0.693147181)) < 1e-9)
+  }
+
+  test("bigramScore: deterministic under repartitioning") {
+    val base = docs().limit(150)
+    val train = base.filter($"lang" === "en")
+    val a = TextClassify.bigramScore(base, train).orderBy($"doc_id").collect()
+    val b = TextClassify.bigramScore(base.repartition(11), train.repartition(5))
+      .orderBy($"doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   // ---- Vocabulary induction + OOV ------------------------------------
 
   test("vocabInduce: ranks, cumulative counts, and the coverage cut are exact") {

@@ -155,4 +155,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_min_by") || p.contains("min_by"),
       s"q_dedup_priority lost its min_by aggregation:\n$p")
   }
+
+  test("NB / bigram scoring broadcast their models; no sort-merge joins, no cartesians") {
+    // the classifier plans' 100 TB shape: the model (classes×vocab
+    // grid / bigram table) is broadcast under a map-side scoring pass;
+    // a SortMergeJoin would mean the corpus shuffles on token keys
+    for (name <- Seq("q_nb_classify", "q_bigram_ppl")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast model:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name shuffles the corpus on a join key:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+
+  test("q_bloom_decontaminate probes the sketch as a literal, broadcasts the confirm side") {
+    val p = plan("q_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"bloom prefilter missing from the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"exact confirm join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side shuffle/cartesian crept into the bloom path:\n$p")
+  }
+
+  test("q_oov_rate joins only the broadcast vocabulary; corpus aggregates once") {
+    val p = plan("q_oov_rate")
+    assert(!p.contains("SortMergeJoin"), s"q_oov_rate shuffles the corpus to join the vocab:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
