@@ -26,7 +26,10 @@ object Bench {
     "q_length_decile", "q_span_mask", "q_merge_sql", "q_ivf_topk_probe2",
     "q_frame_sample",
     "q_merge_delete", "q_merge_composite",
-    "q_curation_pipeline", "q_decontaminate")
+    "q_curation_pipeline", "q_decontaminate",
+    // round-14 operator families: broadcast-model scoring and the
+    // postings-heavy span rewrite
+    "q_nb_classify", "q_span_rewrite")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

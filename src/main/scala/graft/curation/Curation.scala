@@ -25,7 +25,11 @@ import graft.functions.TextFns
   */
 object Curation {
 
-  /** Stage parameters; defaults match the oracle-pinned flagship. */
+  /** Stage parameters; defaults match the oracle-pinned flagship.
+    * `bloomDecontaminate` routes the funnel's decontamination stage
+    * through the sketch-prefiltered path (identical results; choose it
+    * when the eval set is too large to broadcast exactly).
+    */
   case class Config(
       minTokens: Int = 20,
       minStopwords: Int = 1,
@@ -34,7 +38,9 @@ object Curation {
       minhashK: Int = 16,
       rowsPerBand: Int = 2,
       simThreshold: Double = 0.5,
-      decontaminateNgram: Int = 8)
+      decontaminateNgram: Int = 8,
+      bloomDecontaminate: Boolean = false,
+      bloomNumBits: Long = 1L << 23)
 
   /** Map-only token/stopword/mean-length quality gate. */
   def qualityGate(corpus: DataFrame, cfg: Config = Config()): DataFrame =
@@ -124,7 +130,9 @@ object Curation {
              cfg: Config = Config()): DataFrame = {
     val afterExact = graft.util.CacheScope.pin(exactDedup(qualityGate(corpus, cfg)))
     val afterNd = nearDupDrop(afterExact, cfg)
-    evalDocs.fold(afterNd)(ev => decontaminate(afterNd, ev, cfg))
+    evalDocs.fold(afterNd)(ev =>
+      if (cfg.bloomDecontaminate) decontaminateBloom(afterNd, ev, cfg, cfg.bloomNumBits)
+      else decontaminate(afterNd, ev, cfg))
   }
 
   /** Loan-pattern [[curate]]: build the funnel, hand the curated frame

@@ -312,4 +312,57 @@ object Dedup {
     // of an empty string is [""] — so no rows vanish.)
     df.select(col(idCol),
       TextFns.simhash48(TextFns.tokens(col(textCol))).as("simhash48"))
+
+  /** Cross-document repeated-span REWRITE — the removal half of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): drop every token covered by
+    * an `n`-gram occurring verbatim in ≥ `minDf` distinct documents,
+    * and emit the cleaned text. The detection half (per-doc coverage
+    * counts) is `q_span_mask`; this materializes the rewrite.
+    *
+    * Output: (idCol, `n_tokens`, `n_kept`, `clean_text`) — kept tokens
+    * rejoined on single spaces in original order; a fully-covered doc
+    * yields an empty string; a doc shorter than `n` tokens has no
+    * grams and passes through intact.
+    *
+    * Scale shape: the inverted-index form of `q_span_mask` plus one
+    * token-grain anti-join — postings explode (∝ corpus tokens) → df
+    * aggregation on the 48-bit gram hash → join back (∝ repeated
+    * occurrences) → covered-position set → (doc, position) anti-join
+    * against the token stream → per-doc ordered reassembly
+    * (`array_sort(collect_list(struct(pos, tok)))` — bounded by a
+    * single document's length, never an unbounded group).
+    */
+  def dropRepeatedSpans(docs: DataFrame, n: Int = 8, minDf: Int = 2,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"dropRepeatedSpans needs n >= 1, got $n")
+    require(minDf >= 2, s"dropRepeatedSpans needs minDf >= 2, got $minDf")
+    val id = col(idCol)
+    val base = docs.select(id, TextFns.tokens(col(textCol)).as("_tk"))
+      .withColumn("n_tokens", size(col("_tk")).cast("long"))
+    val toks = base.select(id, col("n_tokens"),
+      posexplode(col("_tk")).as(Seq("j", "tok")))
+    val grams = graft.util.CacheScope.pin(base.filter(col("n_tokens") >= n)
+      .select(id, posexplode(TextFns.shingleHashes48(col("_tk"), n)))
+      .toDF(idCol, "pos", "hv"))
+    val repeated = grams.select(col("hv"), id).distinct()
+      .groupBy(col("hv")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("hv"))
+    val covered = grams.join(repeated, "hv")
+      .select(id, explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
+      .distinct()
+    toks.join(covered, Seq(idCol, "j"), "left_anti")
+      .groupBy(id, col("n_tokens"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"))
+      // fully-covered docs vanish from the anti-join — restore them
+      // with empty text via the (small) doc spine
+      .join(base.select(id, col("n_tokens")), Seq(idCol, "n_tokens"), "right")
+      .select(id, col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -154,6 +154,83 @@ object TextOps5 {
         |  CAST(SUM(term) AS DOUBLE) AS ll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Repeated-span REWRITE (the removal half of exact-substring
+    // dedup; q_span_mask is the detection half): drop every token
+    // covered by a cross-doc repeated 8-gram and emit the cleaned
+    // text. Same planted fixture as q_span_mask so real spans drop.
+    q("q_span_rewrite")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val span = base.filter($"doc_id" === 100)
+          .select(concat_ws(" ", slice(TextFns.tokens($"text"), 1, 12)).as("span"))
+        val corpus = base.crossJoin(broadcast(span))
+          .select($"doc_id",
+            when($"doc_id" % 9 === 0, concat($"text", lit(" "), $"span"))
+              .otherwise($"text").as("text"))
+        graft.dedup.Dedup.dropRepeatedSpans(corpus, n = 8, minDf = 2)
+          .orderBy($"doc_id")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |sp AS (SELECT array_to_string((string_split_regex(trim(text), '\s+'))[1:12], ' ') AS span
+        |  FROM base WHERE doc_id = 100),
+        |corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN text || ' ' || span ELSE text END AS text
+        |  FROM base, sp),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus),
+        |g AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(t) - 7)) AS i,
+        |  unnest(list_transform(generate_series(1, len(t) - 7),
+        |    i -> CAST(concat('0x', substr(md5(
+        |      t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+        |      t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]), 1, 12)) AS BIGINT))) AS hv
+        |  FROM tk WHERE len(t) >= 8),
+        |rep AS (SELECT hv FROM (SELECT hv, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY hv)
+        |  WHERE df >= 2),
+        |cov AS (SELECT DISTINCT doc_id, j FROM
+        |  (SELECT doc_id, unnest(generate_series(i, i + 7)) AS j
+        |   FROM g JOIN rep USING (hv))),
+        |toks AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(t))) AS j,
+        |  unnest(t) AS tok FROM tk),
+        |kept AS (SELECT toks.doc_id, toks.j, toks.tok
+        |  FROM toks LEFT JOIN cov ON cov.doc_id = toks.doc_id AND cov.j = toks.j
+        |  WHERE cov.j IS NULL)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k.clean_text, '') AS clean_text
+        |FROM tk LEFT JOIN (SELECT doc_id, COUNT(*) AS n_kept,
+        |    array_to_string(list(tok ORDER BY j), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin),
+
+    // Column-level profiling of the documents table: one aggregation
+    // job, exact distinct counts, native-typed min/max rendered as
+    // strings. The ingest-side "should I trust this source" report.
+    q("q_profile")(
+      (s, d) => graft.ops.Profile.profile(
+          t(s, d, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column")),
+      """WITH d AS (SELECT * FROM documents)
+        |SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_nulls,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+        |  CAST(MAX(doc_id) AS VARCHAR) AS max_value FROM d
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |  COUNT(DISTINCT lang), CAST(MIN(lang) AS VARCHAR),
+        |  CAST(MAX(lang) AS VARCHAR) FROM d
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |  COUNT(DISTINCT source), CAST(MIN(source) AS VARCHAR),
+        |  CAST(MAX(source) AS VARCHAR) FROM d
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        |  COUNT(DISTINCT n_chars), CAST(MIN(n_chars) AS VARCHAR),
+        |  CAST(MAX(n_chars) AS VARCHAR) FROM d
+        |ORDER BY "column"""".stripMargin),
+
     // Bloom-prefiltered eval-set decontamination: the q_decontaminate
     // fixture (planted eval-prefix contamination) pushed through
     // Curation.decontaminateBloom — corpus grams probe a driver-held

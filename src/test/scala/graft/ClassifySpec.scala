@@ -139,6 +139,50 @@ class ClassifySpec extends SparkSpec {
     out.values.foreach { case (tg, t, num) => assert(num <= 2 * tg * t) }
   }
 
+  // ---- Repeated-span rewrite -----------------------------------------
+
+  test("dropRepeatedSpans: shared 8-gram spans drop, unique suffixes and short docs survive") {
+    import graft.dedup.Dedup
+    val f = Seq(
+      (1L, "a b c d e f g h x"), // shares 8-gram a..h with doc 2
+      (2L, "a b c d e f g h y"),
+      (3L, "p q")                // < 8 tokens: intact
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSpans(f).orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toSeq
+    assert(out == Seq((1L, 9L, 1L, "x"), (2L, 9L, 1L, "y"), (3L, 2L, 2L, "p q")))
+  }
+
+  test("dropRepeatedSpans: fully-covered docs come back with empty text") {
+    import graft.dedup.Dedup
+    val f = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedSpans(f).orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("clean_text"))).toSeq
+    assert(out == Seq((1L, 0L, ""), (2L, 0L, "")))
+  }
+
+  // ---- Profile --------------------------------------------------------
+
+  test("Profile.profile: exact per-column stats in one pass; unknown columns rejected") {
+    import graft.ops.Profile
+    val f = Seq((1L, Some("x"), 10L), (2L, None, 30L), (3L, Some("x"), 20L))
+      .toDF("id", "tag", "v")
+    val out = Profile.profile(f, Seq("id", "tag", "v")).orderBy($"column").collect()
+      .map(r => (r.getAs[String]("column"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"),
+        r.getAs[String]("min_value"), r.getAs[String]("max_value"))).toSeq
+    assert(out == Seq(
+      ("id", 3L, 0L, 3L, "1", "3"),
+      ("tag", 3L, 1L, 1L, "x", "x"),
+      ("v", 3L, 0L, 3L, "10", "30"))) // numeric min/max, not lexicographic
+    intercept[IllegalArgumentException] {
+      Profile.profile(f, Seq("id", "nope"))
+    }
+  }
+
   // ---- Bloom ----------------------------------------------------------
 
   test("Bloom.sketch/mightContain: no false negatives; empty build matches nothing") {
@@ -149,6 +193,17 @@ class ClassifySpec extends SparkSpec {
     assert(hits == vals.size, "bloom filters must never drop a member")
     val empty = Bloom.sketch(df.filter($"v" < 0), $"v", 1L, 1L << 10)
     assert(df.filter(Bloom.mightContain(empty, $"v")).count() == 0)
+  }
+
+  test("curate with bloomDecontaminate routes the funnel to identical results") {
+    val corpus = docs().select($"doc_id", $"text")
+    val eval = corpus.filter($"doc_id" % 50 === 0)
+    val viaExact = Curation.withCurated(corpus, Some(eval))(
+      _.select($"doc_id").orderBy($"doc_id").collect().toSeq)
+    val viaBloom = Curation.withCurated(corpus, Some(eval),
+      Curation.Config(bloomDecontaminate = true))(
+      _.select($"doc_id").orderBy($"doc_id").collect().toSeq)
+    assert(viaBloom == viaExact)
   }
 
   test("decontaminateBloom == decontaminate exactly (FPs confirmed away)") {
