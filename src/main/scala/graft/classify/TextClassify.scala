@@ -51,10 +51,60 @@ object TextClassify {
     round(log(num.cast("double") / den.cast("double")), 9)
       .cast(DecimalType(18, 9))
 
+  /** A fitted NB model: `grid` = (c, tok, term DECIMAL(18,9)) — the
+    * (class × vocab) table of smoothed per-token log terms — and
+    * `priors` = (c, prior DECIMAL(18,9)). Both frames are
+    * vocabulary-/class-sized: broadcastable regardless of corpus size.
+    * Fit once on a labeled seed, apply to any frame (batch or a
+    * micro-batch inside `foreachBatch` — the stream-static shape).
+    */
+  case class NBModel(grid: DataFrame, priors: DataFrame)
+
+  /** Fit the multinomial-NB statistics (Laplace +1) on a labeled
+    * corpus. Zero-count grid cells smooth to `ln(1/(T_c+V))`; tokens
+    * outside the TRAINING vocabulary are absent from the grid and
+    * contribute nothing at apply time (the standard vocabulary-model
+    * contract; pair with [[oovRate]] to monitor how much evidence
+    * out-of-vocab tokens discard).
+    */
+  def naiveBayesFit(docs: DataFrame, labelCol: String = "lang",
+                    textCol: String = "text"): NBModel = {
+    val occ = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(labelCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+    val vocab = occ.select(col("tok")).distinct()
+    val vsz = vocab.agg(count(lit(1)).as("vsz"))
+    val classTok = occ.groupBy(col(labelCol).as("c"), col("tok"))
+      .agg(count(lit(1)).as("n_tc"))
+    val classTot = occ.groupBy(col(labelCol).as("c"))
+      .agg(count(lit(1)).as("t_c"))
+    val priors = docs.groupBy(col(labelCol).as("c"))
+      .agg(count(lit(1)).as("d_c"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("d_all"))))
+      .select(col("c"), logTerm(col("d_c"), col("d_all")).as("prior"))
+    val grid = classTot.crossJoin(vocab).crossJoin(broadcast(vsz))
+      .join(classTok, Seq("c", "tok"), "left")
+      .select(col("c"), col("tok"),
+        logTerm(coalesce(col("n_tc"), lit(0L)) + lit(1L),
+          col("t_c") + col("vsz")).as("term"))
+    NBModel(grid, priors)
+  }
+
+  /** Score `docs` against a fitted model: (idCol, `pred_label`,
+    * `score`) — argmax class by `prior + Σ term`, ties on ascending
+    * label, score rendered as DOUBLE from the exact DECIMAL sum.
+    * Map-side broadcast joins + ONE (doc, class) aggregation shuffle.
+    */
+  def naiveBayesApply(docs: DataFrame, model: NBModel,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    scoreOcc(docs.filter(trim(col(textCol)) =!= "")
+        .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok")),
+      Seq(idCol), model, idCol)
+
   /** Multinomial Naive Bayes with Laplace (+1) smoothing, trained and
-    * scored on the same corpus (the resubstitution form — swap in a
-    * labeled seed frame for `docs` to train on curated data and score
-    * the wild corpus; the plan shape is identical).
+    * scored on the same corpus (the resubstitution form — use
+    * [[naiveBayesFit]] + [[naiveBayesApply]] to train on a curated
+    * seed and score a different frame; the plan shape is identical).
     *
     * Output: (idCol, labelCol, `pred_label`, `score`) — the argmax
     * class by log-likelihood `ln P(c) + Σ_t ln P(t|c)` with
@@ -70,40 +120,28 @@ object TextClassify {
     */
   def naiveBayesScore(docs: DataFrame, labelCol: String = "lang",
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
-    val occ = occurrences(docs, labelCol, textCol, idCol)
-    // model statistics — all vocabulary- or class-sized
-    val vocab = occ.select(col("tok")).distinct()
-    val vsz = vocab.agg(count(lit(1)).as("vsz"))
-    val classTok = occ.groupBy(col(labelCol).as("c"), col("tok"))
-      .agg(count(lit(1)).as("n_tc"))
-    val classTot = occ.groupBy(col(labelCol).as("c"))
-      .agg(count(lit(1)).as("t_c"))
-    val priors = docs.groupBy(col(labelCol).as("c"))
-      .agg(count(lit(1)).as("d_c"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("d_all"))))
-      .select(col("c"), logTerm(col("d_c"), col("d_all")).as("prior"))
-    // the (class × vocab) grid of per-token log terms: zero-count
-    // cells smooth to ln(1/(T_c+V)). Vocabulary-sized — broadcast.
-    val grid = classTot.crossJoin(vocab).crossJoin(broadcast(vsz))
-      .join(classTok, Seq("c", "tok"), "left")
-      .select(col("c"), col("tok"),
-        logTerm(coalesce(col("n_tc"), lit(0L)) + lit(1L),
-          col("t_c") + col("vsz")).as("term"))
-    // map-side scoring: occurrences × broadcast grid fan each token
-    // occurrence out to its k class terms; ONE shuffle on (doc, class)
+                      idCol: String = "doc_id"): DataFrame =
+    scoreOcc(occurrences(docs, labelCol, textCol, idCol),
+      Seq(idCol, labelCol), naiveBayesFit(docs, labelCol, textCol), idCol)
+
+  /** Shared scoring tail: occurrences × broadcast grid fan each token
+    * occurrence out to its k class terms; ONE shuffle on
+    * (carried keys, class); per-doc argmax window (k rows per doc).
+    */
+  private def scoreOcc(occ: DataFrame, keyCols: Seq[String], model: NBModel,
+                       idCol: String): DataFrame = {
+    val keys = keyCols.map(col)
     val scored = occ
-      .join(broadcast(grid), Seq("tok"))
-      .groupBy(col(idCol), col(labelCol), col("c"))
+      .join(broadcast(model.grid), Seq("tok"))
+      .groupBy(keys :+ col("c"): _*)
       .agg(sum(col("term")).as("tsum"))
-      .join(broadcast(priors), Seq("c"))
-      .select(col(idCol), col(labelCol), col("c"),
-        (col("prior") + col("tsum")).as("ll"))
+      .join(broadcast(model.priors), Seq("c"))
+      .select(keys :+ col("c") :+ (col("prior") + col("tsum")).as("ll"): _*)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("ll").desc, col("c").asc)
     scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col(idCol), col(labelCol), col("c").as("pred_label"),
-        col("ll").cast("double").as("score"))
+      .select(keys :+ col("c").as("pred_label") :+
+        col("ll").cast("double").as("score"): _*)
   }
 
   /** Frequency-ranked vocabulary with a token-mass coverage cutoff.

@@ -38,11 +38,20 @@ import graft.dedup.Dedup
   * committed batches (id < the batch being processed) are folded, so a
   * replayed micro-batch still overwrites its own, un-folded leaves.
   */
+/** @param classGate admit only documents whose
+  *   [[graft.classify.TextClassify.naiveBayesApply]] prediction under
+  *   the (offline-fitted, broadcastable) model is in the allowed label
+  *   set — the in-stream form of the fasttext-style language/quality
+  *   gate. A document with no in-vocabulary token carries no evidence
+  *   and is rejected. Applied after the quality gate, before dedup
+  *   (cheap map-side drops first, signature work last).
+  */
 class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            simThreshold: Double = 0.9,
                            quality: Option[graft.curation.Curation.Config] = None,
                            compactEvery: Int = 16,
-                           segmentFiles: Int = 8) {
+                           segmentFiles: Int = 8,
+                           classGate: Option[(graft.classify.TextClassify.NBModel, Set[String])] = None) {
 
   private val indexDir = s"$workDir/band_index"
   private val admittedDir = s"$workDir/admitted"
@@ -147,7 +156,16 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       val gated = quality.fold(batch.select(col("doc_id"), col("text")))(cfg =>
         graft.curation.Curation.qualityGate(
           batch.select(col("doc_id"), col("text")), cfg).drop("n_tokens"))
-      val docs = gated.localCheckpoint()
+      // classifier gate: micro-batch scored against the static
+      // offline-fitted model (broadcast joins — the stream-static
+      // shape); only allowed predicted labels proceed to dedup
+      val classed = classGate.fold(gated) { case (model, allowed) =>
+        val keep = graft.classify.TextClassify.naiveBayesApply(gated, model)
+          .filter(col("pred_label").isInCollection(allowed))
+          .select(col("doc_id"))
+        gated.join(keep, Seq("doc_id"), "left_semi")
+      }
+      val docs = classed.localCheckpoint()
       val sig = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint()
 
       val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id")

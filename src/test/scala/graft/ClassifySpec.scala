@@ -183,6 +183,27 @@ class ClassifySpec extends SparkSpec {
     }
   }
 
+  // ---- Streaming classifier gate --------------------------------------
+
+  test("StreamingDedupIngest classGate admits only allowed predicted labels") {
+    import graft.streaming.StreamingDedupIngest
+    // offline seed: language A speaks 'aa', B speaks 'bb'
+    val seed = Seq(("A", "aa aa aa aa"), ("B", "bb bb bb bb")).toDF("lang", "text")
+    val model = TextClassify.naiveBayesFit(seed)
+    val work = java.nio.file.Files.createTempDirectory("cls_gate").toString
+    val ingest = new StreamingDedupIngest(spark, work,
+      classGate = Some((model, Set("A"))))
+    val batch = Seq(
+      (1L, "aa aa aa aa aa aa aa aa aa aa"), // predicted A — admitted
+      (2L, "bb bb bb bb bb bb bb bb bb bb"), // predicted B — rejected
+      (3L, "zz zz zz zz zz zz zz zz zz zz")  // all OOV: no evidence — rejected
+    ).toDF("doc_id", "text")
+    ingest.processBatch(batch, 0L)
+    val admitted = ingest.admitted().get.select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(admitted == Seq(1L))
+  }
+
   // ---- Bloom ----------------------------------------------------------
 
   test("Bloom.sketch/mightContain: no false negatives; empty build matches nothing") {
