@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_target_layout"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_target_layout", null, "", "", "", "", "", "", "scala_udf"),
         GraftTargetLayoutTvf.build _))
+    // graft_profile('<path>'[, 'cols']) — column-level table profiling
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_profile"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", null, "graft_profile", null, "", "", "", "", "", "", "scala_udf"),
+        GraftProfileTvf.build _))
     // graft_target point lookups auto-prune: `WHERE key = lit` over the
     // deferred target node lowers to the bucket-pruned scan once filter
     // pushdown parks the predicate on it; anything left lowers to the

@@ -407,6 +407,28 @@ object GraftTargetVersionsTvf {
   * to compose `MERGE INTO ... ON` / `graft_target_lookup` key tuples),
   * plus the current version.
   */
+/** `graft_profile('<path>'[, 'col1,col2,...'])` — column-level
+  * profiling of any parquet table as a TVF: per column, rows / nulls /
+  * exact distinct count / native-typed min-max (rendered as strings).
+  * All columns by default; the optional second literal narrows to a
+  * comma-separated subset (exact distinct counts multiply the
+  * aggregation's Expand factor — see [[graft.ops.Profile]]).
+  */
+object GraftProfileTvf {
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.nonEmpty && exprs.size <= 2,
+      "usage: graft_profile('<path>'[, 'col1,col2,...'])")
+    require(exprs.forall(_.foldable), "graft_profile arguments must be literals")
+    val path = String.valueOf(exprs.head.eval())
+    val df = SparkSession.active.read.parquet(path)
+    val cols =
+      if (exprs.size == 2)
+        String.valueOf(exprs(1).eval()).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else df.columns.toSeq
+    graft.ops.Profile.profile(df, cols).queryExecution.logical
+  }
+}
+
 object GraftTargetLayoutTvf {
   def build(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.size == 1, "usage: graft_target_layout('<path>')")

@@ -46,15 +46,42 @@ import graft.dedup.Dedup
   *   and is rejected. Applied after the quality gate, before dedup
   *   (cheap map-side drops first, signature work last).
   */
+/** @param decontGate eval/blocklist documents (doc_id, text): a
+  *   micro-batch document sharing any `decontNgram`-gram with this set
+  *   is rejected — in-stream eval-set decontamination. The eval set is
+  *   static for the stream's lifetime, so its distinct gram hashes are
+  *   checkpointed once and its bloom sketch is built once at
+  *   construction (one Spark job); per batch the corpus side probes
+  *   the sketch literal map-side and only sketch-positives reach the
+  *   exact confirm join — the [[graft.curation.Curation.decontaminateBloom]]
+  *   shape without per-batch sketch rebuilds.
+  */
 class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            simThreshold: Double = 0.9,
                            quality: Option[graft.curation.Curation.Config] = None,
                            compactEvery: Int = 16,
                            segmentFiles: Int = 8,
-                           classGate: Option[(graft.classify.TextClassify.NBModel, Set[String])] = None) {
+                           classGate: Option[(graft.classify.TextClassify.NBModel, Set[String])] = None,
+                           decontGate: Option[DataFrame] = None,
+                           decontNgram: Int = 8,
+                           decontNumBits: Long = 1L << 23) {
 
   private val indexDir = s"$workDir/band_index"
   private val admittedDir = s"$workDir/admitted"
+
+  private def gramHashes(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(array_distinct(
+      graft.functions.TextFns.shingleHashes48(
+        graft.functions.TextFns.tokens(col("text")), decontNgram))).as("hv"))
+
+  // eval-set decontamination state, built ONCE for the stream: the
+  // checkpointed distinct gram-hash set and its bloom sketch
+  private val decontState: Option[(Array[Byte], DataFrame)] = decontGate.map { ev =>
+    val evalH = gramHashes(ev.select(col("doc_id"), col("text")))
+      .select(col("hv")).distinct().localCheckpoint()
+    val items = math.max(1L, evalH.count())
+    (graft.sketch.Bloom.sketch(evalH, col("hv"), items, decontNumBits), evalH)
+  }
 
   private def readIndex(): Option[DataFrame] =
     if (Files.isDirectory(Paths.get(indexDir)))
@@ -165,7 +192,16 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
           .select(col("doc_id"))
         gated.join(keep, Seq("doc_id"), "left_semi")
       }
-      val docs = classed.localCheckpoint()
+      // decontamination gate: sketch-prefiltered probe of the static
+      // eval gram set; only sketch-positives reach the confirm join
+      val decontD = decontState.fold(classed) { case (bf, evalH) =>
+        val contaminated = gramHashes(classed)
+          .filter(graft.sketch.Bloom.mightContain(bf, col("hv")))
+          .join(broadcast(evalH), "hv")
+          .select(col("doc_id")).distinct()
+        classed.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      }
+      val docs = decontD.localCheckpoint()
       val sig = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint()
 
       val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id")

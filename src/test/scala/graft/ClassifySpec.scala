@@ -204,6 +204,22 @@ class ClassifySpec extends SparkSpec {
     assert(admitted == Seq(1L))
   }
 
+  test("StreamingDedupIngest decontGate drops docs sharing an 8-gram with the eval set") {
+    import graft.streaming.StreamingDedupIngest
+    val eval = Seq((900L, "e1 e2 e3 e4 e5 e6 e7 e8 tail")).toDF("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("decont_gate").toString
+    val ingest = new StreamingDedupIngest(spark, work, decontGate = Some(eval))
+    val batch = Seq(
+      (1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),            // clean — admitted
+      (2L, "x0 e1 e2 e3 e4 e5 e6 e7 e8 x9"),             // contains eval 8-gram — dropped
+      (3L, "e1 e2 e3 e4 e5 e6 e7 x8 x9 x10")             // only a 7-token prefix — admitted
+    ).toDF("doc_id", "text")
+    ingest.processBatch(batch, 0L)
+    val admitted = ingest.admitted().get.select($"doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(admitted == Seq(1L, 3L))
+  }
+
   // ---- Bloom ----------------------------------------------------------
 
   test("Bloom.sketch/mightContain: no false negatives; empty build matches nothing") {

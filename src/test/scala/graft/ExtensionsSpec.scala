@@ -916,6 +916,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(joined.nonEmpty && joined.forall(identity))
   }
 
+  test("graft_profile TVF profiles a parquet table, full and column-subset") {
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    val p = sf("sf0.001") + "/documents.parquet"
+    val full = s2.sql(s"SELECT * FROM graft_profile('$p') ORDER BY column")
+      .collect().map(r => r.getAs[String]("column") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"))).toMap
+    val nDocs = s2.read.parquet(p).count()
+    assert(full.keySet == s2.read.parquet(p).columns.toSet)
+    assert(full.values.forall { case (rows, nulls) => rows == nDocs && nulls == 0L })
+    val subset = s2.sql(
+      s"SELECT column, n_distinct FROM graft_profile('$p', 'lang, source') ORDER BY column")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(subset.map(_._1) == Seq("lang", "source"))
+    assert(subset.forall(_._2 > 0))
+    val err = intercept[Exception](s2.sql(s"SELECT * FROM graft_profile('$p', 'nope')").collect())
+    assert(err.getMessage.contains("no such column"))
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val plan = e.select(graft.functions.VectorFns.cosine($"embedding", $"embedding"))
