@@ -216,34 +216,56 @@ object TextClassify {
     */
   def bigramScore(docs: DataFrame, train: DataFrame,
                   textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
-    def bigrams(d: DataFrame, cols: Column*): DataFrame = {
-      val tk = TextFns.tokens(col(textCol))
-      d.filter(trim(col(textCol)) =!= "")
-        .select(cols :+ tk.as("_tk"): _*)
-        .filter(size(col("_tk")) >= 2)
-        .select(cols :+ explode(arrays_zip(
-          slice(col("_tk"), lit(1), size(col("_tk")) - 1).as("w1"),
-          slice(col("_tk"), lit(2), size(col("_tk")) - 1).as("w2"))).as("bg"): _*)
-        .select(cols :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
-    }
-    val trainBg = bigrams(train)
-    val c12 = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val c1 = trainBg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vsz = train.filter(trim(col(textCol)) =!= "")
-      .select(explode(TextFns.tokens(col(textCol))).as("tok"))
-      .agg(countDistinct(col("tok")).as("vsz"))
-    bigrams(docs, col(idCol))
-      .join(broadcast(c12), Seq("w1", "w2"), "left")
-      .join(broadcast(c1), Seq("w1"), "left")
-      .crossJoin(broadcast(vsz))
+                  idCol: String = "doc_id"): DataFrame =
+    bigramApply(docs, bigramFit(train, textCol), textCol, idCol)
+
+  /** A fitted bigram LM: `c12` = (w1, w2, c12) bigram counts, `c1` =
+    * (w1, c1) prefix counts, `vsz` = 1-row vocabulary size — all
+    * train-corpus-sized (the curated-reference assumption), broadcast
+    * at apply time. Fit once offline, apply to any frame including
+    * micro-batches inside `foreachBatch`.
+    */
+  case class BigramModel(c12: DataFrame, c1: DataFrame, vsz: DataFrame)
+
+  private def bigrams(d: DataFrame, textCol: String, cols: Column*): DataFrame = {
+    val tk = TextFns.tokens(col(textCol))
+    d.filter(trim(col(textCol)) =!= "")
+      .select(cols :+ tk.as("_tk"): _*)
+      .filter(size(col("_tk")) >= 2)
+      .select(cols :+ explode(arrays_zip(
+        slice(col("_tk"), lit(1), size(col("_tk")) - 1).as("w1"),
+        slice(col("_tk"), lit(2), size(col("_tk")) - 1).as("w2"))).as("bg"): _*)
+      .select(cols :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+  }
+
+  /** Fit add-one-smoothed bigram statistics on a reference corpus. */
+  def bigramFit(train: DataFrame, textCol: String = "text"): BigramModel = {
+    val trainBg = bigrams(train, textCol)
+    BigramModel(
+      trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")),
+      trainBg.groupBy(col("w1")).agg(count(lit(1)).as("c1")),
+      train.filter(trim(col(textCol)) =!= "")
+        .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+        .agg(countDistinct(col("tok")).as("vsz")))
+  }
+
+  /** Score `docs` against a fitted bigram model — see [[bigramScore]]
+    * for the contract; unseen bigrams and prefixes coalesce to zero
+    * counts, so no grid is needed.
+    */
+  def bigramApply(docs: DataFrame, model: BigramModel,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    bigrams(docs, textCol, col(idCol))
+      .join(broadcast(model.c12), Seq("w1", "w2"), "left")
+      .join(broadcast(model.c1), Seq("w1"), "left")
+      .crossJoin(broadcast(model.vsz))
       .select(col(idCol),
         logTerm(coalesce(col("c12"), lit(0L)) + lit(1L),
           coalesce(col("c1"), lit(0L)) + col("vsz")).as("term"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("term")).cast("double").as("ll"))
-  }
 
   /** Per-group token-distribution drift from the whole corpus as an
     * EXACT scaled total-variation distance. For group g with token

@@ -17,6 +17,31 @@ object Extra {
 
   private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
 
+    // UNPIVOT (wide → long): the four lineitem measures melted into
+    // (metric, value) rows, then aggregated per metric. Spark's
+    // Unpivot node is a map-side Expand — no shuffle before the
+    // per-metric aggregation; the oracle mirrors it as UNION ALL.
+    q("q_unpivot")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+            $"l_discount", $"l_tax")
+          .unpivot(Array($"l_orderkey"),
+            Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+            "metric", "value")
+          .groupBy($"metric")
+          .agg(count(lit(1)).as("cnt"), decSum($"value").as("total"))
+          .orderBy($"metric")
+      },
+      s"""WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, COUNT(*) AS cnt, ${decSumSql("value")} AS total
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin),
+
     // lineitem ⋈ part ⋈ supplier — broadcast both dims.
     q("q_part_supplier")(
       (s, d) => {
