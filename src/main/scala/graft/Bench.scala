@@ -213,7 +213,7 @@ object Bench {
   // same volume, q_span_mask the postings index at 10x tokens
   private val scaleNames = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
     "q_jaccard_pairs", "q_curation_pipeline", "q_merge_sql",
-    "q_merge_composite", "q_span_mask")
+    "q_merge_composite", "q_span_mask", "q_span_rewrite")
 
   private def scaleSmoke(spark: SparkSession, sfDir: String,
                          onlyQ: Option[Set[String]]): String = {

@@ -325,13 +325,15 @@ object Dedup {
     * yields an empty string; a doc shorter than `n` tokens has no
     * grams and passes through intact.
     *
-    * Scale shape: the inverted-index form of `q_span_mask` plus one
-    * token-grain anti-join — postings explode (∝ corpus tokens) → df
-    * aggregation on the 48-bit gram hash → join back (∝ repeated
-    * occurrences) → covered-position set → (doc, position) anti-join
-    * against the token stream → per-doc ordered reassembly
-    * (`array_sort(collect_list(struct(pos, tok)))` — bounded by a
-    * single document's length, never an unbounded group).
+    * Scale shape: the inverted-index form of `q_span_mask` with NO
+    * token-grain shuffle — postings explode (∝ corpus tokens,
+    * map-side) → df aggregation on the 48-bit gram hash → join back
+    * (∝ repeated occurrences) → per-doc covered-position ARRAYS
+    * (`collect_set`, shuffle ∝ repeated occurrences only, bounded per
+    * doc by its length) → one doc-grain left join → higher-order
+    * filter over the token array (per-token membership probe against
+    * the doc's own covered set). A doc with no repeated span never
+    * shuffles its tokens at all.
     */
   def dropRepeatedSpans(docs: DataFrame, n: Int = 8, minDf: Int = 2,
                         idCol: String = "doc_id",
@@ -341,28 +343,26 @@ object Dedup {
     val id = col(idCol)
     val base = docs.select(id, TextFns.tokens(col(textCol)).as("_tk"))
       .withColumn("n_tokens", size(col("_tk")).cast("long"))
-    val toks = base.select(id, col("n_tokens"),
-      posexplode(col("_tk")).as(Seq("j", "tok")))
+    // the postings frame feeds two branches (df aggregation and the
+    // join-back) — pin it so tokenize+shingle+posexplode runs once
     val grams = graft.util.CacheScope.pin(base.filter(col("n_tokens") >= n)
       .select(id, posexplode(TextFns.shingleHashes48(col("_tk"), n)))
       .toDF(idCol, "pos", "hv"))
     val repeated = grams.select(col("hv"), id).distinct()
       .groupBy(col("hv")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf).select(col("hv"))
+    // per-doc covered positions as one array row — rows ∝ docs that
+    // actually contain a repeated span, payload ≤ the doc's length
     val covered = grams.join(repeated, "hv")
       .select(id, explode(sequence(col("pos"), col("pos") + (n - 1))).as("j"))
-      .distinct()
-    toks.join(covered, Seq(idCol, "j"), "left_anti")
-      .groupBy(id, col("n_tokens"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("j"), col("tok")))),
-          x => x.getField("tok")), " ").as("clean_text"))
-      // fully-covered docs vanish from the anti-join — restore them
-      // with empty text via the (small) doc spine
-      .join(base.select(id, col("n_tokens")), Seq(idCol, "n_tokens"), "right")
+      .groupBy(id).agg(collect_set(col("j")).as("_cov"))
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("_keep", filter(
+        transform(col("_tk"), (tok, i) => struct(i.as("j"), tok.as("tok"))),
+        s => col("_cov").isNull || !array_contains(col("_cov"), s.getField("j"))))
       .select(id, col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        size(col("_keep")).cast("long").as("n_kept"),
+        array_join(transform(col("_keep"), s => s.getField("tok")), " ")
+          .as("clean_text"))
   }
 }

@@ -176,6 +176,14 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-side shuffle/cartesian crept into the bloom path:\n$p")
   }
 
+  test("q_unpivot melts map-side (Expand), no shuffle before the metric aggregation") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), s"unpivot lost its Expand node:\n$p")
+    // exactly the aggregation exchange + the final orderBy range exchange
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"q_unpivot shuffles $exchanges times:\n$p")
+  }
+
   test("q_oov_rate joins only the broadcast vocabulary; corpus aggregates once") {
     val p = plan("q_oov_rate")
     assert(!p.contains("SortMergeJoin"), s"q_oov_rate shuffles the corpus to join the vocab:\n$p")
