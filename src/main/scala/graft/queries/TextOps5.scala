@@ -154,6 +154,58 @@ object TextOps5 {
         |  CAST(SUM(term) AS DOUBLE) AS ll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Temperature-flattened source mixing (the GPT-3/PaLM data-mix
+    // step with T=0.5): per-source sampling rate ∝ sqrt(source share),
+    // so big sources are down-weighted and small ones surface. Exact
+    // cross-engine reproducibility without trusting float sums: sqrt
+    // is IEEE-correctly-rounded (bit-identical on both engines), each
+    // sqrt rounds to DECIMAL(13,9), the denominator is their exact
+    // DECIMAL sum, and admission is the cross-multiplied integer/
+    // decimal compare bucket·n_s·denom < 1e6·T·s_s — no division, no
+    // float accumulation anywhere. Budget T = half the corpus.
+    // (Decimal widths sized for corpus sizes up to ~1e12 rows/source;
+    // the products stay under DECIMAL(38).)
+    q("q_temp_mix")(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        // skew the fixture (sources src0-src4 keep all docs, the rest
+        // ~a third) so the sqrt-flattening is visible: small sources'
+        // admitted share must exceed their input share
+        val srcNum = substring($"source", 4, 10).cast("int")
+        val docs = t(s, d, "documents")
+          .filter(srcNum < 5 || $"doc_id" % 3 === 0)
+        val stats = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+          .select($"source", $"n_s",
+            round(sqrt($"n_s".cast("double")), 9).cast(DecimalType(13, 9)).as("s_s"))
+        val denom = stats.agg(sum($"s_s").cast(DecimalType(16, 9)).as("denom"))
+        val tot = docs.agg(floor(count(lit(1)) / 2).cast("long").as("t"))
+        docs.select($"doc_id", $"source",
+            (TextFns.hash48($"doc_id".cast("string")) % 1000000).as("bucket_ppm"))
+          .join(broadcast(stats), Seq("source"))
+          .crossJoin(broadcast(denom)).crossJoin(broadcast(tot))
+          .filter(($"bucket_ppm" * $"n_s").cast(DecimalType(20, 0)) * $"denom" <
+            (lit(1000000L) * $"t").cast(DecimalType(20, 0)) * $"s_s")
+          .select($"doc_id", $"source", $"bucket_ppm")
+          .orderBy($"doc_id")
+      },
+      """WITH corpus AS (SELECT doc_id, source FROM documents
+        |  WHERE CAST(substr(source, 4) AS INTEGER) < 5 OR doc_id % 3 = 0),
+        |bys AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        |  FROM corpus GROUP BY 1),
+        |st AS (SELECT source, n_s,
+        |  CAST(round(sqrt(n_s), 9) AS DECIMAL(13,9)) AS s_s FROM bys),
+        |dn AS (SELECT CAST(SUM(s_s) AS DECIMAL(16,9)) AS denom FROM st),
+        |tt AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS t FROM corpus),
+        |b AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |    % 1000000 AS bucket_ppm FROM corpus)
+        |SELECT b.doc_id, b.source, b.bucket_ppm
+        |FROM b JOIN st USING (source) CROSS JOIN dn CROSS JOIN tt
+        |WHERE CAST(b.bucket_ppm * st.n_s AS DECIMAL(20,0)) * dn.denom
+        |    < CAST(1000000 * tt.t AS DECIMAL(20,0)) * st.s_s
+        |ORDER BY b.doc_id""".stripMargin),
+
     // Repeated-span REWRITE (the removal half of exact-substring
     // dedup; q_span_mask is the detection half): drop every token
     // covered by a cross-doc repeated 8-gram and emit the cleaned

@@ -139,6 +139,22 @@ class ClassifySpec extends SparkSpec {
     out.values.foreach { case (tg, t, num) => assert(num <= 2 * tg * t) }
   }
 
+  // ---- Temperature mixing ---------------------------------------------
+
+  test("q_temp_mix flattens source shares toward sqrt weighting") {
+    val out = SparkEntry.queries("q_temp_mix")(spark, sf("sf0.01"))
+    val admitted = out.groupBy($"source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    // input shares after the planted skew: src0-4 have ~25 docs, the
+    // rest ~8 — sqrt flattening must give small sources a HIGHER
+    // admitted fraction of their input than large sources
+    val bigRate = (0 to 4).map(i => admitted.getOrElse(s"src$i", 0L)).sum.toDouble / (5 * 25)
+    val smallIn = 20.0 * 3 // src5..src19, ~25/3 each ≈ 8.3
+    val smallRate = (5 to 19).map(i => admitted.getOrElse(s"src$i", 0L)).sum.toDouble * 3 / (15 * 25)
+    assert(smallRate > bigRate,
+      s"flattening inverted: small-source rate $smallRate <= big-source rate $bigRate (smallIn=$smallIn)")
+  }
+
   // ---- Repeated-span rewrite -----------------------------------------
 
   test("dropRepeatedSpans: shared 8-gram spans drop, unique suffixes and short docs survive") {
