@@ -154,8 +154,12 @@ object TextClassify {
     * in the integer domain — `(cum - cnt) * 100 < pct * total` — so no
     * ratio is ever materialized and the cut is exact.
     *
-    * The distinct-token frame is vocabulary-sized; the ranking window
-    * runs on that tiny frame, not the corpus.
+    * The ranking runs on the distinct-token frame (vocabulary-sized,
+    * not the corpus) and is FULLY PARALLEL even when the raw-token
+    * vocabulary itself is huge (web corpora: every typo and number is
+    * a token): rank and cumulative count route through the
+    * [[graft.operators.Ranking]] range-partition + broadcast-offset
+    * machinery, never a single-partition global window.
     */
   def vocabInduce(docs: DataFrame, coveragePct: Int = 95,
                   textCol: String = "text"): DataFrame = {
@@ -164,11 +168,11 @@ object TextClassify {
     val cnts = docs.filter(trim(col(textCol)) =!= "")
       .select(explode(TextFns.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
-    cnts
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum_cnt", sum(col("cnt")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sort = Seq(col("cnt").desc, col("tok").asc)
+    val ranked = graft.operators.Ranking.globalRunningSum(
+      graft.operators.Ranking.globalRowNumber(cnts, sort, "rank"),
+      col("cnt"), sort, "cum_cnt")
+    ranked
       .crossJoin(broadcast(cnts.agg(sum(col("cnt")).as("total"))))
       .select(col("tok"), col("cnt"), col("rank"), col("cum_cnt"),
         ((col("cum_cnt") - col("cnt")) * 100 <

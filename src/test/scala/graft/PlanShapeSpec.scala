@@ -184,6 +184,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 2, s"q_unpivot shuffles $exchanges times:\n$p")
   }
 
+  test("q_vocab_coverage ranks without any single-partition window") {
+    // rank + cumulative count route through the Ranking machinery
+    // (range partition + broadcast offsets) — a Window node here means
+    // the induction regressed to a one-task global sort
+    val p = plan("q_vocab_coverage")
+    assert(!p.contains("Window"), s"q_vocab_coverage picked up a global window:\n$p")
+  }
+
   test("q_oov_rate joins only the broadcast vocabulary; corpus aggregates once") {
     val p = plan("q_oov_rate")
     assert(!p.contains("SortMergeJoin"), s"q_oov_rate shuffles the corpus to join the vocab:\n$p")
