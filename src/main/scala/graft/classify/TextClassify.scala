@@ -290,6 +290,12 @@ object TextClassify {
     * corpus counts. A token absent from a group still contributes
     * `n_t·T_g` — handled by building the (group × vocab) grid from the
     * group totals, vocabulary-sized, never corpus-sized.
+    *
+    * The cross products run in DECIMAL — n_tg·T is a count times the
+    * CORPUS total, which overflows Long (silently, in non-ANSI Spark)
+    * once counts pass ~10^9·10^9; DECIMAL(18,0)×DECIMAL(19,0) keeps
+    * every product exact up to corpus sizes of 10^18 tokens, and
+    * `tvd_num` is emitted as DECIMAL(38,0).
     */
   def tokenDrift(docs: DataFrame, groupCol: String = "source",
                  textCol: String = "text"): DataFrame = {
@@ -300,13 +306,16 @@ object TextClassify {
     val byTok = occ.groupBy(col("tok")).agg(count(lit(1)).as("n_t"))
     val byGroup = occ.groupBy(col(groupCol)).agg(count(lit(1)).as("t_g"))
     val corpusTot = occ.agg(count(lit(1)).as("t_all"))
+    def d18(c: Column) = c.cast(DecimalType(18, 0))
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
     // (group × vocab) grid so zero-count cells still contribute n_t·T_g
     byGroup.crossJoin(broadcast(byTok))
       .join(byGroupTok, Seq(groupCol, "tok"), "left")
       .crossJoin(broadcast(corpusTot))
       .groupBy(col(groupCol), col("t_g"), col("t_all"))
-      .agg(sum(abs(coalesce(col("n_tg"), lit(0L)) * col("t_all") -
-        col("n_t") * col("t_g"))).as("tvd_num"))
+      .agg(sum(abs(d18(coalesce(col("n_tg"), lit(0L))) * d19(col("t_all")) -
+        d18(col("n_t")) * d19(col("t_g"))))
+        .cast(DecimalType(38, 0)).as("tvd_num"))
       .select(col(groupCol), col("t_g").as("n_tokens"),
         col("t_all").as("corpus_tokens"), col("tvd_num"))
   }

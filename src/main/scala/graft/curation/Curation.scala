@@ -96,17 +96,23 @@ object Curation {
   }
 
   /** [[decontaminate]] with a bloom-sketch prefilter on the corpus
-    * side — the form that holds when the eval/blocklist set is too
-    * large to broadcast exactly: the corpus scan probes a driver-held
-    * sketch of the eval hashes (`numBits/8` bytes, ~10× smaller than
-    * the exact hash set at ~1% FP), and only sketch-positive grams —
-    * true contaminations plus the small FP stream — reach the exact
-    * confirm join. The result is EXACTLY [[decontaminate]]'s: the
-    * sketch shrinks the candidate stream, the exact join decides.
+    * side: every scan task probes a `numBits/8`-byte sketch of the
+    * eval hashes (~10× smaller than the exact hash relation at ~1%
+    * FP), and only sketch-positive grams — true contaminations plus
+    * the small FP stream — reach the exact confirm join. The result
+    * is EXACTLY [[decontaminate]]'s: the sketch shrinks the candidate
+    * stream, the exact join decides.
+    *
+    * When the eval set is so large that even the EXACT hash relation
+    * cannot broadcast, pass `broadcastConfirm = false`: the confirm
+    * join then shuffles — cheap, because only the sketch-positive
+    * candidate stream (not the corpus) reaches it — and nothing in
+    * the path broadcasts more than the sketch bytes.
     */
   def decontaminateBloom(df: DataFrame, evalDocs: DataFrame,
                          cfg: Config = Config(),
-                         numBits: Long = 1L << 23): DataFrame = {
+                         numBits: Long = 1L << 23,
+                         broadcastConfirm: Boolean = true): DataFrame = {
     val n = cfg.decontaminateNgram
     def grams(d: DataFrame) = d.select(col("doc_id"),
       explode(array_distinct(
@@ -114,9 +120,10 @@ object Curation {
     val evalH = grams(evalDocs).select(col("hv")).distinct()
     val items = math.max(1L, evalH.count())
     val bf = graft.sketch.Bloom.sketch(evalH, col("hv"), items, numBits)
+    val confirmSide = if (broadcastConfirm) broadcast(evalH) else evalH
     val contaminated = grams(df)
       .filter(graft.sketch.Bloom.mightContain(bf, col("hv")))
-      .join(broadcast(evalH), "hv") // exact confirm: FPs die here
+      .join(confirmSide, "hv") // exact confirm: FPs die here
       .select(col("doc_id")).distinct()
     df.join(broadcast(evalDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")

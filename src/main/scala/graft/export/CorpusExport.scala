@@ -1,6 +1,6 @@
 package graft.export
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
 import scala.jdk.CollectionConverters._
@@ -73,7 +73,19 @@ object CorpusExport {
       Files.delete(manifestPath)
     }
     val staging = root.resolve(".staging")
-    deleteRecursively(staging) // debris from a crashed attempt
+    graft.util.Fs.deleteRecursively(staging) // debris from a crashed attempt
+    // a crash BETWEEN shard moves and the manifest write leaves
+    // manifest-less shard files in the root — readers never see them
+    // (manifest-gated), but a retry must sweep them or its own moves
+    // would collide with the debris
+    locally {
+      val listing = Files.list(root)
+      try listing.iterator().asScala
+        .filter { p => val n = p.getFileName.toString
+          n.startsWith("shard-") && n.endsWith(".parquet") }
+        .foreach(p => Files.deleteIfExists(p): Unit)
+      finally listing.close()
+    }
 
     // global rank → round-robin shard → hash-cluster by shard so each
     // shard's rows land in exactly one task, pre-sorted (shard, pos) so
@@ -108,21 +120,7 @@ object CorpusExport {
         Some(sh -> parts.head)
       }
     }
-    val hashes: Map[String, String] =
-      if (moves.isEmpty) Map.empty
-      else spark.sparkContext
-        .binaryFiles(moves.map(_._2.toString).mkString(","))
-        .mapValues { pds =>
-          val md = MessageDigest.getInstance("SHA-256")
-          val in = pds.open()
-          try {
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
-          } finally in.close()
-          md.digest().map("%02x".format(_)).mkString
-        }
-        .collect().toMap.map { case (k, v) => normalizeUri(k) -> v }
+    val hashes = hashFiles(spark, moves.map(_._2.toString))
 
     val counts: Map[Int, Long] =
       if (moves.isEmpty) Map.empty
@@ -137,7 +135,7 @@ object CorpusExport {
         hashes.getOrElse(normalizeUri(staged.toUri.toString),
           sys.error(s"no hash for staged shard $sh")))
     }
-    deleteRecursively(staging)
+    graft.util.Fs.deleteRecursively(staging)
 
     // manifest LAST, atomically: header line then one TSV row per shard
     val manifest = ExportManifest(shards, entries.map(_.rows).sum, entries)
@@ -188,18 +186,7 @@ object CorpusExport {
       m.entries.forall(e => Files.exists(Paths.get(dir, e.file))) && {
         if (m.entries.isEmpty) true
         else {
-          val hashes = spark.sparkContext
-            .binaryFiles(m.entries.map(e => s"$dir/${e.file}").mkString(","))
-            .mapValues { pds =>
-              val md = MessageDigest.getInstance("SHA-256")
-              val in = pds.open()
-              try {
-                val buf = new Array[Byte](1 << 16)
-                var n = in.read(buf)
-                while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
-              } finally in.close()
-              md.digest().map("%02x".format(_)).mkString
-            }.collect().toMap.map { case (k, v) => normalizeUri(k) -> v }
+          val hashes = hashFiles(spark, m.entries.map(e => s"$dir/${e.file}"))
           m.entries.forall { e =>
             hashes.get(normalizeUri(Paths.get(dir, e.file).toUri.toString))
               .contains(e.sha256)
@@ -208,15 +195,28 @@ object CorpusExport {
       }
     }
 
+  /** Executor-side SHA-256 of each file's bytes, keyed by normalized
+    * URI path — the ONE hashing implementation write() and verify()
+    * share, so their hash agreement can't drift.
+    */
+  private def hashFiles(spark: SparkSession, paths: Seq[String]): Map[String, String] =
+    spark.sparkContext
+      .binaryFiles(paths.mkString(","))
+      .mapValues { pds =>
+        val md = MessageDigest.getInstance("SHA-256")
+        val in = pds.open()
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        md.digest().map("%02x".format(_)).mkString
+      }
+      .collect().toMap.map { case (k, v) => normalizeUri(k) -> v }
+
   /** `binaryFiles` keys are URIs whose scheme/slash form varies by
     * Hadoop version — compare on the path component only.
     */
   private def normalizeUri(s: String): String =
     java.net.URI.create(s).getPath
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f): Unit)
-    }
 }

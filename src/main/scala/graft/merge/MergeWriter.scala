@@ -403,11 +403,12 @@ object MergeWriter {
             syncUpdateCols: Option[Seq[(String, String)]] = None,
             syncUpdateCond: Option[String] = None,
             deleteMatchedOnly: Boolean = false,
-            syncUpdateFirst: Boolean = false): Long =
+            syncUpdateFirst: Boolean = false,
+            matchedUpdateFirst: Boolean = false): Long =
     mergeByKeys(spark, targetDir, updates, Seq(keyCol), orderCol, buckets,
       leaseWaitMs, deleteCol, updateCols, syncDelete, updateCondCol, syncDeleteCond,
       insertCondCol, insertCols, syncUpdateCols, syncUpdateCond,
-      deleteMatchedOnly, syncUpdateFirst)
+      deleteMatchedOnly, syncUpdateFirst, matchedUpdateFirst)
 
   /** Composite-key upsert: match on the conjunction of `keyCols`
     * (e.g. (tenant, id)); buckets hash the whole key tuple, so all
@@ -430,7 +431,8 @@ object MergeWriter {
                   syncUpdateCols: Option[Seq[(String, String)]] = None,
                   syncUpdateCond: Option[String] = None,
                   deleteMatchedOnly: Boolean = false,
-                  syncUpdateFirst: Boolean = false): Long = lockFor(targetDir).synchronized {
+                  syncUpdateFirst: Boolean = false,
+                  matchedUpdateFirst: Boolean = false): Long = lockFor(targetDir).synchronized {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // key columns are persisted comma-joined (tab-separated from the
     // bucket count) in _BUCKETS — a separator inside a name would
@@ -441,7 +443,8 @@ object MergeWriter {
     val lease = acquireLease(targetDir, leaseWaitMs)
     try mergeLocked(spark, targetDir, updates, keyCols, orderCol, buckets, deleteCol,
       updateCols, syncDelete, updateCondCol, syncDeleteCond, insertCondCol, insertCols,
-      syncUpdateCols, syncUpdateCond, deleteMatchedOnly, syncUpdateFirst)
+      syncUpdateCols, syncUpdateCond, deleteMatchedOnly, syncUpdateFirst,
+      matchedUpdateFirst)
     finally lease.release()
   }
 
@@ -457,7 +460,8 @@ object MergeWriter {
                           syncUpdateCols: Option[Seq[(String, String)]],
                           syncUpdateCond: Option[String],
                           deleteMatchedOnly: Boolean,
-                          syncUpdateFirst: Boolean): Long = {
+                          syncUpdateFirst: Boolean,
+                          matchedUpdateFirst: Boolean): Long = {
     val nB = bucketMeta(targetDir) match {
       case Some((b, stored)) =>
         // a different key set would hash rows into buckets the stored
@@ -624,8 +628,16 @@ object MergeWriter {
         // MATCHED target row under T-SQL semantics (the SQL MERGE path:
         // WHEN MATCHED ... DELETE never applies to an unmatched row,
         // which falls through to the insert branch instead)
-        val uDel = coalesce(col("u._gdel"), lit(false)) &&
+        val uDel0 = coalesce(col("u._gdel"), lit(false)) &&
           (if (deleteMatchedOnly) tPresent else lit(true))
+        // matched-branch statement order (T-SQL first-applicable-clause
+        // rule, the matched twin of syncUpdateFirst below): with UPDATE
+        // listed before DELETE, a matched row whose update branch fires
+        // updates instead of deleting; delete keeps rows the update
+        // condition rejects
+        val uDel =
+          if (matchedUpdateFirst) uDel0 && !(tPresent && col("u._gupd"))
+          else uDel0
         // this source row's values take effect for its output row:
         // inserts always, matched rows only when the update branch fires
         val uApplies = uPresent && (!tPresent || col("u._gupd"))

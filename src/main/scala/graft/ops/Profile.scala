@@ -29,7 +29,9 @@ object Profile {
     require(missing.isEmpty, s"profile: no such column(s): ${missing.mkString(", ")}")
     val aggs: Seq[Column] = count(lit(1)).as("_rows") +: columns.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+        // coalesce: sum over an EMPTY frame is NULL, but the contract
+        // is an exact count — an empty table has exactly 0 nulls
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"_nn_$c"),
         countDistinct(col(c)).as(s"_nd_$c"),
         min(col(c)).cast("string").as(s"_mn_$c"),
         max(col(c)).cast("string").as(s"_mx_$c"))

@@ -57,8 +57,17 @@ import graft.merge.MergeWriter
   *    SOURCE columns, like the delete branch's) guards the update: a
   *    matched row failing it takes no action at all — the target row
   *    stays byte-identical, `migrated_at` included — while unmatched
-  *    rows still insert. The delete branch is evaluated first; the
-  *    update condition applies to the remaining matched rows.
+  *    rows still insert. With BOTH matched branches present, a row
+  *    both select takes the FIRST clause in statement order (one
+  *    action per row, first applicable clause wins — as in T-SQL, and
+  *    as the sync pair below already does): DELETE-first deletes rows
+  *    its condition selects and updates the rest; a conditional
+  *    UPDATE-first updates rows its condition selects and deletes only
+  *    those it rejects. T-SQL requires the first of two matched
+  *    clauses to carry a condition; the unconditional-first form is
+  *    accepted here with its only reachable meaning — the
+  *    unconditional clause is the fallback for rows the conditional
+  *    clause rejects, wherever it is written.
   *  - a delete branch (the T-SQL MERGE delete form): `cond` is any
   *    boolean expression over the SOURCE columns; omitted = every
   *    source row is a delete. A MATCHED source row satisfying `cond`
@@ -127,7 +136,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
                                 insertCols: Option[Seq[(String, String)]] = None,
                                 syncUpdateSet: Option[Seq[(String, String)]] = None,
                                 syncUpdateCond: Option[String] = None,
-                                syncUpdateFirst: Boolean = false)
+                                syncUpdateFirst: Boolean = false,
+                                matchedUpdateFirst: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -139,16 +149,19 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
     // an INSERT column naming neither a source column nor an existing
     // target column is almost certainly a typo — T-SQL raises for an
     // unknown target column, so we do too (additive schema evolution
-    // stays available through UPDATE SET, where the intent is explicit)
+    // stays available through UPDATE SET, where the intent is explicit).
+    // EXCEPT on a first merge: with no target yet, the INSERT list is
+    // exactly where the target's columns get DEFINED — every listed
+    // name is legitimate there, as in a CREATE-on-first-write.
     insertCols.foreach { list =>
-      val targetCols = MergeWriter.readTarget(session, targetDir)
-        .map(_.columns.toSeq).getOrElse(Seq.empty)
-      val known = (srcBase0.columns ++ targetCols).map(_.toLowerCase).toSet
-      list.collect { case (c, _) if !known.contains(c.toLowerCase) => c }
-        .foreach(c => throw new UnsupportedOperationException(
-          s"MERGE INTO '<path>': INSERT column '$c' exists neither in the " +
-            "source nor the target (unknown target column — T-SQL raises; " +
-            "to add a new column additively, assign it with UPDATE SET)"))
+      MergeWriter.readTarget(session, targetDir).foreach { target =>
+        val known = (srcBase0.columns ++ target.columns).map(_.toLowerCase).toSet
+        list.collect { case (c, _) if !known.contains(c.toLowerCase) => c }
+          .foreach(c => throw new UnsupportedOperationException(
+            s"MERGE INTO '<path>': INSERT column '$c' exists neither in the " +
+              "source nor the target (unknown target column — T-SQL raises; " +
+              "to add a new column additively, assign it with UPDATE SET)"))
+      }
     }
     // SET expressions and the update condition are over the SOURCE
     // columns — alias it `s` so `s.col` and bare `col` both resolve
@@ -227,7 +240,8 @@ case class MergeIntoPathCommand(targetDir: String, source: String, keyCols: Seq[
       // the source, where unmatched rows are inert either way; the
       // API/streaming path keeps CDC-tombstone semantics instead.)
       deleteMatchedOnly = upsert,
-      syncUpdateFirst = syncUpdateFirst)
+      syncUpdateFirst = syncUpdateFirst,
+      matchedUpdateFirst = matchedUpdateFirst)
     Seq(Row(n))
   }
 }
@@ -587,6 +601,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // statement order of the two NOT MATCHED BY SOURCE branches: the
       // first applicable clause wins for a row both would select (T-SQL)
       var syncUpdateFirst = false
+      // likewise for the two WHEN MATCHED branches: UPDATE listed
+      // before DELETE means a matched row whose update condition holds
+      // updates; DELETE-first (or lone delete) keeps delete precedence
+      var matchedUpdateFirst = false
       def once(already: Boolean, what: String): Unit =
         if (already) throw new UnsupportedOperationException(
           s"MERGE INTO '<path>': duplicate $what clause")
@@ -614,6 +632,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           deleteCond = Some(Option(c).getOrElse("true"))
         case UpdateClauseRe(c, setSpec) =>
           once(update.isDefined, "WHEN MATCHED ... UPDATE")
+          // update-first precedence only when the clause carries a
+          // condition: T-SQL requires the first of two matched clauses
+          // to be conditional (an unconditional first would make the
+          // second unreachable), so an unconditional UPDATE acts as the
+          // fallback for rows the delete condition rejects regardless
+          // of where it is written — the only reachable meaning
+          if (deleteCond.isEmpty && c != null) matchedUpdateFirst = true
           update = Some(parseSetSpec(setSpec, keyCols))
           updateCond = Option(c)
         case other => throw new UnsupportedOperationException(
@@ -652,7 +677,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           if (!insert && combined && when != null) Some("false") else insertCond,
         insertCols = insertCols,
         syncUpdateSet = syncUpdate, syncUpdateCond = syncUpdateCond,
-        syncUpdateFirst = syncUpdateFirst)
+        syncUpdateFirst = syncUpdateFirst,
+        matchedUpdateFirst = matchedUpdateFirst)
     case _ => throw new IllegalStateException("parseMerge on a non-MERGE statement")
   }
 

@@ -117,8 +117,9 @@ object TextOps5 {
         |bg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_g FROM occ GROUP BY 1),
         |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_all FROM occ)
         |SELECT bg.source, bg.t_g AS n_tokens, ct.t_all AS corpus_tokens,
-        |  CAST(SUM(abs(coalesce(gt.n_tg, 0) * ct.t_all - bt.n_t * bg.t_g))
-        |    AS BIGINT) AS tvd_num
+        |  CAST(SUM(abs(CAST(coalesce(gt.n_tg, 0) AS DECIMAL(18,0)) * CAST(ct.t_all AS DECIMAL(19,0))
+        |    - CAST(bt.n_t AS DECIMAL(18,0)) * CAST(bg.t_g AS DECIMAL(19,0))))
+        |    AS DECIMAL(38,0)) AS tvd_num
         |FROM bg CROSS JOIN bt CROSS JOIN ct
         |LEFT JOIN gt ON gt.source = bg.source AND gt.tok = bt.tok
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),

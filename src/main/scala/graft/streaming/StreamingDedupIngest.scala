@@ -37,16 +37,15 @@ import graft.dedup.Dedup
   * file-count cure the catalog applies to its NDJSON appends. Only
   * committed batches (id < the batch being processed) are folded, so a
   * replayed micro-batch still overwrites its own, un-folded leaves.
-  */
-/** @param classGate admit only documents whose
+  *
+  * @param classGate admit only documents whose
   *   [[graft.classify.TextClassify.naiveBayesApply]] prediction under
   *   the (offline-fitted, broadcastable) model is in the allowed label
   *   set — the in-stream form of the fasttext-style language/quality
   *   gate. A document with no in-vocabulary token carries no evidence
   *   and is rejected. Applied after the quality gate, before dedup
   *   (cheap map-side drops first, signature work last).
-  */
-/** @param decontGate eval/blocklist documents (doc_id, text): a
+  * @param decontGate eval/blocklist documents (doc_id, text): a
   *   micro-batch document sharing any `decontNgram`-gram with this set
   *   is rejected — in-stream eval-set decontamination. The eval set is
   *   static for the stream's lifetime, so its distinct gram hashes are
@@ -64,7 +63,8 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            classGate: Option[(graft.classify.TextClassify.NBModel, Set[String])] = None,
                            decontGate: Option[DataFrame] = None,
                            decontNgram: Int = 8,
-                           decontNumBits: Long = 1L << 23) {
+                           decontNumBits: Long = 1L << 23,
+                           decontBroadcastConfirm: Boolean = true) {
 
   private val indexDir = s"$workDir/band_index"
   private val admittedDir = s"$workDir/admitted"
@@ -195,9 +195,14 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       // decontamination gate: sketch-prefiltered probe of the static
       // eval gram set; only sketch-positives reach the confirm join
       val decontD = decontState.fold(classed) { case (bf, evalH) =>
+        // confirm side broadcasts by default; flip the flag off when
+        // the eval hash relation itself is too big to broadcast (the
+        // candidate stream is sketch-bounded, so a shuffle join stays
+        // cheap)
+        val confirm = if (decontBroadcastConfirm) broadcast(evalH) else evalH
         val contaminated = gramHashes(classed)
           .filter(graft.sketch.Bloom.mightContain(bf, col("hv")))
-          .join(broadcast(evalH), "hv")
+          .join(confirm, "hv")
           .select(col("doc_id")).distinct()
         classed.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       }

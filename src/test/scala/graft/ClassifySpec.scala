@@ -127,7 +127,7 @@ class ClassifySpec extends SparkSpec {
     val out = TextClassify.tokenDrift(f).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_tokens"), r.getAs[Long]("corpus_tokens"),
-          r.getAs[Long]("tvd_num"))).toMap
+          r.getAs[java.math.BigDecimal]("tvd_num").longValueExact())).toMap
     // corpus: a=4, b=2, c=3, T=9
     // g1 (T_g=3, a=2 b=1 c=0): |2*9-4*3| + |1*9-2*3| + |0*9-3*3| = 6+3+9 = 18
     assert(out("g1") == ((3L, 9L, 18L)))
@@ -197,6 +197,10 @@ class ClassifySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profile.profile(f, Seq("id", "nope"))
     }
+    // empty frame: exact zero counts, never NULL
+    val empty = Profile.profile(f.filter($"id" < 0), Seq("id")).head()
+    assert(empty.getAs[Long]("n_rows") == 0L && empty.getAs[Long]("n_nulls") == 0L
+      && empty.getAs[Long]("n_distinct") == 0L)
   }
 
   // ---- Streaming classifier gate --------------------------------------

@@ -916,6 +916,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(joined.nonEmpty && joined.forall(identity))
   }
 
+  test("MERGE matched-branch order: first applicable clause wins (T-SQL)") {
+    import graft.merge.MergeWriter
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    def seed(dir: String): Unit = {
+      Seq((1L, "keep"), (2L, "drop")).toDF("k", "v")
+        .createOrReplaceTempView("mo_seed")
+      s2.sql(s"MERGE INTO '$dir' USING mo_seed ON k BUCKETS 4").collect()
+    }
+    def state(dir: String): Map[Long, String] = MergeWriter.readTarget(s2, dir).get
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    Seq((1L, "updated"), (2L, "updated")).toDF("k", "v")
+      .createOrReplaceTempView("mo_batch")
+
+    // UPDATE listed first with a condition: rows its condition selects
+    // UPDATE; only rejected rows reach the DELETE clause
+    val d1 = java.nio.file.Files.createTempDirectory("merge_ord1").toString
+    seed(d1)
+    s2.sql(s"MERGE INTO '$d1' USING mo_batch ON k " +
+      "WHEN MATCHED AND k = 1 THEN UPDATE SET * " +
+      "WHEN MATCHED THEN DELETE").collect()
+    assert(state(d1) == Map(1L -> "updated"), "update-first must update k=1, delete k=2")
+
+    // same clauses, DELETE listed first: the unconditional delete now
+    // outranks the update for every matched row
+    val d2 = java.nio.file.Files.createTempDirectory("merge_ord2").toString
+    seed(d2)
+    s2.sql(s"MERGE INTO '$d2' USING mo_batch ON k " +
+      "WHEN MATCHED THEN DELETE " +
+      "WHEN MATCHED AND k = 1 THEN UPDATE SET *").collect()
+    assert(state(d2) == Map.empty, "delete-first must delete both matched rows")
+  }
+
+  test("first merge with an INSERT column list defines new target columns") {
+    import graft.merge.MergeWriter
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_first_ins").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").createOrReplaceTempView("fi_src")
+    // 'tagged' exists in neither source nor (nonexistent) target: on a
+    // FIRST merge the INSERT list is where the schema gets defined
+    s2.sql(s"MERGE INTO '$dir' USING fi_src ON k " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, tagged) VALUES (s.k, upper(s.v), 'new')").collect()
+    val t = MergeWriter.readTarget(s2, dir).get
+    assert(t.select($"k", $"v", $"tagged").as[(Long, String, String)].collect().toSet ==
+      Set((1L, "A", "new"), (2L, "B", "new")))
+    // on an EXISTING target the typo protection still raises
+    Seq((3L, "c")).toDF("k", "v").createOrReplaceTempView("fi_src2")
+    val err = intercept[Exception](s2.sql(s"MERGE INTO '$dir' USING fi_src2 ON k " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, taged) VALUES (s.k, s.v, 'x')").collect())
+    assert(err.getMessage.contains("taged"))
+  }
+
   test("graft_profile TVF profiles a parquet table, full and column-subset") {
     val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
     val p = sf("sf0.001") + "/documents.parquet"
