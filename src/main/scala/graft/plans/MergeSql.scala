@@ -394,6 +394,41 @@ case class VacuumPathCommand(targetDir: String, keep: Int) extends LeafRunnableC
   }
 }
 
+/** `EXPORT CORPUS <table_or_view> TO '<dir>' SHARDS n ORDER BY col
+  * [DESC] [, ...] [OVERWRITE]` — the SQL face of
+  * [[graft.export.CorpusExport.write]]: materialize a frame as n
+  * round-robin parquet shards in a pinned global order with an
+  * atomic, sha256-bearing manifest. The ORDER BY list must be a
+  * total order (append a unique id) — same contract as the API.
+  * Returns the manifest: one row per shard (shard, file, rows,
+  * sha256). Re-exporting to a published directory raises unless
+  * OVERWRITE.
+  */
+case class ExportCorpusCommand(source: String, dir: String, shards: Int,
+                               orderSpec: String, overwrite: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("shard", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("file", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)(),
+    AttributeReference("sha256", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val sortCols = orderSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
+      s.split("\\s+").toSeq match {
+        case Seq(c) => col(c).asc
+        case Seq(c, d) if d.equalsIgnoreCase("desc") => col(c).desc
+        case Seq(c, d) if d.equalsIgnoreCase("asc") => col(c).asc
+        case _ => throw new UnsupportedOperationException(
+          s"EXPORT CORPUS: ORDER BY entries are 'col [ASC|DESC]'; got '$s'")
+      }
+    }
+    val m = graft.export.CorpusExport.write(
+      session.table(source), dir, shards, sortCols, overwrite)
+    m.entries.map(e => Row(e.shard, e.file, e.rows, e.sha256))
+  }
+}
+
 /** `graft_target_versions('<path>')` table-valued function — version
   * discoverability for the time-travel read side: which snapshot
   * versions are still on disk (and thus valid second arguments to
@@ -491,6 +526,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val AssignRe = """(?is)^\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(.+?)\s*$""".r
 
   private val CompactRe = """(?is)^\s*COMPACT\s+'([^']+)'\s*;?\s*$""".r
+  private val ExportRe =
+    ("""(?is)^\s*EXPORT\s+CORPUS\s+([\w.]+)\s+TO\s+'([^']+)'\s+SHARDS\s+(\d+)""" +
+      """\s+ORDER\s+BY\s+(.+?)(\s+OVERWRITE)?\s*;?\s*$""").r
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
 
   private val UsingParenRe = """(?is)^(\s*MERGE\s+INTO\s+'[^']+'\s+USING\s+)\(""".r
@@ -562,6 +600,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     sqlText match {
       case MergeRe(_, _, _, _, _, _) => parseMerge(sqlText, None)
       case CompactRe(dir) => CompactPathCommand(dir)
+      case ExportRe(src, dir, n, order, ow) =>
+        ExportCorpusCommand(src, dir, n.toInt, order, ow != null)
       case VacuumRe(dir, keep) =>
         VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))
       case _ => delegate.parsePlan(sqlText)

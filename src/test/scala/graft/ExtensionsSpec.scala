@@ -969,6 +969,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("taged"))
   }
 
+  test("EXPORT CORPUS statement materializes manifest-published shards") {
+    import graft.export.CorpusExport
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    val dir = java.nio.file.Files.createTempDirectory("export_sql").toString + "/out"
+    s2.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .createOrReplaceTempView("exp_docs")
+    val rows = s2.sql(
+      s"EXPORT CORPUS exp_docs TO '$dir' SHARDS 3 ORDER BY n_chars DESC, doc_id")
+      .collect()
+    assert(rows.length == 3)
+    val m = CorpusExport.readManifest(dir).get
+    assert(m.totalRows == s2.table("exp_docs").count())
+    assert(rows.map(_.getAs[String]("sha256")).toSet ==
+      m.entries.map(_.sha256).toSet)
+    assert(CorpusExport.verify(s2, dir))
+    // published exports are immutable without OVERWRITE
+    intercept[Exception](s2.sql(
+      s"EXPORT CORPUS exp_docs TO '$dir' SHARDS 3 ORDER BY n_chars DESC, doc_id").collect())
+    val again = s2.sql(s"EXPORT CORPUS exp_docs TO '$dir' SHARDS 3 " +
+      "ORDER BY n_chars DESC, doc_id OVERWRITE").collect()
+    assert(again.map(_.getAs[String]("sha256")).toSeq ==
+      rows.map(_.getAs[String]("sha256")).toSeq, "re-export must be byte-identical")
+  }
+
   test("graft_profile TVF profiles a parquet table, full and column-subset") {
     val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
     val p = sf("sf0.001") + "/documents.parquet"
