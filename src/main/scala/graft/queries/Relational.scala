@@ -936,6 +936,51 @@ object Relational {
          |COUNT(*) AS n, ${decSumSql("value")} AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
 
+    // Hourly event-rate anomaly flags — the monitoring op over the
+    // C7 ingest stream: flag hours whose event count exceeds the
+    // corpus mean by more than 2 population standard deviations,
+    // decided ENTIRELY in the integer/DECIMAL domain via the
+    // cross-multiplied z-test
+    //   (n·x − S)² > 4·(n·Sq − S²)   [and n·x > S: positive side only]
+    // where S=Σx, Sq=Σx² over the n hourly buckets — no float mean,
+    // no sqrt, reproducible on any engine. DECIMAL widths hold
+    // exactness to ~1e6 buckets of ~1e10 events each (1e16 events —
+    // beyond any 100 TB telemetry); the 1-row stats frame broadcasts.
+    q("q_event_spikes")(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        def d6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(6, 0))
+        def d10(c: org.apache.spark.sql.Column) = c.cast(DecimalType(10, 0))
+        def d15(c: org.apache.spark.sql.Column) = c.cast(DecimalType(15, 0))
+        def d26(c: org.apache.spark.sql.Column) = c.cast(DecimalType(26, 0))
+        val hourly = t(s, d, "events")
+          .groupBy(date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = hourly.agg(
+          count(lit(1)).as("n"), sum($"cnt").as("s"),
+          sum(d10($"cnt") * d10($"cnt")).as("sq"))
+        hourly.crossJoin(broadcast(stats))
+          .select($"hour", $"cnt",
+            (d6($"n") * d10($"cnt") > d15($"s") &&
+              (d6($"n") * d10($"cnt") - d15($"s")) *
+                (d6($"n") * d10($"cnt") - d15($"s")) >
+              lit(4).cast(DecimalType(1, 0)) *
+                (d6($"n") * d26($"sq") - d15($"s") * d15($"s"))).as("is_spike"))
+          .orderBy($"hour")
+      },
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS DECIMAL(6,0)) AS n,
+        |  CAST(SUM(cnt) AS DECIMAL(15,0)) AS s,
+        |  CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * CAST(cnt AS DECIMAL(10,0)))
+        |    AS DECIMAL(26,0)) AS sq FROM hourly)
+        |SELECT hour, cnt,
+        |  (n * CAST(cnt AS DECIMAL(10,0)) > s AND
+        |   (n * CAST(cnt AS DECIMAL(10,0)) - s) * (n * CAST(cnt AS DECIMAL(10,0)) - s)
+        |     > CAST(4 AS DECIMAL(1,0)) * (n * sq - s * s)) AS is_spike
+        |FROM hourly CROSS JOIN st ORDER BY hour""".stripMargin),
+
     // Sessionization (gap > 30 min) — lag + prefix-sum windows; the batch
     // twin of the streaming state op in graft.streaming.
     q("q_events_sessionize")(
