@@ -271,6 +271,41 @@ object TextClassify {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("term")).cast("double").as("ll"))
 
+  /** Per-document character-distribution Shannon entropy (nats) — the
+    * gibberish/boilerplate detector that complements length, stopword,
+    * repetition, and compression-ratio signals: natural text sits in a
+    * band, while `aaaa...` (low) and random bytes (high) fall outside.
+    *
+    * Output: (idCol, `len`, `entropy` DOUBLE) over all characters
+    * (whitespace included). Computed by the engine-exact decomposition
+    * `H = ln L − (Σ_c n_c·ln n_c)/L`: each `ln` of a small integer is
+    * rounded to 9 decimals and carried as DECIMAL (order-independent
+    * sum, same contract as the NB/bigram scorers), and the final two
+    * float operations (decimal→double render, one division) are
+    * IEEE-correctly-rounded — identical on any engine.
+    *
+    * Scale shape: one (doc, char) aggregation (alphabet-bounded per
+    * doc) and one per-doc aggregation; no broadcast, no window.
+    */
+  def charEntropy(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val perChar = docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "") // Spark's limit=-1 split keeps a trailing ""
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("n_c"))
+    def d10(c: Column) = c.cast(DecimalType(10, 0))
+    val lnDec = (c: Column) => round(log(c.cast("double")), 9)
+      .cast(DecimalType(18, 9))
+    perChar.groupBy(col(idCol))
+      .agg(sum(col("n_c")).as("len"),
+        // ≤ L·ln L per doc — far inside DECIMAL(18,9) for any real doc
+        sum(d10(col("n_c")) * lnDec(col("n_c")))
+          .cast(DecimalType(18, 9)).as("_ent_num"))
+      .select(col(idCol), col("len"),
+        ((lnDec(col("len")) * d10(col("len")) - col("_ent_num"))
+          .cast("double") / col("len").cast("double")).as("entropy"))
+  }
+
   /** Per-group token-distribution drift from the whole corpus as an
     * EXACT scaled total-variation distance. For group g with token
     * counts n_tg (total T_g) against corpus counts n_t (total T):

@@ -155,6 +155,26 @@ object TextOps5 {
         |  CAST(SUM(term) AS DOUBLE) AS ll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // Character-distribution entropy per document — the gibberish
+    // detector of the quality-signal quartet (length/stopword,
+    // repetition, compression ratio, entropy). Engine-exact: DECIMAL
+    // term sums + two final IEEE-correctly-rounded float ops.
+    q("q_char_entropy")(
+      (s, d) => TextClassify.charEntropy(t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      """WITH ch AS (SELECT doc_id,
+        |  unnest(string_split_regex(text, '')) AS c FROM documents),
+        |pc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n_c
+        |  FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(n_c) AS BIGINT) AS len,
+        |  CAST(SUM(CAST(n_c AS DECIMAL(10,0)) *
+        |    CAST(round(ln(n_c), 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS ent_num
+        |  FROM pc GROUP BY 1)
+        |SELECT doc_id, len,
+        |  CAST(CAST(round(ln(len), 9) AS DECIMAL(18,9)) * CAST(len AS DECIMAL(10,0))
+        |    - ent_num AS DOUBLE) / len AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin),
+
     // Temperature-flattened source mixing (the GPT-3/PaLM data-mix
     // step with T=0.5): per-source sampling rate ∝ sqrt(source share),
     // so big sources are down-weighted and small ones surface. Exact

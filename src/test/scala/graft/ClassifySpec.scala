@@ -139,6 +139,22 @@ class ClassifySpec extends SparkSpec {
     out.values.foreach { case (tg, t, num) => assert(num <= 2 * tg * t) }
   }
 
+  // ---- Character entropy ----------------------------------------------
+
+  test("charEntropy: hand-computed values; uniform text scores zero") {
+    val f = Seq((1L, "aaab"), (2L, "aaaa"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val out = TextClassify.charEntropy(f).orderBy($"doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"),
+        r.getAs[Double]("entropy"))).toSeq
+    // doc1: H = ln4 - 3*ln3/4 = 0.56233514425 with 9-decimal terms
+    assert(out(0)._2 == 4L && math.abs(out(0)._3 - 0.56233514425) < 1e-9)
+    // doc2: single symbol — zero entropy exactly
+    assert(out(1)._3 == 0.0)
+    // doc3: two equiprobable symbols — ln 2
+    assert(math.abs(out(2)._3 - math.log(2.0)) < 1e-8)
+  }
+
   // ---- Temperature mixing ---------------------------------------------
 
   test("q_temp_mix flattens source shares toward sqrt weighting") {
