@@ -298,9 +298,10 @@ object TextClassify {
       .cast(DecimalType(18, 9))
     perChar.groupBy(col(idCol))
       .agg(sum(col("n_c")).as("len"),
-        // ≤ L·ln L per doc — far inside DECIMAL(18,9) for any real doc
+        // ≤ L·ln L per doc — DECIMAL(28,9) holds that exactly to
+        // L = 10^10 characters (a 10 GB single document)
         sum(d10(col("n_c")) * lnDec(col("n_c")))
-          .cast(DecimalType(18, 9)).as("_ent_num"))
+          .cast(DecimalType(28, 9)).as("_ent_num"))
       .select(col(idCol), col("len"),
         ((lnDec(col("len")) * d10(col("len")) - col("_ent_num"))
           .cast("double") / col("len").cast("double")).as("entropy"))

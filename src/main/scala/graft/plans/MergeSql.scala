@@ -414,6 +414,15 @@ case class ExportCorpusCommand(source: String, dir: String, shards: Int,
     AttributeReference("sha256", org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
+    // OVERWRITE is a reserved word of this statement: `ORDER BY a,
+    // overwrite` parses the keyword as the flag and leaves a trailing
+    // comma — raise loudly rather than silently dropping a sort column
+    // (which would both break the total-order contract and destroy a
+    // published export the user never asked to overwrite)
+    if (orderSpec.trim.endsWith(","))
+      throw new UnsupportedOperationException(
+        "EXPORT CORPUS: dangling ORDER BY entry before OVERWRITE — " +
+          "OVERWRITE is a reserved keyword here; a sort column cannot be named 'overwrite'")
     val sortCols = orderSpec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
       s.split("\\s+").toSeq match {
         case Seq(c) => col(c).asc

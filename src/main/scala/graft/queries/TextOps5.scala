@@ -168,7 +168,7 @@ object TextOps5 {
         |  FROM ch WHERE c <> '' GROUP BY 1, 2),
         |agg AS (SELECT doc_id, CAST(SUM(n_c) AS BIGINT) AS len,
         |  CAST(SUM(CAST(n_c AS DECIMAL(10,0)) *
-        |    CAST(round(ln(n_c), 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS ent_num
+        |    CAST(round(ln(n_c), 9) AS DECIMAL(18,9))) AS DECIMAL(28,9)) AS ent_num
         |  FROM pc GROUP BY 1)
         |SELECT doc_id, len,
         |  CAST(CAST(round(ln(len), 9) AS DECIMAL(18,9)) * CAST(len AS DECIMAL(10,0))

@@ -991,6 +991,11 @@ class ExtensionsSpec extends SparkSpec {
       "ORDER BY n_chars DESC, doc_id OVERWRITE").collect()
     assert(again.map(_.getAs[String]("sha256")).toSeq ==
       rows.map(_.getAs[String]("sha256")).toSeq, "re-export must be byte-identical")
+    // OVERWRITE is reserved: a trailing sort column of that name must
+    // raise loudly, never silently drop from the sort AND overwrite
+    val reserved = intercept[Exception](s2.sql(
+      s"EXPORT CORPUS exp_docs TO '$dir' SHARDS 3 ORDER BY doc_id, overwrite").collect())
+    assert(reserved.getMessage.contains("reserved"))
   }
 
   test("graft_profile TVF profiles a parquet table, full and column-subset") {
