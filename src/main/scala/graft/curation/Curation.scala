@@ -129,13 +129,35 @@ object Curation {
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
   }
 
+  /** Classifier gate — the batch twin of the streaming ingest's
+    * `classGate`: keep documents whose Naive-Bayes prediction under an
+    * offline-fitted model is in `allowed` (in-corpus language/quality
+    * admission). A document with no in-vocabulary token carries no
+    * evidence and is dropped. Map-side broadcast scoring plus one
+    * doc-grain semi-join.
+    */
+  def classGate(corpus: DataFrame,
+                model: graft.classify.TextClassify.NBModel,
+                allowed: Set[String]): DataFrame = {
+    val keep = graft.classify.TextClassify.naiveBayesApply(corpus, model)
+      .filter(col("pred_label").isInCollection(allowed))
+      .select(col("doc_id"))
+    corpus.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** The full funnel. Quality-gated + exact-deduped frame is cached
     * (it feeds the signature, anti-join and decontamination branches —
-    * Spark has no common-subtree elimination).
+    * Spark has no common-subtree elimination). `classifier` inserts
+    * the [[classGate]] between the quality gate and exact dedup —
+    * cheap map-side drops first, signature work last, mirroring the
+    * streaming funnel's stage order.
     */
   def curate(corpus: DataFrame, evalDocs: Option[DataFrame],
-             cfg: Config = Config()): DataFrame = {
-    val afterExact = graft.util.CacheScope.pin(exactDedup(qualityGate(corpus, cfg)))
+             cfg: Config = Config(),
+             classifier: Option[(graft.classify.TextClassify.NBModel, Set[String])] = None): DataFrame = {
+    val gated = qualityGate(corpus, cfg)
+    val classed = classifier.fold(gated) { case (m, allowed) => classGate(gated, m, allowed) }
+    val afterExact = graft.util.CacheScope.pin(exactDedup(classed))
     val afterNd = nearDupDrop(afterExact, cfg)
     evalDocs.fold(afterNd)(ev =>
       if (cfg.bloomDecontaminate) decontaminateBloom(afterNd, ev, cfg, cfg.bloomNumBits)
@@ -150,6 +172,8 @@ object Curation {
     * funnel uncached).
     */
   def withCurated[A](corpus: DataFrame, evalDocs: Option[DataFrame],
-                     cfg: Config = Config())(f: DataFrame => A): A =
-    graft.util.CacheScope.loan(f(curate(corpus, evalDocs, cfg)))
+                     cfg: Config = Config(),
+                     classifier: Option[(graft.classify.TextClassify.NBModel, Set[String])] = None)
+                    (f: DataFrame => A): A =
+    graft.util.CacheScope.loan(f(curate(corpus, evalDocs, cfg, classifier)))
 }

@@ -268,6 +268,23 @@ class ClassifySpec extends SparkSpec {
     assert(df.filter(Bloom.mightContain(empty, $"v")).count() == 0)
   }
 
+  test("curate with a classifier gate admits only allowed predicted labels (batch twin)") {
+    val corpus = docs().select($"doc_id", $"text")
+    val model = TextClassify.naiveBayesFit(docs().select($"lang", $"text"))
+    val allowed = Set("en")
+    val gated = Curation.withCurated(corpus, None,
+      classifier = Some((model, allowed)))(
+      _.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    val plain = Curation.withCurated(corpus, None)(
+      _.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    assert(gated.subsetOf(plain), "gate must only remove documents")
+    // every admitted doc really is predicted 'en' by the same model
+    val predEn = TextClassify.naiveBayesApply(corpus, model)
+      .filter($"pred_label" === "en")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated.subsetOf(predEn))
+  }
+
   test("curate with bloomDecontaminate routes the funnel to identical results") {
     val corpus = docs().select($"doc_id", $"text")
     val eval = corpus.filter($"doc_id" % 50 === 0)
