@@ -365,4 +365,115 @@ object Dedup {
         array_join(transform(col("_keep"), s => s.getField("tok")), " ")
           .as("clean_text"))
   }
+
+  /** Sorted-neighborhood near-dup candidates (Hernández/Stolfo SNM —
+    * the classic entity-resolution alternative to LSH banding): sort
+    * the corpus by a cheap blocking key (here the doc's first
+    * `keyTokens` tokens), pair every doc with its next `window`
+    * successors in that total order, and confirm each candidate with
+    * the EXACT `shingleN`-gram Jaccard — emitted as integer
+    * intersection/union sizes so the compare is engine-exact.
+    *
+    * Scale shape: the total order comes from
+    * [[graft.operators.Ranking.globalRowNumber]] (range-partitioned,
+    * fully parallel — NOT a single-task global window); the
+    * successor pairing is a map-side explode of `window` probe ranks
+    * joined back on the rank (one equi-join shuffled on a dense long
+    * key, perfectly balanced by construction). Work is O(corpus ×
+    * window), never O(n²), and unlike LSH the candidate count per doc
+    * is a hard constant — no hot-bucket hazard at all. Recall is what
+    * SNM gives: near-dups that share the sort-key prefix land within
+    * the window; edits inside the first `keyTokens` tokens can escape
+    * (that is the documented trade; multi-pass SNM with a second key
+    * order is the standard fix and composes by unioning pair sets).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              window: Int = 4, keyTokens: Int = 4,
+                              shingleN: Int = 3): DataFrame = {
+    require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
+    val id = col(idCol)
+    val withKey = df.select(id.as("id"), TextFns.tokens(col(textCol)).as("_tk"))
+      .select(col("id"),
+        concat_ws(" ", slice(col("_tk"), 1, keyTokens)).as("_snkey"),
+        array_distinct(TextFns.shingleHashes48(col("_tk"), shingleN)).as("_sh"))
+    val ranked = graft.util.CacheScope.pin(
+      graft.operators.Ranking.globalRowNumber(
+        withKey, Seq(col("_snkey"), col("id")), out = "_rn"))
+    // each doc probes its `window` successors: explode the target
+    // ranks map-side, equi-join on the dense rank — no range predicate,
+    // no skew (every rank value appears at most `window`+1 times)
+    val probes = ranked.select(col("id").as("id_a"), col("_sh").as("sh_a"),
+      explode(sequence(col("_rn") + 1, col("_rn") + window)).as("_rn"))
+    probes.join(ranked.select(col("_rn"), col("id").as("id_b"), col("_sh").as("sh_b")), "_rn")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        (size(col("sh_a")) + size(col("sh_b")) -
+          size(array_intersect(col("sh_a"), col("sh_b")))).cast("long").as("n_union"))
+  }
+
+  /** Edit-distance-confirmed near-dup pairs under prefix blocking:
+    * docs sharing their first `keyTokens` tokens verbatim are
+    * candidates; a candidate pair survives when full Levenshtein
+    * distance ≤ `maxDist`. The short-string half of the near-dup
+    * toolkit (titles, URLs, product names — granularities where
+    * n-gram Jaccard is too coarse and edit distance is the metric of
+    * record in entity-resolution practice).
+    *
+    * Scale shape: one equi-join shuffled on the block key — work ∝
+    * Σ_b |b|², bounded by the blocking key's selectivity, never
+    * corpus². `maxBlock` caps pathological blocks (boilerplate
+    * prefixes) exactly like the LSH hot-band cap: blocks larger than
+    * the cap are dropped, trading recall inside degenerate blocks for
+    * a hard worst-case bound; pass 0 to disable. Levenshtein itself
+    * runs only on surviving candidates — the O(|a|·|b|) DP is the
+    * confirm step, same role as the hamming check in simhash blocking.
+    */
+  def blockedEditPairs(df: DataFrame, idCol: String, textCol: String,
+                       keyTokens: Int = 4, maxDist: Int = 10,
+                       maxBlock: Int = 64): DataFrame = {
+    val id = col(idCol)
+    val keyed = graft.util.CacheScope.pin {
+      val base = df.select(id.as("id"), col(textCol).as("_txt"),
+        concat_ws(" ", slice(TextFns.tokens(col(textCol)), 1, keyTokens)).as("_bkey"))
+      if (maxBlock > 0) {
+        val ok = base.groupBy(col("_bkey")).agg(count(lit(1)).as("_bn"))
+          .filter(col("_bn") <= maxBlock).select(col("_bkey"))
+        base.join(ok, Seq("_bkey")) // key-list join; AQE picks broadcast when small
+      } else base
+    }
+    keyed.as("a").join(keyed.as("b"),
+        col("a._bkey") === col("b._bkey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a._txt"), col("b._txt")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
+  /** Per-document n-gram novelty against the corpus — the "how much
+    * of this doc is new text" curation signal (high duplication ⇒ low
+    * novelty ⇒ down-sample or drop; see the exact-substring dedup
+    * literature): a doc's distinct `n`-gram is NOVEL when no doc with
+    * a smaller id contains it, i.e. the corpus-wide first occurrence
+    * (min id over the gram's postings) is this doc. Emits exact
+    * integer distinct/novel gram counts per doc.
+    *
+    * Scale shape: map-side tokenize + one-pass 48-bit gram hashing,
+    * one aggregation shuffled on the gram hash (min-id — partial aggs
+    * combine map-side), one join back on the hash, one per-doc count
+    * aggregation. Work ∝ total grams; nothing quadratic, no windows.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 8,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val grams = graft.util.CacheScope.pin(
+      docs.select(id, TextFns.tokens(col(textCol)).as("_tk"))
+        .filter(size(col("_tk")) >= n)
+        .select(id, explode(array_distinct(
+          TextFns.shingleHashes48(col("_tk"), n))).as("hv")))
+    val firstOwner = grams.groupBy(col("hv")).agg(min(id).as("_first"))
+    grams.join(firstOwner, "hv")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_first") === id, 1L).otherwise(0L)).as("n_novel"))
+  }
 }

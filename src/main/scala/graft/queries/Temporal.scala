@@ -39,6 +39,26 @@ object Temporal {
         .select($"user_id", $"event_id", $"ts",
           $"r_event_id", $"r_ts", $"r_event_type", $"r_value")
         .orderBy($"event_id", $"r_event_id")
+    }),
+    // first-order Markov transition matrix of per-user event
+    // sequences — the behavioral-sequence profile (and the anomaly
+    // prior for q_event_spikes-style detectors). One shuffle on
+    // user_id for the lag, then a tiny (|types|²) aggregate; the
+    // per-prev totals ride a window over that already-small frame.
+    "q_event_transitions" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val tr = t(s, d, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+      val counts = tr.groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      counts
+        .withColumn("n_from", sum($"n_trans").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"prev_type")))
+        .orderBy($"prev_type", $"next_type")
     })
   )
 
@@ -59,6 +79,15 @@ object Temporal {
         |  AND epoch_us(e.ts) > epoch_us(s.ts)
         |  AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
         |WHERE s.event_type = 'signup'
-        |ORDER BY s.event_id, r_event_id""".stripMargin
+        |ORDER BY s.event_id, r_event_id""".stripMargin,
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans,
+        |  SUM(n_trans) OVER (PARTITION BY prev_type) AS n_from
+        |FROM c ORDER BY prev_type, next_type""".stripMargin
   )
 }

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.curation.Sampling
+import graft.dedup.Dedup
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.Ranking
+import graft.retrieval.Retrieval
+
+/** Sixth batch: the entity-resolution dedup alternatives (sorted
+  * neighborhood, edit-distance blocking), per-doc n-gram novelty,
+  * weighted reservoir sampling, curriculum ordering, and hybrid
+  * retrieval fusion (BM25 ⊕ dense, RRF).
+  *
+  * Float contract as repo-wide: ln rounds to 9 decimals before any
+  * arithmetic, cosines round to 6, every other float is a short fixed
+  * chain of single IEEE ops mirrored verbatim in the oracle; counts
+  * and distances stay integer end-to-end.
+  */
+object TextOps6 {
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  /** Oracle fragment: 48-bit md5-derived hash of a string expr. */
+  private def h48(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 12)) AS BIGINT)"
+
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // Sorted-neighborhood near-dup detection (the windowed-scan
+    // alternative to LSH banding: O(n·w) candidates, a HARD per-doc
+    // candidate bound — no hot-bucket hazard). Fixture plants tail-
+    // drifted twins (same 4-token prefix ⇒ adjacent in the key
+    // order); confirm = exact 3-gram Jaccard ≥ 1/2 as an integer
+    // cross-compare. The global order comes from the partition-offset
+    // rank machinery, not a single-task window.
+    q("q_sorted_neighborhood")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val corpus = base.unionByName(base.filter($"doc_id" % 41 === 0)
+          .select(($"doc_id" + 200000L).as("doc_id"),
+            concat($"text", lit(" tail drift marker")).as("text")))
+        Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+            window = 4, keyTokens = 4, shingleN = 3)
+          .filter(col("n_union") > 0 && col("n_common") * 2 >= col("n_union"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 200000, text || ' tail drift marker'
+        |  FROM base WHERE doc_id % 41 = 0),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM corpus),
+        |keyed AS (SELECT doc_id,
+        |  array_to_string(tks[1:4], ' ') AS snkey,
+        |  list_distinct(list_transform(generate_series(1, len(tks) - 2),
+        |    i -> ${h48("tks[i]||' '||tks[i+1]||' '||tks[i+2]")})) AS sh
+        |  FROM tk),
+        |rn AS (SELECT *, row_number() OVER (ORDER BY snkey, doc_id) AS rnk FROM keyed),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS n_common,
+        |  CAST(len(a.sh) + len(b.sh)
+        |    - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS n_union
+        |  FROM rn a JOIN rn b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 4)
+        |SELECT id_a, id_b, n_common, n_union FROM cand
+        |WHERE n_union > 0 AND n_common * 2 >= n_union
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Edit-distance near-dup under prefix blocking — the short-string
+    // half of the near-dup toolkit (Levenshtein is the ER metric of
+    // record where token Jaccard is too coarse). Fixture plants
+    // 3-edit twins; blocking = exact first-4-token key with the
+    // hot-block cap modeled on both sides; confirm = full Levenshtein
+    // ≤ 10, integer-exact on any engine.
+    q("q_edit_neardup")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val corpus = base.unionByName(base.filter($"doc_id" % 37 === 0)
+          .select(($"doc_id" + 300000L).as("doc_id"),
+            concat($"text", lit(" zq")).as("text")))
+        Dedup.blockedEditPairs(corpus, "doc_id", "text",
+            keyTokens = 4, maxDist = 10, maxBlock = 64)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 300000, text || ' zq'
+        |  FROM base WHERE doc_id % 37 = 0),
+        |keyed AS (SELECT doc_id, text,
+        |  array_to_string((string_split_regex(trim(text), '\s+'))[1:4], ' ') AS bkey
+        |  FROM corpus),
+        |ok AS (SELECT bkey FROM keyed GROUP BY bkey HAVING COUNT(*) <= 64),
+        |blocked AS (SELECT k.* FROM keyed k JOIN ok USING (bkey))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM blocked a JOIN blocked b
+        |  ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 10
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Per-doc 8-gram novelty vs the corpus (first-occurrence
+    // attribution by min doc id) — the "how much of this doc is new
+    // text" signal; the span-mask fixture's planted contamination
+    // makes the non-novel tail real. Integer counts end-to-end; one
+    // gram-hash aggregation + one join-back, work ∝ total grams.
+    q("q_ngram_novelty")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val span = base.filter($"doc_id" === 100)
+          .select(concat_ws(" ", slice(TextFns.tokens($"text"), 1, 12)).as("span"))
+        val corpus = base.crossJoin(broadcast(span))
+          .select($"doc_id",
+            when($"doc_id" % 9 === 0, concat($"text", lit(" "), $"span"))
+              .otherwise($"text").as("text"))
+        Dedup.ngramNovelty(corpus, n = 8)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |sp AS (SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[1:12], ' ') AS span
+        |  FROM base WHERE doc_id = 100),
+        |corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN text || ' ' || span ELSE text END AS text
+        |  FROM base, sp),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM corpus),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, len(tks) - 7),
+        |  i -> ${h48("tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||" +
+                     "tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7]")}))) AS hv
+        |  FROM tk WHERE len(tks) >= 8),
+        |fo AS (SELECT hv, MIN(doc_id) AS first_doc FROM g GROUP BY hv)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN fo.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |FROM g JOIN fo USING (hv)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+
+    // Deterministic weighted sampling without replacement, 20 docs
+    // per source, selection ∝ n_chars — Efraimidis–Spirakis A-ES with
+    // hash-derived randomness (u from md5 of the id): reproducible on
+    // any engine, one partitioned window, no global sort.
+    q("q_weighted_sample")(
+      (s, d) => {
+        import s.implicits._
+        Sampling.weightedSamplePerGroup(
+            t(s, d, "documents").select($"doc_id", $"source", $"n_chars"),
+            groupCol = "source", weightCol = "n_chars", idCol = "doc_id", k = 20)
+          .select($"doc_id", $"source", $"n_chars", $"samp_rank")
+          .orderBy($"source", $"samp_rank")
+      },
+      s"""WITH b AS (SELECT doc_id, source, n_chars,
+        |  round(ln((${h48("CAST(doc_id AS VARCHAR)")} + 1) / 281474976710656.0), 9)
+        |    / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS samp_rank
+        |  FROM b)
+        |SELECT doc_id, source, n_chars, samp_rank FROM r
+        |WHERE samp_rank <= 20 ORDER BY source, samp_rank""".stripMargin),
+
+    // Curriculum ordering: 10 exact difficulty tiers (length proxy,
+    // easy first), sources round-robin-interleaved within each tier,
+    // one exact global feed position — all through the partition-
+    // offset rank machinery (no single-task windows anywhere).
+    q("q_curriculum")(
+      (s, d) => {
+        import s.implicits._
+        Sampling.curriculumInterleave(
+            t(s, d, "documents").select($"doc_id", $"source", $"n_chars"),
+            difficultyCol = "n_chars", groupCol = "source", idCol = "doc_id",
+            tiles = 10)
+          .select($"doc_id", $"source", $"n_chars", $"tier", $"rr_rank",
+            $"curriculum_pos")
+          .orderBy($"curriculum_pos")
+      },
+      """WITH t AS (SELECT doc_id, source, n_chars,
+        |  ntile(10) OVER (ORDER BY n_chars, doc_id) AS tier FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY tier, source
+        |  ORDER BY n_chars, doc_id) AS rr_rank FROM t)
+        |SELECT doc_id, source, n_chars, tier, rr_rank,
+        |  row_number() OVER (ORDER BY tier, rr_rank, source, doc_id) AS curriculum_pos
+        |FROM r ORDER BY curriculum_pos""".stripMargin),
+
+    // Hybrid retrieval: BM25 (rational-idf, engine-exact doubles) and
+    // dense cosine (vs the vec_id-0 embedding, rounded to 6) each
+    // rank the corpus; the top-100 lists fuse by reciprocal-rank
+    // fusion with k=60. Ranks are exact global row numbers (partition-
+    // offset machinery); each fused score is ≤2 single IEEE divisions
+    // summed in fixed system order — bit-identical cross-engine.
+    q("q_rrf_fusion")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val emb = t(s, d, "embeddings")
+        val sparse = Ranking.globalRowNumber(
+            Retrieval.bm25Score(docs, Seq("hash", "spark", "window"), k1 = 1.2, b = 0.75),
+            Seq($"score".desc, $"doc_id"), out = "rank")
+          .select($"doc_id", $"rank").filter($"rank" <= 100)
+        val qv = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+        val dense = Ranking.globalRowNumber(
+            emb.crossJoin(broadcast(qv))
+              .select($"vec_id", VectorFns.cosineR($"embedding", $"qv").as("dsim")),
+            Seq($"dsim".desc, $"vec_id"), out = "rank")
+          .select($"vec_id".as("doc_id"), $"rank").filter($"rank" <= 100)
+        Retrieval.rrfFuse(Seq(sparse, dense), rrfK = 60)
+          .orderBy($"rrf_score".desc, $"doc_id")
+      },
+      """WITH base AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS len_d,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'hash')) AS DOUBLE) AS tf0,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'spark')) AS DOUBLE) AS tf1,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM documents),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(len_d) AS sum_len,
+        |  SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |  SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |  SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |  FROM base),
+        |sc AS (SELECT doc_id,
+        |  (n_docs - df0 + 0.5) / (df0 + 0.5) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (len_d / (sum_len / n_docs))))
+        |+ (n_docs - df1 + 0.5) / (df1 + 0.5) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (len_d / (sum_len / n_docs))))
+        |+ (n_docs - df2 + 0.5) / (df2 + 0.5) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (len_d / (sum_len / n_docs))))
+        |  AS score FROM base, c),
+        |sparse AS (SELECT doc_id, rank FROM (SELECT doc_id,
+        |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |  WHERE rank <= 100),
+        |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+        |ds AS (SELECT e.vec_id AS doc_id,
+        |  round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        |      i -> CAST(qv.v[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qv.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS dsim
+        |  FROM embeddings e, qv),
+        |dense AS (SELECT doc_id, rank FROM (SELECT doc_id,
+        |  row_number() OVER (ORDER BY dsim DESC, doc_id) AS rank FROM ds)
+        |  WHERE rank <= 100)
+        |SELECT COALESCE(s.doc_id, dn.doc_id) AS doc_id,
+        |  CAST((CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END)
+        |     + (CASE WHEN dn.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_lists,
+        |  CAST(LEAST(COALESCE(s.rank, 101), COALESCE(dn.rank, 101)) AS BIGINT) AS best_rank,
+        |  (CASE WHEN s.rank IS NULL THEN 0.0 ELSE 1.0 / (60.0 + s.rank) END)
+        |+ (CASE WHEN dn.rank IS NULL THEN 0.0 ELSE 1.0 / (60.0 + dn.rank) END)
+        |  AS rrf_score
+        |FROM sparse s FULL OUTER JOIN dense dn ON dn.doc_id = s.doc_id
+        |ORDER BY rrf_score DESC, doc_id""".stripMargin))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  def oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}

@@ -118,4 +118,44 @@ object Retrieval {
       else Seq.empty)
     base.select(out: _*)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher) of N retrieval
+    * rankings — the standard hybrid-search combiner (BM25 ⊕ dense
+    * cosine and friends): fused(d) = Σ_systems 1/(rrfK + rank_s(d)),
+    * absent-from-list contributing nothing. Rank-based, so the two
+    * systems' incomparable score scales never need calibration.
+    *
+    * Inputs are frames of (`idCol`, `rankCol`) — 1-based integer
+    * ranks, e.g. from [[graft.operators.Ranking.globalRowNumber]]
+    * over a system's score order. Output: (`idCol`,
+    * n_lists, best_rank, rrf_score) for every doc in any list.
+    *
+    * Exactness: each term is ONE IEEE division of exact integers and
+    * the fuse is a fixed-order sum of ≤N such doubles — with the
+    * oracle summing in the same system order the doubles are
+    * bit-identical (repo float contract). Scale shape: N-way
+    * outer-join-free union + one aggregation shuffled on the id; list
+    * membership is typically top-k per system, so the fused frame is
+    * ≤ N·k rows regardless of corpus size.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String = "doc_id",
+              rankCol: String = "rank", rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col(rankCol).cast("long").as("_rr_rank"),
+        lit(i).as("_rr_sys"))
+    }
+    // fixed summation order (by system index) so the ≤N-term double
+    // sum is reproducible: aggregate the per-system terms into an
+    // ordered array, then fold — never a shuffle-order-dependent SUM
+    tagged.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"),
+        min(col("_rr_rank")).as("best_rank"),
+        array_sort(collect_list(struct(col("_rr_sys"), col("_rr_rank")))).as("_terms"))
+      .withColumn("rrf_score", aggregate(col("_terms"), lit(0.0),
+        (acc, t) => acc + lit(1.0) / (lit(rrfK).cast("double") +
+          t.getField("_rr_rank").cast("double"))))
+      .drop("_terms")
+  }
 }

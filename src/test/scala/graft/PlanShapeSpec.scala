@@ -197,4 +197,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"q_oov_rate shuffles the corpus to join the vocab:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("sorted-neighborhood / edit near-dup: dense-key equi-joins, no windows, no cartesians") {
+    for (name <- Seq("q_sorted_neighborhood", "q_edit_neardup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a BNL join")
+      assert(!p.contains("SinglePartition"), s"$name collapsed to one task")
+      // SNM's total order must come from the partition-offset machinery
+      if (name == "q_sorted_neighborhood") {
+        assert(!p.contains("Window"), s"$name reintroduced a window")
+        assert(p.contains("partition_offset_rank"), s"$name lost the native rank")
+      }
+    }
+  }
+
+  test("q_ngram_novelty: one gram aggregation + hash join-back, nothing quadratic") {
+    val p = plan("q_ngram_novelty")
+    assert(!p.contains("CartesianProduct")) // the 1-row planted span may BNL
+    assert(!p.contains("Window") && !p.contains("SinglePartition"))
+  }
+
+  test("q_weighted_sample / q_event_transitions window only on partitioned keys") {
+    for (name <- Seq("q_weighted_sample", "q_event_transitions")) {
+      val p = plan(name)
+      assert(!p.contains("SinglePartition"), s"$name collapsed to one task:\n$p")
+    }
+  }
+
+  test("q_curriculum ranks through the partition-offset machinery at every global step") {
+    val p = plan("q_curriculum")
+    assert(!p.contains("SinglePartition"), s"q_curriculum collapsed to one task")
+    assert(p.contains("partition_offset_rank"), "native rank expression missing")
+  }
+
+  test("q_rrf_fusion: broadcast query vector, distributed ranks, no single-task stage") {
+    val p = plan("q_rrf_fusion")
+    assert(!p.contains("CartesianProduct"))
+    // (a SinglePartition exchange exists and is fine: BM25's 1-ROW
+    // corpus-stats aggregate — same shape q_bm25 pins; the corpus-grain
+    // stages below must still rank via the distributed machinery)
+    assert(!p.contains("Window"), "q_rrf_fusion ranks through a window")
+    assert(p.contains("partition_offset_rank"), "ranking fell back from the native machinery")
+  }
 }

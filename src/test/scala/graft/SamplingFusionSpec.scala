@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.curation.Sampling
+import graft.dedup.Dedup
+import graft.retrieval.Retrieval
+
+/** Edge-case semantics of the round-14 batch-6 operators: sorted-
+  * neighborhood / edit-distance near-dup, n-gram novelty, weighted
+  * sampling, curriculum interleave, RRF fusion. The corpus-scale
+  * happy paths are oracle-checked (q_sorted_neighborhood,
+  * q_edit_neardup, q_ngram_novelty, q_weighted_sample, q_curriculum,
+  * q_rrf_fusion); these pin the contracts fixtures can mask.
+  */
+class SamplingFusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sortedNeighborhoodPairs pairs within the window only, exact set sizes") {
+    // aa-prefixed docs sort adjacent; the zz doc is similar to doc 1
+    // but sorts far outside the window — SNM's documented miss
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg hh tail"), // near-dup of 1, same prefix
+      (3L, "aa bb cc xx yy zz qq ww"),      // same 3-token prefix, low overlap
+      (4L, "zz bb cc dd ee ff gg hh")       // similar to 1, different prefix
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 1, keyTokens = 4, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // sort order by 4-token key: 1,2 ("aa bb cc dd"), 3 ("aa bb cc xx"), 4 ("zz ...")
+    assert(pairs.keySet == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+    // doc1: 6 distinct 3-gram shingles; doc2: 7, sharing all 6 of doc1's
+    assert(pairs((1L, 2L)) == (6L, 7L))
+    // window=1 never pairs docs two apart: (1,3) absent even though
+    // they share the 3-token prefix
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("sortedNeighborhoodPairs is invariant to input partitioning") {
+    val docs = sfDocs.select($"doc_id", $"text")
+    val a = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Dedup.sortedNeighborhoodPairs(docs.repartition(7), "doc_id", "text", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("blockedEditPairs: exact distance, block scoping, hot-block cap") {
+    val docs = Seq(
+      (1L, "k1 a b c original text here"),
+      (2L, "k1 a b c original text herezq"),   // distance 2 from doc 1
+      (3L, "k2 a b c original text here"),      // other block: never compared
+      (4L, "hot x y z one"), (5L, "hot x y z two"), (6L, "hot x y z three")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.blockedEditPairs(docs, "doc_id", "text",
+        keyTokens = 4, maxDist = 10, maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (1,2) confirmed at exact distance 2; (1,3) blocked apart despite
+    // distance 1 (prefix blocking's documented trade); the 3-doc "hot"
+    // block exceeds maxBlock=2 and is dropped entirely
+    assert(pairs == Map((1L, 2L) -> 2L))
+    // cap off: the hot block's short mutual distances surface
+    val uncapped = Dedup.blockedEditPairs(docs, "doc_id", "text",
+        keyTokens = 4, maxDist = 10, maxBlock = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+
+  test("ngramNovelty attributes first occurrence to the smallest doc id") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (10L, s"$span x1 x2 x3"),          // 4 distinct 8-grams, all first here
+      (20L, s"y1 y2 y3 $span"),          // the span 8-gram is doc 10's
+      (30L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L) == (4L, 4L))
+    // doc 20 has 4 distinct 8-grams; only the pure-span one is repeated
+    assert(out(20L) == (4L, 3L))
+    assert(!out.contains(30L)) // < n tokens: no grams, no row
+  }
+
+  test("weightedSamplePerGroup: k per group, weight gating, partition invariance") {
+    val df = sfDocs.select($"doc_id", $"source", $"n_chars")
+    val out = Sampling.weightedSamplePerGroup(df, "source", "n_chars", "doc_id", k = 5)
+    val byGroup = out.groupBy($"source").agg(count(lit(1)).as("n"), max($"samp_rank").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byGroup.nonEmpty)
+    byGroup.foreach { case (_, n, mx) => assert(n <= 5 && mx <= 5 && n == mx) }
+    // deterministic under repartitioning (hash-derived randomness)
+    val again = Sampling.weightedSamplePerGroup(df.repartition(13), "source", "n_chars", "doc_id", k = 5)
+    assert(out.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      again.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    // zero/negative weights never selected
+    val zeroed = df.withColumn("n_chars",
+      when($"doc_id" % 2 === 0, lit(0)).otherwise($"n_chars"))
+    val sel = Sampling.weightedSamplePerGroup(zeroed, "source", "n_chars", "doc_id", k = 1000)
+      .select($"doc_id").collect().map(_.getLong(0))
+    assert(sel.nonEmpty && sel.forall(_ % 2 == 1))
+  }
+
+  test("curriculumInterleave: position is a permutation, tiers ordered, sources alternate") {
+    val df = sfDocs.select($"doc_id", $"source", $"n_chars")
+    val out = Sampling.curriculumInterleave(df, "n_chars", "source", "doc_id", tiles = 4)
+      .select($"doc_id", $"source", $"n_chars", $"tier", $"rr_rank", $"curriculum_pos")
+      .collect()
+    val n = out.length
+    assert(out.map(_.getLong(5)).toSet == (1L to n).toSet) // exact permutation
+    // positions respect (tier, rr_rank) lexicographic order
+    val sorted = out.sortBy(_.getLong(5))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) < b.getLong(3) ||
+          (a.getLong(3) == b.getLong(3) && a.getLong(4) <= b.getLong(4)))
+      case _ => ()
+    }
+    // within a tier, the first |sources-in-tier| positions are distinct
+    // sources (round-robin interleave, rr_rank=1 block first)
+    val firstTier = sorted.filter(_.getLong(3) == 1L)
+    val nSources = firstTier.map(_.getString(1)).distinct.length
+    assert(firstTier.take(nSources).map(_.getString(1)).distinct.length == nSources)
+  }
+
+  test("rrfFuse: exact two-list scores, single-list docs, fixed-order sum") {
+    val l1 = Seq((1L, 1L), (2L, 2L)).toDF("doc_id", "rank")
+    val l2 = Seq((2L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(l1, l2), rrfK = 60)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (1L, 1L, 1.0 / 61.0))
+    assert(out(2L) == (2L, 1L, 1.0 / 62.0 + 1.0 / 61.0))
+    assert(out(3L) == (1L, 2L, 1.0 / 62.0))
+    // list order only permutes system tags; 2-term IEEE sums commute
+    val swapped = Retrieval.rrfFuse(Seq(l2, l1), rrfK = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out.foreach { case (id, (_, _, s)) => assert(swapped(id) == s) }
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty))
+  }
+
+  private def sfDocs = spark.read.parquet(s"${sf()}/documents.parquet")
+}
