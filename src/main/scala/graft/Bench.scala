@@ -27,9 +27,11 @@ object Bench {
     "q_frame_sample",
     "q_merge_delete", "q_merge_composite",
     "q_curation_pipeline", "q_decontaminate",
-    // round-14 operator families: broadcast-model scoring and the
-    // postings-heavy span rewrite
-    "q_nb_classify", "q_span_rewrite")
+    // round-14 operator families: broadcast-model scoring, the
+    // postings-heavy span rewrite, sorted-neighborhood dedup (rank
+    // machinery + successor join), and hybrid retrieval fusion
+    "q_nb_classify", "q_span_rewrite",
+    "q_sorted_neighborhood", "q_rrf_fusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -213,7 +215,8 @@ object Bench {
   // same volume, q_span_mask the postings index at 10x tokens
   private val scaleNames = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
     "q_jaccard_pairs", "q_curation_pipeline", "q_merge_sql",
-    "q_merge_composite", "q_span_mask", "q_span_rewrite")
+    "q_merge_composite", "q_span_mask", "q_span_rewrite",
+    "q_sorted_neighborhood")
 
   private def scaleSmoke(spark: SparkSession, sfDir: String,
                          onlyQ: Option[Set[String]]): String = {

@@ -355,4 +355,52 @@ object TextClassify {
       .select(col(groupCol), col("t_g").as("n_tokens"),
         col("t_all").as("corpus_tokens"), col("tvd_num"))
   }
+
+  /** Per-group distinctive terms by weighted log-odds with an
+    * uninformative Dirichlet prior (Monroe/Colaresi/Quinn "Fightin'
+    * Words", α_t = 1, α₀ = V) — the "what vocabulary characterizes
+    * this source" report that TF-IDF gets wrong for grouped corpora
+    * (document frequency says nothing about BETWEEN-group contrast):
+    *
+    *   δ_tg = ln( (y_tg + 1) / (n_g + V − y_tg − 1) )
+    *        − ln( (y_t − y_tg + 1) / (n − n_g + V − (y_t − y_tg) − 1) )
+    *
+    * Every operand is an exact integer count; each ln rounds to 9
+    * decimals (the repo cross-engine log contract, [[logTerm]]) and
+    * the difference is an exact DECIMAL subtraction — engine-exact.
+    * Top `topK` terms per group by δ (term tie-break) are emitted.
+    *
+    * Scale shape: two token aggregations (corpus-wide and per-group —
+    * map-side partial combine) + vocabulary-sized joins + one
+    * partitioned top-k window over the (groups × their vocab) frame;
+    * no corpus-sized shuffle after the token counts.
+    */
+  def logOddsTerms(docs: DataFrame, groupCol: String = "source",
+                   textCol: String = "text", topK: Int = 3): DataFrame = {
+    require(topK >= 1, s"logOddsTerms needs topK >= 1, got $topK")
+    val occ = docs.filter(trim(col(textCol)) =!= "")
+      .select(col(groupCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+    val yTg = occ.groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("y_tg"))
+    val yT = yTg.groupBy(col("tok")).agg(sum(col("y_tg")).as("y_t"))
+    val nG = yTg.groupBy(col(groupCol)).agg(sum(col("y_tg")).as("n_g"))
+    val nv = yT.agg(sum(col("y_t")).as("n_all"),
+      count(lit(1)).cast("long").as("v"))
+    val scored = yTg
+      .join(broadcast(yT), "tok")
+      .join(broadcast(nG), groupCol)
+      .crossJoin(broadcast(nv))
+      .withColumn("log_odds",
+        (logTerm(col("y_tg") + 1,
+            col("n_g") + col("v") - col("y_tg") - 1) -
+          logTerm(col("y_t") - col("y_tg") + 1,
+            col("n_all") - col("n_g") + col("v") - (col("y_t") - col("y_tg")) - 1))
+          .cast(DecimalType(19, 9)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("log_odds").desc, col("tok"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col(groupCol), col("rank"), col("tok"),
+        col("y_tg").as("n_in_group"), col("y_t").as("n_corpus"), col("log_odds"))
+  }
 }

@@ -385,16 +385,20 @@ object Dedup {
     * SNM gives: near-dups that share the sort-key prefix land within
     * the window; edits inside the first `keyTokens` tokens can escape
     * (that is the documented trade; multi-pass SNM with a second key
-    * order is the standard fix and composes by unioning pair sets).
+    * order is the standard fix and composes by unioning pair sets —
+    * pass `keyExpr` to supply the alternate order, e.g. a suffix key).
     */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
                               window: Int = 4, keyTokens: Int = 4,
-                              shingleN: Int = 3): DataFrame = {
+                              shingleN: Int = 3,
+                              keyExpr: Option[Column] = None): DataFrame = {
     require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
     val id = col(idCol)
-    val withKey = df.select(id.as("id"), TextFns.tokens(col(textCol)).as("_tk"))
-      .select(col("id"),
-        concat_ws(" ", slice(col("_tk"), 1, keyTokens)).as("_snkey"),
+    val key = keyExpr.getOrElse(
+      concat_ws(" ", slice(TextFns.tokens(col(textCol)), 1, keyTokens)))
+    val withKey = df.select(id.as("id"), key.as("_snkey"),
+        TextFns.tokens(col(textCol)).as("_tk"))
+      .select(col("id"), col("_snkey"),
         array_distinct(TextFns.shingleHashes48(col("_tk"), shingleN)).as("_sh"))
     val ranked = graft.util.CacheScope.pin(
       graft.operators.Ranking.globalRowNumber(
@@ -476,4 +480,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_first") === id, 1L).otherwise(0L)).as("n_novel"))
   }
+
+  /** Incremental batch-vs-corpus novelty: score each NEW document's
+    * distinct `n`-grams against the standing corpus's gram index —
+    * the admission-time twin of [[ngramNovelty]] (which is the
+    * backfill form), and the novelty analogue of
+    * [[incrementalBandMatches]]: per increment the 100 TB corpus is
+    * read ZERO times — `corpusIndex` is the materialized distinct
+    * gram-hash frame (build once with [[gramIndex]], persist as
+    * parquet, append each admitted batch's grams).
+    *
+    * Emits (`idCol`, n_grams, n_seen) per batch doc — n_seen grams
+    * already exist in the corpus; admission policy thresholds on the
+    * seen ratio. Scale shape: batch grams ⋈ index on the 48-bit hash
+    * (one equi-join, work ∝ batch grams + collisions) + one per-doc
+    * count aggregation. Integer counts end-to-end.
+    */
+  def incrementalNovelty(corpusIndex: DataFrame, batch: DataFrame, n: Int = 8,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val bg = batch.select(id, TextFns.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= n)
+      .select(id, explode(array_distinct(
+        TextFns.shingleHashes48(col("_tk"), n))).as("hv"))
+    val seen = corpusIndex.select(col("hv")).distinct()
+      .withColumn("_seen", lit(1L))
+    bg.join(seen, Seq("hv"), "left")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_seen"), lit(0L))).as("n_seen"))
+  }
+
+  /** The corpus gram index [[incrementalNovelty]] probes: distinct
+    * 48-bit `n`-gram hashes of the corpus, one `hv` column — persist
+    * as parquet and append admitted batches' grams to keep it current.
+    */
+  def gramIndex(corpus: DataFrame, n: Int = 8,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    corpus.select(TextFns.tokens(col(textCol)).as("_tk"))
+      .filter(size(col("_tk")) >= n)
+      .select(explode(array_distinct(
+        TextFns.shingleHashes48(col("_tk"), n))).as("hv"))
+      .distinct()
 }

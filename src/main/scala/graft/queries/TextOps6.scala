@@ -247,7 +247,138 @@ object TextOps6 {
         |+ (CASE WHEN dn.rank IS NULL THEN 0.0 ELSE 1.0 / (60.0 + dn.rank) END)
         |  AS rrf_score
         |FROM sparse s FULL OUTER JOIN dense dn ON dn.doc_id = s.doc_id
-        |ORDER BY rrf_score DESC, doc_id""".stripMargin))
+        |ORDER BY rrf_score DESC, doc_id""".stripMargin),
+
+    // Per-source distinctive vocabulary by weighted log-odds with a
+    // Dirichlet prior ("Fightin' Words") — the between-group contrast
+    // report TF-IDF can't express. Counts are integers, each ln
+    // rounds to 9 decimals (repo log contract), δ is an exact DECIMAL
+    // subtraction — engine-exact ranking.
+    q("q_logodds_terms")(
+      (s, d) => graft.classify.TextClassify.logOddsTerms(
+          t(s, d, "documents"), groupCol = "source", topK = 3)
+        .orderBy(col("source"), col("rank")),
+      """WITH occ AS (SELECT source,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |ytg AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS y_tg
+        |  FROM occ GROUP BY 1, 2),
+        |yt AS (SELECT tok, CAST(SUM(y_tg) AS BIGINT) AS y_t FROM ytg GROUP BY 1),
+        |ng AS (SELECT source, CAST(SUM(y_tg) AS BIGINT) AS n_g FROM ytg GROUP BY 1),
+        |nv AS (SELECT CAST(SUM(y_t) AS BIGINT) AS n_all,
+        |  CAST(COUNT(*) AS BIGINT) AS v FROM yt),
+        |sc AS (SELECT ytg.source, ytg.tok, ytg.y_tg, yt.y_t,
+        |  CAST(round(ln(CAST(ytg.y_tg + 1 AS DOUBLE)
+        |      / (ng.n_g + nv.v - ytg.y_tg - 1)), 9) AS DECIMAL(18,9))
+        |  - CAST(round(ln(CAST(yt.y_t - ytg.y_tg + 1 AS DOUBLE)
+        |      / (nv.n_all - ng.n_g + nv.v - (yt.y_t - ytg.y_tg) - 1)), 9) AS DECIMAL(18,9))
+        |  AS lo
+        |  FROM ytg JOIN yt USING (tok) JOIN ng USING (source) CROSS JOIN nv),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY lo DESC, tok) AS rank FROM sc)
+        |SELECT source, rank, tok, y_tg AS n_in_group, y_t AS n_corpus,
+        |  CAST(lo AS DECIMAL(19,9)) AS log_odds
+        |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin),
+
+    // Admission-time novelty: batch docs (id ≥ 400) scored against
+    // the standing corpus's (id < 400) materialized gram index — the
+    // incremental twin of q_ngram_novelty; per increment the corpus
+    // is read zero times at scale (the index is the persisted frame).
+    // Same planted-span fixture so real cross-corpus overlap exists.
+    q("q_incremental_novelty")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val span = base.filter($"doc_id" === 100)
+          .select(concat_ws(" ", slice(TextFns.tokens($"text"), 1, 12)).as("span"))
+        val planted = base.crossJoin(broadcast(span))
+          .select($"doc_id",
+            when($"doc_id" % 9 === 0, concat($"text", lit(" "), $"span"))
+              .otherwise($"text").as("text"))
+        Dedup.incrementalNovelty(
+            Dedup.gramIndex(planted.filter($"doc_id" < 400), n = 8),
+            planted.filter($"doc_id" >= 400), n = 8)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |sp AS (SELECT array_to_string((string_split_regex(trim(text), '\\s+'))[1:12], ' ') AS span
+        |  FROM base WHERE doc_id = 100),
+        |corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN text || ' ' || span ELSE text END AS text
+        |  FROM base, sp),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM corpus),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, len(tks) - 7),
+        |  i -> ${h48("tks[i]||' '||tks[i+1]||' '||tks[i+2]||' '||tks[i+3]||' '||" +
+                     "tks[i+4]||' '||tks[i+5]||' '||tks[i+6]||' '||tks[i+7]")}))) AS hv
+        |  FROM tk WHERE len(tks) >= 8),
+        |cg AS (SELECT DISTINCT hv FROM g WHERE doc_id < 400),
+        |bg AS (SELECT doc_id, hv FROM g WHERE doc_id >= 400)
+        |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN cg.hv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |FROM bg LEFT JOIN cg USING (hv)
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin),
+
+    // Multi-pass SNM — the documented recall fix for single-key
+    // sorted neighborhood: a second pass ordered by the SUFFIX key
+    // catches head-edited near-dups the prefix order separates.
+    // Fixture plants both kinds (tail-drift twins for pass 1,
+    // head-prefixed twins only pass 2 can see); pair sets union with
+    // LEAST/GREATEST normalization (a pair's a/b order differs
+    // between passes).
+    q("q_snm_multipass")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val corpus = base
+          .unionByName(base.filter($"doc_id" % 41 === 0)
+            .select(($"doc_id" + 200000L).as("doc_id"),
+              concat($"text", lit(" tail drift marker")).as("text")))
+          .unionByName(base.filter($"doc_id" % 43 === 0)
+            .select(($"doc_id" + 400000L).as("doc_id"),
+              concat(lit("zq head marker "), $"text").as("text")))
+        val tk = TextFns.tokens($"text")
+        val suffixKey = concat_ws(" ",
+          slice(tk, greatest(size(tk) - 3, lit(1)), lit(4)))
+        def norm(p: org.apache.spark.sql.DataFrame) = p.select(
+          least($"id_a", $"id_b").as("id_a"),
+          greatest($"id_a", $"id_b").as("id_b"),
+          $"n_common", $"n_union")
+        val p1 = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+          window = 4, keyTokens = 4, shingleN = 3)
+        val p2 = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+          window = 4, keyTokens = 4, shingleN = 3, keyExpr = Some(suffixKey))
+        norm(p1).unionByName(norm(p2)).distinct()
+          .filter($"n_union" > 0 && $"n_common" * 2 >= $"n_union")
+          .orderBy($"id_a", $"id_b")
+      },
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 200000, text || ' tail drift marker'
+        |  FROM base WHERE doc_id % 41 = 0
+        |  UNION ALL SELECT doc_id + 400000, 'zq head marker ' || text
+        |  FROM base WHERE doc_id % 43 = 0),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM corpus),
+        |keyed AS (SELECT doc_id,
+        |  array_to_string(tks[1:4], ' ') AS k1,
+        |  array_to_string(tks[greatest(len(tks) - 3, 1):len(tks)], ' ') AS k2,
+        |  list_distinct(list_transform(generate_series(1, len(tks) - 2),
+        |    i -> ${h48("tks[i]||' '||tks[i+1]||' '||tks[i+2]")})) AS sh
+        |  FROM tk),
+        |r1 AS (SELECT *, row_number() OVER (ORDER BY k1, doc_id) AS rnk FROM keyed),
+        |r2 AS (SELECT *, row_number() OVER (ORDER BY k2, doc_id) AS rnk FROM keyed),
+        |c1 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.sh AS sa, b.sh AS sb
+        |  FROM r1 a JOIN r1 b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 4),
+        |c2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib, a.sh AS sa, b.sh AS sb
+        |  FROM r2 a JOIN r2 b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 4),
+        |pairs AS (SELECT DISTINCT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+        |  CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS BIGINT) AS n_common,
+        |  CAST(len(sa) + len(sb)
+        |    - len(list_filter(sa, x -> list_contains(sb, x))) AS BIGINT) AS n_union
+        |  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2))
+        |SELECT id_a, id_b, n_common, n_union FROM pairs
+        |WHERE n_union > 0 AND n_common * 2 >= n_union
+        |ORDER BY id_a, id_b""".stripMargin))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap

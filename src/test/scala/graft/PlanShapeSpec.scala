@@ -231,6 +231,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partition_offset_rank"), "native rank expression missing")
   }
 
+  test("q_logodds_terms: vocab-sized broadcast joins, window only on the group key") {
+    val p = plan("q_logodds_terms")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), s"q_logodds_terms shuffles a vocab-sized join:\n$p")
+  }
+
+  test("q_incremental_novelty / q_snm_multipass stay off quadratic paths") {
+    for (name <- Seq("q_incremental_novelty", "q_snm_multipass")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!p.contains("Window"), s"$name ranks through a window")
+      if (name == "q_snm_multipass")
+        assert(p.contains("partition_offset_rank"), s"$name lost the native rank")
+    }
+  }
+
   test("q_rrf_fusion: broadcast query vector, distributed ranks, no single-task stage") {
     val p = plan("q_rrf_fusion")
     assert(!p.contains("CartesianProduct"))

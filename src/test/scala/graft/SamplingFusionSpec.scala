@@ -139,4 +139,65 @@ class SamplingFusionSpec extends SparkSpec {
   }
 
   private def sfDocs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("multi-pass SNM: suffix key catches head-edited twins the prefix order misses") {
+    import graft.functions.TextFns
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, "zq hd a1 a2 a3 a4 a5 a6 a7 a8"), // head-prefixed twin of 1
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8"),       // sorts between 1 and 2's keys
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8")
+    ).toDF("doc_id", "text")
+    def pairsOf(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val p1 = pairsOf(Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      window = 1, keyTokens = 4, shingleN = 3)
+      .filter($"n_common" * 2 >= $"n_union"))
+    // prefix order: "a1..", "m1..", "n1..", "zq hd.." — the twin is 3
+    // positions from doc 1; window 1 cannot pair them
+    assert(!p1.contains((1L, 2L)))
+    val tk = TextFns.tokens($"text")
+    val suffix = concat_ws(" ", slice(tk, greatest(size(tk) - 3, lit(1)), lit(4)))
+    val p2 = pairsOf(Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+      window = 1, keyTokens = 4, shingleN = 3, keyExpr = Some(suffix))
+      .filter($"n_common" * 2 >= $"n_union"))
+    // suffix order: both end "a5 a6 a7 a8" → adjacent → caught
+    assert(p2.contains((1L, 2L)))
+  }
+
+  test("incrementalNovelty counts seen grams against the index only") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val corpus = Seq((1L, s"c1 c2 c3 $span")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"$span b1 b2 b3"),     // shares exactly the pure-span gram
+      (11L, "f1 f2 f3 f4 f5 f6 f7 f8 f9") // fully novel
+    ).toDF("doc_id", "text")
+    val idx = Dedup.gramIndex(corpus, n = 8)
+    val out = Dedup.incrementalNovelty(idx, batch, n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L) == (4L, 1L)) // 4 distinct grams, 1 in the index
+    assert(out(11L) == (2L, 0L))
+    // empty index: everything novel
+    val empty = Dedup.incrementalNovelty(idx.filter(lit(false)), batch, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(empty == Map(10L -> 0L, 11L -> 0L))
+  }
+
+  test("logOddsTerms ranks group-exclusive vocabulary first, signs contrast") {
+    import graft.classify.TextClassify
+    val docs = Seq(
+      ("A", "xx xx xx yy"), ("A", "xx yy"),
+      ("B", "zz zz yy"), ("B", "zz yy yy")
+    ).toDF("source", "text")
+    val out = TextClassify.logOddsTerms(docs, "source", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getDecimal(5))).toMap
+    // the exclusive high-frequency term tops each group, positive δ
+    assert(out(("A", 1L))._1 == "xx" && out(("A", 1L))._2.signum > 0)
+    assert(out(("B", 1L))._1 == "zz" && out(("B", 1L))._2.signum > 0)
+    // the shared term ranks below the exclusive one on both sides
+    assert(out(("A", 2L))._1 == "yy" && out(("B", 2L))._1 == "yy")
+    assert(out.size == 4) // topK bound: 2 per group
+  }
 }
