@@ -59,6 +59,19 @@ object Temporal {
         .withColumn("n_from", sum($"n_trans").over(
           org.apache.spark.sql.expressions.Window.partitionBy($"prev_type")))
         .orderBy($"prev_type", $"next_type")
+    }),
+    // Z-order (Morton) clustering key over (user bucket, hour bucket)
+    // — the two-dimensional layout that lets BOTH a user-scoped and a
+    // time-scoped scan prune row groups; emitted per event so the
+    // bit-dilation math itself is oracle-pinned. Pure codegen'd
+    // integer ops, map-only until the final ORDER BY.
+    "q_zorder" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .select($"event_id", ($"user_id" % 1024).as("x"),
+          (expr("unix_micros(ts) div 3600000000") % 1024).as("y"))
+      ev.withColumn("zcode", graft.operators.Layout.zorder2($"x", $"y"))
+        .orderBy($"zcode", $"event_id")
     })
   )
 
@@ -88,6 +101,21 @@ object Temporal {
         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT prev_type, next_type, n_trans,
         |  SUM(n_trans) OVER (PARTITION BY prev_type) AS n_from
-        |FROM c ORDER BY prev_type, next_type""".stripMargin
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "q_zorder" ->
+      """WITH b AS (SELECT event_id,
+        |  CAST(user_id % 1024 AS BIGINT) AS x,
+        |  CAST((epoch_us(ts) // 3600000000) % 1024 AS BIGINT) AS y FROM events),
+        |s0 AS (SELECT event_id, x, y, x & 65535 AS xv, y & 65535 AS yv FROM b),
+        |s1 AS (SELECT event_id, x, y, (xv | (xv << 8)) & 16711935 AS xv,
+        |  (yv | (yv << 8)) & 16711935 AS yv FROM s0),
+        |s2 AS (SELECT event_id, x, y, (xv | (xv << 4)) & 252645135 AS xv,
+        |  (yv | (yv << 4)) & 252645135 AS yv FROM s1),
+        |s3 AS (SELECT event_id, x, y, (xv | (xv << 2)) & 858993459 AS xv,
+        |  (yv | (yv << 2)) & 858993459 AS yv FROM s2),
+        |s4 AS (SELECT event_id, x, y, (xv | (xv << 1)) & 1431655765 AS xv,
+        |  (yv | (yv << 1)) & 1431655765 AS yv FROM s3)
+        |SELECT event_id, x, y, (xv | (yv << 1)) AS zcode FROM s4
+        |ORDER BY zcode, event_id""".stripMargin
   )
 }

@@ -201,8 +201,68 @@ object VectorOps {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a.embedding", "b.embedding")} AS sim
          |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
          |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.999
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // Diversity-aware top-k: MMR (λ=0.7) over each query's top-8
+    // cosine candidates, 4 picks — redundancy suppression for
+    // retrieval pipelines. Greedy is sequential in k but each step is
+    // one bounded join/agg DISTRIBUTED ACROSS QUERIES (candidate and
+    // pair frames pinned once); the oracle unrolls the same 4 steps.
+    q("q_mmr_select")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        Similarity.mmrSelect(e.filter($"vec_id" < 3), e, "vec_id", "embedding",
+            k = 4, c = 8, lambda = 0.7)
+          .select($"q_id", $"mmr_rank", $"id", $"score")
+          .orderBy($"q_id", $"mmr_rank")
+      },
+      mmrOracleSql(k = 4, c = 8))
   )
+
+  /** Unrolled-greedy MMR oracle: sel1 = plain argmax; each later step
+    * scores the remaining candidates by λ·simq − (1−λ)·max-sim-to-
+    * selected and takes the per-query argmax (id tie-break). The
+    * complement is written as the DOUBLE subtraction
+    * CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE), not 0.3 and not a
+    * bare (1.0 - 0.7): DuckDB's bare decimal literals fold the
+    * subtraction EXACTLY (DECIMAL 0.3), while the engine computes the
+    * IEEE 1.0 − 0.7 = 0.30000000000000004 — a last-ulp divergence
+    * that surfaced as a real hash mismatch.
+    */
+  private def mmrOracleSql(k: Int, c: Int): String = {
+    val steps = (2 to k).map { n =>
+      s"""sel$n AS (SELECT q_id, id, score, CAST($n AS BIGINT) AS mmr_rank FROM (
+         |  SELECT cd.q_id, cd.id, CAST(0.7 AS DOUBLE) * cd.simq - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * p.maxsim AS score,
+         |    row_number() OVER (PARTITION BY cd.q_id
+         |      ORDER BY (CAST(0.7 AS DOUBLE) * cd.simq - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * p.maxsim) DESC, cd.id) AS rn
+         |  FROM cand cd
+         |  JOIN (SELECT pr.q_id, pr.a_id, MAX(pr.sim_ab) AS maxsim FROM pairs pr
+         |        JOIN u${n - 1} s ON s.q_id = pr.q_id AND s.id = pr.b_id
+         |        GROUP BY 1, 2) p
+         |    ON p.q_id = cd.q_id AND p.a_id = cd.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM u${n - 1} s2
+         |    WHERE s2.q_id = cd.q_id AND s2.id = cd.id)) WHERE rn = 1),
+         |u$n AS (SELECT * FROM u${n - 1} UNION ALL SELECT * FROM sel$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+       |scored AS (SELECT q.q_id, e.vec_id AS id, e.embedding AS v,
+       |  ${cosineSql("q.qv", "e.embedding")} AS simq
+       |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+       |cand AS (SELECT q_id, id, v, simq FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY simq DESC, id) AS rn FROM scored) WHERE rn <= $c),
+       |pairs AS (SELECT a.q_id, a.id AS a_id, b.id AS b_id,
+       |  ${cosineSql("a.v", "b.v")} AS sim_ab
+       |  FROM cand a JOIN cand b ON b.q_id = a.q_id AND b.id <> a.id),
+       |sel1 AS (SELECT q_id, id, simq AS score, CAST(1 AS BIGINT) AS mmr_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY simq DESC, id) AS rn FROM cand) WHERE rn = 1),
+       |u1 AS (SELECT q_id, id, score, mmr_rank FROM sel1),
+       |$steps
+       |SELECT q_id, mmr_rank, id, score FROM u$k
+       |ORDER BY q_id, mmr_rank""".stripMargin
+  }
 
   /** k-means training is iterative float averaging — summation order
     * makes exact cross-engine values unreasonable, so the driver

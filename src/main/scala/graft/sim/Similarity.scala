@@ -279,4 +279,65 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), VectorFns.cosineR(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Diversity-aware top-k: maximal marginal relevance (Carbonell/
+    * Goldstein MMR) over the top-`c` cosine candidates of each query —
+    * the standard redundancy-suppression step for retrieval-augmented
+    * pipelines (k near-identical hits are worth less than k distinct
+    * ones). Greedy: pick the most-similar candidate, then repeatedly
+    *
+    *   argmax_d  λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    *
+    * ties on the id. Output: (q_id, mmr_rank, id, score) — `score` is
+    * the selection-time objective (rank 1: the plain query cosine).
+    *
+    * Determinism/exactness: all cosines round to 6 decimals; the
+    * objective is two IEEE products and one subtraction of those
+    * exact values — bit-identical on any engine computing the same.
+    *
+    * Scale shape: the greedy loop is inherently sequential in k, but
+    * each of the k−1 steps is DISTRIBUTED ACROSS QUERIES: bounded
+    * joins/aggregations over the (|Q|·c) candidate and (|Q|·c²)
+    * candidate-pair frames (both pinned once), never over the corpus
+    * — a million queries MMR-select in the same k−1 rounds. Candidate
+    * generation itself is [[bruteForceTopK]] here; swap in
+    * [[ivfTopK]]'s cells for the ANN path, the selection composes
+    * unchanged.
+    */
+  def mmrSelect(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, c: Int,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && c >= k, s"mmrSelect needs 1 <= k <= c, got k=$k c=$c")
+    val emb = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+    val cands = graft.util.CacheScope.pin(
+      bruteForceTopK(queries, corpus, idCol, vecCol, c)
+        .select(col("q_id"), col("id"), col("sim").as("simq"))
+        .join(emb, "id"))
+    val pairs = graft.util.CacheScope.pin(
+      cands.as("a").join(cands.as("b"),
+          col("a.q_id") === col("b.q_id") && col("a.id") =!= col("b.id"))
+        .select(col("a.q_id").as("q_id"), col("a.id").as("a_id"),
+          col("b.id").as("b_id"),
+          VectorFns.cosineR(col("a._v"), col("b._v")).as("sim_ab")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("id"))
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("q_id"), lit(rank.toLong).as("mmr_rank"), col("id"), col("score"))
+    var selected = pick(
+      cands.select(col("q_id"), col("id"), col("simq").as("score")), 1)
+    var all = selected
+    for (step <- 2 to k) {
+      val pen = pairs.join(
+          all.select(col("q_id"), col("id").as("b_id")), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id")).agg(max(col("sim_ab")).as("_maxsim"))
+      val scored = cands
+        .join(all.select(col("q_id"), col("id")), Seq("q_id", "id"), "left_anti")
+        .join(pen.withColumnRenamed("a_id", "id"), Seq("q_id", "id"))
+        .select(col("q_id"), col("id"),
+          (lit(lambda) * col("simq") - lit(1.0 - lambda) * col("_maxsim")).as("score"))
+      selected = pick(scored, step)
+      all = all.unionByName(selected)
+    }
+    all
+  }
 }

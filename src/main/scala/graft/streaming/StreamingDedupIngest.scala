@@ -54,6 +54,16 @@ import graft.dedup.Dedup
   *   the sketch literal map-side and only sketch-positives reach the
   *   exact confirm join — the [[graft.curation.Curation.decontaminateBloom]]
   *   shape without per-batch sketch rebuilds.
+  * @param noveltyGate when Some(maxSeenPct), drop documents whose
+  *   `noveltyNgram`-grams are more than maxSeenPct% already present in
+  *   the admitted corpus's persistent gram index
+  *   ([[graft.dedup.Dedup.incrementalNovelty]]) — exact-substring-level
+  *   redundancy control the LSH near-dup step cannot see (a doc
+  *   stitched from previously-admitted spans is not a near-dup of any
+  *   single admitted doc). The gram index is a third parquet store
+  *   (`gram_index/batch_id=<n>` leaves, folded by the same compaction),
+  *   NOT stream state; docs too short to gram pass. Applied between
+  *   decontamination and dedup.
   */
 class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            simThreshold: Double = 0.9,
@@ -64,10 +74,13 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            decontGate: Option[DataFrame] = None,
                            decontNgram: Int = 8,
                            decontNumBits: Long = 1L << 23,
-                           decontBroadcastConfirm: Boolean = true) {
+                           decontBroadcastConfirm: Boolean = true,
+                           noveltyGate: Option[Int] = None,
+                           noveltyNgram: Int = 8) {
 
   private val indexDir = s"$workDir/band_index"
   private val admittedDir = s"$workDir/admitted"
+  private val gramDir = s"$workDir/gram_index"
 
   private def gramHashes(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(array_distinct(
@@ -88,6 +101,11 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       // drop the batch_id partition column — it would collide with
       // bandMatches' batch-side alias
       Some(spark.read.parquet(indexDir).select(col("corpus_id"), col("band_id"), col("band_hash")))
+    else None
+
+  private def readGramIndex(): Option[DataFrame] =
+    if (Files.isDirectory(Paths.get(gramDir)))
+      Some(spark.read.parquet(gramDir).select(col("hv")))
     else None
 
   /** The admitted corpus so far (empty before the first batch). Deduped
@@ -166,6 +184,7 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
   def compact(horizon: Long): Unit = if (horizon > 0) {
     foldLeaves(indexDir, horizon, Seq("corpus_id", "band_id", "band_hash"))
     foldLeaves(admittedDir, horizon, Seq("doc_id"))
+    if (noveltyGate.isDefined) foldLeaves(gramDir, horizon, Seq("hv"))
   }
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -206,7 +225,21 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
           .select(col("doc_id")).distinct()
         classed.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
       }
-      val docs = decontD.localCheckpoint()
+      // novelty gate: drop documents whose n-grams are mostly already
+      // in the admitted corpus's gram index — exact-substring-level
+      // redundancy control the LSH near-dup below can't see (a doc
+      // stitched from previously-admitted spans is NOT a near-dup of
+      // any single admitted doc). Cost ∝ batch grams ⋈ index; the
+      // 100 TB corpus is never re-read. Docs too short to gram pass.
+      val novelD = noveltyGate.fold(decontD) { maxSeenPct =>
+        readGramIndex().fold(decontD) { idx =>
+          val stale = Dedup.incrementalNovelty(idx, decontD, noveltyNgram)
+            .filter(col("n_seen") * 100 > col("n_grams") * maxSeenPct)
+            .select(col("doc_id"))
+          decontD.join(stale, Seq("doc_id"), "left_anti")
+        }
+      }
+      val docs = novelD.localCheckpoint()
       val sig = Dedup.minhashSignatures(docs, "doc_id", "text").localCheckpoint()
 
       val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id")
@@ -227,6 +260,9 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       Dedup.bandKeys(sig.join(admittedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi"), "doc_id")
         .withColumnRenamed("doc_id", "corpus_id")
         .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+      if (noveltyGate.isDefined)
+        Dedup.gramIndex(admittedDocs, noveltyNgram)
+          .write.mode("overwrite").parquet(s"$gramDir/batch_id=$batchId")
     }
   }
 

@@ -37,4 +37,45 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("zorder2 interleaves bits exactly (hand cases + bijectivity on a grid)") {
+    val grid = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val z = grid.withColumn("z", Layout.zorder2($"x", $"y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // z(x,y) interleaves: x bits at even positions, y at odd
+    assert(z((0L, 0L)) == 0L && z((1L, 0L)) == 1L && z((0L, 1L)) == 2L)
+    assert(z((3L, 5L)) == 39L) // 011 ⋈ 101 = 100111b
+    assert(z((15L, 15L)) == 255L)
+    assert(z.values.toSet.size == 256) // bijective on the grid
+  }
+
+  test("aligned quadrants occupy contiguous z-ranges (the pruning property)") {
+    // Morton property: the box [0,2^k)² maps exactly onto z ∈ [0,4^k)
+    // — so after a range partition on z, a quadrant scan touches a
+    // CONTIGUOUS partition span, the row-group-pruning argument
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y").withColumn("z", Layout.zorder2($"x", $"y"))
+    val inBox = grid.filter($"x" < 16 && $"y" < 16)
+      .agg(min($"z"), max($"z"), count(lit(1))).as[(Long, Long, Long)].head()
+    assert(inBox == ((0L, 255L, 256L))) // exactly [0, 4^4): contiguous, dense
+    // a row-major sort key (x*64+y) scatters that same box across
+    // [0, 975] — a 3.8x wider span than z-order's tight [0, 255]
+    val rm = grid.filter($"x" < 16 && $"y" < 16)
+      .agg(min($"x" * 64 + $"y"), max($"x" * 64 + $"y")).as[(Long, Long)].head()
+    assert(rm._2 - rm._1 + 1 > 3L * (inBox._2 - inBox._1 + 1))
+  }
+
+  test("zorderBy clusters a quadrant into few contiguous range partitions") {
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val laid = Layout.zorderBy(grid, $"x", $"y", numPartitions = 16)
+      .withColumn("pid", spark_partition_id())
+    val pids = laid.filter($"x" < 16 && $"y" < 16)
+      .select($"pid").distinct().collect().map(_.getInt(0)).sorted
+    // 1/16 of the data in an aligned quadrant → a contiguous run of
+    // ~1/16 of the partitions (range bounds are sampled, allow 2)
+    assert(pids.length <= 2, s"quadrant scattered across ${pids.mkString(",")}")
+    assert(pids.last - pids.head == pids.length - 1, "partition span not contiguous")
+  }
 }

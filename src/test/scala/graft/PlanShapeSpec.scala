@@ -247,6 +247,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_zorder is map-only up to its deterministic ORDER BY") {
+    val p = plan("q_zorder")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q_zorder shuffled before the sort:\n$p")
+  }
+
+  test("q_mmr_select: per-query joins over the candidate frames, no cartesian") {
+    // the candidate/pair frames scale with |Q| (not broadcastable at a
+    // million queries) — shuffle joins ON q_id are the correct
+    // distributed shape; the pin is that nothing degrades to an
+    // unkeyed product and no stage collapses to one task
+    val p = plan("q_mmr_select")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"), s"q_mmr_select collapsed to one task")
+  }
+
   test("q_rrf_fusion: broadcast query vector, distributed ranks, no single-task stage") {
     val p = plan("q_rrf_fusion")
     assert(!p.contains("CartesianProduct"))

@@ -184,6 +184,30 @@ class SamplingFusionSpec extends SparkSpec {
     assert(empty == Map(10L -> 0L, 11L -> 0L))
   }
 
+  test("mmrSelect suppresses the redundant near-twin in favor of the diverse hit") {
+    import graft.sim.Similarity
+    // corpus: a and b equally relevant (mirror images around the
+    // query), a2 a near-twin of a — MMR must take b at rank 2
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.436f)),
+      (2L, Array(0.9f, 0.437f)),
+      (3L, Array(0.9f, -0.436f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(
+        corpus.filter($"vec_id" === 100), corpus, "vec_id", "embedding",
+        k = 3, c = 3, lambda = 0.7)
+      .orderBy($"mmr_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // rank1 = plain argmax (a, id tie-break over its mirror); rank2 =
+    // b (penalty vs a ≈ 0.62), NOT the near-twin a2 (penalty ≈ 1.0)
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    // rank-1 score is the raw cosine; later scores strictly smaller
+    assert(out(0)._3 > out(1)._3 && out(1)._3 > out(2)._3)
+    intercept[IllegalArgumentException](
+      Similarity.mmrSelect(corpus, corpus, "vec_id", "embedding", k = 5, c = 3))
+  }
+
   test("logOddsTerms ranks group-exclusive vocabulary first, signs contrast") {
     import graft.classify.TextClassify
     val docs = Seq(

@@ -403,6 +403,30 @@ class StreamingSpec extends SparkSpec {
     assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("streaming novelty gate drops span-stitched docs LSH dedup cannot see") {
+    val work = java.nio.file.Files.createTempDirectory("graft_snv").toString
+    val ingest = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, noveltyGate = Some(50))
+    val dA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val dB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    ingest.processBatch(Seq((1L, dA), (2L, dB)).toDF("doc_id", "text"), 0L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // C = A ⧺ B: 10 of 17 8-grams (58.8%) already admitted, yet its
+    // Jaccard to either single doc is ~0.45 — invisible to LSH dedup
+    // at 0.9. D is novel; the 2-token doc is too short to gram → passes
+    val dC = s"$dA $dB"
+    val dD = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"
+    ingest.processBatch(Seq(
+      (10L, dC), (11L, dD), (12L, "tiny doc")).toDF("doc_id", "text"), 1L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L, 12L))
+    // the gram index grew with batch 1's admissions: a stitch of D+A
+    // spans is now 58.8% seen too — dropped
+    ingest.processBatch(Seq((20L, s"$dD $dA")).toDF("doc_id", "text"), 2L)
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L, 12L))
+  }
+
   test("stream-stream attribution join matches within the window, expires outside") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
