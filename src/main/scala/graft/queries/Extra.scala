@@ -209,6 +209,27 @@ object Extra {
       s"""SELECT l_returnflag, COUNT(*) AS n, ${decSumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // Salted fact join — the hot-key fan-out path
+    // ([[graft.operators.Salting.saltedJoin]]: skewed side salted in
+    // [0,f) by a whole-row hash, other side replicated f times, join
+    // on (key, salt)) — verified against the PLAIN join oracle: the
+    // salt must change the shuffle layout and nothing else.
+    q("q_salted_join")(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_quantity")
+        val o = t(s, d, "orders")
+          .select($"o_orderkey".as("l_orderkey"), $"o_orderstatus")
+        graft.operators.Salting.saltedJoin(li, o, "l_orderkey", saltFactor = 8)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_items"), decSum($"l_quantity").as("sum_qty"))
+          .orderBy($"o_orderstatus")
+      },
+      s"""SELECT o.o_orderstatus, COUNT(*) AS n_items,
+         |${decSumSql("l.l_quantity")} AS sum_qty
+         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin),
+
     // full quantile profile per segment — interpolated percentiles
     // (Spark `percentile` == DuckDB `quantile_cont`), rounded so the
     // linear-interpolation double math can't diverge in the last bit.

@@ -30,6 +30,63 @@ object TextOps6 {
   private def h48(e: String): String =
     s"CAST(concat('0x', substr(md5($e), 1, 12)) AS BIGINT)"
 
+  /** Unrolled BPE oracle: per step, count adjacent pairs (weighted by
+    * word frequency, overlaps included), take the (count desc, c1,
+    * c2) argmax, then rebuild each word's symbol list under the
+    * greedy left-to-right merge. Greedy = within each maximal run of
+    * consecutive match positions, the 1st/3rd/5th… merge and each
+    * consumes its successor — the closed form of the engine's fold.
+    * Every per-step CTE is MATERIALIZED: DuckDB inlines CTEs by
+    * default and each step references its predecessor ~3×, so the
+    * un-materialized plan blows up 3^steps.
+    */
+  private def bpeOracleSql(steps: Int): String = {
+    val stepCtes = (1 to steps).map { s =>
+      s"""p$s AS MATERIALIZED (SELECT c1, c2, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+         |  SELECT freq,
+         |    unnest(list_transform(generate_series(1, len(syms) - 1), i -> syms[i])) AS c1,
+         |    unnest(list_transform(generate_series(1, len(syms) - 1), i -> syms[i+1])) AS c2
+         |  FROM seq${s - 1} WHERE len(syms) >= 2) GROUP BY 1, 2),
+         |best$s AS MATERIALIZED (SELECT c1, c2, pair_count FROM p$s
+         |  ORDER BY pair_count DESC, c1, c2 LIMIT 1),
+         |pos$s AS MATERIALIZED (SELECT q.w, q.freq, len(q.syms) AS n,
+         |    unnest(generate_series(1, len(q.syms))) AS i,
+         |    unnest(q.syms) AS sym,
+         |    unnest(list_transform(generate_series(1, len(q.syms)),
+         |      j -> CASE WHEN j < len(q.syms) THEN q.syms[j+1] END)) AS next_sym
+         |  FROM seq${s - 1} q),
+         |-- scalar subqueries, NOT a cross join: DuckDB 1.0's binder
+         |-- hits an internal error inlining an unnest CTE that also
+         |-- joins, under the window pushdown below
+         |cand$s AS MATERIALIZED (SELECT w, freq, i, sym, next_sym,
+         |  CASE WHEN i < n AND sym = (SELECT c1 FROM best$s)
+         |    AND next_sym = (SELECT c2 FROM best$s)
+         |  THEN 1 ELSE 0 END AS cand FROM pos$s),
+         |mrg$s AS MATERIALIZED (SELECT w, i FROM (
+         |  SELECT w, i, row_number() OVER (PARTITION BY w, grp ORDER BY i) AS k FROM (
+         |    SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+         |    FROM cand$s WHERE cand = 1)) WHERE k % 2 = 1),
+         |seq$s AS MATERIALIZED (SELECT p.w, any_value(p.freq) AS freq,
+         |    list(CASE WHEN mr.i IS NOT NULL THEN p.sym || p.next_sym
+         |         ELSE p.sym END ORDER BY p.i) AS syms
+         |  FROM cand$s p
+         |  LEFT JOIN mrg$s mr ON mr.w = p.w AND mr.i = p.i
+         |  LEFT JOIN mrg$s cons ON cons.w = p.w AND cons.i = p.i - 1
+         |  WHERE cons.i IS NULL GROUP BY p.w)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to steps).map(s =>
+      s"SELECT CAST($s AS BIGINT) AS step, c1, c2, pair_count FROM best$s")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents WHERE trim(text) <> '') GROUP BY 1),
+       |seq0 AS MATERIALIZED (SELECT w, freq,
+       |  list_filter(string_split_regex(w, ''), c -> c <> '') AS syms FROM words),
+       |$stepCtes
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
 
     // Sorted-neighborhood near-dup detection (the windowed-scan
@@ -378,7 +435,19 @@ object TextOps6 {
         |  FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2))
         |SELECT id_a, id_b, n_common, n_union FROM pairs
         |WHERE n_union > 0 AND n_common * 2 >= n_union
-        |ORDER BY id_a, id_b""".stripMargin))
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // Distributed BPE merge training, 5 steps — tokenizer induction
+    // over the corpus vocabulary. The corpus collapses to the
+    // distinct-word frame once; each step is a vocabulary-sized pair
+    // aggregation + 1-row broadcast argmax + a codegen'd greedy fold.
+    // The oracle unrolls the same 5 steps with the chain-parity
+    // closed form of the greedy left-to-right merge.
+    q("q_bpe_merges")(
+      (s, d) => graft.classify.BpeTrainer.fitMerges(
+          t(s, d, "documents"), steps = 5)
+        .orderBy(col("step")),
+      bpeOracleSql(5)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap

@@ -247,6 +247,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_bpe_merges: vocab-sized aggregations + 1-row broadcast argmax per step") {
+    val p = plan("q_bpe_merges")
+    assert(!p.contains("CartesianProduct")) // 1-row best side may BNL
+    assert(!p.contains("Window"), "the greedy merge must stay a map-side fold")
+  }
+
+  test("q_salted_join joins on (key, salt) as a hash join, never a product") {
+    val p = plan("q_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_zorder is map-only up to its deterministic ORDER BY") {
     val p = plan("q_zorder")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))

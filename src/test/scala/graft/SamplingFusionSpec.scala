@@ -208,6 +208,23 @@ class SamplingFusionSpec extends SparkSpec {
       Similarity.mmrSelect(corpus, corpus, "vec_id", "embedding", k = 5, c = 3))
   }
 
+  test("BPE merges match the serial reference on a hand-computed corpus") {
+    import graft.classify.BpeTrainer
+    // words: "aaab"×2, "ab"×1. Serial BPE:
+    //   step1: (a,a) count 4 (two per "aaab", overlaps counted) → aaab=[aa,a,b]
+    //   step2: (a,b) count 3 beats (aa,a)=2 → [aa,ab] / [ab]
+    //   step3: (aa,ab) count 2
+    val docs = Seq("aaab ab", "aaab").toDF("text")
+    val rules = BpeTrainer.fitMerges(docs, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.sortBy(_._1).toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+    // deterministic tie-break: (x,y) and (y,x) both count 1 → c1 asc wins
+    val tie = BpeTrainer.fitMerges(Seq("xy yx").toDF("text"), steps = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).head
+    assert(tie == (("x", "y")))
+  }
+
   test("logOddsTerms ranks group-exclusive vocabulary first, signs contrast") {
     import graft.classify.TextClassify
     val docs = Seq(
