@@ -77,4 +77,57 @@ object Sampling {
       rr, Seq(col("tier"), col("rr_rank"), col(groupCol), col(idCol)),
       out = "curriculum_pos")
   }
+
+  /** Exact integer water-filling: allocate a total budget of
+    * B = total·`num` div `den` rows across groups so no group exceeds
+    * a common level τ — the "cap the big sources to hit a token
+    * budget" data-mix step (big sources are cut to the level, small
+    * sources keep everything; the standard proportional-fairness
+    * allocation). `counts` is one row per group: (`groupCol`,
+    * `nCol` integer availability).
+    *
+    * Exact semantics (integer end-to-end, no floats anywhere):
+    * sort groups by (n asc, group asc); the pivot k* is the first
+    * rank where capping every later group at its own n reaches B;
+    * τ = (B − prefix(k*−1)) div |uncapped|, and the remainder goes
+    * +1 each to the first r uncapped groups by group name. When
+    * B ≥ total every group keeps its full n.
+    *
+    * Scale note: the windows here run over the GROUP-COUNT frame
+    * (sources/domains — thousands of rows at most), not the corpus;
+    * a single-partition window over that frame is deliberate and
+    * harmless, the same shape as the 1-row corpus-stats aggregates.
+    */
+  def waterFill(counts: DataFrame, groupCol: String, nCol: String,
+                num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0, s"waterFill needs num >= 0, den > 0; got $num/$den")
+    val n = col(nCol).cast("long")
+    val w = Window.orderBy(n, col(groupCol))
+    val tot = counts.agg(sum(n).as("_total"),
+        count(lit(1)).cast("long").as("_s"))
+      .withColumn("_b", expr(s"_total * ${num}L div ${den}L"))
+    val ranked = counts
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(n).over(w))
+      .crossJoin(broadcast(tot))
+    // first rank where full-prefix + level-capped-suffix reaches B
+    val pivot = ranked
+      .filter(col("_cum") + (col("_s") - col("_k")) * n >= col("_b"))
+      .orderBy(col("_k")).limit(1)
+      .agg(min(col("_k")).as("_kstar"),
+        min(col("_cum") - n).as("_prefix"),
+        min(col("_s") - col("_k") + 1).as("_cnt")) // 1 row; NULLs when B >= total
+    val joined = ranked.crossJoin(broadcast(pivot))
+      .withColumn("_d", col("_b") - col("_prefix"))
+      .withColumn("_tau", (col("_d") - pmod(col("_d"), col("_cnt"))) / col("_cnt"))
+      .withColumn("_r", pmod(col("_d"), col("_cnt")))
+    val uncapped = joined.filter(col("_k") >= col("_kstar"))
+      .withColumn("_r2", row_number().over(Window.orderBy(col(groupCol))).cast("long"))
+      .withColumn("alloc",
+        (col("_tau") + when(col("_r2") <= col("_r"), 1L).otherwise(0L)).cast("long"))
+    val capped = joined.filter(col("_kstar").isNull || col("_k") < col("_kstar"))
+      .withColumn("alloc", n)
+    capped.select(col(groupCol), n.as("n_avail"), col("alloc"))
+      .unionByName(uncapped.select(col(groupCol), n.as("n_avail"), col("alloc")))
+  }
 }

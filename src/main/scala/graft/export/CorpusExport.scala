@@ -19,8 +19,9 @@ case class ExportManifest(shards: Int, totalRows: Long, entries: Seq[ShardEntry]
 
 /** Deterministic corpus materialization — the last mile of a curation
   * pipeline (select → dedup → mix → **export**): write a DataFrame as
-  * `shards` parquet shard files with a pinned global order and an
-  * atomic, hash-bearing manifest.
+  * `shards` shard files (parquet, or one-object-per-line `jsonl` —
+  * the form training loaders stream directly) with a pinned global
+  * order and an atomic, hash-bearing manifest.
   *
   * Contract:
   *  - rows are globally ordered by `sortCols`, which MUST be a total
@@ -58,9 +59,12 @@ object CorpusExport {
     * immutable-once-published, like landed blobs).
     */
   def write(df: DataFrame, dir: String, shards: Int, sortCols: Seq[Column],
-            overwrite: Boolean = false): ExportManifest = graft.util.CacheScope.loan {
+            overwrite: Boolean = false,
+            format: String = "parquet"): ExportManifest = graft.util.CacheScope.loan {
     require(shards >= 1, s"corpus export needs shards >= 1, got $shards")
     require(sortCols.nonEmpty, "corpus export needs a total-order sort key")
+    require(format == "parquet" || format == "jsonl",
+      s"corpus export format must be parquet or jsonl, got $format")
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val manifestPath = root.resolve(ManifestName)
@@ -82,7 +86,8 @@ object CorpusExport {
       val listing = Files.list(root)
       try listing.iterator().asScala
         .filter { p => val n = p.getFileName.toString
-          n.startsWith("shard-") && n.endsWith(".parquet") }
+          n.startsWith("shard-") &&
+            (n.endsWith(".parquet") || n.endsWith(".jsonl")) }
         .foreach(p => Files.deleteIfExists(p): Unit)
       finally listing.close()
     }
@@ -97,11 +102,23 @@ object CorpusExport {
       .withColumn("shard", ((col("_ce_rank") - 1L) % shards).cast("long"))
       .withColumn("pos", ((col("_ce_rank") - 1L).divide(shards)).cast("long") + 1L)
       .drop("_ce_rank")
-    ranked
+    val clustered = ranked
       .withColumn("pshard", col("shard"))
       .repartition(shards, col("pshard"))
       .sortWithinPartitions(col("pshard"), col("pos"))
-      .write.mode("overwrite").partitionBy("pshard").parquet(staging.toString)
+    if (format == "jsonl")
+      // one JSON object per line, field order = the frame's column
+      // order (deterministic), uncompressed text — the byte-stable
+      // form training loaders consume directly; shard/pos serialize
+      // INTO each line so a .jsonl shard stays self-describing
+      clustered
+        .select(col("pshard"), to_json(struct(
+          ranked.columns.map(col).toIndexedSeq: _*)).as("value"))
+        .write.mode("overwrite").partitionBy("pshard").text(staging.toString)
+    else
+      clustered
+        .write.mode("overwrite").partitionBy("pshard").parquet(staging.toString)
+    val dataExt = if (format == "jsonl") ".txt" else ".parquet"
 
     // deterministic final names; hashes computed executor-side over the
     // staged bytes (renames below don't change content)
@@ -113,7 +130,7 @@ object CorpusExport {
         val listing = Files.list(shardDir)
         val parts =
           try listing.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            .filter(_.getFileName.toString.endsWith(dataExt)).toSeq
           finally listing.close()
         require(parts.size == 1,
           s"shard $sh staged as ${parts.size} files (expected 1)")
@@ -122,14 +139,21 @@ object CorpusExport {
     }
     val hashes = hashFiles(spark, moves.map(_._2.toString))
 
-    val counts: Map[Int, Long] =
+    val counts: Map[Int, Long] = {
       if (moves.isEmpty) Map.empty
-      else spark.read.parquet(staging.toString)
-        .groupBy(col("pshard").cast("long").as("pshard")).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      else {
+        val staged =
+          if (format == "jsonl") spark.read.text(staging.toString)
+          else spark.read.parquet(staging.toString)
+        staged
+          .groupBy(col("pshard").cast("long").as("pshard")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      }
+    }
 
+    val outExt = if (format == "jsonl") ".jsonl" else ".parquet"
     val entries = moves.map { case (sh, staged) =>
-      val name = f"shard-$sh%05d.parquet"
+      val name = f"shard-$sh%05d$outExt"
       Files.move(staged, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       ShardEntry(sh, name, counts.getOrElse(sh, 0L),
         hashes.getOrElse(normalizeUri(staged.toUri.toString),
@@ -174,7 +198,9 @@ object CorpusExport {
       throw new IllegalArgumentException(s"no corpus export at $dir"))
     if (m.entries.isEmpty)
       throw new IllegalArgumentException(s"corpus export at $dir has no shards")
-    spark.read.parquet(m.entries.map(e => s"$dir/${e.file}"): _*)
+    val paths = m.entries.map(e => s"$dir/${e.file}")
+    if (m.entries.head.file.endsWith(".jsonl")) spark.read.json(paths: _*)
+    else spark.read.parquet(paths: _*)
   }
 
   /** Re-hash the published shard bytes (executor-side) and compare to

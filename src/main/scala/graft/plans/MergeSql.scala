@@ -394,18 +394,20 @@ case class VacuumPathCommand(targetDir: String, keep: Int) extends LeafRunnableC
   }
 }
 
-/** `EXPORT CORPUS <table_or_view> TO '<dir>' SHARDS n ORDER BY col
-  * [DESC] [, ...] [OVERWRITE]` — the SQL face of
-  * [[graft.export.CorpusExport.write]]: materialize a frame as n
-  * round-robin parquet shards in a pinned global order with an
-  * atomic, sha256-bearing manifest. The ORDER BY list must be a
+/** `EXPORT CORPUS <table_or_view> TO '<dir>' SHARDS n
+  * [FORMAT parquet|jsonl] ORDER BY col [DESC] [, ...] [OVERWRITE]` —
+  * the SQL face of [[graft.export.CorpusExport.write]]: materialize a
+  * frame as n round-robin shards (parquet default, or one-object-per-
+  * line jsonl) in a pinned global order with an atomic,
+  * sha256-bearing manifest. The ORDER BY list must be a
   * total order (append a unique id) — same contract as the API.
   * Returns the manifest: one row per shard (shard, file, rows,
   * sha256). Re-exporting to a published directory raises unless
   * OVERWRITE.
   */
 case class ExportCorpusCommand(source: String, dir: String, shards: Int,
-                               orderSpec: String, overwrite: Boolean)
+                               orderSpec: String, overwrite: Boolean,
+                               format: String = "parquet")
   extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("shard", org.apache.spark.sql.types.IntegerType, nullable = false)(),
@@ -433,7 +435,7 @@ case class ExportCorpusCommand(source: String, dir: String, shards: Int,
       }
     }
     val m = graft.export.CorpusExport.write(
-      session.table(source), dir, shards, sortCols, overwrite)
+      session.table(source), dir, shards, sortCols, overwrite, format)
     m.entries.map(e => Row(e.shard, e.file, e.rows, e.sha256))
   }
 }
@@ -537,7 +539,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CompactRe = """(?is)^\s*COMPACT\s+'([^']+)'\s*;?\s*$""".r
   private val ExportRe =
     ("""(?is)^\s*EXPORT\s+CORPUS\s+([\w.]+)\s+TO\s+'([^']+)'\s+SHARDS\s+(\d+)""" +
-      """\s+ORDER\s+BY\s+(.+?)(\s+OVERWRITE)?\s*;?\s*$""").r
+      """(?:\s+FORMAT\s+(\w+))?\s+ORDER\s+BY\s+(.+?)(\s+OVERWRITE)?\s*;?\s*$""").r
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
 
   private val UsingParenRe = """(?is)^(\s*MERGE\s+INTO\s+'[^']+'\s+USING\s+)\(""".r
@@ -609,8 +611,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     sqlText match {
       case MergeRe(_, _, _, _, _, _) => parseMerge(sqlText, None)
       case CompactRe(dir) => CompactPathCommand(dir)
-      case ExportRe(src, dir, n, order, ow) =>
-        ExportCorpusCommand(src, dir, n.toInt, order, ow != null)
+      case ExportRe(src, dir, n, fmt, order, ow) =>
+        ExportCorpusCommand(src, dir, n.toInt, order, ow != null,
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
       case VacuumRe(dir, keep) =>
         VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))
       case _ => delegate.parsePlan(sqlText)

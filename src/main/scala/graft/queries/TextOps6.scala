@@ -447,7 +447,44 @@ object TextOps6 {
       (s, d) => graft.classify.BpeTrainer.fitMerges(
           t(s, d, "documents"), steps = 5)
         .orderBy(col("step")),
-      bpeOracleSql(5)))
+      bpeOracleSql(5)),
+
+    // Exact integer water-filling: cap the big sources at a common
+    // level so the corpus hits an 80% budget — the proportional-
+    // fairness data-mix allocation (small sources keep everything).
+    // Same skew fixture as q_temp_mix so both capped and uncapped
+    // sources exist. Integer arithmetic end-to-end.
+    q("q_water_fill")(
+      (s, d) => {
+        import s.implicits._
+        val srcNum = substring($"source", 4, 10).cast("int")
+        val docs = t(s, d, "documents")
+          .filter(srcNum < 5 || $"doc_id" % 3 === 0)
+        val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        Sampling.waterFill(counts, "source", "n_docs", num = 4, den = 5)
+          .orderBy($"source")
+      },
+      """WITH corpus AS (SELECT doc_id, source FROM documents
+        |  WHERE CAST(substr(source, 4) AS INTEGER) < 5 OR doc_id % 3 = 0),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM corpus GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS s,
+        |  CAST(SUM(n) * 4 // 5 AS BIGINT) AS b FROM c),
+        |r AS (SELECT source, n,
+        |  CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS k,
+        |  CAST(SUM(n) OVER (ORDER BY n, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c),
+        |pv AS (SELECT MIN(k) AS kstar, MIN(cum - n) AS prefix, MIN(cnt) AS cnt FROM (
+        |  SELECT r.k, r.cum, r.n, tot.s - r.k + 1 AS cnt FROM r, tot
+        |  WHERE r.cum + (tot.s - r.k) * r.n >= tot.b ORDER BY r.k LIMIT 1)),
+        |j AS (SELECT r.source, r.n, r.k, pv.kstar, pv.cnt,
+        |  tot.b - pv.prefix AS d FROM r, tot, pv),
+        |unc AS (SELECT source, n, (d - (d % cnt)) // cnt + CASE WHEN
+        |    row_number() OVER (ORDER BY source) <= d % cnt THEN 1 ELSE 0 END AS alloc
+        |  FROM j WHERE k >= kstar),
+        |cap AS (SELECT source, n, n AS alloc FROM j WHERE kstar IS NULL OR k < kstar)
+        |SELECT source, n AS n_avail, CAST(alloc AS BIGINT) AS alloc FROM
+        |  (SELECT * FROM cap UNION ALL SELECT * FROM unc)
+        |ORDER BY source""".stripMargin))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap

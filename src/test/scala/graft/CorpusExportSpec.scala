@@ -80,4 +80,31 @@ class CorpusExportSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, ".staging")))
     assert(!Files.exists(Paths.get(dir, s".${CorpusExport.ManifestName}.tmp")))
   }
+
+  test("jsonl export: byte-identical reruns, valid JSON lines, read() round-trips") {
+    val d1 = Files.createTempDirectory("ce_j1").toString
+    val d2 = Files.createTempDirectory("ce_j2").toString
+    val sort = Seq($"n_chars".desc, $"doc_id")
+    val m1 = CorpusExport.write(docs(), d1, 3, sort, format = "jsonl")
+    val m2 = CorpusExport.write(docs().repartition(5, $"source"), d2, 3, sort,
+      format = "jsonl")
+    assert(m1 == m2, "jsonl manifests (incl. sha256) must be identical")
+    assert(m1.entries.forall(_.file.endsWith(".jsonl")))
+    // every line is a standalone JSON object carrying shard+pos; line
+    // count matches the manifest row count
+    val lines = Files.readAllLines(Paths.get(d1, m1.entries.head.file))
+    assert(lines.size.toLong == m1.entries.head.rows)
+    assert(lines.get(0).startsWith("{") && lines.get(0).contains("\"shard\":0"))
+    // read() round-trips rows and the exact written order
+    val back = CorpusExport.read(spark, d1)
+    assert(back.count() == docs().count())
+    // round-robin: global rank r lands at shard (r-1)%S, pos (r-1)/S+1
+    // — so rank order is (pos, shard)
+    val firstByRank = back.orderBy($"pos", $"shard").select($"doc_id")
+      .limit(3).as[Long].collect().toSeq
+    val expected = docs().orderBy($"n_chars".desc, $"doc_id")
+      .select($"doc_id").limit(3).as[Long].collect().toSeq
+    assert(firstByRank == expected)
+    assert(CorpusExport.verify(spark, d1))
+  }
 }

@@ -996,6 +996,16 @@ class ExtensionsSpec extends SparkSpec {
     val reserved = intercept[Exception](s2.sql(
       s"EXPORT CORPUS exp_docs TO '$dir' SHARDS 3 ORDER BY doc_id, overwrite").collect())
     assert(reserved.getMessage.contains("reserved"))
+    // FORMAT jsonl routes to the line-oriented writer
+    val jdir = java.nio.file.Files.createTempDirectory("export_jsql").toString + "/out"
+    val jrows = s2.sql(s"EXPORT CORPUS exp_docs TO '$jdir' SHARDS 2 " +
+      "FORMAT jsonl ORDER BY doc_id").collect()
+    assert(jrows.length == 2 &&
+      jrows.forall(_.getAs[String]("file").endsWith(".jsonl")))
+    assert(CorpusExport.read(s2, jdir).count() == m.totalRows)
+    val badFmt = intercept[Exception](s2.sql(
+      s"EXPORT CORPUS exp_docs TO '$jdir' SHARDS 2 FORMAT csv ORDER BY doc_id OVERWRITE").collect())
+    assert(badFmt.getMessage.contains("parquet or jsonl"))
   }
 
   test("graft_profile TVF profiles a parquet table, full and column-subset") {

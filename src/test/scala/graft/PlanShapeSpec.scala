@@ -258,6 +258,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_water_fill: corpus collapses to a group aggregate before any window") {
+    // windows here run over the sources-sized count frame (documented
+    // single-partition-by-design); the corpus itself must reach them
+    // only THROUGH the partial-aggregated groupBy — pinned by the
+    // aggregate being present and nothing degrading to a product
+    val p = plan("q_water_fill")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "group-count aggregate missing")
+  }
+
   test("q_zorder is map-only up to its deterministic ORDER BY") {
     val p = plan("q_zorder")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))

@@ -208,6 +208,25 @@ class SamplingFusionSpec extends SparkSpec {
       Similarity.mmrSelect(corpus, corpus, "vec_id", "embedding", k = 5, c = 3))
   }
 
+  test("waterFill: exact level, remainder by name, full-keep under big budgets") {
+    val counts = Seq(("a", 10L), ("b", 3L), ("c", 2L)).toDF("source", "n_docs")
+    def alloc(num: Long, den: Long, df: org.apache.spark.sql.DataFrame = counts) =
+      Sampling.waterFill(df, "source", "n_docs", num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // B = 15*4 div 5 = 12: c,b keep everything; a capped at the level 7
+    assert(alloc(4, 5) == Map("a" -> 7L, "b" -> 3L, "c" -> 2L))
+    // budget >= total: everyone keeps everything
+    assert(alloc(2, 1) == Map("a" -> 10L, "b" -> 3L, "c" -> 2L))
+    // remainder goes +1 to the first uncapped groups BY NAME:
+    // equal 5s, B = 13 → τ=4, r=1 → a gets 5
+    val eq = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("source", "n_docs")
+    assert(alloc(13, 15, eq) == Map("a" -> 5L, "b" -> 4L, "c" -> 4L))
+    // allocation always totals exactly B and never exceeds availability
+    val out = alloc(4, 5)
+    assert(out.values.sum == 12L && out.forall { case (s, v) =>
+      v <= Map("a" -> 10L, "b" -> 3L, "c" -> 2L)(s) })
+  }
+
   test("BPE merges match the serial reference on a hand-computed corpus") {
     import graft.classify.BpeTrainer
     // words: "aaab"×2, "ab"×1. Serial BPE:
