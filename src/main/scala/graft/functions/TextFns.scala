@@ -54,6 +54,16 @@ object TextFns {
     */
   def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
 
+  /** Canonical dedup key: casefold, strip non-alphanumerics to
+    * spaces, collapse whitespace, trim — the "fuzzy-exact"
+    * normalization web-corpus pipelines dedupe on (case/punctuation/
+    * spacing variants of the same text are one document). Pure
+    * codegen'd builtins; mirror in SQL with regexp_replace(…,'g').
+    */
+  def normKey(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** First 8 md5 hex digits as an unsigned 32-bit value in a long —
     * a portable deterministic string hash (same value is derivable in
     * any engine with md5, unlike xxhash/murmur variants).

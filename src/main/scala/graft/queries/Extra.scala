@@ -230,6 +230,84 @@ object Extra {
          |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
          |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin),
 
+    // Exact-moment distribution statistics per group: mean, variance,
+    // skewness derived from INTEGER power sums (quantities are
+    // integer-valued, so Σq, Σq², Σq³ are exact longs — order-
+    // independent under shuffle), then one mirrored fixed chain of
+    // IEEE ops per statistic. Built-in skewness() is deliberately NOT
+    // used: population-vs-sample conventions differ across engines,
+    // exact sums don't.
+    q("q_moments")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select($"l_returnflag", $"l_quantity".cast("long").as("q"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), sum($"q").as("s1"),
+            sum($"q" * $"q").as("s2"), sum($"q" * $"q" * $"q").as("s3"))
+          .withColumn("nd", $"n".cast("double"))
+          .withColumn("mean", $"s1".cast("double") / $"nd")
+          .withColumn("ex2", $"s2".cast("double") / $"nd")
+          .withColumn("ex3", $"s3".cast("double") / $"nd")
+          .withColumn("variance", $"ex2" - $"mean" * $"mean")
+          .withColumn("skewness",
+            ($"ex3" - lit(3.0) * $"mean" * $"ex2"
+              + lit(2.0) * $"mean" * $"mean" * $"mean")
+              / ($"variance" * sqrt($"variance")))
+          .select($"l_returnflag", $"n", $"mean", $"variance", $"skewness")
+          .orderBy($"l_returnflag")
+      },
+      """WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(q*q) AS BIGINT) AS s2,
+        |  CAST(SUM(q*q*q) AS BIGINT) AS s3
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        |  GROUP BY 1),
+        |m AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS ex2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS ex3 FROM s),
+        |v AS (SELECT *, ex2 - mean * mean AS variance FROM m)
+        |SELECT l_returnflag, n, mean, variance,
+        |  (ex3 - 3.0 * mean * ex2 + 2.0 * mean * mean * mean)
+        |    / (variance * sqrt(variance)) AS skewness
+        |FROM v ORDER BY l_returnflag""".stripMargin),
+
+    // Pearson correlation per group from exact sums (quantity integer
+    // long, price DECIMAL(18,2) — every sum order-independent), one
+    // mirrored IEEE chain at the end. Built-in corr() has the same
+    // cross-engine convention hazard as skewness().
+    q("q_correlation")(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        t(s, d, "lineitem")
+          .select($"l_returnflag", $"l_quantity".cast("long").as("x"),
+            $"l_extendedprice".cast(DecimalType(18, 2)).as("y"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"x").as("sx"), sum($"x" * $"x").as("sxx"),
+            sum($"y").as("sy"), sum($"y" * $"y").as("syy"),
+            sum($"x" * $"y").as("sxy"))
+          .withColumn("nd", $"n".cast("double"))
+          .withColumn("r",
+            ($"nd" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+              / (sqrt($"nd" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+                * sqrt($"nd" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))))
+          .select($"l_returnflag", $"n", $"r")
+          .orderBy($"l_returnflag")
+      },
+      """WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |  SUM(y) AS sy, SUM(y*y) AS syy, SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+        |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+        |FROM s ORDER BY l_returnflag""".stripMargin),
+
     // full quantile profile per segment — interpolated percentiles
     // (Spark `percentile` == DuckDB `quantile_cont`), rounded so the
     // linear-interpolation double math can't diverge in the last bit.

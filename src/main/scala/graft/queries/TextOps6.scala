@@ -484,7 +484,38 @@ object TextOps6 {
         |cap AS (SELECT source, n, n AS alloc FROM j WHERE kstar IS NULL OR k < kstar)
         |SELECT source, n AS n_avail, CAST(alloc AS BIGINT) AS alloc FROM
         |  (SELECT * FROM cap UNION ALL SELECT * FROM unc)
-        |ORDER BY source""".stripMargin))
+        |ORDER BY source""".stripMargin),
+
+    // Normalization-keyed exact dedup ("fuzzy-exact"): casefold +
+    // punctuation/whitespace canonicalization before hashing, so
+    // case/spacing variants of one text dedupe together — the cheap
+    // first rung web-corpus pipelines run before any near-dup work.
+    // Fixture plants UPPERCASED, double-spaced twins that plain exact
+    // dedup would miss. Same single min-shuffle shape as
+    // q_dedup_exact.
+    q("q_dedup_norm")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val corpus = base.unionByName(base.filter($"doc_id" % 53 === 0)
+          .select(($"doc_id" + 500000L).as("doc_id"),
+            concat(upper($"text"), lit("  ")).as("text")))
+        Dedup.exactGroups(
+            corpus.select($"doc_id", TextFns.normKey($"text").as("text")),
+            "doc_id", "text")
+          .filter($"n_dups" >= 2)
+          .orderBy($"text_hash")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 500000, upper(text) || '  '
+        |  FROM base WHERE doc_id % 53 = 0),
+        |normed AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS text FROM corpus)
+        |SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM normed GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY text_hash""".stripMargin))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap

@@ -268,6 +268,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "group-count aggregate missing")
   }
 
+  test("exact-moment stats and normalized dedup are one aggregation, no windows") {
+    for (name <- Seq("q_moments", "q_correlation", "q_dedup_norm")) {
+      val p = plan(name)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"$name lost its aggregate")
+    }
+  }
+
   test("q_zorder is map-only up to its deterministic ORDER BY") {
     val p = plan("q_zorder")
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))

@@ -208,6 +208,13 @@ class SamplingFusionSpec extends SparkSpec {
       Similarity.mmrSelect(corpus, corpus, "vec_id", "embedding", k = 5, c = 3))
   }
 
+  test("normKey canonicalizes case, punctuation, and spacing") {
+    import graft.functions.TextFns
+    val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
+      .select(TextFns.normKey($"t")).as[String].collect().toSeq
+    assert(out == Seq("a b c", "a b c", "a b c", ""))
+  }
+
   test("waterFill: exact level, remainder by name, full-keep under big budgets") {
     val counts = Seq(("a", 10L), ("b", 3L), ("c", 2L)).toDF("source", "n_docs")
     def alloc(num: Long, den: Long, df: org.apache.spark.sql.DataFrame = counts) =
