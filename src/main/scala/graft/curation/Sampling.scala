@@ -46,10 +46,8 @@ object Sampling {
     val rn = row_number().over(
       Window.partitionBy(col(groupCol)).orderBy(key.desc, col(idCol)))
     df.filter(w > 0.0)
-      .withColumn("_es_key", key)
       .withColumn("samp_rank", rn.cast("long"))
       .filter(col("samp_rank") <= k)
-      .drop("_es_key")
   }
 
   /** Curriculum ordering: bucket the corpus into `tiles` difficulty
@@ -119,12 +117,15 @@ object Sampling {
         min(col("_s") - col("_k") + 1).as("_cnt")) // 1 row; NULLs when B >= total
     val joined = ranked.crossJoin(broadcast(pivot))
       .withColumn("_d", col("_b") - col("_prefix"))
-      .withColumn("_tau", (col("_d") - pmod(col("_d"), col("_cnt"))) / col("_cnt"))
+      // `div`, not `/`: Divide(long, long) returns DOUBLE, which
+      // rounds for budgets ≥ 2^53 (token-count budgets reach that) —
+      // the integer contract must hold end-to-end
+      .withColumn("_tau", expr("_d div _cnt"))
       .withColumn("_r", pmod(col("_d"), col("_cnt")))
     val uncapped = joined.filter(col("_k") >= col("_kstar"))
       .withColumn("_r2", row_number().over(Window.orderBy(col(groupCol))).cast("long"))
       .withColumn("alloc",
-        (col("_tau") + when(col("_r2") <= col("_r"), 1L).otherwise(0L)).cast("long"))
+        col("_tau") + when(col("_r2") <= col("_r"), 1L).otherwise(0L))
     val capped = joined.filter(col("_kstar").isNull || col("_k") < col("_kstar"))
       .withColumn("alloc", n)
     capped.select(col(groupCol), n.as("n_avail"), col("alloc"))

@@ -110,10 +110,17 @@ object CorpusExport {
       // one JSON object per line, field order = the frame's column
       // order (deterministic), uncompressed text — the byte-stable
       // form training loaders consume directly; shard/pos serialize
-      // INTO each line so a .jsonl shard stays self-describing
+      // INTO each line so a .jsonl shard stays self-describing.
+      // ignoreNullFields=false: a null field must still appear, or an
+      // all-null column silently vanishes from the export (and from a
+      // read-back's inferred schema). timeZone pinned to UTC: to_json
+      // renders timestamps in the SESSION zone by default, which
+      // would break the byte-identical-rerun sha256 contract across
+      // differently-configured sessions.
       clustered
         .select(col("pshard"), to_json(struct(
-          ranked.columns.map(col).toIndexedSeq: _*)).as("value"))
+          ranked.columns.map(col).toIndexedSeq: _*),
+          Map("ignoreNullFields" -> "false", "timeZone" -> "UTC")).as("value"))
         .write.mode("overwrite").partitionBy("pshard").text(staging.toString)
     else
       clustered
@@ -190,8 +197,14 @@ object CorpusExport {
 
   /** Read a published export — manifest-listed shard files ONLY (a
     * concurrent writer's staging debris is invisible). Shard and pos
-    * columns ride along, so `orderBy(shard, pos)` reproduces the
-    * exact written order.
+    * columns ride along; round-robin places global rank r at shard
+    * (r−1) mod S, pos (r−1) div S + 1, so `orderBy(pos, shard)`
+    * reproduces the exact global order.
+    *
+    * jsonl caveat: the schema is RE-INFERRED from the JSON text
+    * (ints widen to BIGINT, decimals come back as DOUBLE, timestamps
+    * as STRING) — jsonl is the interchange format for external
+    * loaders; parquet is the lossless round-trip format.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(dir).getOrElse(

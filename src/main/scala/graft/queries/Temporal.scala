@@ -67,9 +67,13 @@ object Temporal {
     // integer ops, map-only until the final ORDER BY.
     "q_zorder" -> ((s, d) => {
       import s.implicits._
+      // hour bucket over micros OFFSET INTO the positive range (+500
+      // years): Spark `div` truncates toward zero while DuckDB `//`
+      // floors, so a pre-1970 timestamp would bucket differently —
+      // on a positive operand every division convention agrees
       val ev = t(s, d, "events")
         .select($"event_id", ($"user_id" % 1024).as("x"),
-          (expr("unix_micros(ts) div 3600000000") % 1024).as("y"))
+          (expr("(unix_micros(ts) + 15778800000000000) div 3600000000") % 1024).as("y"))
       ev.withColumn("zcode", graft.operators.Layout.zorder2($"x", $"y"))
         .orderBy($"zcode", $"event_id")
     })
@@ -105,7 +109,8 @@ object Temporal {
     "q_zorder" ->
       """WITH b AS (SELECT event_id,
         |  CAST(user_id % 1024 AS BIGINT) AS x,
-        |  CAST((epoch_us(ts) // 3600000000) % 1024 AS BIGINT) AS y FROM events),
+        |  CAST(((epoch_us(ts) + 15778800000000000) // 3600000000) % 1024 AS BIGINT) AS y
+        |  FROM events),
         |s0 AS (SELECT event_id, x, y, x & 65535 AS xv, y & 65535 AS yv FROM b),
         |s1 AS (SELECT event_id, x, y, (xv | (xv << 8)) & 16711935 AS xv,
         |  (yv | (yv << 8)) & 16711935 AS yv FROM s0),

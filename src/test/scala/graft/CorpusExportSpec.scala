@@ -106,5 +106,15 @@ class CorpusExportSpec extends SparkSpec {
       .select($"doc_id").limit(3).as[Long].collect().toSeq
     assert(firstByRank == expected)
     assert(CorpusExport.verify(spark, d1))
+    // null fields must still serialize (an all-null column would
+    // otherwise vanish from the export and from read-back schemas)
+    val dn = Files.createTempDirectory("ce_j3").toString
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "maybe")
+    CorpusExport.write(withNull, dn, 1, Seq($"id"), format = "jsonl")
+    val nlines = Files.readAllLines(
+      Paths.get(dn, CorpusExport.readManifest(dn).get.entries.head.file))
+    assert(nlines.get(0).contains("\"maybe\":null"), nlines.get(0))
+    assert(CorpusExport.read(spark, dn).columns.contains("maybe"))
   }
 }
