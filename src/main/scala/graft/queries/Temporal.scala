@@ -76,6 +76,46 @@ object Temporal {
           (expr("(unix_micros(ts) + 15778800000000000) div 3600000000") % 1024).as("y"))
       ev.withColumn("zcode", graft.operators.Layout.zorder2($"x", $"y"))
         .orderBy($"zcode", $"event_id")
+    }),
+    // exact triangle count of the same-hour co-purchase graph — the
+    // graph-analytics representative (community density / collusion
+    // signals). Degree-ordered node-iterator: see
+    // [[graft.operators.Graphs.triangleCount]] for the skew argument.
+    "q_triangles" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "events")
+        .filter($"event_type" === "purchase" && $"user_id" % 7 === 0)
+        .select(expr("(unix_micros(ts) + 15778800000000000) div 3600000000").as("h"),
+          $"user_id")
+        .distinct()
+      val edges = p.as("x").join(p.as("y"),
+          $"x.h" === $"y.h" && $"x.user_id" < $"y.user_id")
+        .select($"x.user_id".as("src"), $"y.user_id".as("dst"))
+      graft.operators.Graphs.triangleCount(edges)
+    }),
+    // lag-1 autocorrelation of the hourly event-count series — the
+    // time-series stationarity probe, from EXACT integer sums (counts
+    // and their products stay integral; one mirrored IEEE chain at
+    // the end, same contract as q_correlation). The consecutive-hour
+    // pairing is an equi-join on h+1, not a global window.
+    "q_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val hourly = t(s, d, "events")
+        .groupBy(expr("(unix_micros(ts) + 15778800000000000) div 3600000000").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = hourly.as("x").join(hourly.as("y"),
+          $"x.h" + 1 === $"y.h")
+        .select($"x.c".as("cx"), $"y.c".as("cy"))
+      pairs.agg(count(lit(1)).as("n"),
+          sum($"cx").as("sx"), sum($"cy").as("sy"),
+          sum($"cx" * $"cx").as("sxx"), sum($"cy" * $"cy").as("syy"),
+          sum($"cx" * $"cy").as("sxy"))
+        .withColumn("nd", $"n".cast("double"))
+        .select($"n",
+          (($"nd" * $"sxy".cast("double") - $"sx".cast("double") * $"sy".cast("double"))
+            / (sqrt($"nd" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
+              * sqrt($"nd" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))))
+            .as("r_lag1"))
     })
   )
 
@@ -121,6 +161,36 @@ object Temporal {
         |s4 AS (SELECT event_id, x, y, (xv | (xv << 1)) & 1431655765 AS xv,
         |  (yv | (yv << 1)) & 1431655765 AS yv FROM s3)
         |SELECT event_id, x, y, (xv | (yv << 1)) AS zcode FROM s4
-        |ORDER BY zcode, event_id""".stripMargin
+        |ORDER BY zcode, event_id""".stripMargin,
+    "q_triangles" ->
+      """WITH p AS (SELECT DISTINCT
+        |  (epoch_us(ts) + 15778800000000000) // 3600000000 AS h, user_id
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0),
+        |e AS (SELECT DISTINCT a.user_id AS a, b.user_id AS b FROM p a
+        |  JOIN p b ON b.h = a.h AND a.user_id < b.user_id),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT
+        |  (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM
+        |    (SELECT a AS v FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  tri.n_triangles
+        |FROM tri""".stripMargin,
+    "q_autocorr" ->
+      """WITH hourly AS (SELECT
+        |  (epoch_us(ts) + 15778800000000000) // 3600000000 AS h,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |pr AS (SELECT x.c AS cx, y.c AS cy FROM hourly x
+        |  JOIN hourly y ON y.h = x.h + 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy,
+        |  CAST(SUM(cx*cx) AS BIGINT) AS sxx, CAST(SUM(cy*cy) AS BIGINT) AS syy,
+        |  CAST(SUM(cx*cy) AS BIGINT) AS sxy FROM pr)
+        |SELECT n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_lag1
+        |FROM s""".stripMargin
   )
 }

@@ -268,6 +268,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "group-count aggregate missing")
   }
 
+  test("q_triangles / q_autocorr: equi-joins only, no windows, no products") {
+    for (name <- Seq("q_triangles", "q_autocorr")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("Window"), s"$name ranks through a window")
+    }
+  }
+
   test("exact-moment stats and normalized dedup are one aggregation, no windows") {
     for (name <- Seq("q_moments", "q_correlation", "q_dedup_norm")) {
       val p = plan(name)

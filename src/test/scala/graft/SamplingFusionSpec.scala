@@ -208,6 +208,23 @@ class SamplingFusionSpec extends SparkSpec {
       Similarity.mmrSelect(corpus, corpus, "vec_id", "embedding", k = 5, c = 3))
   }
 
+  test("triangleCount: exact on hand graphs, robust to multi-edges and loops") {
+    import graft.operators.Graphs
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graphs.triangleCount(edges.toDF("src", "dst")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4 = 4 triangles; a 4-path = 0; duplicate/reversed/self edges
+    // must not change anything
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(count(k4) == ((4L, 6L, 4L)))
+    assert(count(k4 ++ Seq((2L, 1L), (3L, 3L), (1L, 2L))) == ((4L, 6L, 4L)))
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 0L)))
+    // a triangle hanging off a hub: 1 triangle regardless of hub degree
+    val hub = Seq((1L, 2L), (1L, 3L), (2L, 3L)) ++ (4L to 20L).map(v => (1L, v))
+    assert(count(hub)._3 == 1L)
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
