@@ -93,6 +93,26 @@ object Temporal {
         .select($"x.user_id".as("src"), $"y.user_id".as("dst"))
       graft.operators.Graphs.triangleCount(edges)
     }),
+    // SCD Type-2 history assembly: collapse each user's event-type
+    // stream into validity intervals — keep only CHANGE rows
+    // (lag(state) differs), then valid_to = the next change's
+    // valid_from (NULL = current) — the slowly-changing-dimension
+    // build every warehouse needs next to the as-of read side. Two
+    // windows, both partitioned by user_id: fully parallel.
+    "q_scd2" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val changes = t(s, d, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type".as("state"))
+        .withColumn("prev_state", lag($"state", 1).over(w))
+        .filter($"prev_state".isNull || $"prev_state" =!= $"state")
+      changes
+        .withColumn("valid_to", lead($"ts", 1).over(w))
+        .select($"user_id", $"ts".as("valid_from"), $"valid_to", $"state",
+          $"valid_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"valid_from", $"state")
+    }),
     // lag-1 autocorrelation of the hourly event-count series — the
     // time-series stationarity probe, from EXACT integer sums (counts
     // and their products stay integral; one mirrored IEEE chain at
@@ -177,6 +197,17 @@ object Temporal {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
         |  tri.n_triangles
         |FROM tri""".stripMargin,
+    "q_scd2" ->
+      """WITH seq AS (SELECT user_id, ts, event_id, event_type AS state,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+        |  FROM events),
+        |chg AS (SELECT user_id, ts, event_id, state FROM seq
+        |  WHERE prev_state IS NULL OR prev_state <> state)
+        |SELECT user_id, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  state,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM chg ORDER BY user_id, valid_from, state""".stripMargin,
     "q_autocorr" ->
       """WITH hourly AS (SELECT
         |  (epoch_us(ts) + 15778800000000000) // 3600000000 AS h,

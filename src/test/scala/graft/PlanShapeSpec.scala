@@ -268,6 +268,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "group-count aggregate missing")
   }
 
+  test("q_scd2 windows stay partitioned by the entity key") {
+    val p = plan("q_scd2")
+    assert(!p.contains("SinglePartition"), s"q_scd2 collapsed to one task:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_triangles / q_autocorr: equi-joins only, no windows, no products") {
     for (name <- Seq("q_triangles", "q_autocorr")) {
       val p = plan(name)
