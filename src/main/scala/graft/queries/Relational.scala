@@ -814,6 +814,28 @@ object Relational {
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin),
 
+    // GROUPING SETS — the asymmetric aggregation lattice neither
+    // ROLLUP nor CUBE expresses (here: (flag,status), (status), ()).
+    // SQL-only surface in Spark (no DataFrame verb) — served through
+    // the session parser; identical text runs on both engines, with
+    // the (all) coalescing dodging NULLS FIRST/LAST divergence.
+    q("q_grouping_sets")(
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("li_gsets")
+        s.sql(s"""SELECT COALESCE(l_returnflag, '(all)') AS flag,
+          |COALESCE(l_linestatus, '(all)') AS status,
+          |COUNT(*) AS n, ${decSumSql("l_quantity")} AS qty
+          |FROM li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+          |ORDER BY flag, status""".stripMargin)
+      },
+      s"""SELECT COALESCE(l_returnflag, '(all)') AS flag,
+         |COALESCE(l_linestatus, '(all)') AS status,
+         |COUNT(*) AS n, ${decSumSql("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         |ORDER BY flag, status""".stripMargin),
+
     // §2.4 T1: CASE bucketing (amount_category).
     q("q_case_bucket")(
       (s, d) => {
