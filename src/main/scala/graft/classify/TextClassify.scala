@@ -323,9 +323,15 @@ object TextClassify {
     *
     * One (group, token) aggregation over corpus tokens (map-side
     * partial), then a broadcast join against the vocabulary-sized
-    * corpus counts. A token absent from a group still contributes
-    * `n_t·T_g` — handled by building the (group × vocab) grid from the
-    * group totals, vocabulary-sized, never corpus-sized.
+    * corpus counts — OBSERVED (group, token) pairs only. A token
+    * absent from a group contributes exactly `n_t·T_g`, so those
+    * cells need never materialize:
+    *
+    *   tvd_num = Σ_{t∈g} |n_tg·T − n_t·T_g|  +  T_g · (T − Σ_{t∈g} n_t)
+    *
+    * (the closed form of the zero-cell tail). That keeps the frame at
+    * the observed-pair count instead of a |groups|×|vocab| grid — at
+    * corpus scale the grid is the dominant cost for sparse groups.
     *
     * The cross products run in DECIMAL — n_tg·T is a count times the
     * CORPUS total, which overflows Long (silently, in non-ANSI Spark)
@@ -344,16 +350,21 @@ object TextClassify {
     val corpusTot = occ.agg(count(lit(1)).as("t_all"))
     def d18(c: Column) = c.cast(DecimalType(18, 0))
     def d19(c: Column) = c.cast(DecimalType(19, 0))
-    // (group × vocab) grid so zero-count cells still contribute n_t·T_g
-    byGroup.crossJoin(broadcast(byTok))
-      .join(byGroupTok, Seq(groupCol, "tok"), "left")
+    // observed cells: Σ|n_tg·T − n_t·T_g| and Σ n_t over the group's vocab
+    byGroupTok
+      .join(broadcast(byTok), "tok")
+      .join(broadcast(byGroup), groupCol)
       .crossJoin(broadcast(corpusTot))
       .groupBy(col(groupCol), col("t_g"), col("t_all"))
-      .agg(sum(abs(d18(coalesce(col("n_tg"), lit(0L))) * d19(col("t_all")) -
-        d18(col("n_t")) * d19(col("t_g"))))
-        .cast(DecimalType(38, 0)).as("tvd_num"))
+      .agg(
+        sum(abs(d18(col("n_tg")) * d19(col("t_all")) -
+          d18(col("n_t")) * d19(col("t_g")))).as("s_obs"),
+        sum(col("n_t")).as("s_nt"))
+      // + the zero-cell tail T_g·(T − Σ_{t∈g} n_t) in one exact product
       .select(col(groupCol), col("t_g").as("n_tokens"),
-        col("t_all").as("corpus_tokens"), col("tvd_num"))
+        col("t_all").as("corpus_tokens"),
+        (col("s_obs") + d18(col("t_g")) * d19(col("t_all") - col("s_nt")))
+          .cast(DecimalType(38, 0)).as("tvd_num"))
   }
 
   /** Per-group distinctive terms by weighted log-odds with an
@@ -365,10 +376,25 @@ object TextClassify {
     *   δ_tg = ln( (y_tg + 1) / (n_g + V − y_tg − 1) )
     *        − ln( (y_t − y_tg + 1) / (n − n_g + V − (y_t − y_tg) − 1) )
     *
-    * Every operand is an exact integer count; each ln rounds to 9
-    * decimals (the repo cross-engine log contract, [[logTerm]]) and
-    * the difference is an exact DECIMAL subtraction — engine-exact.
-    * Top `topK` terms per group by δ (term tie-break) are emitted.
+    * ln is monotone, so the δ ranking is EXACTLY the ranking of the
+    * posterior odds ratio
+    *
+    *   R_tg = [(y_tg + 1) · (n − n_g + V − (y_t − y_tg) − 1)]
+    *        / [(n_g + V − y_tg − 1) · (y_t − y_tg + 1)]
+    *
+    * whose numerator and denominator are EXACT integer products. We
+    * pin those two BIGINTs (`odds_num`, `odds_den`) and their IEEE
+    * quotient `odds_ratio` instead of the log: the division of two
+    * exactly-representable integers (< 2^53) is correctly rounded,
+    * hence bit-identical on every IEEE-754 engine — no libm call
+    * whose last bit could differ between builds (the ln-based pin
+    * this replaces was vulnerable to exactly that at the round(·,9)
+    * boundary). Rank = row_number by `odds_ratio` DESC, term
+    * tie-break; equal-rational ties collapse to equal doubles and
+    * break on the term in both engines. Contract bound: products
+    * must stay < 2^53 (corpora to ~9·10⁷ tokens); above that, rank
+    * client-side on the exact (num, den) pair by cross-multiplying
+    * in DECIMAL(38) — δ itself needs no transcendental to order.
     *
     * Scale shape: two token aggregations (corpus-wide and per-group —
     * map-side partial combine) + vocabulary-sized joins + one
@@ -389,18 +415,20 @@ object TextClassify {
       .join(broadcast(yT), "tok")
       .join(broadcast(nG), groupCol)
       .crossJoin(broadcast(nv))
-      .withColumn("log_odds",
-        (logTerm(col("y_tg") + 1,
-            col("n_g") + col("v") - col("y_tg") - 1) -
-          logTerm(col("y_t") - col("y_tg") + 1,
-            col("n_all") - col("n_g") + col("v") - (col("y_t") - col("y_tg")) - 1))
-          .cast(DecimalType(19, 9)))
+      .withColumn("odds_num",
+        (col("y_tg") + 1) *
+          (col("n_all") - col("n_g") + col("v") - (col("y_t") - col("y_tg")) - 1))
+      .withColumn("odds_den",
+        (col("n_g") + col("v") - col("y_tg") - 1) * (col("y_t") - col("y_tg") + 1))
+      .withColumn("odds_ratio",
+        col("odds_num").cast("double") / col("odds_den").cast("double"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(groupCol))
-          .orderBy(col("log_odds").desc, col("tok"))).cast("long"))
+          .orderBy(col("odds_ratio").desc, col("tok"))).cast("long"))
       .filter(col("rank") <= topK)
       .select(col(groupCol), col("rank"), col("tok"),
-        col("y_tg").as("n_in_group"), col("y_t").as("n_corpus"), col("log_odds"))
+        col("y_tg").as("n_in_group"), col("y_t").as("n_corpus"),
+        col("odds_num"), col("odds_den"), col("odds_ratio"))
   }
 }

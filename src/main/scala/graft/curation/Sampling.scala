@@ -103,7 +103,12 @@ object Sampling {
     val w = Window.orderBy(n, col(groupCol))
     val tot = counts.agg(sum(n).as("_total"),
         count(lit(1)).cast("long").as("_s"))
-      .withColumn("_b", expr(s"_total * ${num}L div ${den}L"))
+      // product in DECIMAL(38,0): total·num overflows Long once total
+      // reaches 2^63/num (a 2^53-token corpus with num in the hundreds
+      // already would) — the decimal product stays exact and `div`
+      // brings the budget back to BIGINT
+      .withColumn("_b",
+        expr(s"cast(_total as decimal(38,0)) * ${num}L div ${den}L"))
     val ranked = counts
       .withColumn("_k", row_number().over(w).cast("long"))
       .withColumn("_cum", sum(n).over(w))

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   */
 case class ShardEntry(shard: Int, file: String, rows: Long, sha256: String)
 
-case class ExportManifest(shards: Int, totalRows: Long, entries: Seq[ShardEntry])
+case class ExportManifest(shards: Int, totalRows: Long, entries: Seq[ShardEntry],
+                          columns: Seq[String] = Seq.empty)
 
 /** Deterministic corpus materialization — the last mile of a curation
   * pipeline (select → dedup → mix → **export**): write a DataFrame as
@@ -168,10 +169,18 @@ object CorpusExport {
     }
     graft.util.Fs.deleteRecursively(staging)
 
-    // manifest LAST, atomically: header line then one TSV row per shard
-    val manifest = ExportManifest(shards, entries.map(_.rows).sum, entries)
+    // manifest LAST, atomically: header line, the written column order
+    // (a #columns line — tab-separated, so names with commas survive;
+    // spark.read.json returns columns ALPHABETIZED, and read() restores
+    // this recorded order so positional access round-trips), then one
+    // TSV row per shard
+    val outCols = ranked.columns.toSeq // data cols + shard + pos, written order
+    require(outCols.forall(c => !c.contains('\t') && !c.contains('\n')),
+      s"corpus export column names must not contain tab/newline: $outCols")
+    val manifest = ExportManifest(shards, entries.map(_.rows).sum, entries, outCols)
     val body = (s"#graft-corpus-export\tv1\tshards=${manifest.shards}" +
       s"\ttotal_rows=${manifest.totalRows}\n") +
+      s"#columns\t${outCols.mkString("\t")}\n" +
       entries.map(e => s"${e.shard}\t${e.file}\t${e.rows}\t${e.sha256}\n").mkString
     val tmp = root.resolve(s".$ManifestName.tmp")
     Files.writeString(tmp, body)
@@ -188,11 +197,14 @@ object CorpusExport {
       s"not a corpus-export manifest: $p")
     val hdr = header.split("\t").drop(2)
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v.toLong }.toMap
-    val entries = lines.tail.filter(_.nonEmpty).map { l =>
+    // optional (pre-v1.1 manifests lack it): the written column order
+    val columns = lines.tail.find(_.startsWith("#columns\t"))
+      .map(_.split("\t", -1).toSeq.tail).getOrElse(Seq.empty)
+    val entries = lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
       val Array(sh, f, n, h) = l.split("\t", 4)
       ShardEntry(sh.toInt, f, n.toLong, h)
     }
-    Some(ExportManifest(hdr("shards").toInt, hdr("total_rows"), entries))
+    Some(ExportManifest(hdr("shards").toInt, hdr("total_rows"), entries, columns))
   }
 
   /** Read a published export — manifest-listed shard files ONLY (a
@@ -204,7 +216,11 @@ object CorpusExport {
     * jsonl caveat: the schema is RE-INFERRED from the JSON text
     * (ints widen to BIGINT, decimals come back as DOUBLE, timestamps
     * as STRING) — jsonl is the interchange format for external
-    * loaders; parquet is the lossless round-trip format.
+    * loaders; parquet is the lossless round-trip format. COLUMN ORDER
+    * is restored from the manifest's recorded list (spark.read.json
+    * alphabetizes inferred columns, which would silently mis-bind
+    * positional access); pre-v1.1 manifests without the record keep
+    * the inferred (alphabetical) order.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = readManifest(dir).getOrElse(
@@ -212,8 +228,12 @@ object CorpusExport {
     if (m.entries.isEmpty)
       throw new IllegalArgumentException(s"corpus export at $dir has no shards")
     val paths = m.entries.map(e => s"$dir/${e.file}")
-    if (m.entries.head.file.endsWith(".jsonl")) spark.read.json(paths: _*)
-    else spark.read.parquet(paths: _*)
+    val raw =
+      if (m.entries.head.file.endsWith(".jsonl")) spark.read.json(paths: _*)
+      else spark.read.parquet(paths: _*)
+    if (m.columns.nonEmpty && m.columns.toSet == raw.columns.toSet)
+      raw.select(m.columns.map(col): _*)
+    else raw
   }
 
   /** Re-hash the published shard bytes (executor-side) and compare to

@@ -164,7 +164,7 @@ object Temporal {
         |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT prev_type, next_type, n_trans,
-        |  SUM(n_trans) OVER (PARTITION BY prev_type) AS n_from
+        |  CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "q_zorder" ->
       """WITH b AS (SELECT event_id,

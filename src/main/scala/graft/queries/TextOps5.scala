@@ -115,14 +115,18 @@ object TextOps5 {
         |  FROM occ GROUP BY 1, 2),
         |bt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM occ GROUP BY 1),
         |bg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t_g FROM occ GROUP BY 1),
-        |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_all FROM occ)
+        |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_all FROM occ),
+        |obs AS (SELECT gt.source,
+        |  CAST(SUM(abs(CAST(gt.n_tg AS DECIMAL(18,0)) * CAST(ct.t_all AS DECIMAL(19,0))
+        |    - CAST(bt.n_t AS DECIMAL(18,0)) * CAST(bg.t_g AS DECIMAL(19,0)))) AS DECIMAL(38,0)) AS s_obs,
+        |  CAST(SUM(bt.n_t) AS BIGINT) AS s_nt
+        |  FROM gt JOIN bt USING (tok) JOIN bg ON bg.source = gt.source CROSS JOIN ct
+        |  GROUP BY 1)
         |SELECT bg.source, bg.t_g AS n_tokens, ct.t_all AS corpus_tokens,
-        |  CAST(SUM(abs(CAST(coalesce(gt.n_tg, 0) AS DECIMAL(18,0)) * CAST(ct.t_all AS DECIMAL(19,0))
-        |    - CAST(bt.n_t AS DECIMAL(18,0)) * CAST(bg.t_g AS DECIMAL(19,0))))
-        |    AS DECIMAL(38,0)) AS tvd_num
-        |FROM bg CROSS JOIN bt CROSS JOIN ct
-        |LEFT JOIN gt ON gt.source = bg.source AND gt.tok = bt.tok
-        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+        |  CAST(obs.s_obs + CAST(bg.t_g AS DECIMAL(18,0))
+        |    * CAST(ct.t_all - obs.s_nt AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS tvd_num
+        |FROM bg JOIN obs ON obs.source = bg.source CROSS JOIN ct
+        |ORDER BY 1""".stripMargin),
 
     // Bigram-LM quality scoring (perplexity proxy): add-one-smoothed
     // bigram stats trained on the English reference slice, every doc

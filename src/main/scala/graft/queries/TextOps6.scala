@@ -325,16 +325,17 @@ object TextOps6 {
         |nv AS (SELECT CAST(SUM(y_t) AS BIGINT) AS n_all,
         |  CAST(COUNT(*) AS BIGINT) AS v FROM yt),
         |sc AS (SELECT ytg.source, ytg.tok, ytg.y_tg, yt.y_t,
-        |  CAST(round(ln(CAST(ytg.y_tg + 1 AS DOUBLE)
-        |      / (ng.n_g + nv.v - ytg.y_tg - 1)), 9) AS DECIMAL(18,9))
-        |  - CAST(round(ln(CAST(yt.y_t - ytg.y_tg + 1 AS DOUBLE)
-        |      / (nv.n_all - ng.n_g + nv.v - (yt.y_t - ytg.y_tg) - 1)), 9) AS DECIMAL(18,9))
-        |  AS lo
+        |  CAST((ytg.y_tg + 1)
+        |    * (nv.n_all - ng.n_g + nv.v - (yt.y_t - ytg.y_tg) - 1) AS BIGINT) AS odds_num,
+        |  CAST((ng.n_g + nv.v - ytg.y_tg - 1)
+        |    * (yt.y_t - ytg.y_tg + 1) AS BIGINT) AS odds_den
         |  FROM ytg JOIN yt USING (tok) JOIN ng USING (source) CROSS JOIN nv),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY source
-        |  ORDER BY lo DESC, tok) AS rank FROM sc)
+        |r AS (SELECT *, CAST(odds_num AS DOUBLE) / CAST(odds_den AS DOUBLE) AS odds_ratio,
+        |  row_number() OVER (PARTITION BY source
+        |  ORDER BY CAST(odds_num AS DOUBLE) / CAST(odds_den AS DOUBLE) DESC, tok) AS rank
+        |  FROM sc)
         |SELECT source, rank, tok, y_tg AS n_in_group, y_t AS n_corpus,
-        |  CAST(lo AS DECIMAL(19,9)) AS log_odds
+        |  odds_num, odds_den, odds_ratio
         |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin),
 
     // Admission-time novelty: batch docs (id ≥ 400) scored against

@@ -583,6 +583,41 @@ class ExtensionsSpec extends SparkSpec {
       "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'kept'").collect()
     assert(state() == Map(2L -> (("b3", 22))),
       "DELETE listed first must win the overlap")
+
+    // BOTH branches conditioned, overlapping selections. UPDATE listed
+    // first: a stale row satisfying both conditions takes the UPDATE;
+    // DELETE fires only where its own condition holds and the earlier
+    // clause's does not — first-applicable-clause, clause conditions
+    // evaluated in statement order exactly as T-SQL.
+    val dir2 = java.nio.file.Files.createTempDirectory("merge_syncord2").toString
+    def state2(): Map[Long, (String, Int)] = MergeWriter.readTarget(s2, dir2).get
+      .select($"k", $"v", $"amt").as[(Long, String, Int)].collect()
+      .map { case (k, v, a) => k -> ((v, a)) }.toMap
+    Seq((10L, "x", 10), (11L, "y", 18), (12L, "z", 40)).toDF("k", "v", "amt")
+      .createOrReplaceTempView("so_seed2")
+    s2.sql(s"MERGE INTO '$dir2' USING so_seed2 ON k BUCKETS 2").collect()
+    Seq((12L, "z2", 41)).toDF("k", "v", "amt").createOrReplaceTempView("so_src3")
+    // stale rows: 10 (amt 10 — both conditions), 11 (amt 18 — delete only)
+    s2.sql(s"MERGE INTO '$dir2' USING so_src3 ON k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED BY SOURCE AND amt < 15 THEN UPDATE SET v = 'stale' " +
+      "WHEN NOT MATCHED BY SOURCE AND amt < 25 THEN DELETE").collect()
+    assert(state2() == Map(10L -> (("stale", 10)), 12L -> (("z2", 41))),
+      "conditioned UPDATE listed first must win the both-true overlap; " +
+        "conditioned DELETE takes only its exclusive rows")
+    // reversed statement order, same conditions: the overlap row drops,
+    // the delete-only row now takes the (wider) UPDATE
+    val dir3 = java.nio.file.Files.createTempDirectory("merge_syncord3").toString
+    s2.sql(s"MERGE INTO '$dir3' USING so_seed2 ON k BUCKETS 2").collect()
+    s2.sql(s"MERGE INTO '$dir3' USING so_src3 ON k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED BY SOURCE AND amt < 15 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE AND amt < 25 THEN UPDATE SET v = 'kept'").collect()
+    val st3 = MergeWriter.readTarget(s2, dir3).get
+      .select($"k", $"v", $"amt").as[(Long, String, Int)].collect()
+      .map { case (k, v, a) => k -> ((v, a)) }.toMap
+    assert(st3 == Map(11L -> (("kept", 18)), 12L -> (("z2", 41))),
+      "conditioned DELETE listed first must win the both-true overlap")
   }
 
   test("MERGE matched DELETE is T-SQL: unmatched rows fall through to INSERT") {

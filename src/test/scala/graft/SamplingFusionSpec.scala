@@ -276,12 +276,20 @@ class SamplingFusionSpec extends SparkSpec {
     ).toDF("source", "text")
     val out = TextClassify.logOddsTerms(docs, "source", topK = 2)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getString(2), r.getDecimal(5))).toMap
-    // the exclusive high-frequency term tops each group, positive δ
-    assert(out(("A", 1L))._1 == "xx" && out(("A", 1L))._2.signum > 0)
-    assert(out(("B", 1L))._1 == "zz" && out(("B", 1L))._2.signum > 0)
+        (r.getString(2), r.getLong(5), r.getLong(6),
+          r.getAs[Double]("odds_ratio"))).toMap
+    // the exclusive high-frequency term tops each group with
+    // odds_ratio > 1 (positive log-odds contrast)
+    assert(out(("A", 1L))._1 == "xx" && out(("A", 1L))._4 > 1.0)
+    assert(out(("B", 1L))._1 == "zz" && out(("B", 1L))._4 > 1.0)
     // the shared term ranks below the exclusive one on both sides
     assert(out(("A", 2L))._1 == "yy" && out(("B", 2L))._1 == "yy")
+    // ratio is the exact IEEE quotient of the pinned integer pair
+    out.values.foreach { case (_, num, den, ratio) =>
+      assert(ratio == num.toDouble / den.toDouble && den > 0L) }
     assert(out.size == 4) // topK bound: 2 per group
+    // hand-check A/"xx": y_tg=4, y_t=4, n_g=6, n=12, V=3 →
+    // num = (4+1)·(12−6+3−0−1) = 5·8 = 40; den = (6+3−4−1)·(0+1) = 4
+    assert(out(("A", 1L))._2 == 40L && out(("A", 1L))._3 == 4L)
   }
 }
