@@ -367,6 +367,72 @@ object TextClassify {
           .cast(DecimalType(38, 0)).as("tvd_num"))
   }
 
+  /** Multi-signal quality gate with per-signal attribution — the
+    * "why was this document dropped" report a curation team ships
+    * next to the keep decision. Four signals, each individually
+    * oracle-pinned elsewhere, combine into one weighted verdict:
+    *
+    *   - character entropy below `minEntropy` (gibberish / repeated
+    *     glyphs)           → reasons bit 0, weight `weights._1`
+    *   - duplicate-token share above `maxRepPct`% (template spam)
+    *                        → reasons bit 1, weight `weights._2`
+    *   - predicted language ≠ `allowedLang`
+    *                        → reasons bit 2, weight `weights._3`
+    *   - reference-LM mean bigram log-likelihood below `minAvgLl`
+    *     (unnatural n-gram structure) → reasons bit 3, weight `weights._4`
+    *
+    * `keep` = total failed weight < `dropAt`, so one hard signal (or
+    * several soft ones) drops a doc while any single soft signal only
+    * flags it. `reasons` is the attribution bitmap; downstream
+    * funnel reports aggregate it per bit.
+    *
+    * Cross-engine exactness: the entropy and ll doubles are the
+    * engine-exact values of [[charEntropy]] / [[bigramScore]]
+    * (decimal-pinned log terms, bit-identical on both engines), the
+    * repetition test cross-multiplies integers, and the language test
+    * is a string compare — every threshold comparison is deterministic
+    * on both engines. Docs with no bigram evidence (< 2 tokens) pass
+    * the LM signal (left join, null-safe — no evidence is not guilt).
+    *
+    * Scale shape: two map-only per-doc projections, the per-(doc,char)
+    * entropy aggregate, and the broadcast-model bigram scorer, joined
+    * on the doc key — all frames are corpus-sized but the joins are
+    * equi-joins on the same key (AQE co-locates); nothing exceeds the
+    * token grain the individual signals already pay.
+    */
+  def qualityGateMulti(docs: DataFrame, ref: DataFrame,
+                       minEntropy: Double = 2.0,
+                       maxRepPct: Long = 30,
+                       allowedLang: String = "en",
+                       minAvgLl: Double = -7.0,
+                       weights: (Long, Long, Long, Long) = (4L, 2L, 1L, 3L),
+                       dropAt: Long = 4L,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val ent = charEntropy(docs, textCol, idCol).select(col(idCol), col("entropy"))
+    val repLang = docs
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("tk"),
+        TextFns.langPredict(col(textCol)).as("lang_pred"))
+      .select(col(idCol), size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        col("lang_pred"))
+    val ppl = bigramScore(docs, ref, textCol, idCol)
+      .select(col(idCol), col("n_bigrams"), col("ll"))
+    val joined = ent.join(repLang, idCol).join(ppl, Seq(idCol), "left")
+    val fEnt = col("entropy") < lit(minEntropy)
+    val fRep = (col("n_tokens") - col("n_distinct")) * 100 >
+      lit(maxRepPct) * col("n_tokens")
+    val fLang = col("lang_pred") =!= lit(allowedLang)
+    val fPpl = coalesce(col("ll") < lit(minAvgLl) * col("n_bigrams"), lit(false))
+    def tagged(c: Column, v: Long) = when(c, lit(v)).otherwise(lit(0L))
+    joined
+      .withColumn("reasons", tagged(fEnt, 1L) + tagged(fRep, 2L) +
+        tagged(fLang, 4L) + tagged(fPpl, 8L))
+      .withColumn("fail_score", tagged(fEnt, weights._1) + tagged(fRep, weights._2) +
+        tagged(fLang, weights._3) + tagged(fPpl, weights._4))
+      .withColumn("keep", col("fail_score") < lit(dropAt))
+  }
+
   /** Per-group distinctive terms by weighted log-odds with an
     * uninformative Dirichlet prior (Monroe/Colaresi/Quinn "Fightin'
     * Words", α_t = 1, α₀ = V) — the "what vocabulary characterizes

@@ -136,4 +136,47 @@ object Sampling {
     capped.select(col(groupCol), n.as("n_avail"), col("alloc"))
       .unionByName(uncapped.select(col(groupCol), n.as("n_avail"), col("alloc")))
   }
+
+  /** Embedding-cluster balanced sampling — the embedding-space twin of
+    * source mixing: assign every vector to its nearest centroid
+    * ([[graft.sim.Similarity.assignToCentroids]] — cosine argmax
+    * against a broadcast centroid set), then [[waterFill]] a
+    * `num`/`den` budget across the CLUSTERS so no topic exceeds a
+    * common level — over-represented regions of embedding space are
+    * cut to the water line, sparse topics keep everything. Admission
+    * within a cluster is deterministic lowest-id-first (`rank <=
+    * alloc`), so reruns and engines agree row-for-row.
+    *
+    * Output: one row per corpus vector — (id, centroid_id, sim, rank,
+    * alloc, keep).
+    *
+    * Scale shape: the corpus never shuffles for the assignment
+    * (broadcast centroids, map-side argmax); the water-fill runs on
+    * the k-row cluster-count frame; the admission rank is one
+    * shuffle on centroid_id (k partitions — same accepted shape as
+    * the per-source cap; for k in the tens with a 100 TB corpus,
+    * rank on (centroid_id, salted sub-rank) or
+    * [[graft.operators.Ranking.globalRowNumber]] per cluster instead).
+    * Pair with [[graft.sim.Similarity.kmeansFit]] for learned
+    * centroids; any fixed centroid frame (e.g. a curated probe set)
+    * works and keeps the decision oracle-exact.
+    */
+  def clusterBalance(corpus: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String,
+                     num: Long, den: Long): DataFrame = {
+    val assigned = graft.sim.Similarity
+      .assignToCentroids(corpus, centroids, idCol, vecCol)
+      .select(col("id"), col("centroid_id"), col("sim"))
+    val counts = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+    val alloc = waterFill(counts, "centroid_id", "n", num, den)
+    val w = Window.partitionBy(col("centroid_id")).orderBy(col("id"))
+    assigned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(alloc.select(col("centroid_id"), col("alloc"))),
+        "centroid_id")
+      .withColumn("keep", col("rank") <= col("alloc"))
+      .select(col("id"), col("centroid_id"), col("sim"), col("rank"),
+        col("alloc"), col("keep"))
+  }
 }

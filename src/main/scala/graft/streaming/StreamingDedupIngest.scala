@@ -63,7 +63,10 @@ import graft.dedup.Dedup
   *   single admitted doc). The gram index is a third parquet store
   *   (`gram_index/batch_id=<n>` leaves, folded by the same compaction),
   *   NOT stream state; docs too short to gram pass. Applied between
-  *   decontamination and dedup.
+  *   decontamination and dedup. Enabling the gate over a corpus
+  *   ingested without it backfills the index from the admitted store
+  *   at construction, so the gate covers EVERY admitted doc, not just
+  *   those admitted after the flip.
   */
 class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            simThreshold: Double = 0.9,
@@ -94,6 +97,20 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       .select(col("hv")).distinct().localCheckpoint()
     val items = math.max(1L, evalH.count())
     (graft.sketch.Bloom.sketch(evalH, col("hv"), items, decontNumBits), evalH)
+  }
+
+  // First-enable backfill: turning the novelty gate on over a corpus
+  // ingested WITHOUT it (admitted docs exist, gram index doesn't) used
+  // to leave every previously admitted doc's grams out of the index —
+  // span-stitched redundancy against the older corpus silently passed
+  // the gate. Build the missing index from the admitted store once, at
+  // construction, into a consolidated-segment leaf (negative id, so a
+  // replayed batch 0 can't overwrite it).
+  if (noveltyGate.isDefined && !Files.isDirectory(Paths.get(gramDir))
+      && Files.isDirectory(Paths.get(admittedDir))) {
+    val corpus = spark.read.parquet(admittedDir).dropDuplicates("doc_id")
+    Dedup.gramIndex(corpus, noveltyNgram)
+      .write.mode("overwrite").parquet(s"$gramDir/batch_id=-1")
   }
 
   private def readIndex(): Option[DataFrame] =
@@ -184,7 +201,11 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
   def compact(horizon: Long): Unit = if (horizon > 0) {
     foldLeaves(indexDir, horizon, Seq("corpus_id", "band_id", "band_hash"))
     foldLeaves(admittedDir, horizon, Seq("doc_id"))
-    if (noveltyGate.isDefined) foldLeaves(gramDir, horizon, Seq("hv"))
+    // fold the gram store whenever it EXISTS (not only when the gate is
+    // currently on): a stream restarted with the gate off would
+    // otherwise leave the old index's leaves unfolded forever
+    if (Files.isDirectory(Paths.get(gramDir)))
+      foldLeaves(gramDir, horizon, Seq("hv"))
   }
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {

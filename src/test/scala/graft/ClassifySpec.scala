@@ -139,6 +139,41 @@ class ClassifySpec extends SparkSpec {
     out.values.foreach { case (tg, t, num) => assert(num <= 2 * tg * t) }
   }
 
+  // ---- Multi-signal quality gate --------------------------------------
+
+  test("qualityGateMulti: hand-computed per-signal attribution and weighted verdict") {
+    // reference LM: bigrams the-cat,cat-sat,sat-on,on-the,the-mat (c12=1
+    // each); c1: the=2,cat=1,sat=1,on=1; V=5
+    val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val docs = Seq(
+      // clean: entropy 2.08>1.5, rep (6-5)/6 under 30%, lang en,
+      // ll = 2·ln(2/7)+3·ln(2/6) = -5.801.. > -1.4·5 → reasons 0, keep
+      (1L, "the cat sat on the mat"),
+      // entropy 0.436<1.5 (bit0,w4) + rep 3/4>30% (bit1,w2) + ppl
+      // 3·ln(1/5) = -4.828 < -4.2 (bit3,w3) → reasons 11, score 9, drop
+      (2L, "aaaa aaaa aaaa aaaa"),
+      // lang 'es' (bit2,w1) + ppl 7·ln(1/5) < -9.8 (bit3,w3) →
+      // reasons 12, score 4 — exactly at the cutoff → drop
+      (3L, "el perro de la casa y en que"),
+      // ppl only: 4·ln(1/5) = -6.44 < -5.6 (bit3,w3) → reasons 8,
+      // score 3 < 4 → flagged but KEPT
+      (4L, "zebra quokka wombat lemur okapi")
+    ).toDF("doc_id", "text")
+    val out = TextClassify.qualityGateMulti(docs, ref,
+        minEntropy = 1.5, maxRepPct = 30, minAvgLl = -1.4)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"reasons", $"fail_score", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 0L, 0L, true), (2L, 11L, 9L, false),
+      (3L, 12L, 4L, false), (4L, 8L, 3L, true)))
+    // attribution detail: the exact ll the ppl bits fired on
+    val ll = TextClassify.qualityGateMulti(docs, ref,
+        minEntropy = 1.5, maxRepPct = 30, minAvgLl = -1.4)
+      .select($"doc_id", $"ll").as[(Long, Double)].collect().toMap
+    assert(math.abs(ll(1L) - (2 * -1.252762968 + 3 * -1.098612289)) < 1e-9)
+    assert(math.abs(ll(2L) - 3 * -1.609437912) < 1e-9)
+  }
+
   // ---- Character entropy ----------------------------------------------
 
   test("charEntropy: hand-computed values; uniform text scores zero") {

@@ -117,4 +117,21 @@ class CorpusExportSpec extends SparkSpec {
     assert(nlines.get(0).contains("\"maybe\":null"), nlines.get(0))
     assert(CorpusExport.read(spark, dn).columns.contains("maybe"))
   }
+
+  test("jsonl read() restores the WRITTEN column order from the manifest") {
+    // columns deliberately anti-alphabetical: spark.read.json would
+    // return (alpha, pos, shard, zeta) — positional access after a
+    // round-trip would mis-bind without the manifest's column record
+    val dir = Files.createTempDirectory("ce_order").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("zeta", "alpha")
+    val m = CorpusExport.write(df, dir, 1, Seq($"zeta"), format = "jsonl")
+    assert(m.columns == Seq("zeta", "alpha", "shard", "pos"))
+    val back = CorpusExport.read(spark, dir)
+    assert(back.columns.toSeq == Seq("zeta", "alpha", "shard", "pos"))
+    // positional binding holds: column 0 is zeta's values
+    assert(back.orderBy($"pos").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // readManifest round-trips the record
+    assert(CorpusExport.readManifest(dir).get.columns ==
+      Seq("zeta", "alpha", "shard", "pos"))
+  }
 }

@@ -268,6 +268,29 @@ class SamplingFusionSpec extends SparkSpec {
     assert(tie == (("x", "y")))
   }
 
+  test("clusterBalance caps over-represented clusters at the water line, id-first") {
+    // two fixed centroids; cluster 1 gets 4 members, cluster 2 gets 2.
+    // budget = 6·3 div 4 = 4 → water-fill level τ = 2: cluster 1 is cut
+    // to its two lowest ids, cluster 2 (≤ τ) keeps everything.
+    val centroids = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)),
+      (4L, Array(0.7f, 0.3f)), (5L, Array(0f, 1f)), (6L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Sampling.clusterBalance(corpus, centroids, "vec_id", "embedding",
+        num = 3, den = 4)
+      .select($"id", $"centroid_id", $"rank", $"alloc", $"keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 2L, true)), 2L -> ((1L, 2L, 2L, true)),
+      3L -> ((1L, 3L, 2L, false)), 4L -> ((1L, 4L, 2L, false)),
+      5L -> ((2L, 1L, 2L, true)), 6L -> ((2L, 2L, 2L, true))))
+    // budget respected exactly: kept rows == 6·3 div 4
+    assert(out.values.count(_._4) == 4)
+  }
+
   test("logOddsTerms ranks group-exclusive vocabulary first, signs contrast") {
     import graft.classify.TextClassify
     val docs = Seq(

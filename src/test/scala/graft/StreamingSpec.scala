@@ -427,6 +427,40 @@ class StreamingSpec extends SparkSpec {
       Set(1L, 2L, 11L, 12L))
   }
 
+  test("novelty gate first-enable backfills the gram index over the prior corpus") {
+    val work = java.nio.file.Files.createTempDirectory("graft_snb").toString
+    val dA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val dB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    // phase 1: gate OFF — corpus ingested with no gram index at all
+    val pre = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9)
+    pre.processBatch(Seq((1L, dA), (2L, dB)).toDF("doc_id", "text"), 0L)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$work/gram_index")))
+    // phase 2: gate ON over the same store — construction backfills,
+    // so a stitch of the PRE-GATE corpus is caught immediately (before
+    // the fix its grams were absent and the stitch passed)
+    val post = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, noveltyGate = Some(50))
+    post.processBatch(Seq((10L, s"$dA $dB"), (11L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+      .toDF("doc_id", "text"), 1L)
+    assert(post.admitted().get.select($"doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L))
+    // compaction folds the backfill segment together with batch leaves
+    // even when a later instance runs with the gate off again
+    val off = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9)
+    off.compact(2L)
+    val gramLeaves = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$work/gram_index"))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      gramLeaves.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally gramLeaves.close()
+    assert(names == Set("batch_id=-2"),
+      s"gate-off compaction must fold the gram store (got $names)")
+  }
+
   test("stream-stream attribution join matches within the window, expires outside") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
