@@ -523,4 +523,39 @@ object Dedup {
       .select(explode(array_distinct(
         TextFns.shingleHashes48(col("_tk"), n))).as("hv"))
       .distinct()
+
+  /** Intra-document line dedup — the boilerplate-removal step run
+    * INSIDE each document (repeated nav bars / footers / headers that
+    * whole-document dedup never sees, CCNet-style). A "line" is a
+    * consecutive `lineTokens`-token chunk; each line's FIRST
+    * occurrence survives and `clean_text` rebuilds the document in
+    * original order. Output: (`idCol`, n_lines, n_unique_lines,
+    * clean_text).
+    *
+    * Scale shape: map-only chunking, then one aggregation at the
+    * (doc, line) grain — tokens/`lineTokens` rows, below the token
+    * grain the span operators pay; the rebuild is a per-doc
+    * collect_list of that doc's own unique lines (bounded by doc
+    * length, the same per-doc bound every text op here carries).
+    */
+  def dedupLines(df: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text", lineTokens: Int = 8): DataFrame = {
+    require(lineTokens >= 1, s"dedupLines needs lineTokens >= 1, got $lineTokens")
+    val id = col(idCol)
+    val lines = df
+      .select(id, TextFns.tokens(col(textCol)).as("_tk"))
+      .select(id, expr(
+        s"transform(sequence(0, (size(_tk) + ${lineTokens - 1}) div $lineTokens - 1)," +
+          s" i -> array_join(slice(_tk, i * $lineTokens + 1, $lineTokens), ' '))").as("_ls"))
+    val firsts = lines
+      .select(id, posexplode(col("_ls")).as(Seq("_pos", "_line")))
+      .groupBy(id, col("_line")).agg(min(col("_pos")).as("_fp"))
+    val rebuilt = firsts.groupBy(id).agg(
+      count(lit(1)).as("n_unique_lines"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("_fp"), col("_line")))),
+        x => x.getField("_line")), " ").as("clean_text"))
+    lines.select(id, size(col("_ls")).cast("long").as("n_lines"))
+      .join(rebuilt, idCol)
+  }
 }

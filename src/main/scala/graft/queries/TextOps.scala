@@ -268,6 +268,48 @@ object TextOps {
          |WHERE CAST(common AS DOUBLE) / sa.sz >= 0.9
          |ORDER BY id_a, id_b""".stripMargin),
 
+    // LSH self-evaluation — the recall/precision audit every banded
+    // dedup deployment needs before trusting its drop list: ground
+    // truth = exact shingle-Jaccard ≥ 0.5 pairs (inverted index),
+    // found = the band-collision candidate set. One row of exact
+    // confusion counts; recall = n_true_found/n_true, precision =
+    // n_true_found/n_candidates, computed client-side from the exact
+    // integers. Scale shape: both pair sets are collision-bounded
+    // (never n²); the three 1-row aggregates cross-join broadcast.
+    q("q_lsh_recall")(
+      (s, d) => {
+        import s.implicits._
+        val corpus = nearDupCorpus(s, d)
+        val truePairs = Dedup.jaccardPairs(corpus, "doc_id", "text")
+          .filter($"jaccard" >= 0.5).select($"id_a", $"id_b")
+        val sig = Dedup.minhashSignatures(corpus, "doc_id", "text", K)
+        val cand = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .select($"id_a", $"id_b")
+        truePairs.agg(count(lit(1)).as("n_true"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(truePairs.join(cand, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_true_found")))
+      },
+      s"""WITH $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sized AS (SELECT doc_id AS id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sized GROUP BY id),
+         |common AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS common
+         |  FROM sized x JOIN sized y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2),
+         |tp AS (SELECT id_a, id_b FROM common
+         |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5),
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |hit AS (SELECT tp.id_a FROM tp
+         |  JOIN cand ON cand.id_a = tp.id_a AND cand.id_b = tp.id_b)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_true_found""".stripMargin),
+
     // End-to-end dedup decision: near-dup clusters from LSH (est_sim ≥
     // 0.5) resolved min-id-wins — the drop list a training pipeline
     // actually consumes.

@@ -153,7 +153,228 @@ object TextOps7 {
         |SELECT rk.id AS vec_id, rk.centroid_id, rk.sim, rk.rank, al.alloc,
         |  (rk.rank <= al.alloc) AS keep
         |FROM rk JOIN al USING (centroid_id)
-        |ORDER BY vec_id""".stripMargin))
+        |ORDER BY vec_id""".stripMargin),
+
+    // Intra-document line dedup — the boilerplate-removal step CCNet
+    // runs INSIDE each document (repeated nav bars / footers that
+    // whole-doc dedup never sees). Lines = consecutive 8-token chunks;
+    // every 7th doc PREPENDS its first 8-token line twice (prepending
+    // keeps the plant on the line grid for any document length, so
+    // the duplicate is guaranteed — an appended copy only aligns when
+    // the doc length is a multiple of 8). Keep each line's FIRST
+    // occurrence, rebuild the text in original order. Map-only until
+    // the per-(doc, line) aggregate — grain is lines (tokens/8),
+    // below the token grain the span operators already pay.
+    q("q_paragraph_dedup")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val l1 = concat_ws(" ", slice(graft.functions.TextFns.tokens($"text"), 1, 8))
+        val corpus = base.select($"doc_id",
+          when($"doc_id" % 7 === 0,
+            concat(l1, lit(" "), l1, lit(" "), $"text"))
+            .otherwise($"text").as("text"))
+        graft.dedup.Dedup.dedupLines(corpus, "doc_id", "text", lineTokens = 8)
+          .orderBy($"doc_id")
+      },
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN
+        |    array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ') || ' ' ||
+        |    array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ') || ' ' || text
+        |  ELSE text END AS text FROM documents),
+        |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |lns AS (SELECT doc_id,
+        |  list_transform(generate_series(0, (len(tk) + 7) // 8 - 1),
+        |    i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS ls FROM tk),
+        |ex AS (SELECT doc_id, unnest(ls) AS line,
+        |  unnest(generate_series(1, len(ls))) AS pos FROM lns),
+        |firsts AS (SELECT doc_id, line, MIN(pos) AS fp FROM ex GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique_lines,
+        |  array_to_string(list(line ORDER BY fp), ' ') AS clean_text
+        |  FROM firsts GROUP BY 1)
+        |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+        |  a.n_unique_lines, a.clean_text
+        |FROM lns l JOIN agg a ON a.doc_id = l.doc_id ORDER BY l.doc_id""".stripMargin),
+
+    // Per-source n-gram diversity (distinct-bigram share) — the
+    // template/spam smell at the SOURCE grain: a scraper stuck in a
+    // boilerplate loop shows total bigrams growing while distinct
+    // bigrams plateau. Exact integer pair + the IEEE ratio of two
+    // < 2^53 integers (bit-identical on any engine). One
+    // partial-aggregated shuffle at the (source, bigram) grain.
+    q("q_distinct_ngrams")(
+      (s, d) => {
+        import s.implicits._
+        val bi = t(s, d, "documents")
+          .select($"source", graft.functions.TextFns.tokens($"text").as("tk"))
+          .filter(size($"tk") >= 2)
+          .select($"source", explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))")).as("bg"))
+        bi.groupBy($"source").agg(
+            count(lit(1)).as("n_bigrams"),
+            countDistinct($"bg").as("n_distinct_bigrams"))
+          .withColumn("distinct_ratio",
+            $"n_distinct_bigrams".cast("double") / $"n_bigrams")
+          .orderBy($"source")
+      },
+      """WITH tk AS (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |bi AS (SELECT source, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |  i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |  FROM tk WHERE len(tk) >= 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams,
+        |  CAST(COUNT(DISTINCT bg) AS DOUBLE) / COUNT(*) AS distinct_ratio
+        |FROM bi GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Tokenizer fertility per source: BPE-ish regex tokens per
+    // whitespace token — the "how many subwords does this domain cost
+    // me" budget planner (code/URL-heavy sources fertilize far above
+    // prose). Exact integer sums; fertility is the IEEE quotient.
+    // Map-side partial aggregation, |sources| output rows.
+    q("q_tokenizer_fertility")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .groupBy($"source")
+          .agg(
+            sum(size(regexp_extract_all($"text", lit("\\w+|[^\\w\\s]"), lit(0)))
+              .cast("long")).as("n_bpe_tokens"),
+            sum(graft.functions.TextFns.tokenCount($"text").cast("long"))
+              .as("n_ws_tokens"))
+          .withColumn("fertility",
+            $"n_bpe_tokens".cast("double") / $"n_ws_tokens")
+          .orderBy($"source")
+      },
+      """WITH pd AS (SELECT source,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS nb,
+        |  len(string_split_regex(trim(text), '\s+')) AS nw FROM documents)
+        |SELECT source, CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(nw) AS BIGINT) AS n_ws_tokens,
+        |  CAST(CAST(SUM(nb) AS BIGINT) AS DOUBLE) / CAST(SUM(nw) AS BIGINT) AS fertility
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Eval-side contamination report — the flip side of
+    // q_decontaminate's corpus view: per EVAL doc, how many of its
+    // 8-grams appear anywhere in the training corpus and how many
+    // distinct training docs carry them — the "is my benchmark
+    // compromised, and how badly" audit. Same planted-contamination
+    // fixture as q_decontaminate. Work ∝ gram matches; the eval gram
+    // set broadcasts.
+    q("q_contamination_report")(
+      (s, d) => {
+        import s.implicits._
+        val F = graft.functions.TextFns
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val evalPrefix = base.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" / 50).cast("long").as("k"),
+            concat_ws(" ", slice(F.tokens($"text"), 1, 8)).as("prefix"))
+        val corpus = base
+          .join(broadcast(evalPrefix), ($"doc_id" % 10) + 1 === $"k", "left")
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0 && $"doc_id" % 50 =!= 0,
+              concat($"text", lit(" "), $"prefix")).otherwise($"text").as("text"))
+        val hashes = corpus.select($"doc_id",
+          explode(array_distinct(F.shingleHashes48(F.tokens($"text"), 8))).as("hv"))
+        val evalH = hashes.filter($"doc_id" % 50 === 0)
+        val trainH = hashes.filter($"doc_id" % 50 =!= 0)
+        val grams = evalH.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+        val hits = evalH
+          .join(trainH.select($"hv", $"doc_id".as("train_id")), "hv")
+          .groupBy($"doc_id").agg(
+            countDistinct($"hv").as("n_hit_grams"),
+            countDistinct($"train_id").as("n_contaminating_docs"))
+        grams.join(hits, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_grams",
+            coalesce($"n_hit_grams", lit(0L)).as("n_hit_grams"),
+            coalesce($"n_contaminating_docs", lit(0L)).as("n_contaminating_docs"))
+          .orderBy($"doc_id")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |evalp AS (SELECT doc_id // 50 AS k,
+        |  array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ') AS prefix
+        |  FROM base WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 = 0 AND b.doc_id % 50 <> 0
+        |       THEN b.text || ' ' || e.prefix ELSE b.text END AS text
+        |  FROM base b LEFT JOIN evalp e ON e.k = (b.doc_id % 10) + 1),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, len(tk) - 7),
+        |  i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |       tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s
+        |  FROM toks WHERE len(tk) >= 8),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM sh),
+        |ev AS (SELECT doc_id, hv FROM h WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id AS train_id, hv FROM h WHERE doc_id % 50 <> 0),
+        |grams AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM ev GROUP BY 1),
+        |hits AS (SELECT ev.doc_id,
+        |  CAST(COUNT(DISTINCT ev.hv) AS BIGINT) AS n_hit_grams,
+        |  CAST(COUNT(DISTINCT tr.train_id) AS BIGINT) AS n_contaminating_docs
+        |  FROM ev JOIN tr USING (hv) GROUP BY 1)
+        |SELECT grams.doc_id, grams.n_grams,
+        |  coalesce(hits.n_hit_grams, 0) AS n_hit_grams,
+        |  coalesce(hits.n_contaminating_docs, 0) AS n_contaminating_docs
+        |FROM grams LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // Per-source token-length outlier flags from EXACT rank-based
+    // quartiles (q1 = value at rank ceil(n/4), q3 at ceil(3n/4), both
+    // (value, id)-ordered) and the Tukey 1.5·IQR fences
+    // cross-multiplied in integers — no float quantile
+    // interpolation, so both engines agree on every flag. Fixture
+    // plants long (4× text) and short (3-token) mutants so fences
+    // bind. One per-source window at the doc grain + a broadcast
+    // quartile join.
+    q("q_length_outliers")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"source", $"text")
+        val corpus = base
+          .unionByName(base.filter($"doc_id" % 41 === 0)
+            .select(($"doc_id" + 600000L).as("doc_id"), $"source",
+              concat_ws(" ", $"text", $"text", $"text", $"text").as("text")))
+          .unionByName(base.filter($"doc_id" % 37 === 0)
+            .select(($"doc_id" + 700000L).as("doc_id"), $"source",
+              concat_ws(" ", slice(graft.functions.TextFns.tokens($"text"), 1, 3)).as("text")))
+        val wt = corpus.select($"doc_id", $"source",
+          graft.functions.TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"n_tokens", $"doc_id")
+        val ranked = wt
+          .withColumn("r", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"source")).cast("long"))
+        val qs = ranked.groupBy($"source").agg(
+          min(when($"r" === expr("(n + 3) div 4"), $"n_tokens")).as("q1"),
+          min(when($"r" === expr("(3 * n + 3) div 4"), $"n_tokens")).as("q3"))
+        wt.join(broadcast(qs), "source")
+          .select($"doc_id", $"source", $"n_tokens", $"q1", $"q3",
+            ($"n_tokens" * 2 < $"q1" * 2 - ($"q3" - $"q1") * 3 ||
+              $"n_tokens" * 2 > $"q3" * 2 + ($"q3" - $"q1") * 3).as("is_outlier"))
+          .orderBy($"doc_id")
+      },
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+        |corpus AS (SELECT doc_id, source, text FROM base
+        |  UNION ALL SELECT doc_id + 600000, source,
+        |    text || ' ' || text || ' ' || text || ' ' || text
+        |  FROM base WHERE doc_id % 41 = 0
+        |  UNION ALL SELECT doc_id + 700000, source,
+        |    array_to_string((string_split_regex(trim(text), '\s+'))[1:3], ' ')
+        |  FROM base WHERE doc_id % 37 = 0),
+        |wt AS (SELECT doc_id, source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM corpus),
+        |r AS (SELECT doc_id, source, n_tokens,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS BIGINT) AS r,
+        |  CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n FROM wt),
+        |qs AS (SELECT source,
+        |  MIN(CASE WHEN r = (n + 3) // 4 THEN n_tokens END) AS q1,
+        |  MIN(CASE WHEN r = (3 * n + 3) // 4 THEN n_tokens END) AS q3
+        |  FROM r GROUP BY 1)
+        |SELECT wt.doc_id, wt.source, wt.n_tokens, qs.q1, qs.q3,
+        |  (wt.n_tokens * 2 < qs.q1 * 2 - (qs.q3 - qs.q1) * 3
+        |   OR wt.n_tokens * 2 > qs.q3 * 2 + (qs.q3 - qs.q1) * 3) AS is_outlier
+        |FROM wt JOIN qs USING (source) ORDER BY doc_id""".stripMargin))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap

@@ -231,6 +231,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partition_offset_rank"), "native rank expression missing")
   }
 
+  test("round-15 operators stay off quadratic paths; balanced sampling broadcasts") {
+    for (name <- Seq("q_quality_gate_multi", "q_cluster_balance",
+        "q_paragraph_dedup", "q_distinct_ngrams", "q_tokenizer_fertility",
+        "q_contamination_report", "q_length_outliers", "q_lsh_recall")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+    // the centroid assign and the k-row alloc join must broadcast — the
+    // corpus never shuffles for either
+    assert(plan("q_cluster_balance").contains("BroadcastHashJoin"))
+    // quartiles are a broadcast join back onto the doc frame
+    assert(plan("q_length_outliers").contains("BroadcastHashJoin"))
+    // the line-dedup rebuild needs no window — (doc, line) aggregates only
+    assert(!plan("q_paragraph_dedup").contains("Window"))
+  }
+
   test("q_logodds_terms: vocab-sized broadcast joins, window only on the group key") {
     val p = plan("q_logodds_terms")
     assert(!p.contains("CartesianProduct"))

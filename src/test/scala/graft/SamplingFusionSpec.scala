@@ -268,6 +268,28 @@ class SamplingFusionSpec extends SparkSpec {
     assert(tie == (("x", "y")))
   }
 
+  test("dedupLines keeps first occurrences in order; short and all-dup docs exact") {
+    val docs = Seq(
+      // lines (w=2): [a b][c d][a b][e f] → dup line 3 dropped
+      (1L, "a b c d a b e f"),
+      // shorter than one line: passes through
+      (2L, "solo"),
+      // fully periodic: one unique line survives
+      (3L, "x y x y x y"),
+      // ragged tail line kept as its own (shorter) line
+      (4L, "p q p q r")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", lineTokens = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_lines", $"n_unique_lines", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 3L, "a b c d e f"),
+      (2L, 1L, 1L, "solo"),
+      (3L, 3L, 1L, "x y"),
+      (4L, 3L, 2L, "p q r")))
+  }
+
   test("clusterBalance caps over-represented clusters at the water line, id-first") {
     // two fixed centroids; cluster 1 gets 4 members, cluster 2 gets 2.
     // budget = 6·3 div 4 = 4 → water-fill level τ = 2: cluster 1 is cut
