@@ -417,6 +417,121 @@ object TextOps {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin),
 
+    // Per-document disposition LEDGER for the same funnel — the row-level
+    // twin of q_funnel_report's stage counts: every corpus doc gets the
+    // stage that killed it (or 'kept') plus the doc that killed it
+    // (exact-dup keeper / near-dup min keeper) — the "which doc killed
+    // mine" audit trail reviewers ask for first. Same one-pass monotone
+    // flag machinery; the only additions are the min-keeper aggregates,
+    // both at the pair/dup grain, never the corpus square.
+    q("q_funnel_ledger")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val planted = base.filter($"doc_id" % 10 === 0)
+        val corpus = base
+          .union(planted.select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+          .union(planted.select(($"doc_id" + 100000L).as("doc_id"),
+            expr("substring(text, locate(' ', text) + 1)").as("text")))
+        val flagged = corpus
+          .withColumn("n_tokens", TextFns.tokenCount($"text"))
+          .withColumn("n_stop", TextFns.stopwordCount($"text"))
+          .withColumn("mean_len", length($"text").cast("double") / $"n_tokens")
+          .withColumn("q_ok", $"n_tokens" >= 20 && $"n_stop" >= 1 &&
+            $"mean_len" >= 3.0 && $"mean_len" <= 12.0)
+        val wh = org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))
+        val exact = flagged
+          .withColumn("e_min", min(when($"q_ok", $"doc_id")).over(wh))
+          .withColumn("e_ok", $"q_ok" && $"doc_id" === $"e_min")
+        val survivors = exact.filter($"e_ok").select($"doc_id", $"text")
+        val sig = Dedup.minhashSignatures(survivors, "doc_id", "text", K)
+        val ndBy = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5)
+          .groupBy($"id_b".as("doc_id")).agg(min($"id_a").as("nd_by"))
+        val evalH = base.filter($"doc_id" % 50 === 0)
+          .select(explode(array_distinct(
+            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
+          .distinct()
+        val contaminated = survivors
+          .select($"doc_id", explode(array_distinct(
+            TextFns.shingleHashes48(TextFns.tokens($"text"), 8))).as("hv"))
+          .join(broadcast(evalH), "hv")
+          .select($"doc_id", lit(true).as("contam")).distinct()
+        exact
+          .join(ndBy, Seq("doc_id"), "left")
+          .join(contaminated, Seq("doc_id"), "left")
+          .select($"doc_id",
+            when(!$"q_ok", lit("quality"))
+              .when($"doc_id" =!= $"e_min", lit("exact_dup"))
+              .when($"nd_by".isNotNull, lit("near_dup"))
+              .when($"doc_id" % 50 === 0 && $"doc_id" <= 100000L, lit("eval_doc"))
+              .when($"contam".isNotNull, lit("contaminated"))
+              .otherwise(lit("kept")).as("disposition"),
+            when($"q_ok" && $"doc_id" =!= $"e_min", $"e_min")
+              .when($"q_ok" && $"doc_id" === $"e_min" && $"nd_by".isNotNull, $"nd_by")
+              .otherwise(lit(null).cast("long")).as("killed_by"))
+          .orderBy($"doc_id")
+      },
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+         |  FROM base WHERE doc_id % 10 = 0),
+         |flagged AS (SELECT doc_id, text,
+         |  (len(string_split_regex(trim(text), '\\s+')) >= 20
+         |   AND len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |        x -> x IN ('the','a','of','and','to','in'))) >= 1
+         |   AND CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) >= 3.0
+         |   AND CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) <= 12.0) AS q_ok
+         |  FROM corpus),
+         |exact AS (SELECT doc_id, text, q_ok,
+         |  MIN(CASE WHEN q_ok THEN doc_id END) OVER (PARTITION BY md5(text)) AS e_min
+         |  FROM flagged),
+         |after_exact AS (SELECT doc_id, text FROM exact WHERE q_ok AND doc_id = e_min),
+         |${shingleSql("after_exact")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |ndby AS (SELECT id_b AS doc_id, CAST(MIN(id_a) AS BIGINT) AS nd_by FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5 GROUP BY 1),
+         |eval_h AS (SELECT DISTINCT CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv
+         |  FROM (SELECT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 7),
+         |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+         |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s
+         |    FROM (SELECT string_split_regex(trim(text), '\\s+') AS tk
+         |          FROM base WHERE doc_id % 50 = 0) WHERE len(tk) >= 8)),
+         |contaminated AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv
+         |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tk) - 7),
+         |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+         |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS s
+         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |          FROM after_exact) WHERE len(tk) >= 8))
+         |  WHERE hv IN (SELECT hv FROM eval_h))
+         |SELECT e.doc_id,
+         |  CASE WHEN NOT e.q_ok THEN 'quality'
+         |       WHEN e.doc_id <> e.e_min THEN 'exact_dup'
+         |       WHEN n.nd_by IS NOT NULL THEN 'near_dup'
+         |       WHEN e.doc_id % 50 = 0 AND e.doc_id <= 100000 THEN 'eval_doc'
+         |       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |       ELSE 'kept' END AS disposition,
+         |  CASE WHEN e.q_ok AND e.doc_id <> e.e_min THEN e.e_min
+         |       WHEN e.q_ok AND e.doc_id = e.e_min THEN n.nd_by
+         |       ELSE NULL END AS killed_by
+         |FROM exact e
+         |LEFT JOIN ndby n ON n.doc_id = e.doc_id
+         |LEFT JOIN contaminated c ON c.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin),
+
     // Funnel observability: per-stage survival counts for the curation
     // pipeline, computed in ONE corpus pass — each doc gets monotone
     // survival flags (quality → exact → near-dup → final) and a single

@@ -234,7 +234,8 @@ class PlanShapeSpec extends SparkSpec {
   test("round-15 operators stay off quadratic paths; balanced sampling broadcasts") {
     for (name <- Seq("q_quality_gate_multi", "q_cluster_balance",
         "q_paragraph_dedup", "q_distinct_ngrams", "q_tokenizer_fertility",
-        "q_contamination_report", "q_length_outliers", "q_lsh_recall")) {
+        "q_contamination_report", "q_length_outliers", "q_lsh_recall",
+        "q_funnel_ledger")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
     }
