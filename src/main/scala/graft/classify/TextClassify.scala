@@ -336,8 +336,15 @@ object TextClassify {
     * The cross products run in DECIMAL — n_tg·T is a count times the
     * CORPUS total, which overflows Long (silently, in non-ANSI Spark)
     * once counts pass ~10^9·10^9; DECIMAL(18,0)×DECIMAL(19,0) keeps
-    * every product exact up to corpus sizes of 10^18 tokens, and
-    * `tvd_num` is emitted as DECIMAL(38,0).
+    * every product exact during the sum. The final `tvd_num` is then
+    * re-pinned on BIGINT: tvd_num ≤ 2·T_g·T ≤ 2·T², which fits int64
+    * up to T ≈ 2·10^9 corpus tokens — four orders of magnitude above
+    * the test scales, and the narrowest type both engines and the
+    * driver's arrow hasher canonicalize identically (decimal128
+    * outputs are the one surface the cross-engine hash gate has
+    * rejected; see ContractSpec "no wide-decimal outputs"). For true
+    * 100-TB corpora past 2·10^9 tokens, drop the final cast and emit
+    * DECIMAL(38,0) — the internal arithmetic is already exact there.
     */
   def tokenDrift(docs: DataFrame, groupCol: String = "source",
                  textCol: String = "text"): DataFrame = {
@@ -364,7 +371,7 @@ object TextClassify {
       .select(col(groupCol), col("t_g").as("n_tokens"),
         col("t_all").as("corpus_tokens"),
         (col("s_obs") + d18(col("t_g")) * d19(col("t_all") - col("s_nt")))
-          .cast(DecimalType(38, 0)).as("tvd_num"))
+          .cast("long").as("tvd_num"))
   }
 
   /** Multi-signal quality gate with per-signal attribution — the
@@ -418,8 +425,14 @@ object TextClassify {
         col("lang_pred"))
     val ppl = bigramScore(docs, ref, textCol, idCol)
       .select(col(idCol), col("n_bigrams"), col("ll"))
-    val joined = ent.join(repLang, idCol).join(ppl, Seq(idCol), "left")
-    val fEnt = col("entropy") < lit(minEntropy)
+    // repLang is the doc-complete spine (one row per input doc); the
+    // entropy frame drops docs whose text yields no characters
+    // (empty/whitespace-only), and those are exactly the docs the gate
+    // must NOT lose — a missing entropy row FAILS the entropy signal
+    // (null-safe default, mirroring the bigram signal's left join).
+    val joined = repLang.join(ent, Seq(idCol), "left")
+      .join(ppl, Seq(idCol), "left")
+    val fEnt = coalesce(col("entropy") < lit(minEntropy), lit(true))
     val fRep = (col("n_tokens") - col("n_distinct")) * 100 >
       lit(maxRepPct) * col("n_tokens")
     val fLang = col("lang_pred") =!= lit(allowedLang)
@@ -458,9 +471,12 @@ object TextClassify {
     * boundary). Rank = row_number by `odds_ratio` DESC, term
     * tie-break; equal-rational ties collapse to equal doubles and
     * break on the term in both engines. Contract bound: products
-    * must stay < 2^53 (corpora to ~9·10⁷ tokens); above that, rank
-    * client-side on the exact (num, den) pair by cross-multiplying
-    * in DECIMAL(38) — δ itself needs no transcendental to order.
+    * must stay < 2^53 (corpora to ~9·10⁷ tokens) — ENFORCED by an
+    * in-plan assert on n_all + v ≤ 94 906 265 (⇒ each factor, hence
+    * sqrt of each product, is under 2^26.5), so violation fails the
+    * job loudly instead of mis-ranking; above that, rank client-side
+    * on the exact (num, den) pair by cross-multiplying in
+    * DECIMAL(38) — δ itself needs no transcendental to order.
     *
     * Scale shape: two token aggregations (corpus-wide and per-group —
     * map-side partial combine) + vocabulary-sized joins + one
@@ -476,7 +492,21 @@ object TextClassify {
     val yT = yTg.groupBy(col("tok")).agg(sum(col("y_tg")).as("y_t"))
     val nG = yTg.groupBy(col(groupCol)).agg(sum(col("y_tg")).as("n_g"))
     val nv = yT.agg(sum(col("y_t")).as("n_all"),
-      count(lit(1)).cast("long").as("v"))
+        count(lit(1)).cast("long").as("v"))
+      // Loud enforcement of the 2^53 contract bound documented above:
+      // every odds factor is ≤ n_all + v, so products stay exact in
+      // a double iff (n_all+v)² < 2^53, i.e. n_all+v ≤ 94 906 265.
+      // Past that, the IEEE-quotient ranking silently loses exactness
+      // (and past 2^63 non-ANSI Long math wraps) — fail the job
+      // instead, pointing at the DECIMAL cross-multiply escape hatch.
+      // assert_true returns NULL on success, so the filter keeps the
+      // row and cannot be optimized away.
+      .filter(assert_true(col("n_all") + col("v") <= lit(94906265L),
+        lit("logOddsTerms: corpus_tokens + vocab exceeds 94906265 — " +
+          "integer odds products would pass 2^53 and the double " +
+          "quotient ranking loses exactness; rank on the exact " +
+          "(odds_num, odds_den) pair by DECIMAL(38) cross-" +
+          "multiplication for corpora this large")).isNull)
     val scored = yTg
       .join(broadcast(yT), "tok")
       .join(broadcast(nG), groupCol)

@@ -124,7 +124,7 @@ object TextOps5 {
         |  GROUP BY 1)
         |SELECT bg.source, bg.t_g AS n_tokens, ct.t_all AS corpus_tokens,
         |  CAST(obs.s_obs + CAST(bg.t_g AS DECIMAL(18,0))
-        |    * CAST(ct.t_all - obs.s_nt AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS tvd_num
+        |    * CAST(ct.t_all - obs.s_nt AS DECIMAL(19,0)) AS BIGINT) AS tvd_num
         |FROM bg JOIN obs ON obs.source = bg.source CROSS JOIN ct
         |ORDER BY 1""".stripMargin),
 

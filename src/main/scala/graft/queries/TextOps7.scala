@@ -86,13 +86,13 @@ object TextOps7 {
         |  LEFT JOIN c1 ON c1.w1 = bi.w1),
         |ppl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(term) AS DOUBLE) AS ll FROM terms GROUP BY 1),
-        |f AS (SELECT ent.doc_id, ent.entropy, rep.n_tokens, rep.n_distinct,
+        |f AS (SELECT rep.doc_id, ent.entropy, rep.n_tokens, rep.n_distinct,
         |  rep.lang_pred, ppl.n_bigrams, ppl.ll,
-        |  (ent.entropy < CAST(2.75 AS DOUBLE)) AS f_ent,
+        |  coalesce(ent.entropy < CAST(2.75 AS DOUBLE), TRUE) AS f_ent,
         |  ((rep.n_tokens - rep.n_distinct) * 100 > 66 * rep.n_tokens) AS f_rep,
         |  (rep.lang_pred <> 'en') AS f_lang,
         |  coalesce(ppl.ll < CAST(-3.5 AS DOUBLE) * ppl.n_bigrams, FALSE) AS f_ppl
-        |  FROM ent JOIN rep USING (doc_id) LEFT JOIN ppl USING (doc_id)),
+        |  FROM rep LEFT JOIN ent USING (doc_id) LEFT JOIN ppl USING (doc_id)),
         |sc AS (SELECT *,
         |  CAST(CASE WHEN f_ent THEN 1 ELSE 0 END + CASE WHEN f_rep THEN 2 ELSE 0 END
         |    + CASE WHEN f_lang THEN 4 ELSE 0 END

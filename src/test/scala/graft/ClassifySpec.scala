@@ -127,7 +127,7 @@ class ClassifySpec extends SparkSpec {
     val out = TextClassify.tokenDrift(f).collect()
       .map(r => r.getAs[String]("source") ->
         (r.getAs[Long]("n_tokens"), r.getAs[Long]("corpus_tokens"),
-          r.getAs[java.math.BigDecimal]("tvd_num").longValueExact())).toMap
+          r.getAs[Long]("tvd_num"))).toMap
     // corpus: a=4, b=2, c=3, T=9
     // g1 (T_g=3, a=2 b=1 c=0): |2*9-4*3| + |1*9-2*3| + |0*9-3*3| = 6+3+9 = 18
     assert(out("g1") == ((3L, 9L, 18L)))
@@ -172,6 +172,22 @@ class ClassifySpec extends SparkSpec {
       .select($"doc_id", $"ll").as[(Long, Double)].collect().toMap
     assert(math.abs(ll(1L) - (2 * -1.252762968 + 3 * -1.098612289)) < 1e-9)
     assert(math.abs(ll(2L) - 3 * -1.609437912) < 1e-9)
+  }
+
+  test("qualityGateMulti: empty-text doc still gets a verdict (entropy signal fails null-safe)") {
+    // "" yields no (doc, char) rows, so charEntropy emits no row for
+    // doc 5 — the gate must NOT lose it: missing entropy FAILS the
+    // entropy signal (bit 0, weight 4 = dropAt) → dropped with
+    // attribution, not silently absent.
+    val ref = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val docs = Seq((1L, "the cat sat on the mat"), (5L, "")).toDF("doc_id", "text")
+    val out = TextClassify.qualityGateMulti(docs, ref,
+        minEntropy = 1.5, maxRepPct = 30, minAvgLl = -1.4)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"reasons", $"fail_score", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.length == 2, s"empty doc vanished from the gate: $out")
+    assert(out(1) == ((5L, 1L, 4L, false)))
   }
 
   // ---- Character entropy ----------------------------------------------

@@ -17,7 +17,7 @@ int64 is a FAIL here even when the digits agree (the round-14
 q_event_transitions failure class). Floats compare bit-exact (struct
 pack), so a last-bit libm delta is also a FAIL.
 """
-import sys, json, glob, os, struct
+import sys, json, glob, os, struct, datetime
 import duckdb
 import pyarrow as pa
 
@@ -48,9 +48,16 @@ def canon_type(t):
 
 def canon_val(v):
     """Typed canonical form: exact for ints/decimals/strings, bit-exact
-    for floats, recursive for lists/structs."""
+    for floats, recursive for lists/structs. Datetimes normalize to
+    epoch micros (UTC): canon_type ignores tz, so the value compare
+    must too — a tz-aware Spark timestamp vs DuckDB's naive one is the
+    same instant, and aware == naive is always False in Python."""
     if isinstance(v, float):
         return ("f64", struct.pack("<d", v).hex())
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return ("ts", v.isoformat(timespec="microseconds"))
     if isinstance(v, list):
         return tuple(canon_val(x) for x in v)
     if isinstance(v, dict):
