@@ -33,6 +33,58 @@ object Bench {
     "q_nb_classify", "q_span_rewrite",
     "q_sorted_neighborhood", "q_rrf_fusion")
 
+  /** Host-contention sentinel: `q1_agg` re-timed between every
+    * `every`-th measurement (and once more at each window's close).
+    * This VM's noisy neighbors swing identical plans 2-7×; three
+    * rounds of cross-round adjudication were spent re-litigating
+    * numbers that were pure window noise. The sentinel gives each
+    * measurement a local meter reading: a query is SUSPECT when a
+    * surrounding sentinel deviates >1.5× (either direction) from the
+    * window's sentinel median — i.e. the host was provably not in
+    * steady state around that measurement — and the emitted JSON
+    * self-labels it instead of exporting it as a trustworthy minimum.
+    * The sentinel is a meter, not a benchmark entry: it always runs
+    * `q1_agg` regardless of SPARK_GRAFT_QUERIES, and its own timings
+    * appear only under the "sentinel" key.
+    */
+  private final class Sentinel(spark: SparkSession, sfDir: String, every: Int = 4) {
+    private val marks = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    private var pos = 0
+    timeSentinel(): Unit // untimed warm: the first reading would otherwise
+                         // carry plan-compile cost and bias the window median
+    private def timeSentinel(): Double = {
+      val t0 = System.nanoTime()
+      try graft.util.CacheScope.loan {
+        SparkEntry.queries("q1_agg")(spark, sfDir).queryExecution.toRdd.count(): Unit
+      } catch { case e: Throwable => System.err.println(s"[bench] sentinel: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    /** Call immediately before each timed measurement; returns the
+      * measurement's window position for later suspect lookup. */
+    def mark(): Int = {
+      if (pos % every == 0) marks += ((pos, timeSentinel()))
+      val p = pos; pos += 1; p
+    }
+    /** One closing sentinel so the last measurements have an "after" meter. */
+    def close(): Unit = marks += ((pos, timeSentinel()))
+    def median: Double = {
+      val s = marks.map(_._2).sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    /** True when a sentinel adjacent to window position `p` deviates
+      * >1.5× from the window median (either direction). */
+    def suspect(p: Int): Boolean = {
+      val m = median
+      m > 0 && {
+        val around = marks.filter(_._1 <= p).lastOption.toSeq ++
+          marks.find(_._1 > p).toSeq
+        around.exists(s => s._2 > 1.5 * m || s._2 * 1.5 < m)
+      }
+    }
+    def json: String =
+      s"""{"every":$every,"times":[${marks.map(_._2).mkString(",")}],"median":$median}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,12 +132,22 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = names.map(n => n -> timeOnce(n)).toMap
-    val pass2 = names.map(n => n -> timeOnce(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    val sen = new Sentinel(spark, sfDir)
+    def timedPass(): Map[String, (Int, Double)] = {
+      names.map { n => val p = sen.mark(); n -> ((p, timeOnce(n))) }.toMap
+    }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    sen.close()
+    val results = names.map(n => n -> math.min(pass1(n)._2, pass2(n)._2))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val passes = names.map(n => "\"" + n + "\":[" + pass1(n) + "," + pass2(n) + "]")
+    val passes = names.map(n => "\"" + n + "\":[" + pass1(n)._2 + "," + pass2(n)._2 + "]")
       .mkString("{", ",", "}")
+    // a query is suspect only if BOTH its passes sat next to a
+    // deviant sentinel — one clean pass means the min is a clean
+    // steady-state sample even if the other pass hit contention
+    val suspect = names.filter(n => sen.suspect(pass1(n)._1) && sen.suspect(pass2(n)._1))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
 
     // Engine-level end-to-end numbers (SURVEY §8): the 4-step pipeline
@@ -138,7 +200,7 @@ object Bench {
     val streaming = streamingSmoke(spark, sfDir)
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"pipeline":$pipeline,"scale":$scale,"streaming":$streaming,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sentinel":${sen.json},"suspect":$suspect,"pipeline":$pipeline,"scale":$scale,"streaming":$streaming,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file the driver can read whole: the per-pass
     // records overflowed the driver's captured stdout tail in round 12,
@@ -292,10 +354,18 @@ object Bench {
       // the same code+data swings 4x across windows; host noise, not
       // code.)
       names.foreach(n => timeOnce(n): Unit)
-      val pass1 = names.map(n => n -> timeOnce(n)).toMap
-      val pass2 = names.map(n => n -> timeOnce(n)).toMap
+      // the scale tier gets its own sentinel on the SCALED dataset —
+      // these are the numbers the 100-TB argument is judged on, and
+      // exactly where past rounds' cross-round alarms turned out to be
+      // window noise (r14 measured 10× data faster than sf0.1)
+      val sen = new Sentinel(spark, dir)
+      def timedPass(): Map[String, (Int, Option[Double])] =
+        names.map { n => val p = sen.mark(); n -> ((p, timeOnce(n))) }.toMap
+      val pass1 = timedPass()
+      val pass2 = timedPass()
+      sen.close()
       val times = names.map { n =>
-        n -> ((pass1(n), pass2(n)) match {
+        n -> ((pass1(n)._2, pass2(n)._2) match {
           case (Some(a), Some(b)) => math.min(a, b)
           case _                  => -1.0
         })
@@ -303,8 +373,10 @@ object Bench {
       // per-pass times for noise adjudication, like the headline set;
       // a pass that threw records null, not a bogus wall time
       def fmt(o: Option[Double]) = o.map(_.toString).getOrElse("null")
-      val passes = names.map(n => "\"" + n + "\":[" + fmt(pass1(n)) + "," + fmt(pass2(n)) + "]")
+      val passes = names.map(n => "\"" + n + "\":[" + fmt(pass1(n)._2) + "," + fmt(pass2(n)._2) + "]")
         .mkString("{", ",", "}")
-      s"""{"copies":$copies,${times.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")},"passes":$passes}"""
+      val suspect = names.filter(n => sen.suspect(pass1(n)._1) && sen.suspect(pass2(n)._1))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"copies":$copies,${times.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")},"passes":$passes,"sentinel":${sen.json},"suspect":$suspect}"""
   }
 }
