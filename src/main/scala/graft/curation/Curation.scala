@@ -129,6 +129,50 @@ object Curation {
       .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
   }
 
+  /** Longest contaminated span per eval doc — the metric
+    * decontamination reports actually gate on: a benchmark whose
+    * answer appears as one long verbatim run is compromised in a way
+    * scattered single n-gram hits are not. For each eval doc, its
+    * POSITIONAL n-gram hashes are matched against the training
+    * corpus's gram set; a span is a maximal run of consecutive
+    * matched positions (the pos − row_number segment trick), and its
+    * token length is run + n − 1. Eval docs shorter than n tokens
+    * emit no row (no grams to audit — same contract as the gram
+    * decontaminators).
+    *
+    * Output: (doc_id, n_grams, n_matched_grams, longest_run,
+    * longest_span_tokens), one row per gram-bearing eval doc.
+    *
+    * Scale shape: the training corpus stays map-only — the eval gram
+    * set broadcasts IN (to filter train grams) and the surviving
+    * hit-hv set broadcasts back OUT onto the eval positions; the only
+    * window partitions per eval doc over its matched positions.
+    */
+  def contaminationSpans(train: DataFrame, evalDocs: DataFrame,
+                         n: Int = 8): DataFrame = {
+    def posGrams(d: DataFrame) = d
+      .select(col("doc_id"), posexplode(
+        TextFns.shingleHashes48(TextFns.tokens(col("text")), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("hv"))
+    val evalPos = posGrams(evalDocs)
+    val evalHvs = evalPos.select(col("hv")).distinct()
+    val hitHvs = posGrams(train).select(col("hv"))
+      .join(broadcast(evalHvs), "hv").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val agg = evalPos.join(broadcast(hitHvs), "hv")
+      .withColumn("seg", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("longest_run"),
+        sum(col("run")).as("n_matched"))
+    evalPos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        (coalesce(col("longest_run"), lit(1L - n)) + lit(n - 1L)).as("longest_span_tokens"))
+  }
+
   /** Classifier gate — the batch twin of the streaming ingest's
     * `classGate`: keep documents whose Naive-Bayes prediction under an
     * offline-fitted model is in `allowed` (in-corpus language/quality

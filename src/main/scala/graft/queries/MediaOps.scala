@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.TextFns
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImagePhash, Multimodal}
 
 /** Multimodal-plumbing queries. The codec's fallback values for the
   * text-derived fixture corpus are sha256-derived, so `q_media_meta`
@@ -36,8 +36,53 @@ object MediaOps {
     "q_frame_sample" -> ((s, d) => {
       Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d))
         .toDF().orderBy(col("media_id"), col("frame_index"))
+    }),
+    // perceptual image hash: REAL BMP encode → REAL ImageIO decode →
+    // integer block-mean aHash48, per image, partition-parallel. The
+    // oracle recomputes the hash analytically from the fixture's cell
+    // formula — so a decode/grid/threshold bug on the engine side
+    // hash-mismatches (see [[graft.multimodal.ImagePhash]])
+    "q_image_phash" -> ((s, d) => {
+      ImagePhash.phashes(ImagePhash.imageCorpus(s, d))
+        .toDF().orderBy(col("media_id"))
+    }),
+    // image near-dup: hamming-banded self-join over the 48-bit hash
+    // (bands=4 > maxHamming=3 ⇒ recall 1 ⇒ identical to the oracle's
+    // brute-force pair set). Planted resized twins land at hamming 0,
+    // edited twins at ≤ 2
+    "q_image_neardup" -> ((s, d) => {
+      ImagePhash.nearDupPairs(
+          ImagePhash.phashes(ImagePhash.imageCorpus(s, d)).toDF(),
+          "media_id", "phash", maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** DuckDB twin of the ImagePhash fixture + hash: block values from
+    * [[graft.multimodal.ImagePhash.patternValue]]'s formula, hash bits
+    * by the same integer cross-multiplication. */
+  private val phashSql =
+    """imgs AS (
+      |  SELECT doc_id AS media_id, doc_id AS src, 0 AS variant
+      |    FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT doc_id + 900000, doc_id, 1
+      |    FROM documents WHERE doc_id % 30 = 0
+      |  UNION ALL SELECT doc_id + 800000, doc_id, 2
+      |    FROM documents WHERE doc_id % 21 = 0),
+      |bv AS (SELECT media_id, src, variant, unnest(generate_series(0, 47)) AS b
+      |  FROM imgs),
+      |v AS (SELECT media_id, variant, b,
+      |  CASE WHEN variant = 2 AND b = 0 THEN ((src + 1) * (47 + 17)) % 251
+      |       WHEN variant = 2 AND b = 47 THEN ((src + 1) * (0 + 17)) % 251
+      |       ELSE ((src + 1) * (b + 17)) % 251 END AS v
+      |  FROM bv),
+      |tot AS (SELECT media_id, CAST(SUM(v) AS BIGINT) AS total FROM v GROUP BY 1),
+      |ph AS MATERIALIZED (SELECT v.media_id,
+      |  CAST(MIN(CASE WHEN variant = 1 THEN 128 ELSE 64 END) AS INT) AS width,
+      |  CAST(MIN(CASE WHEN variant = 1 THEN 96 ELSE 48 END) AS INT) AS height,
+      |  CAST(SUM(CASE WHEN v.v * 48 > tot.total
+      |    THEN (CAST(1 AS BIGINT) << v.b) ELSE 0 END) AS BIGINT) AS phash
+      |  FROM v JOIN tot USING (media_id) GROUP BY 1)""".stripMargin
 
   private def featSql(i: Int): String =
     s"round(CAST(concat('0x', substr(md5(text || '#$i'), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS f$i"
@@ -82,6 +127,19 @@ object MediaOps {
         |  UNION ALL SELECT media_id, 30, substr(c2, 1, 16) FROM c
         |  UNION ALL SELECT media_id, 60, substr(c3, 1, 16) FROM c
         |  UNION ALL SELECT media_id, 90, substr(c4, 1, 16) FROM c)
-        |ORDER BY media_id, frame_index""".stripMargin
+        |ORDER BY media_id, frame_index""".stripMargin,
+    "q_image_phash" ->
+      s"""WITH $phashSql
+         |SELECT media_id, width, height, phash FROM ph
+         |ORDER BY media_id""".stripMargin,
+    // brute-force hamming pairs — exactly the banded engine result,
+    // by the bands > maxHamming pigeonhole (recall 1)
+    "q_image_neardup" ->
+      s"""WITH $phashSql
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |FROM ph a JOIN ph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

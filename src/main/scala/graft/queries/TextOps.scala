@@ -65,6 +65,13 @@ object TextOps {
 
   private def bandsSql: String = bandsSqlFrom("sig")
 
+  /** Band CTE body for an arbitrary rows-per-band layout of the K-row
+    * signature (mirrors [[Dedup.bandKeys]]'s concat_ws('_') key). */
+  private def bandsSqlR(r: Int): String = (0 until K / r).map { b =>
+    val cols = (0 until r).map(j => f"mh${b * r + j}%02d").mkString(", ")
+    s"SELECT doc_id, $b AS band_id, md5(concat_ws('_', $cols)) AS band_hash FROM sig"
+  }.mkString(" UNION ALL ")
+
   private def agreeSql: String = (0 until K)
     .map(i => f"(CASE WHEN sa.mh$i%02d = sb.mh$i%02d THEN 1 ELSE 0 END)")
     .mkString(" + ")
@@ -309,6 +316,66 @@ object TextOps {
          |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_true_found""".stripMargin),
+
+    // LSH tuning frontier — the table a 100-TB dedup run is actually
+    // configured from: the same corpus, signatures, and exact ground
+    // truth as q_lsh_recall, swept over every (n_bands, rows_per_band)
+    // layout of the 16-row signature (r ∈ {1,2,4,8}). One row of exact
+    // confusion counts per layout; recall (n_true_found) and cost
+    // (n_candidates — the quantity that multiplies into the verify
+    // join at scale) both fall monotonically as r grows, because the
+    // banded candidate sets are NESTED: a collision on an r=2k band
+    // implies collisions on both r=k halves. DedupSimSpec pins that
+    // monotonicity. Scale shape: signatures and truth computed once
+    // (pinned); each layout adds only its band self-join, work ∝ its
+    // own collisions.
+    q("q_lsh_tuning")(
+      (s, d) => {
+        import s.implicits._
+        val corpus = nearDupCorpus(s, d)
+        val truePairs = graft.util.CacheScope.pin(
+          Dedup.jaccardPairs(corpus, "doc_id", "text")
+            .filter($"jaccard" >= 0.5).select($"id_a", $"id_b"))
+        val sig = graft.util.CacheScope.pin(
+          Dedup.minhashSignatures(corpus, "doc_id", "text", K))
+        Seq(1, 2, 4, 8).map { r =>
+          val cand = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = r)
+            .select($"id_a", $"id_b")
+          truePairs.agg(count(lit(1)).as("n_true"))
+            .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+            .crossJoin(truePairs.join(cand, Seq("id_a", "id_b"), "left_semi")
+              .agg(count(lit(1)).as("n_true_found")))
+            .select(lit(r.toLong).as("rows_per_band"),
+              lit((K / r).toLong).as("n_bands"),
+              $"n_true", $"n_candidates", $"n_true_found")
+        }.reduce(_ unionByName _).orderBy($"rows_per_band")
+      },
+      s"""WITH $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sized AS (SELECT doc_id AS id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sized GROUP BY id),
+         |common AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS common
+         |  FROM sized x JOIN sized y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2),
+         |tp AS MATERIALIZED (SELECT id_a, id_b FROM common
+         |  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |  WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5),
+         |sig AS MATERIALIZED (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |${Seq(1, 2, 4, 8).map(r =>
+             s"""bands_r$r AS (${bandsSqlR(r)}),
+                |cand_r$r AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                |  FROM bands_r$r a JOIN bands_r$r b
+                |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+                |hit_r$r AS (SELECT tp.id_a FROM tp
+                |  JOIN cand_r$r c ON c.id_a = tp.id_a AND c.id_b = tp.id_b)""".stripMargin)
+           .mkString(",\n")}
+         |SELECT * FROM (
+         |${Seq(1, 2, 4, 8).map(r =>
+             s"""  SELECT CAST($r AS BIGINT) AS rows_per_band, CAST(${K / r} AS BIGINT) AS n_bands,
+                |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tp) AS n_true,
+                |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_r$r) AS n_candidates,
+                |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hit_r$r) AS n_true_found""".stripMargin)
+           .mkString(" UNION ALL\n")}
+         |) ORDER BY rows_per_band""".stripMargin),
 
     // End-to-end dedup decision: near-dup clusters from LSH (est_sim ≥
     // 0.5) resolved min-id-wins — the drop list a training pipeline

@@ -431,4 +431,49 @@ class DedupSimSpec extends SparkSpec {
       assert((s & fpSets(qid)).size >= 3, s"query $qid top-5 overlap < 3")
     }
   }
+
+  test("contaminationSpans: hand-computed longest runs, unmatched and full-match docs") {
+    import graft.curation.Curation
+    val train = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val eval = Seq(
+      // 3-grams: abc✓ bcd✓ cdx✗ dxe✗ xef✗ efg✓ → runs {2, 1}:
+      // longest 2 grams = 4 tokens ("a b c d")
+      (1L, "a b c d x e f g"),
+      // no gram in train → all-zero row, not a missing row
+      (2L, "z z z z"),
+      // verbatim copy: all 5 grams match → one run of 5 = 7 tokens
+      (3L, "a b c d e f g"),
+      // too short to gram (2 tokens < n=3) → NO row
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+    val out = Curation.contaminationSpans(train, eval, n = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 6L, 3L, 2L, 4L),
+      (2L, 2L, 0L, 0L, 0L),
+      (3L, 5L, 5L, 5L, 7L)))
+  }
+
+  test("q_lsh_tuning: candidate sets are nested, so counts fall monotonically in rows-per-band") {
+    val out = SparkEntry.queries("q_lsh_tuning")(spark, sf())
+      .orderBy($"rows_per_band")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 4L, 8L))
+    assert(out.map(_._2) == Seq(16L, 8L, 4L, 2L))
+    // one ground truth across all four layouts
+    assert(out.map(_._3).distinct.size == 1)
+    // an r=2k band collision implies both r=k half collisions →
+    // candidates and found-truth both non-increasing as r doubles
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 >= b._4, s"candidates rose: $a -> $b")
+      assert(a._5 >= b._5, s"found-truth rose: $a -> $b")
+    }
+    // confusion-count sanity: found ≤ truth, found ≤ candidates
+    out.foreach { r =>
+      assert(r._5 <= r._3 && r._5 <= r._4, s"inconsistent counts: $r")
+    }
+    // the planted near-dups make the sweep non-degenerate at r=1
+    assert(out.head._5 > 0, "r=1 found no planted true pair")
+  }
 }

@@ -248,6 +248,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan("q_paragraph_dedup").contains("Window"))
   }
 
+  test("round-16 operators: banded/broadcast shapes, no quadratic paths") {
+    for (name <- Seq("q_lsh_tuning", "q_contamination_span",
+        "q_image_phash", "q_image_neardup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+    // span audit: the corpus side must reach the eval positions via
+    // broadcast joins — the train corpus never shuffles
+    assert(plan("q_contamination_span").contains("BroadcastHashJoin"))
+    // image near-dup pairs through the band equi-join, never all-pairs
+    assert(plan("q_image_neardup").contains("band_id"))
+  }
+
   test("q_logodds_terms: vocab-sized broadcast joins, window only on the group key") {
     val p = plan("q_logodds_terms")
     assert(!p.contains("CartesianProduct"))
