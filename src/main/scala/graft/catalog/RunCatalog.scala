@@ -25,7 +25,7 @@ import graft.model.{LogEntry, PipelineRun, StepRun}
   * (§2.6 A2 — the reference's `MAX+1` SQL pattern is racy; a real
   * sequence is the spec'd intent).
   */
-class RunCatalog(spark: SparkSession, val dir: String,
+class RunCatalog(private[graft] val spark: SparkSession, val dir: String,
                  clock: () => Long = () => System.currentTimeMillis(),
                  compactThreshold: Int = 1000,
                  tombstoneAgeFloorMs: Long = 0L) {

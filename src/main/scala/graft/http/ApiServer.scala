@@ -214,6 +214,26 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
             s""""lastProgress":${Option(sq.lastProgress).map(_.json).getOrElse("null")}}"""
         }
         respond(x, 200, items.mkString("[", ",", "]"))
+      case ("GET", List("streams", "ledger")) =>
+        // streaming funnel observability: per-batch stage counts from
+        // a StreamingDedupIngest disposition ledger (written when the
+        // ingest runs with ledger=true). `workDir` names the ingest's
+        // work dir; defaults to the runner's.
+        val base = q.get("workDir").getOrElse(runner.workDir)
+        val dir = s"$base/ledger"
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+          respond(x, 200, "[]")
+        else {
+          import org.apache.spark.sql.functions.{col, count, lit}
+          val rows = catalog.spark.read.parquet(dir)
+            .drop("batch_id")
+            .withColumnRenamed("ledger_batch_id", "batch_id")
+            .dropDuplicates("batch_id", "doc_id")
+            .groupBy(col("batch_id"), col("stage"))
+            .agg(count(lit(1)).as("n"))
+            .orderBy(col("batch_id"), col("stage"))
+          respond(x, 200, jsonRows(rows))
+        }
       case ("POST", List("admin", "sweep-timeouts")) =>
         val swept = catalog.sweepTimeouts(q.get("hours").map(_.toInt).getOrElse(6))
         respond(x, 200, s"""{"swept":${swept.size}}""")
@@ -304,6 +324,9 @@ object ApiServer {
       |<table><thead><tr><th>name</th><th>id</th><th>active</th>
       |<th>batch</th><th>rows</th><th>rows/sec</th><th>watermark</th></tr></thead>
       |<tbody id="streams"></tbody></table>
+      |<h3>Ingest funnel (per batch)</h3>
+      |<table><thead><tr><th>batch</th><th>stage</th><th>docs</th></tr></thead>
+      |<tbody id="ledger"></tbody></table>
       |<script>
       |let sel = null;
       |function row(values, onclick) {
@@ -382,10 +405,15 @@ object ApiServer {
       |      p.inputRowsPerSecond, (p.eventTime || {}).watermark]);
       |  }));
       |}
+      |async function refreshLedger() {
+      |  const ls = await (await fetch('/streams/ledger')).json();
+      |  document.getElementById('ledger').replaceChildren(
+      |    ...ls.map(l => row([l.batch_id, l.stage, l.n])));
+      |}
       |for (const id of ['fPipeline', 'fStatus', 'fLevel'])
       |  document.getElementById(id).addEventListener('change', refresh);
-      |refresh(); refreshSchedules(); refreshStreams();
+      |refresh(); refreshSchedules(); refreshStreams(); refreshLedger();
       |setInterval(refresh, 2000); setInterval(refreshSchedules, 5000);
-      |setInterval(refreshStreams, 2000);
+      |setInterval(refreshStreams, 2000); setInterval(refreshLedger, 5000);
       |</script></body></html>""".stripMargin
 }

@@ -486,11 +486,18 @@ object TextOps {
 
     // Per-document disposition LEDGER for the same funnel — the row-level
     // twin of q_funnel_report's stage counts: every corpus doc gets the
-    // stage that killed it (or 'kept') plus the doc that killed it
-    // (exact-dup keeper / near-dup min keeper) — the "which doc killed
-    // mine" audit trail reviewers ask for first. Same one-pass monotone
-    // flag machinery; the only additions are the min-keeper aggregates,
-    // both at the pair/dup grain, never the corpus square.
+    // stage that killed it (or 'kept') plus the doc that killed it —
+    // the "which doc killed mine" audit trail reviewers ask for first.
+    // killed_by contract: for exact dups it is the group's kept doc;
+    // for near-dups it is the MINIMUM COLLIDING CANDIDATE (min id_a
+    // over the doc's est_sim ≥ 0.5 band collisions) — a direct link
+    // into the duplicate neighborhood, NOT the transitive cluster
+    // keeper: in a chain A<B<C with pairs (A,B),(B,C) only, C's
+    // killed_by is B even though B itself dropped (follow the chain —
+    // or q_dedup_clusters — for the surviving representative).
+    // Cross-engine exact either way. Same one-pass monotone flag
+    // machinery; the only additions are the min aggregates, both at
+    // the pair/dup grain, never the corpus square.
     q("q_funnel_ledger")(
       (s, d) => {
         import s.implicits._

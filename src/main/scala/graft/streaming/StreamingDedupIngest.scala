@@ -63,10 +63,19 @@ import graft.dedup.Dedup
   *   single admitted doc). The gram index is a third parquet store
   *   (`gram_index/batch_id=<n>` leaves, folded by the same compaction),
   *   NOT stream state; docs too short to gram pass. Applied between
-  *   decontamination and dedup. Enabling the gate over a corpus
-  *   ingested without it backfills the index from the admitted store
-  *   at construction, so the gate covers EVERY admitted doc, not just
-  *   those admitted after the flip.
+  *   decontamination and dedup. Coverage is total: enabling the gate
+  *   over a corpus ingested without it backfills the whole index from
+  *   the admitted store at construction; once the store exists, every
+  *   admitted batch writes its grams even while the gate is OFF (so
+  *   an on→off→on flip leaves no unindexed gap); and any positive
+  *   admitted leaf still missing its gram twin (written by a pre-gap-
+  *   fix ingest) is re-indexed at construction by leaf-id compare.
+  * @param ledger when true, every batch writes a per-doc disposition
+  *   frame — (doc_id, stage-that-dropped-it | 'admitted') — to
+  *   `ledger/batch_id=<n>`, the streaming twin of the batch funnel's
+  *   per-doc audit (`q_funnel_ledger`). Read via [[ledgerFrame]] or
+  *   the API server's `/streams/ledger` pane. Costs one checkpoint
+  *   per gate stage plus one batch-sized write; off by default.
   */
 class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            simThreshold: Double = 0.9,
@@ -79,11 +88,13 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
                            decontNumBits: Long = 1L << 23,
                            decontBroadcastConfirm: Boolean = true,
                            noveltyGate: Option[Int] = None,
-                           noveltyNgram: Int = 8) {
+                           noveltyNgram: Int = 8,
+                           ledger: Boolean = false) {
 
   private val indexDir = s"$workDir/band_index"
   private val admittedDir = s"$workDir/admitted"
   private val gramDir = s"$workDir/gram_index"
+  private val ledgerDir = s"$workDir/ledger"
 
   private def gramHashes(d: DataFrame): DataFrame =
     d.select(col("doc_id"), explode(array_distinct(
@@ -111,6 +122,25 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     val corpus = spark.read.parquet(admittedDir).dropDuplicates("doc_id")
     Dedup.gramIndex(corpus, noveltyNgram)
       .write.mode("overwrite").parquet(s"$gramDir/batch_id=-1")
+  }
+  // Gap backfill: a gate on→off→on sequence under the pre-r16 writer
+  // (grams written only while the gate was ON) left the off-period's
+  // admitted batches unindexed — their leaves exist in the admitted
+  // store but have no gram_index twin. Re-index exactly those leaves
+  // at construction (leaf-id compare, positive ids only — negative
+  // consolidated segments fold BOTH stores at the same horizon, so
+  // with the always-write rule below they stay in lockstep; a legacy
+  // store whose gap was already folded away is covered by the
+  // absent-dir full backfill above when the index is rebuilt).
+  if (noveltyGate.isDefined && Files.isDirectory(Paths.get(gramDir))
+      && Files.isDirectory(Paths.get(admittedDir))) {
+    val gramIds = leaves(gramDir).map(_._1).toSet
+    leaves(admittedDir)
+      .filter { case (id, _) => id >= 0 && !gramIds.contains(id) }
+      .foreach { case (id, p) =>
+        Dedup.gramIndex(spark.read.parquet(p.toString), noveltyNgram)
+          .write.mode("overwrite").parquet(s"$gramDir/batch_id=$id")
+      }
   }
 
   private def readIndex(): Option[DataFrame] =
@@ -206,7 +236,23 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     // otherwise leave the old index's leaves unfolded forever
     if (Files.isDirectory(Paths.get(gramDir)))
       foldLeaves(gramDir, horizon, Seq("hv"))
+    if (Files.isDirectory(Paths.get(ledgerDir)))
+      foldLeaves(ledgerDir, horizon, Seq("ledger_batch_id", "doc_id"))
   }
+
+  /** The per-batch disposition ledger (None until the first ledgered
+    * batch): (batch_id, doc_id, stage, admitted) — one row per input
+    * doc per batch, `stage` naming the gate that dropped it or
+    * 'admitted'. Deduped like [[admitted]] for the crash-superset
+    * window.
+    */
+  def ledgerFrame(): Option[DataFrame] =
+    if (Files.isDirectory(Paths.get(ledgerDir)))
+      Some(spark.read.parquet(ledgerDir)
+        .drop("batch_id") // partition dir id — stale after folds
+        .withColumnRenamed("ledger_batch_id", "batch_id")
+        .dropDuplicates("batch_id", "doc_id"))
+    else None
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) compact(batchId)
@@ -217,24 +263,28 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     // The loan releases exactly this batch's pins, so a user's own
     // cached frames in the same session survive (clearCache() didn't).
     graft.util.CacheScope.loan {
+      // with the ledger on, each stage frame is checkpointed so the
+      // per-doc disposition diffs below read materialized results
+      // instead of re-running the gates; ledger off = zero overhead
+      def ck(df: DataFrame): DataFrame = if (ledger) df.localCheckpoint() else df
+      val input = ck(batch.select(col("doc_id"), col("text")))
       // quality gate first (map-only — cheapest drop wins), then pin
       // the bounded batch so the multi-branch plan below reads the
       // micro-batch source exactly once
-      val gated = quality.fold(batch.select(col("doc_id"), col("text")))(cfg =>
-        graft.curation.Curation.qualityGate(
-          batch.select(col("doc_id"), col("text")), cfg).drop("n_tokens"))
+      val gated = ck(quality.fold(input)(cfg =>
+        graft.curation.Curation.qualityGate(input, cfg).drop("n_tokens")))
       // classifier gate: micro-batch scored against the static
       // offline-fitted model (broadcast joins — the stream-static
       // shape); only allowed predicted labels proceed to dedup
-      val classed = classGate.fold(gated) { case (model, allowed) =>
+      val classed = ck(classGate.fold(gated) { case (model, allowed) =>
         val keep = graft.classify.TextClassify.naiveBayesApply(gated, model)
           .filter(col("pred_label").isInCollection(allowed))
           .select(col("doc_id"))
         gated.join(keep, Seq("doc_id"), "left_semi")
-      }
+      })
       // decontamination gate: sketch-prefiltered probe of the static
       // eval gram set; only sketch-positives reach the confirm join
-      val decontD = decontState.fold(classed) { case (bf, evalH) =>
+      val decontD = ck(decontState.fold(classed) { case (bf, evalH) =>
         // confirm side broadcasts by default; flip the flag off when
         // the eval hash relation itself is too big to broadcast (the
         // candidate stream is sketch-bounded, so a shuffle join stays
@@ -245,7 +295,7 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
           .join(confirm, "hv")
           .select(col("doc_id")).distinct()
         classed.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-      }
+      })
       // novelty gate: drop documents whose n-grams are mostly already
       // in the admitted corpus's gram index — exact-substring-level
       // redundancy control the LSH near-dup below can't see (a doc
@@ -276,12 +326,43 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
         .join(vsIndex, Seq("doc_id"), "left_anti")
         .localCheckpoint()
 
+      // per-batch disposition ledger: one row per INPUT doc naming the
+      // stage that dropped it (or 'admitted') — the streaming twin of
+      // the batch funnel's q_funnel_report/q_funnel_ledger, written
+      // BEFORE the all-dropped early return so an empty batch result
+      // still leaves its audit trail. Batch-scoped leaf → idempotent
+      // under replay, folded by the same compaction as the stores.
+      if (ledger) {
+        def ids(df: DataFrame) = df.select(col("doc_id"))
+        def at(df: DataFrame, s: String) = ids(df).withColumn("stage", lit(s))
+        val intra = docs.join(intraDrops, Seq("doc_id"), "left_semi")
+        at(ids(input).except(ids(gated)), "quality")
+          .unionByName(at(ids(gated).except(ids(classed)), "classifier"))
+          .unionByName(at(ids(classed).except(ids(decontD)), "decontamination"))
+          .unionByName(at(ids(decontD).except(ids(docs)), "novelty"))
+          .unionByName(at(intra, "near_dup_intra"))
+          // a doc in BOTH drop sets counts once, at the intra stage
+          .unionByName(at(docs.join(intraDrops, Seq("doc_id"), "left_anti")
+            .join(vsIndex, Seq("doc_id"), "left_semi"), "near_dup_index"))
+          .unionByName(at(admittedDocs, "admitted"))
+          .withColumn("admitted", col("stage") === "admitted")
+          // the batch id rides as a DATA column too: compaction folds
+          // leaves into consolidated segments whose PARTITION id is a
+          // fresh negative — the data column keeps per-batch history
+          .withColumn("ledger_batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+      }
+
       if (admittedDocs.isEmpty) return
       admittedDocs.write.mode("overwrite").parquet(s"$admittedDir/batch_id=$batchId")
       Dedup.bandKeys(sig.join(admittedDocs.select(col("doc_id")), Seq("doc_id"), "left_semi"), "doc_id")
         .withColumnRenamed("doc_id", "corpus_id")
         .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-      if (noveltyGate.isDefined)
+      // write grams while the gate is on — AND whenever the store
+      // exists: a gate on→off→on sequence must not leave the off
+      // period's admitted docs unindexed (their span-stitched
+      // redundancy would silently pass the gate forever)
+      if (noveltyGate.isDefined || Files.isDirectory(Paths.get(gramDir)))
         Dedup.gramIndex(admittedDocs, noveltyNgram)
           .write.mode("overwrite").parquet(s"$gramDir/batch_id=$batchId")
     }

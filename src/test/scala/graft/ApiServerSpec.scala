@@ -168,6 +168,28 @@ class ApiServerSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("/streams/ledger aggregates a dedup-ingest disposition ledger per batch and stage") {
+    val work = Files.createTempDirectory("graft_api_ledger").toString
+    val catalog = new RunCatalog(spark, s"$work/catalog")
+    val runner = new PipelineRunner(spark, catalog, work)
+    val api = new ApiServer(catalog, runner, s"$work/uploads").start()
+    val base = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // no ledger yet (runner workDir has none) → empty, no error
+      assert(get(s"$base/streams/ledger").body() == "[]")
+      import spark.implicits._
+      val ingestDir = s"$work/ingest"
+      val ingest = new graft.streaming.StreamingDedupIngest(spark, ingestDir,
+        simThreshold = 0.9, ledger = true)
+      val dA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+      ingest.processBatch(Seq((1L, dA), (2L, dA)).toDF("doc_id", "text"), 0L)
+      val body = get(s"$base/streams/ledger?workDir=$ingestDir").body()
+      assert(body.contains("\"stage\":\"admitted\"") &&
+        body.contains("\"stage\":\"near_dup_intra\""), body)
+      assert(body.contains("\"batch_id\":0") && body.contains("\"n\":1"), body)
+    } finally api.stop()
+  }
+
   test("multipart/form-data upload extracts the file part; raw body still works") {
     val work = Files.createTempDirectory("graft_api4").toString
     val catalog = new RunCatalog(spark, s"$work/catalog")

@@ -461,6 +461,69 @@ class StreamingSpec extends SparkSpec {
       s"gate-off compaction must fold the gram store (got $names)")
   }
 
+  test("novelty gate on->off->on: off-period admissions stay indexed, gap leaves are re-indexed") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sng").toString
+    val dA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val dB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    // gate ON: corpus + gram index built
+    val on1 = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, noveltyGate = Some(50))
+    on1.processBatch(Seq((1L, dA)).toDF("doc_id", "text"), 0L)
+    // gate OFF: the store exists, so the admitted batch's grams are
+    // STILL written (the pre-fix writer skipped them, leaving a
+    // permanent blind spot)
+    val off = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9)
+    off.processBatch(Seq((2L, dB)).toDF("doc_id", "text"), 1L)
+    // gate ON again: a stitch built ONLY from off-period spans must be
+    // caught (its grams are 100% seen); a novel doc passes
+    val on2 = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, noveltyGate = Some(50))
+    on2.processBatch(Seq((10L, dB), (11L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"))
+      .toDF("doc_id", "text"), 2L)
+    assert(on2.admitted().get.select($"doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L))
+    // legacy-gap repair: simulate a pre-fix store by deleting one gram
+    // leaf — re-construction with the gate on re-indexes exactly it
+    val leaf = java.nio.file.Paths.get(s"$work/gram_index/batch_id=1")
+    assert(java.nio.file.Files.isDirectory(leaf), "off-period batch wrote no gram leaf")
+    graft.util.Fs.deleteRecursively(leaf)
+    val on3 = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, noveltyGate = Some(50))
+    assert(java.nio.file.Files.isDirectory(leaf), "gap leaf was not re-indexed")
+    on3.processBatch(Seq((20L, dB)).toDF("doc_id", "text"), 3L)
+    assert(!on3.admitted().get.select($"doc_id").as[Long].collect().contains(20L))
+  }
+
+  test("ledger: one disposition row per input doc, stages attributed, empty-result batch still audited") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sled").toString
+    val cfg = graft.curation.Curation.Config(minTokens = 3, minStopwords = 0)
+    val ingest = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, quality = Some(cfg), ledger = true)
+    val dA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    // batch 0: one admit, one quality drop (2 tokens < 3), one
+    // intra-batch near-dup of dA
+    ingest.processBatch(Seq(
+      (1L, dA), (2L, "too short"), (3L, dA)).toDF("doc_id", "text"), 0L)
+    // batch 1: a replay of dA (vs-index drop) → zero admissions, yet
+    // the ledger row must exist
+    ingest.processBatch(Seq((10L, dA)).toDF("doc_id", "text"), 1L)
+    val led = ingest.ledgerFrame().get
+      .select($"batch_id", $"doc_id", $"stage", $"admitted")
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(led == Set(
+      (0L, 1L, "admitted", true),
+      (0L, 2L, "quality", false),
+      (0L, 3L, "near_dup_intra", false),
+      (1L, 10L, "near_dup_index", false)))
+    // per-batch conservation: ledger rows == input docs == admitted + dropped
+    val byBatch = led.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byBatch == Map(0L -> 3, 1L -> 1))
+    // the admitted store agrees with the ledger's admitted rows
+    assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet ==
+      led.filter(_._4).map(_._2))
+  }
+
   test("stream-stream attribution join matches within the window, expires outside") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
