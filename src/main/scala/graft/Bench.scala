@@ -31,7 +31,10 @@ object Bench {
     // postings-heavy span rewrite, sorted-neighborhood dedup (rank
     // machinery + successor join), and hybrid retrieval fusion
     "q_nb_classify", "q_span_rewrite",
-    "q_sorted_neighborhood", "q_rrf_fusion")
+    "q_sorted_neighborhood", "q_rrf_fusion",
+    // round-16 families: multimodal near-dup (codec decode + hamming
+    // bands) and positional contamination spans
+    "q_image_neardup", "q_audio_neardup", "q_contamination_span")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.TextFns
-import graft.multimodal.{ImagePhash, Multimodal}
+import graft.multimodal.{AudioPhash, ImagePhash, Multimodal}
 
 /** Multimodal-plumbing queries. The codec's fallback values for the
   * text-derived fixture corpus are sha256-derived, so `q_media_meta`
@@ -55,6 +55,21 @@ object MediaOps {
           ImagePhash.phashes(ImagePhash.imageCorpus(s, d)).toDF(),
           "media_id", "phash", maxHamming = 3, bands = 4)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // audio energy-profile hash: REAL WAV encode → REAL JDK PCM
+    // decode → integer 48-segment hash; volume-scaled plants hash
+    // identically (relative energies), oracle recomputes analytically
+    "q_audio_phash" -> ((s, d) => {
+      AudioPhash.ahashes(AudioPhash.audioCorpus(s, d))
+        .toDF().orderBy(col("media_id"))
+    }),
+    // audio near-dup through the same recall-1 hamming banding as the
+    // image family — provably equal to the brute-force oracle
+    "q_audio_neardup" -> ((s, d) => {
+      ImagePhash.nearDupPairs(
+          AudioPhash.ahashes(AudioPhash.audioCorpus(s, d)).toDF(),
+          "media_id", "ahash", maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -83,6 +98,31 @@ object MediaOps {
       |  CAST(SUM(CASE WHEN v.v * 48 > tot.total
       |    THEN (CAST(1 AS BIGINT) << v.b) ELSE 0 END) AS BIGINT) AS phash
       |  FROM v JOIN tot USING (media_id) GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of the AudioPhash fixture + hash: the ×60 amplitude
+    * scale and the ×2 volume plant both cancel in the energy ratios,
+    * so bits depend only on the pattern values' squares. */
+  private val ahashSql =
+    """auds AS (
+      |  SELECT doc_id AS media_id, doc_id AS src, 0 AS variant
+      |    FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL SELECT doc_id + 950000, doc_id, 1
+      |    FROM documents WHERE doc_id % 30 = 1
+      |  UNION ALL SELECT doc_id + 850000, doc_id, 2
+      |    FROM documents WHERE doc_id % 21 = 1),
+      |abv AS (SELECT media_id, src, variant, unnest(generate_series(0, 47)) AS b
+      |  FROM auds),
+      |av AS (SELECT media_id, b,
+      |  CASE WHEN variant = 2 AND b = 0 THEN ((src + 1) * (47 + 23)) % 251
+      |       WHEN variant = 2 AND b = 47 THEN ((src + 1) * (0 + 23)) % 251
+      |       ELSE ((src + 1) * (b + 23)) % 251 END AS v
+      |  FROM abv),
+      |atot AS (SELECT media_id, CAST(SUM(v * v) AS BIGINT) AS total FROM av GROUP BY 1),
+      |aph AS MATERIALIZED (SELECT av.media_id,
+      |  CAST(3072 AS BIGINT) AS n_samples,
+      |  CAST(SUM(CASE WHEN av.v * av.v * 48 > atot.total
+      |    THEN (CAST(1 AS BIGINT) << av.b) ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM av JOIN atot USING (media_id) GROUP BY 1)""".stripMargin
 
   private def featSql(i: Int): String =
     s"round(CAST(concat('0x', substr(md5(text || '#$i'), 1, 8)) AS BIGINT) / 4294967296.0, 6) AS f$i"
@@ -140,6 +180,17 @@ object MediaOps {
          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
          |FROM ph a JOIN ph b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_audio_phash" ->
+      s"""WITH $ahashSql
+         |SELECT media_id, n_samples, ahash FROM aph
+         |ORDER BY media_id""".stripMargin,
+    "q_audio_neardup" ->
+      s"""WITH $ahashSql
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |FROM aph a JOIN aph b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -250,7 +250,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("round-16 operators: banded/broadcast shapes, no quadratic paths") {
     for (name <- Seq("q_lsh_tuning", "q_contamination_span",
-        "q_image_phash", "q_image_neardup")) {
+        "q_image_phash", "q_image_neardup", "q_audio_phash", "q_audio_neardup")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
     }
