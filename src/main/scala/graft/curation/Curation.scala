@@ -173,6 +173,48 @@ object Curation {
         (coalesce(col("longest_run"), lit(1L - n)) + lit(n - 1L)).as("longest_span_tokens"))
   }
 
+  /** Corpus-side span audit — [[contaminationSpans]] with the roles
+    * flipped to the shape a DECONTAMINATION pass needs: for every
+    * CORPUS doc, the longest run of consecutive positional n-grams
+    * present in the (small) eval set. `decontaminate` drops on ANY
+    * shared gram; gating on `longest_span_tokens` instead implements
+    * the graded policy real pipelines use — one incidental 8-gram
+    * (a common idiom, a date line) is tolerable, a verbatim answer
+    * string is not.
+    *
+    * Output: (doc_id, n_grams, n_matched_grams, longest_run,
+    * longest_span_tokens), one row per gram-bearing corpus doc.
+    *
+    * Scale shape: the eval gram set is the broadcast side (eval sets
+    * are small by construction — the opposite of
+    * [[contaminationSpans]], whose positional side is the small one),
+    * so the corpus scan stays map-only; the window partitions per
+    * corpus doc over its MATCHED positions only (∝ contamination,
+    * not corpus size).
+    */
+  def spanContamination(corpus: DataFrame, evalDocs: DataFrame,
+                        n: Int = 8): DataFrame = {
+    val evalH = evalDocs.select(explode(array_distinct(
+        TextFns.shingleHashes48(TextFns.tokens(col("text")), n))).as("hv"))
+      .distinct()
+    val pos = corpus.select(col("doc_id"), posexplode(
+        TextFns.shingleHashes48(TextFns.tokens(col("text")), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("hv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val agg = pos.join(broadcast(evalH), "hv")
+      .withColumn("seg", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("seg")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("longest_run"),
+        sum(col("run")).as("n_matched"))
+    pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        (coalesce(col("longest_run"), lit(1L - n)) + lit(n - 1L)).as("longest_span_tokens"))
+  }
+
   /** Classifier gate — the batch twin of the streaming ingest's
     * `classGate`: keep documents whose Naive-Bayes prediction under an
     * offline-fitted model is in `allowed` (in-corpus language/quality

@@ -70,6 +70,31 @@ object MediaOps {
           AudioPhash.ahashes(AudioPhash.audioCorpus(s, d)).toDF(),
           "media_id", "ahash", maxHamming = 3, bands = 4)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // video near-dup by shared sampled-frame digests — the video
+    // member of the multimodal dedup family: re-uploaded copies share
+    // frame content even when container bytes differ. Inverted-index
+    // equi-join on the digest (work ∝ collisions, never video²);
+    // planted clones (doc%30==2, id+700000) share all 4 frames
+    "q_video_framedup" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "documents")
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("media_id"), col("text"))
+      val media = base
+        .unionByName(base.filter(col("media_id") % 30 === 2)
+          .select((col("media_id") + 700000L).as("media_id"), col("text")))
+        .select(col("media_id"), lit("video").as("kind"),
+          col("text").cast("binary").as("payload"))
+        .as[Multimodal.MediaRow]
+      val frames = Multimodal.sampleFrames(media).toDF()
+      frames.as("a").join(frames.as("b"),
+          col("a.frame_digest") === col("b.frame_digest") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared_frames"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -191,6 +216,27 @@ object MediaOps {
          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
          |FROM aph a JOIN aph b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+    // mirrors MediaCodec.sampleFrames' digest chain over base videos
+    // plus the clone plants
+    "q_video_framedup" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, sha256(text) AS c0
+        |    FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL SELECT doc_id + 700000, sha256(text)
+        |    FROM documents WHERE doc_id % 30 = 2),
+        |c AS (SELECT media_id, sha256(c0) AS c1, sha256(sha256(c0)) AS c2,
+        |  sha256(sha256(sha256(c0))) AS c3,
+        |  sha256(sha256(sha256(sha256(c0)))) AS c4 FROM v),
+        |f AS MATERIALIZED (SELECT media_id, frame_digest FROM (
+        |  SELECT media_id, substr(c1, 1, 16) AS frame_digest FROM c
+        |  UNION ALL SELECT media_id, substr(c2, 1, 16) FROM c
+        |  UNION ALL SELECT media_id, substr(c3, 1, 16) FROM c
+        |  UNION ALL SELECT media_id, substr(c4, 1, 16) FROM c))
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+        |FROM f a JOIN f b
+        |  ON a.frame_digest = b.frame_digest AND a.media_id < b.media_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -380,6 +380,67 @@ object TextOps7 {
         |  coalesce(agg.longest_run + 7, 0) AS longest_span_tokens
         |FROM grams LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // Graded span-based decontamination — the corpus-side twin of
+    // q_contamination_span: every TRAIN doc audited for its longest
+    // eval-verbatim run, keep = longest_span_tokens < 8 (any full
+    // 8-gram verbatim drops; shorter incidental overlaps survive —
+    // the graded policy q_decontaminate's any-shared-gram rule cannot
+    // express). Eval gram set broadcasts; corpus stays map-only.
+    q("q_span_decontaminate")(
+      (s, d) => {
+        import s.implicits._
+        val F = graft.functions.TextFns
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val evalPrefix = base.filter($"doc_id" % 50 === 0)
+          .select(($"doc_id" / 50).cast("long").as("k"),
+            concat_ws(" ", slice(F.tokens($"text"), 1, 8)).as("prefix"))
+        val corpus = base
+          .join(broadcast(evalPrefix), ($"doc_id" % 10) + 1 === $"k", "left")
+          .select($"doc_id",
+            when($"doc_id" % 7 === 0 && $"doc_id" % 50 =!= 0,
+              concat($"text", lit(" "), $"prefix")).otherwise($"text").as("text"))
+        graft.curation.Curation.spanContamination(
+            corpus.filter($"doc_id" % 50 =!= 0),
+            corpus.filter($"doc_id" % 50 === 0), n = 8)
+          .withColumn("keep", $"longest_span_tokens" < 8)
+          .orderBy($"doc_id")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |evalp AS (SELECT doc_id // 50 AS k,
+        |  array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ') AS prefix
+        |  FROM base WHERE doc_id % 50 = 0),
+        |corpus AS (SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 = 0 AND b.doc_id % 50 <> 0
+        |       THEN b.text || ' ' || e.prefix ELSE b.text END AS text
+        |  FROM base b LEFT JOIN evalp e ON e.k = (b.doc_id % 10) + 1),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+        |pg AS MATERIALIZED (SELECT doc_id,
+        |  unnest(generate_series(1, len(tk) - 7)) AS pos,
+        |  unnest(list_transform(generate_series(1, len(tk) - 7),
+        |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+        |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7])) AS s
+        |  FROM toks WHERE len(tk) >= 8),
+        |h AS (SELECT doc_id, pos,
+        |  CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM pg),
+        |evh AS (SELECT DISTINCT hv FROM h WHERE doc_id % 50 = 0),
+        |tr AS MATERIALIZED (SELECT doc_id, pos, hv FROM h WHERE doc_id % 50 <> 0),
+        |m AS MATERIALIZED (SELECT doc_id, pos FROM tr
+        |  WHERE hv IN (SELECT hv FROM evh)),
+        |seg AS (SELECT doc_id,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS seg FROM m),
+        |runs AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS run
+        |  FROM seg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, MAX(run) AS longest_run,
+        |  CAST(SUM(run) AS BIGINT) AS n_matched FROM runs GROUP BY 1),
+        |grams AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM tr GROUP BY 1)
+        |SELECT grams.doc_id, grams.n_grams,
+        |  coalesce(agg.n_matched, 0) AS n_matched_grams,
+        |  coalesce(agg.longest_run, 0) AS longest_run,
+        |  coalesce(agg.longest_run + 7, 0) AS longest_span_tokens,
+        |  (coalesce(agg.longest_run + 7, 0) < 8) AS keep
+        |FROM grams LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
     // Per-source token-length outlier flags from EXACT rank-based
     // quartiles (q1 = value at rank ceil(n/4), q3 at ceil(3n/4), both
     // (value, id)-ordered) and the Tukey 1.5·IQR fences

@@ -161,6 +161,78 @@ object VectorOps {
          |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin),
 
+    // IVF tuning frontier — the ANN twin of q_lsh_tuning: the SAME
+    // corpus, cells, and brute-force ground truth swept over nprobe ∈
+    // {1,2,4,8}, one row of exact counts per setting. n_scanned (the
+    // candidate pairs a probe actually prices at corpus scale) rises
+    // with nprobe; n_truth_found rises too (a candidate displacing a
+    // truth item from the probe's top-3 would itself be in the global
+    // top-3), and at nprobe = |cells| the probe IS the brute force —
+    // found == truth, the exact endpoint DedupSimSpec pins along with
+    // monotonicity. Candidates computed once per setting (pinned) and
+    // ranked from the same frame — no double scan.
+    q("q_ivf_tuning")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        val queries = e.filter($"vec_id" < 5)
+        val cents = e.filter($"vec_id" < 8)
+        val truth = graft.util.CacheScope.pin(
+          Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 3)
+            .select($"q_id", $"id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"sim".desc, $"id")
+        Seq(1, 2, 4, 8).map { np =>
+          val cand = graft.util.CacheScope.pin(
+            Similarity.ivfCandidates(queries, e, cents, "vec_id", "embedding", nprobe = np))
+          val found = cand.withColumn("rn", row_number().over(w))
+            .filter($"rn" <= 3).select($"q_id", $"id")
+          truth.agg(count(lit(1)).as("n_truth"))
+            .crossJoin(cand.agg(count(lit(1)).as("n_scanned")))
+            .crossJoin(truth.join(found, Seq("q_id", "id"), "left_semi")
+              .agg(count(lit(1)).as("n_truth_found")))
+            .select(lit(np.toLong).as("nprobe"), $"n_truth",
+              $"n_scanned", $"n_truth_found")
+        }.reduce(_ unionByName _).orderBy($"nprobe")
+      },
+      s"""WITH z AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |cs AS MATERIALIZED (SELECT e.vec_id, e.embedding, z.cell,
+         |  ${cosineSql("e.embedding", "z.cv")} AS c_sim FROM embeddings e, z),
+         |cells AS MATERIALIZED (SELECT vec_id, embedding, cell FROM (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn FROM cs)
+         |  WHERE arn = 1),
+         |qca AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS qv, cell, arn FROM (
+         |  SELECT vec_id, embedding, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn
+         |  FROM cs WHERE vec_id < 5)),
+         |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |bt AS MATERIALIZED (SELECT q_id, vec_id FROM (
+         |  SELECT qs.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY qs.q_id
+         |      ORDER BY ${cosineSql("qs.qv", "e.embedding")} DESC, e.vec_id) AS rn
+         |  FROM qs JOIN embeddings e ON e.vec_id <> qs.q_id) WHERE rn <= 3),
+         |${Seq(1, 2, 4, 8).map(np =>
+             s"""cand_p$np AS MATERIALIZED (SELECT qc.q_id, c.vec_id,
+                |  ${cosineSql("qc.qv", "c.embedding")} AS sim
+                |  FROM qca qc JOIN cells c ON c.cell = qc.cell AND c.vec_id <> qc.q_id
+                |  WHERE qc.arn <= $np),
+                |found_p$np AS (SELECT q_id, vec_id FROM (
+                |  SELECT q_id, vec_id,
+                |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+                |  FROM cand_p$np) WHERE rn <= 3),
+                |hit_p$np AS (SELECT bt.q_id FROM bt
+                |  JOIN found_p$np f ON f.q_id = bt.q_id AND f.vec_id = bt.vec_id)""".stripMargin)
+           .mkString(",\n")}
+         |SELECT * FROM (
+         |${Seq(1, 2, 4, 8).map(np =>
+             s"""  SELECT CAST($np AS BIGINT) AS nprobe,
+                |    (SELECT CAST(COUNT(*) AS BIGINT) FROM bt) AS n_truth,
+                |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_p$np) AS n_scanned,
+                |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hit_p$np) AS n_truth_found""".stripMargin)
+           .mkString(" UNION ALL\n")}
+         |) ORDER BY nprobe""".stripMargin),
+
     // Embedding near-dup pairs over a corpus with planted exact copies.
     q("q_embed_neardup")(
       (s, d) => {

@@ -80,14 +80,25 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    val sims = ivfCandidates(queries, corpus, centroids, idCol, vecCol, nprobe)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** The (q_id, id, sim) frame an IVF probe at `nprobe` actually
+    * scans — [[ivfTopK]] is its top-k ranking. Exposed so recall/cost
+    * sweeps can count the scan (the quantity that prices a probe
+    * setting at corpus scale) without re-deriving the internals; each
+    * corpus vector lives in exactly one cell, so a (query, candidate)
+    * pair appears at most once regardless of nprobe. */
+  def ivfCandidates(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cells = assignCells(corpus, centroids, idCol, vecCol, "id", "vec")
     val qc = assignCells(queries, centroids, idCol, vecCol, "q_id", "q_vec", keep = nprobe)
-    val sims = cells.join(broadcast(qc), Seq("cell"))
+    cells.join(broadcast(qc), Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"), VectorFns.cosineR(col("q_vec"), col("vec")).as("sim"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
   /** Train IVF centroids with Lloyd's k-means: deterministic init (the

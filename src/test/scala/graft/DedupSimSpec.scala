@@ -455,6 +455,32 @@ class DedupSimSpec extends SparkSpec {
       (3L, 5L, 5L, 5L, 7L)))
   }
 
+  test("q_ivf_tuning: scan cost and recall rise with nprobe; full probe equals brute force") {
+    val out = SparkEntry.queries("q_ivf_tuning")(spark, sf())
+      .orderBy($"nprobe")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 4L, 8L))
+    assert(out.map(_._2).distinct.size == 1) // one ground truth
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._3, s"scan cost fell as nprobe rose: $a -> $b")
+      assert(a._4 <= b._4, s"recall fell as nprobe rose: $a -> $b")
+    }
+    // probing every cell IS the brute force — recall endpoint exact
+    assert(out.last._4 == out.last._2,
+      s"nprobe=|cells| must equal brute force: ${out.last}")
+  }
+
+  test("spanContamination: corpus-side profile matches the hand case; unmatched docs emit zeros") {
+    import graft.curation.Curation
+    val evalDocs = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c d x e f g"), (2L, "z z z z")).toDF("doc_id", "text")
+    val out = Curation.spanContamination(corpus, evalDocs, n = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: abc✓ bcd✓ cdx✗ dxe✗ xef✗ efg✓ → longest 2 grams = 4 tokens
+    assert(out == Seq((1L, 6L, 3L, 2L, 4L), (2L, 2L, 0L, 0L, 0L)))
+  }
+
   test("q_lsh_tuning: candidate sets are nested, so counts fall monotonically in rows-per-band") {
     val out = SparkEntry.queries("q_lsh_tuning")(spark, sf())
       .orderBy($"rows_per_band")

@@ -250,13 +250,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("round-16 operators: banded/broadcast shapes, no quadratic paths") {
     for (name <- Seq("q_lsh_tuning", "q_contamination_span",
-        "q_image_phash", "q_image_neardup", "q_audio_phash", "q_audio_neardup")) {
+        "q_image_phash", "q_image_neardup", "q_audio_phash", "q_audio_neardup",
+        "q_span_decontaminate", "q_video_framedup", "q_ivf_tuning")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
     }
-    // span audit: the corpus side must reach the eval positions via
-    // broadcast joins — the train corpus never shuffles
+    // span audits: the corpus side must reach the match positions via
+    // broadcast joins — the big side never shuffles
     assert(plan("q_contamination_span").contains("BroadcastHashJoin"))
+    assert(plan("q_span_decontaminate").contains("BroadcastHashJoin"))
     // image near-dup pairs through the band equi-join, never all-pairs
     assert(plan("q_image_neardup").contains("band_id"))
   }
