@@ -278,6 +278,26 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Resolve each near-dup-dropped doc's audit pointer BOTH ways: the
+    * direct minimum colliding candidate (what min-id-wins actually
+    * compared it against — may itself be dropped in a chain A<B<C)
+    * and the transitive cluster keeper via [[connectedComponents]]
+    * (the component minimum, which min-id-wins never drops — the doc
+    * that actually SURVIVES the stage). `direct_is_keeper` marks rows
+    * where the two coincide; chains are exactly the rows where it is
+    * false. Input: (id_a, id_b, …) candidate pairs already filtered
+    * to the drop threshold.
+    */
+  def resolveDropTargets(pairs: DataFrame): DataFrame = {
+    val direct = pairs.groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("killed_by_direct"))
+    val comp = connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    direct.join(comp, "doc_id")
+      .select(col("doc_id"), col("killed_by_direct"),
+        col("cluster_id").as("killed_by_resolved"),
+        (col("killed_by_direct") === col("cluster_id")).as("direct_is_keeper"))
+  }
+
   /** Asymmetric containment: |shingles(a) ∩ shingles(b)| / |shingles(a)|
     * — ≈1 when doc a is (mostly) a substring/excerpt of doc b even if b
     * is far larger, which symmetric Jaccard misses. Same inverted-index

@@ -484,6 +484,44 @@ object TextOps {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin),
 
+    // Near-dup audit-pointer resolution — the companion that upgrades
+    // q_funnel_ledger's killed_by contract: for every dropped doc,
+    // BOTH the direct minimum colliding candidate (which can itself be
+    // dropped in a chain A<B<C) and the transitive cluster keeper (the
+    // component minimum — the doc that actually survives the stage),
+    // with direct_is_keeper flagging where they coincide. Built from
+    // the same O(diameter) component propagation as q_dedup_clusters.
+    q("q_neardup_resolution")(
+      (s, d) => {
+        import s.implicits._
+        val sig = Dedup.minhashSignatures(nearDupCorpus(s, d), "doc_id", "text", K)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5)
+        Dedup.resolveDropTargets(pairs).orderBy($"doc_id")
+      },
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5),
+         |direct AS (SELECT id_b AS doc_id, CAST(MIN(id_a) AS BIGINT) AS killed_by_direct
+         |  FROM pairs GROUP BY 1),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.killed_by_direct, c.cluster_id AS killed_by_resolved,
+         |  (d.killed_by_direct = c.cluster_id) AS direct_is_keeper
+         |FROM direct d JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
     // Per-document disposition LEDGER for the same funnel — the row-level
     // twin of q_funnel_report's stage counts: every corpus doc gets the
     // stage that killed it (or 'kept') plus the doc that killed it —
@@ -493,8 +531,8 @@ object TextOps {
     // over the doc's est_sim ≥ 0.5 band collisions) — a direct link
     // into the duplicate neighborhood, NOT the transitive cluster
     // keeper: in a chain A<B<C with pairs (A,B),(B,C) only, C's
-    // killed_by is B even though B itself dropped (follow the chain —
-    // or q_dedup_clusters — for the surviving representative).
+    // killed_by is B even though B itself dropped (q_neardup_resolution
+    // emits BOTH pointers — direct and transitively resolved keeper).
     // Cross-engine exact either way. Same one-pass monotone flag
     // machinery; the only additions are the min aggregates, both at
     // the pair/dup grain, never the corpus square.

@@ -455,6 +455,19 @@ class DedupSimSpec extends SparkSpec {
       (3L, 5L, 5L, 5L, 7L)))
   }
 
+  test("resolveDropTargets: chain points direct at a dropped doc, resolved at the surviving keeper") {
+    // A<B<C with pairs (A,B),(B,C) only: C's direct pointer is B —
+    // itself dropped — while the resolved pointer is A, the component
+    // minimum min-id-wins never drops
+    val pairs = Seq((1L, 2L, 0.6), (2L, 3L, 0.6)).toDF("id_a", "id_b", "est_sim")
+    val out = Dedup.resolveDropTargets(pairs).orderBy($"doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((2L, 1L, 1L, true), (3L, 2L, 1L, false)))
+    // the resolved keeper is never itself a dropped doc
+    val dropped = out.map(_._1).toSet
+    assert(out.forall(r => !dropped.contains(r._3)))
+  }
+
   test("q_ivf_tuning: scan cost and recall rise with nprobe; full probe equals brute force") {
     val out = SparkEntry.queries("q_ivf_tuning")(spark, sf())
       .orderBy($"nprobe")

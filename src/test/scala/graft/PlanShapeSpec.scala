@@ -251,7 +251,8 @@ class PlanShapeSpec extends SparkSpec {
   test("round-16 operators: banded/broadcast shapes, no quadratic paths") {
     for (name <- Seq("q_lsh_tuning", "q_contamination_span",
         "q_image_phash", "q_image_neardup", "q_audio_phash", "q_audio_neardup",
-        "q_span_decontaminate", "q_video_framedup", "q_ivf_tuning")) {
+        "q_span_decontaminate", "q_video_framedup", "q_ivf_tuning",
+        "q_neardup_resolution")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
     }
