@@ -233,6 +233,104 @@ object VectorOps {
            .mkString(" UNION ALL\n")}
          |) ORDER BY nprobe""".stripMargin),
 
+    // k-NN label propagation — the "label a new batch from the
+    // embeddings you already trust" operator (weak supervision /
+    // quality-label transfer): every 25th vector treated as a query,
+    // classified by 5-NN majority vote over the full labeled corpus
+    // (cosine ties → id, vote ties → smallest label — deterministic,
+    // hence SQL-expressible). Queries broadcast; the corpus never
+    // shuffles — the q_cosine_topk scan shape plus one vote window
+    // over k·|queries| rows.
+    q("q_knn_classify")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        val test = e.filter($"vec_id" % 25 === 0)
+        val nbrs = Similarity.bruteForceTopK(test, e, "vec_id", "embedding", 5)
+          .select($"q_id", $"id")
+        val votes = nbrs
+          .join(e.select($"vec_id".as("id"), $"label".as("nbr_label")), "id")
+          .groupBy($"q_id", $"nbr_label").agg(count(lit(1)).as("n_votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"n_votes".desc, $"nbr_label")
+        votes.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"q_id".as("vec_id"),
+            $"nbr_label".cast("long").as("pred_label"), $"n_votes")
+          .join(e.select($"vec_id", $"label".cast("long").as("true_label")), "vec_id")
+          .select($"vec_id", $"true_label", $"pred_label", $"n_votes",
+            ($"pred_label" === $"true_label").as("correct"))
+          .orderBy($"vec_id")
+      },
+      s"""WITH tst AS (SELECT vec_id AS q_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id % 25 = 0),
+         |n AS (SELECT q_id, vec_id, label FROM (
+         |  SELECT t.q_id, e.vec_id, e.label,
+         |    row_number() OVER (PARTITION BY t.q_id
+         |      ORDER BY ${cosineSql("t.qv", "e.embedding")} DESC, e.vec_id) AS rn
+         |  FROM tst t JOIN embeddings e ON e.vec_id <> t.q_id) WHERE rn <= 5),
+         |v AS (SELECT q_id, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+         |  FROM n GROUP BY 1, 2),
+         |p AS (SELECT q_id, label, n_votes FROM (
+         |  SELECT q_id, label, n_votes,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS rn
+         |  FROM v) WHERE rn = 1)
+         |SELECT p.q_id AS vec_id, CAST(e.label AS BIGINT) AS true_label,
+         |  CAST(p.label AS BIGINT) AS pred_label, p.n_votes,
+         |  (p.label = e.label) AS correct
+         |FROM p JOIN embeddings e ON e.vec_id = p.q_id
+         |ORDER BY vec_id""".stripMargin),
+
+    // Embedding-space class-separation audit — "are my labels even
+    // separable in this space" (the sanity check before trusting any
+    // embedding-driven curation): per label, exact DECIMAL sums of
+    // rounded intra-class vs inter-class cosines over a deterministic
+    // 1-in-5 sample (order-independent under shuffle — float sums
+    // would not be), with pair counts so readers form the means.
+    // Final sums re-pinned to DECIMAL(18,6): Spark/DuckDB SUM widens
+    // decimals past the precision-18 contract ContractSpec enforces.
+    q("q_class_separation")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings").filter($"vec_id" % 5 === 0)
+          .select($"vec_id", $"embedding", $"label")
+        val a = e.select($"vec_id".as("id_a"), $"embedding".as("va"), $"label".as("la"))
+        val b = e.select($"vec_id".as("id_b"), $"embedding".as("vb"), $"label".as("lb"))
+        val pairs = graft.util.CacheScope.pin(a.join(b, $"id_a" < $"id_b")
+          .select($"la", $"lb",
+            graft.functions.VectorFns.cosineR($"va", $"vb")
+              .cast("decimal(10,6)").as("cos")))
+        // attribute each pair to BOTH its labels (intra pairs once)
+        pairs.filter($"la" === $"lb")
+          .select($"la".as("label"), lit(true).as("intra"), $"cos")
+          .unionByName(pairs.filter($"la" =!= $"lb")
+            .select($"la".as("label"), lit(false).as("intra"), $"cos"))
+          .unionByName(pairs.filter($"la" =!= $"lb")
+            .select($"lb".as("label"), lit(false).as("intra"), $"cos"))
+          .groupBy($"label")
+          .agg(
+            sum(when($"intra", 1L).otherwise(0L)).as("n_intra"),
+            sum(when($"intra", $"cos").otherwise(lit(0).cast("decimal(10,6)")))
+              .cast("decimal(18,6)").as("sum_intra_cos"),
+            sum(when(!$"intra", 1L).otherwise(0L)).as("n_inter"),
+            sum(when(!$"intra", $"cos").otherwise(lit(0).cast("decimal(10,6)")))
+              .cast("decimal(18,6)").as("sum_inter_cos"))
+          .select($"label".cast("long").as("label"), $"n_intra",
+            $"sum_intra_cos", $"n_inter", $"sum_inter_cos")
+          .orderBy($"label")
+      },
+      s"""WITH s AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0),
+         |pr AS MATERIALIZED (SELECT a.label AS la, b.label AS lb,
+         |  CAST(${cosineSql("a.embedding", "b.embedding")} AS DECIMAL(10,6)) AS cos
+         |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+         |att AS (SELECT la AS label, (la = lb) AS intra, cos FROM pr
+         |  UNION ALL SELECT lb, FALSE, cos FROM pr WHERE la <> lb)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  CAST(SUM(CASE WHEN intra THEN 1 ELSE 0 END) AS BIGINT) AS n_intra,
+         |  CAST(SUM(CASE WHEN intra THEN cos ELSE CAST(0 AS DECIMAL(10,6)) END) AS DECIMAL(18,6)) AS sum_intra_cos,
+         |  CAST(SUM(CASE WHEN NOT intra THEN 1 ELSE 0 END) AS BIGINT) AS n_inter,
+         |  CAST(SUM(CASE WHEN NOT intra THEN cos ELSE CAST(0 AS DECIMAL(10,6)) END) AS DECIMAL(18,6)) AS sum_inter_cos
+         |FROM att GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Embedding near-dup pairs over a corpus with planted exact copies.
     q("q_embed_neardup")(
       (s, d) => {
