@@ -644,6 +644,86 @@ object TextOps {
          |LEFT JOIN contaminated c ON c.doc_id = e.doc_id
          |ORDER BY e.doc_id""".stripMargin),
 
+    // Funnel config sweep — the "what does tightening the gate cost
+    // me" table a run is configured from: the SAME corpus pass carries
+    // one quality flag per candidate minTokens setting, and the SAME
+    // content-hash window resolves exact-dedup survivorship under each
+    // (the stages interact: the kept copy is the min QUALITY doc, so a
+    // tighter gate can shift which duplicate survives, not just how
+    // many). One pass, one window — a naive sweep re-runs the funnel
+    // per config. The near-dup stage is deliberately out of scope:
+    // its work is ∝ each config's survivor set (three LSH runs is
+    // three LSH runs at any scale — that's q_curation_pipeline's job).
+    q("q_funnel_sweep")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val planted = base.filter($"doc_id" % 10 === 0)
+        val corpus = base
+          .union(planted.select(($"doc_id" + 200000L).as("doc_id"), $"text"))
+          .union(planted.select(($"doc_id" + 100000L).as("doc_id"),
+            expr("substring(text, locate(' ', text) + 1)").as("text")))
+        val configs = Seq(10L, 20L, 40L)
+        val flagged0 = corpus
+          .withColumn("n_tokens", TextFns.tokenCount($"text"))
+          .withColumn("n_stop", TextFns.stopwordCount($"text"))
+          .withColumn("mean_len", length($"text").cast("double") / $"n_tokens")
+        val flagged = configs.foldLeft(flagged0) { (df, mt) =>
+          df.withColumn(s"q_ok_$mt", $"n_tokens" >= mt && $"n_stop" >= 1 &&
+            $"mean_len" >= 3.0 && $"mean_len" <= 12.0)
+        }
+        val wh = org.apache.spark.sql.expressions.Window.partitionBy(md5($"text"))
+        val exact = configs.foldLeft(flagged) { (df, mt) =>
+          df.withColumn(s"e_ok_$mt", col(s"q_ok_$mt") &&
+            $"doc_id" === min(when(col(s"q_ok_$mt"), $"doc_id")).over(wh))
+        }
+        val aggCols = count(lit(1)).as("n_corpus") +: configs.flatMap(mt => Seq(
+          sum(col(s"q_ok_$mt").cast("long")).as(s"nq_$mt"),
+          sum(col(s"e_ok_$mt").cast("long")).as(s"ne_$mt")))
+        exact.agg(aggCols.head, aggCols.tail: _*)
+          .select(expr(s"stack(${configs.size}, " +
+            configs.map(mt => s"CAST($mt AS BIGINT), n_corpus, nq_$mt, ne_$mt")
+              .mkString(", ") +
+            ") AS (min_tokens, n_corpus, n_quality, n_exact)"))
+          .orderBy($"min_tokens")
+      },
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+         |  FROM base WHERE doc_id % 10 = 0),
+         |m AS (SELECT doc_id, text,
+         |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |  len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> x IN ('the','a','of','and','to','in'))) AS n_stop,
+         |  CAST(length(text) AS DOUBLE)
+         |    / len(string_split_regex(trim(text), '\\s+')) AS mean_len
+         |  FROM corpus),
+         |f AS (SELECT doc_id, text,
+         |  ${Seq(10, 20, 40).map(mt =>
+             s"""(n_tokens >= $mt AND n_stop >= 1 AND mean_len >= 3.0
+                |   AND mean_len <= 12.0) AS q_ok_$mt""".stripMargin)
+           .mkString(",\n")}
+         |  FROM m),
+         |e AS (SELECT *,
+         |  ${Seq(10, 20, 40).map(mt =>
+             s"""(q_ok_$mt AND doc_id = MIN(CASE WHEN q_ok_$mt THEN doc_id END)
+                |   OVER (PARTITION BY md5(text))) AS e_ok_$mt""".stripMargin)
+           .mkString(",\n")}
+         |  FROM f)
+         |SELECT * FROM (
+         |${Seq(10, 20, 40).map(mt =>
+             s"""  SELECT CAST($mt AS BIGINT) AS min_tokens,
+                |    CAST(COUNT(*) AS BIGINT) AS n_corpus,
+                |    CAST(SUM(CASE WHEN q_ok_$mt THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                |    CAST(SUM(CASE WHEN e_ok_$mt THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+                |  FROM e""".stripMargin)
+           .mkString(" UNION ALL\n")}
+         |) ORDER BY min_tokens""".stripMargin),
+
     // Funnel observability: per-stage survival counts for the curation
     // pipeline, computed in ONE corpus pass — each doc gets monotone
     // survival flags (quality → exact → near-dup → final) and a single

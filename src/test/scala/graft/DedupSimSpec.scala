@@ -455,6 +455,19 @@ class DedupSimSpec extends SparkSpec {
       (3L, 5L, 5L, 5L, 7L)))
   }
 
+  test("q_funnel_sweep: tighter gates keep monotonically fewer docs at both stages") {
+    val out = SparkEntry.queries("q_funnel_sweep")(spark, sf())
+      .orderBy($"min_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(10L, 20L, 40L))
+    assert(out.map(_._2).distinct.size == 1) // one corpus
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 >= b._3 && a._4 >= b._4, s"sweep not monotone: $a -> $b")
+    }
+    // exact dedup can only remove docs from the quality survivors
+    out.foreach(r => assert(r._4 <= r._3 && r._3 <= r._2))
+  }
+
   test("resolveDropTargets: chain points direct at a dropped doc, resolved at the surviving keeper") {
     // A<B<C with pairs (A,B),(B,C) only: C's direct pointer is B —
     // itself dropped — while the resolved pointer is A, the component
