@@ -281,7 +281,10 @@ object Bench {
   private val scaleNames = Seq("q1_agg", "q_join_agg", "q_minhash_lsh_pairs",
     "q_jaccard_pairs", "q_curation_pipeline", "q_merge_sql",
     "q_merge_composite", "q_span_mask", "q_span_rewrite",
-    "q_sorted_neighborhood")
+    "q_sorted_neighborhood",
+    // round-16: the positional-gram span audit — token-grain like the
+    // span family, plus a broadcast-hop shape worth 10x evidence
+    "q_contamination_span")
 
   private def scaleSmoke(spark: SparkSession, sfDir: String,
                          onlyQ: Option[Set[String]]): String = {

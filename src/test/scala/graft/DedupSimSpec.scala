@@ -455,6 +455,32 @@ class DedupSimSpec extends SparkSpec {
       (3L, 5L, 5L, 5L, 7L)))
   }
 
+  test("round-16 operators: degenerate inputs (empty sides, undecodable payloads) are safe") {
+    import graft.curation.Curation
+    import graft.multimodal.{AudioPhash, ImagePhash}
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // empty eval set → every doc reports zero contamination
+    assert(Curation.contaminationSpans(none, docs, n = 3)
+      .select($"longest_span_tokens").as[Long].collect().toSeq == Seq(0L))
+    assert(Curation.spanContamination(docs, none, n = 3)
+      .select($"longest_span_tokens").as[Long].collect().toSeq == Seq(0L))
+    // empty audited side → empty frame with the full schema
+    assert(Curation.spanContamination(none, docs, n = 3).count() == 0)
+    // undecodable payloads drop (not fake-hash); empty corpora pair to nothing
+    val junk = spark.createDataset(Seq(
+      ImagePhash.ImageRow(1L, Array[Byte](1, 2, 3)),
+      ImagePhash.ImageRow(2L, Array.emptyByteArray)))
+    assert(ImagePhash.phashes(junk).count() == 0)
+    val junkWav = spark.createDataset(Seq(AudioPhash.AudioRow(1L, Array[Byte](9, 9))))
+    assert(AudioPhash.ahashes(junkWav).count() == 0)
+    assert(ImagePhash.nearDupPairs(
+      ImagePhash.phashes(junk).toDF(), "media_id", "phash").count() == 0)
+    // resolveDropTargets on an empty pair set → empty, not a crash
+    val noPairs = Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "est_sim")
+    assert(Dedup.resolveDropTargets(noPairs).count() == 0)
+  }
+
   test("q_funnel_sweep: tighter gates keep monotonically fewer docs at both stages") {
     val out = SparkEntry.queries("q_funnel_sweep")(spark, sf())
       .orderBy($"min_tokens")
