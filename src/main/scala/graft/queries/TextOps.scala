@@ -377,6 +377,72 @@ object TextOps {
            .mkString(" UNION ALL\n")}
          |) ORDER BY rows_per_band""".stripMargin),
 
+    // Candidate-similarity histogram — the "where do I set the
+    // threshold" companion to q_lsh_tuning: the est_sim distribution
+    // over band-collision pairs, bucketed by exact agreeing-minhash
+    // count (est_sim = k/16 is dyadic, so ·16 recovers k exactly).
+    // A bimodal histogram (noise floor vs planted twins) is what a
+    // defensible threshold looks like; one partial-agg over the
+    // collision-bounded pair set.
+    q("q_sim_histogram")(
+      (s, d) => {
+        import s.implicits._
+        val sig = Dedup.minhashSignatures(nearDupCorpus(s, d), "doc_id", "text", K)
+        Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .select(($"est_sim" * 16).cast("long").as("n_agree"), $"est_sim")
+          .groupBy($"n_agree", $"est_sim").agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"n_agree")
+      },
+      s"""WITH $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+         |SELECT CAST(($agreeSql) AS BIGINT) AS n_agree,
+         |  ($agreeSql) / 16.0 AS est_sim,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+         |GROUP BY 1, 2 ORDER BY n_agree""".stripMargin),
+
+    // Duplicate-cluster size distribution — the dedup yield audit:
+    // how much of the drop list comes from pairs vs. big families
+    // (a heavy tail means templates/boilerplate, not true twins).
+    // Component sizes from the same O(diameter) propagation as
+    // q_dedup_clusters, collapsed to a |sizes|-row histogram.
+    q("q_cluster_sizes")(
+      (s, d) => {
+        import s.implicits._
+        val sig = Dedup.minhashSignatures(nearDupCorpus(s, d), "doc_id", "text", K)
+        val pairs = Dedup.lshCandidatePairs(sig, "doc_id", K, rowsPerBand = 2)
+          .filter($"est_sim" >= 0.5)
+        Dedup.connectedComponents(pairs)
+          .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+          .groupBy($"sz".as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy($"cluster_size")
+      },
+      s"""WITH RECURSIVE $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sig AS (SELECT doc_id, $minhashAggSql FROM h GROUP BY doc_id),
+         |bands AS ($bandsSql),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT * FROM (
+         |  SELECT id_a, id_b, ($agreeSql) / 16.0 AS est_sim
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |  WHERE est_sim >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY 1)
+         |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM szs GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // End-to-end dedup decision: near-dup clusters from LSH (est_sim ≥
     // 0.5) resolved min-id-wins — the drop list a training pipeline
     // actually consumes.

@@ -441,6 +441,62 @@ object TextOps7 {
         |  (coalesce(agg.longest_run + 7, 0) < 8) AS keep
         |FROM grams LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // Per-source PII exposure report — the audit twin of
+    // q_scrub_pii's rewrite: BEFORE scrubbing anything, which sources
+    // leak how much (emails / URLs / phone numbers), occurrence counts
+    // plus affected-doc counts. Same planted-dirty fixture plus a
+    // phone plant on every 13th doc; patterns mirror the scrubber's
+    // (proven cross-engine). Map-only regex counts + one per-source
+    // partial aggregation.
+    q("q_pii_report")(
+      (s, d) => {
+        import s.implicits._
+        val dirty = t(s, d, "documents")
+          .select($"doc_id", $"source",
+            concat($"text", lit(" contact user"), $"doc_id",
+              lit("@example.com or https://example.com/u/"), $"doc_id",
+              when($"doc_id" % 13 === 0, lit(" call 555-123-4567"))
+                .otherwise(lit(""))).as("dirty"))
+        val nUrl = size(regexp_extract_all($"dirty", lit("https?://\\S+"), lit(0)))
+        // count emails on the URL-scrubbed text, exactly like the
+        // scrubber applies them (an email inside a URL counts once)
+        val noUrl = regexp_replace($"dirty", "https?://\\S+", "<URL>")
+        val nEmail = size(regexp_extract_all(noUrl,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+        val nPhone = size(regexp_extract_all($"dirty",
+          lit("\\d{3}-\\d{3}-\\d{4}"), lit(0)))
+        dirty
+          .select($"source", nUrl.cast("long").as("n_urls"),
+            nEmail.cast("long").as("n_emails"), nPhone.cast("long").as("n_phones"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_urls").as("n_urls"),
+            sum($"n_emails").as("n_emails"),
+            sum($"n_phones").as("n_phones"),
+            sum(($"n_urls" + $"n_emails" + $"n_phones" > 0).cast("long"))
+              .as("n_docs_with_pii"))
+          .orderBy($"source")
+      },
+      """WITH dirty AS (SELECT doc_id, source,
+        |  concat(text, ' contact user', doc_id,
+        |    '@example.com or https://example.com/u/', doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END) AS dirty
+        |  FROM documents),
+        |cnt AS (SELECT source,
+        |  CAST(len(regexp_extract_all(dirty, 'https?://\S+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(dirty, 'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
+        |  FROM dirty)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+        |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(SUM(CASE WHEN n_urls + n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_pii
+        |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Per-source token-length outlier flags from EXACT rank-based
     // quartiles (q1 = value at rank ceil(n/4), q3 at ceil(3n/4), both
     // (value, id)-ordered) and the Tukey 1.5·IQR fences
