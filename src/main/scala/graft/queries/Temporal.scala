@@ -136,6 +136,24 @@ object Temporal {
             / (sqrt($"nd" * $"sxx".cast("double") - $"sx".cast("double") * $"sx".cast("double"))
               * sqrt($"nd" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))))
             .as("r_lag1"))
+    }),
+    // 7-day trailing event volume per type — the rolling window runs
+    // on the COLLAPSED (type, day) frame (|types|·|days| rows after a
+    // partial-agg shuffle), never on raw events; RANGE on the integer
+    // day number so calendar gaps contribute zero instead of stealing
+    // a row from the frame. Integer counts end-to-end.
+    "q_rolling_7d" -> ((s, d) => {
+      import s.implicits._
+      val daily = t(s, d, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("day_num", datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day_num")
+        .rangeBetween(-6, 0)
+      daily.withColumn("n_7d", sum($"n_events").over(w))
+        .select($"event_type", $"day", $"n_events", $"n_7d")
+        .orderBy($"event_type", $"day")
     })
   )
 
@@ -222,6 +240,15 @@ object Temporal {
         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_lag1
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "q_rolling_7d" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+        |  FROM events GROUP BY 1, 2, 4)
+        |SELECT event_type, day, n_events,
+        |  CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+        |FROM daily ORDER BY event_type, day""".stripMargin
   )
 }
