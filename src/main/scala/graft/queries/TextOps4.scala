@@ -176,6 +176,51 @@ object TextOps4 {
         |  length(string_agg(text, ' ' ORDER BY doc_id)) AS pack_chars
         |FROM packed GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin),
 
+    // Packing-efficiency audit — the bin-utilization report next to
+    // q_pack_build: per source, how many 2048-token packs the greedy
+    // offset chunking produced, total vs capacity tokens (utilization
+    // forms from the exact integers), and how many packs run OVERFULL
+    // (a doc straddling the boundary inflates its pack past capacity —
+    // the packs a trainer must truncate or re-split). Same windowed
+    // cumsum grain as the builder; output is |sources| rows.
+    q("q_pack_efficiency")(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        t(s, d, "documents")
+          .select($"doc_id", $"source",
+            TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+          .withColumn("start_off", sum($"n_tokens").over(w) - $"n_tokens")
+          .withColumn("pack_id", floor($"start_off" / 2048).cast("long"))
+          .groupBy($"source", $"pack_id")
+          .agg(sum($"n_tokens").as("pack_tokens"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_packs"),
+            sum($"pack_tokens").as("total_tokens"),
+            (count(lit(1)) * 2048).as("capacity_tokens"),
+            sum(($"pack_tokens" > 2048).cast("long")).as("n_overfull"),
+            max($"pack_tokens").as("max_pack_tokens"),
+            min($"pack_tokens").as("min_pack_tokens"))
+          .orderBy($"source")
+      },
+      """WITH packed AS (SELECT source,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  n_tokens
+        |  FROM (SELECT source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    SUM(len(string_split_regex(trim(text), '\s+')))
+        |      OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |    FROM documents)),
+        |pk AS (SELECT source, pack_id, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        |  FROM packed GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_packs,
+        |  CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(COUNT(*) * 2048 AS BIGINT) AS capacity_tokens,
+        |  CAST(SUM(CASE WHEN pack_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull,
+        |  MAX(pack_tokens) AS max_pack_tokens,
+        |  MIN(pack_tokens) AS min_pack_tokens
+        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Cross-source contamination matrix: for every source pair, the
     // number of distinct shared 8-grams — the dataset-vs-dataset
     // overlap audit. Distinct (source, hash) rows self-join on the
