@@ -422,6 +422,79 @@ object TextOps3 {
         |FROM base, c
         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin),
 
+    // Retrieval self-eval (known-item search) — the audit that closes
+    // the retrieval loop: every 40th doc becomes a query (its tokens
+    // 2..4 as the term bag), and hits@k counts how often multi-query
+    // BM25 ranks the SOURCE doc in its own top-k. Exercises
+    // [[graft.retrieval.Retrieval.bm25ScoreMulti]] end-to-end: the
+    // relational form that serves a query log (the single-query API
+    // cannot), postings computed once, query terms broadcast, scores
+    // decimal-pinned so ranks are engine-exact. Output: exact integer
+    // counts per k ∈ {1, 5, 10}.
+    q("q_retrieval_eval")(
+      (s, d) => {
+        import s.implicits._
+        val F = graft.functions.TextFns
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val queries = base.filter($"doc_id" % 40 === 0)
+          .select($"doc_id".as("query_id"), slice(F.tokens($"text"), 2, 3).as("terms"))
+          .filter(size($"terms") === 3)
+        val scored = graft.retrieval.Retrieval.bm25ScoreMulti(base, queries)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+        val top = graft.util.CacheScope.pin(
+          scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10))
+        val nq = queries.agg(count(lit(1)).as("n_queries"))
+        Seq(1, 5, 10).map { k =>
+          nq.crossJoin(
+            top.filter($"rank" <= k && $"doc_id" === $"query_id")
+              .agg(count(lit(1)).as("n_self_hits")))
+            .select(lit(k.toLong).as("k"), $"n_queries", $"n_self_hits")
+        }.reduce(_ unionByName _).orderBy($"k")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |qs AS (SELECT doc_id AS query_id,
+        |  (string_split_regex(trim(text), '\s+'))[2:4] AS terms
+        |  FROM base WHERE doc_id % 40 = 0
+        |  AND len(string_split_regex(trim(text), '\s+')) >= 4),
+        |qt AS (SELECT query_id, lower(t) AS term, CAST(COUNT(*) AS DOUBLE) AS qtf
+        |  FROM (SELECT query_id, unnest(terms) AS t FROM qs) GROUP BY 1, 2),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS len_d
+        |  FROM base),
+        |post AS MATERIALIZED (SELECT doc_id, term, len_d,
+        |  CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)) AS sum_len
+        |  FROM base),
+        |contrib AS (SELECT qt.query_id, p.doc_id,
+        |  round(qt.qtf * ((c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * (p.tf * (1.2 + 1.0))
+        |    / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (p.len_d / (c.sum_len / c.n_docs)))), 9) AS ct
+        |  FROM post p JOIN qt ON qt.term = p.term
+        |  JOIN dfs ON dfs.term = p.term CROSS JOIN c),
+        |sc AS (SELECT query_id, doc_id,
+        |  CAST(SUM(CAST(ct AS DECIMAL(28,9))) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |topk AS MATERIALIZED (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) WHERE rank <= 10),
+        |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS k, nq.n_queries,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM topk
+        |     WHERE rank <= 1 AND doc_id = query_id) AS n_self_hits FROM nq
+        |  UNION ALL SELECT CAST(5 AS BIGINT), nq.n_queries,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM topk
+        |     WHERE rank <= 5 AND doc_id = query_id) FROM nq
+        |  UNION ALL SELECT CAST(10 AS BIGINT), nq.n_queries,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM topk
+        |     WHERE rank <= 10 AND doc_id = query_id) FROM nq
+        |) ORDER BY k""".stripMargin),
+
     // Sliding-window chunking with overlap — the long-document
     // counterpart of q_seq_pack: each doc is cut into 64-token
     // context windows on a 48-token stride (16-token overlap), the

@@ -63,6 +63,66 @@ object Retrieval {
       .select(id, terms.indices.map(part).reduce(_ + _).as("score"))
   }
 
+  /** Multi-query BM25 — the relational form that serves a QUERY LOG,
+    * where [[bm25Score]]'s driver-side term list serves one query:
+    * `queries` is (queryIdCol, termsCol ARRAY<STRING>), and the result
+    * is one (query_id, doc_id, score) row per query × candidate doc
+    * pair sharing at least one term (docs matching no term of a query
+    * are absent, not scored 0 — at corpus scale the zero rows are the
+    * whole corpus per query).
+    *
+    * Same rational-idf variant as [[bm25Score]] (no log — every op
+    * IEEE-exact); repeated query terms weight by their multiplicity
+    * (qtf), matching the bag-of-terms contract; terms match lowercased
+    * doc tokens. Per-pair term contributions are rounded to 9 decimals
+    * and summed in DECIMAL, so the score is order-independent under
+    * shuffle and bit-identical cross-engine (the established
+    * decimal-pinned-terms contract of the NB/bigram scorers).
+    *
+    * Scale shape: one (doc, term) postings aggregation (map-side
+    * partial) computed once; the query term set broadcasts onto it, so
+    * the corpus never shuffles on the query grain; df joins are
+    * term-keyed; corpus stats are a 1-row broadcast. Work ∝ postings
+    * of matched terms, never |queries| × |corpus|.
+    */
+  def bm25ScoreMulti(docs: DataFrame, queries: DataFrame,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     queryIdCol: String = "query_id",
+                     termsCol: String = "terms"): DataFrame = {
+    val tk = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol), tk.as("tk"))
+      .withColumn("len_d", size(col("tk")).cast("double"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("len_d")).as("sum_len"))
+    val postings = graft.util.CacheScope.pin(
+      base.select(col(idCol), col("len_d"), explode(col("tk")).as("term"))
+        .groupBy(col(idCol), col("term"), col("len_d"))
+        .agg(count(lit(1)).cast("double").as("tf")))
+    // df computed on the postings side BEFORE the query join — the
+    // joined frame repeats a term's postings once per carrying query
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val qterms = queries
+      .select(col(queryIdCol), explode(col(termsCol)).as("t0"))
+      .select(col(queryIdCol), lower(col("t0")).as("term"))
+      .groupBy(col(queryIdCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("qtf"))
+    postings.join(broadcast(qterms), "term")
+      .join(dfs, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        col("qtf") *
+          ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * (col("len_d") / (col("sum_len") / col("n_docs"))))))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(round(col("contrib"), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
+        .cast("double").as("score"))
+  }
+
   /** Cut each document into `window`-token chunks on a `stride`-token
     * step (stride < window ⇒ overlapping context windows, the
     * retrieval/embedding prep shape; stride > window leaves gaps —

@@ -59,6 +59,32 @@ class RetrievalSpec extends SparkSpec {
     assert(viaNames.count() == 4)
   }
 
+  test("bm25ScoreMulti matches the single-query scorer per query; unmatched docs absent") {
+    val docs = corpus
+    val queries = Seq(
+      (100L, Seq("spark", "engine")),
+      (200L, Seq("hash")),
+      (300L, Seq("zzz_absent_term"))).toDF("query_id", "terms")
+    val multi = Retrieval.bm25ScoreMulti(docs, queries)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Double]("score")).toMap
+    // per query, the relational scores agree with the driver-side
+    // single-query path up to the 9-decimal contribution rounding
+    for ((qid, terms) <- Seq(100L -> Seq("spark", "engine"), 200L -> Seq("hash"))) {
+      val single = Retrieval.bm25Score(docs, terms)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      multi.collect { case ((q, d), s) if q == qid =>
+        assert(math.abs(s - single(d)) < 1e-8 * (1 + math.abs(s)),
+          s"q$qid d$d: multi $s vs single ${single(d)}")
+      }
+      // docs the single path scores 0 (no term) are ABSENT in multi
+      val present = multi.keySet.collect { case (q, d) if q == qid => d }
+      assert(single.filter(_._2 > 0).keySet == present)
+    }
+    // a query matching nothing yields no rows, not zero rows
+    assert(!multi.keySet.exists(_._1 == 300L))
+  }
+
   test("chunkWindows covers every token; final/short-doc chunks truncate") {
     def doc(n: Int) = Seq((1L, (1 to n).map(i => s"t$i").mkString(" ")))
       .toDF("doc_id", "text")
