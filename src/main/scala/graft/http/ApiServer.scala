@@ -218,21 +218,20 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
         // streaming funnel observability: per-batch stage counts from
         // a StreamingDedupIngest disposition ledger (written when the
         // ingest runs with ledger=true). `workDir` names the ingest's
-        // work dir; defaults to the runner's.
+        // work dir; defaults to the runner's. The shared reader owns
+        // the on-disk contract and fails CLOSED on non-ledger
+        // directories (the parameter is caller-supplied), so a bad
+        // path answers [] instead of a raw Spark error.
         val base = q.get("workDir").getOrElse(runner.workDir)
-        val dir = s"$base/ledger"
-        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-          respond(x, 200, "[]")
-        else {
-          import org.apache.spark.sql.functions.{col, count, lit}
-          val rows = catalog.spark.read.parquet(dir)
-            .drop("batch_id")
-            .withColumnRenamed("ledger_batch_id", "batch_id")
-            .dropDuplicates("batch_id", "doc_id")
-            .groupBy(col("batch_id"), col("stage"))
-            .agg(count(lit(1)).as("n"))
-            .orderBy(col("batch_id"), col("stage"))
-          respond(x, 200, jsonRows(rows))
+        graft.streaming.StreamingDedupIngest.readLedger(catalog.spark, base) match {
+          case None => respond(x, 200, "[]")
+          case Some(led) =>
+            import org.apache.spark.sql.functions.{col, count, lit}
+            val rows = led
+              .groupBy(col("batch_id"), col("stage"))
+              .agg(count(lit(1)).as("n"))
+              .orderBy(col("batch_id"), col("stage"))
+            respond(x, 200, jsonRows(rows))
         }
       case ("POST", List("admin", "sweep-timeouts")) =>
         val swept = catalog.sweepTimeouts(q.get("hours").map(_.toInt).getOrElse(6))

@@ -119,15 +119,10 @@ object AudioPhash {
       } finally in.close()
     } catch { case _: Exception => None }
 
-  /** Exact a·b > c·d for non-negative Longs via 128-bit products —
-    * the energy cross-multiplication overflows int64 for clips past
-    * ~13k samples/segment (sum-of-squares · sample-count), and a
-    * silently wrapped compare would flip hash bits on long clips. */
-  private def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
-    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
-    if (hi1 != hi2) hi1 > hi2
-    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
-  }
+  // the 128-bit threshold compare is shared with the image member:
+  // [[ImagePhash.gt128]] (energy cross-multiplication overflows int64
+  // past ~13k samples/segment)
+  import ImagePhash.gt128
 
   /** 48-bit energy-profile hash of decoded PCM. Integer-exact at any
     * clip length: per-segment sums of squared samples (Long — a

@@ -114,6 +114,16 @@ object ImagePhash {
 
   // ---- hashing ---------------------------------------------------------
 
+  /** Exact a·b > c·d for non-negative Longs via 128-bit products —
+    * shared by the image and audio hash thresholds: the cross-
+    * multiplication overflows int64 for gigapixel images / long
+    * clips, and a silently wrapped compare would flip hash bits. */
+  private[multimodal] def gt128(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
+  }
+
   /** 48-bit block-mean aHash of a decoded image. Integer-exact: cell
     * sums of the integer luminance (r·299+g·587+b·114)/1000 — exact
     * for gray pixels — compared by cross-multiplication against the
@@ -144,7 +154,9 @@ object ImagePhash {
     var b = 0
     while (b < Bits) {
       // mean_cell > mean_total without division: sum_b·totalN > total·n_b
-      if (cellN(b) > 0 && cellSum(b) * totalN > total * cellN(b)) hash |= 1L << b
+      // (128-bit compare — luminance sums reach int64 overflow past
+      // ~1.3 gigapixels, and a wrapped compare would flip bits)
+      if (cellN(b) > 0 && gt128(cellSum(b), totalN, total, cellN(b))) hash |= 1L << b
       b += 1
     }
     hash

@@ -180,11 +180,16 @@ object VectorOps {
         val truth = graft.util.CacheScope.pin(
           Similarity.bruteForceTopK(queries, e, "vec_id", "embedding", 3)
             .select($"q_id", $"id"))
+        // the corpus cell assignment is nprobe-independent: compute it
+        // ONCE and pin — the sweep then only re-assigns the 5 queries
+        val cells = graft.util.CacheScope.pin(
+          Similarity.ivfCells(e, cents, "vec_id", "embedding"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"q_id").orderBy($"sim".desc, $"id")
         Seq(1, 2, 4, 8).map { np =>
           val cand = graft.util.CacheScope.pin(
-            Similarity.ivfCandidates(queries, e, cents, "vec_id", "embedding", nprobe = np))
+            Similarity.ivfCandidatesFromCells(queries, cells, cents,
+              "vec_id", "embedding", nprobe = np))
           val found = cand.withColumn("rn", row_number().over(w))
             .filter($"rn" <= 3).select($"q_id", $"id")
           truth.agg(count(lit(1)).as("n_truth"))

@@ -92,9 +92,23 @@ object Similarity {
     * corpus vector lives in exactly one cell, so a (query, candidate)
     * pair appears at most once regardless of nprobe. */
   def ivfCandidates(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-                    idCol: String, vecCol: String, nprobe: Int = 1): DataFrame = {
+                    idCol: String, vecCol: String, nprobe: Int = 1): DataFrame =
+    ivfCandidatesFromCells(queries,
+      ivfCells(corpus, centroids, idCol, vecCol), centroids, idCol, vecCol, nprobe)
+
+  /** The corpus-side cell assignment — nprobe-INDEPENDENT, so sweeps
+    * over probe settings compute (and pin) it once instead of paying
+    * the |corpus| × |centroids| assignment per setting. Rows are
+    * (id, vec, cell), the frame [[ivfCandidatesFromCells]] probes. */
+  def ivfCells(corpus: DataFrame, centroids: DataFrame,
+               idCol: String, vecCol: String): DataFrame =
+    assignCells(corpus, centroids, idCol, vecCol, "id", "vec")
+
+  /** [[ivfCandidates]] over a precomputed [[ivfCells]] frame — only
+    * the query-side assignment (tiny) varies with nprobe. */
+  def ivfCandidatesFromCells(queries: DataFrame, cells: DataFrame, centroids: DataFrame,
+                             idCol: String, vecCol: String, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val cells = assignCells(corpus, centroids, idCol, vecCol, "id", "vec")
     val qc = assignCells(queries, centroids, idCol, vecCol, "q_id", "q_vec", keep = nprobe)
     cells.join(broadcast(qc), Seq("cell"))
       .filter(col("q_id") =!= col("id"))

@@ -247,12 +247,7 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
     * window.
     */
   def ledgerFrame(): Option[DataFrame] =
-    if (Files.isDirectory(Paths.get(ledgerDir)))
-      Some(spark.read.parquet(ledgerDir)
-        .drop("batch_id") // partition dir id — stale after folds
-        .withColumnRenamed("ledger_batch_id", "batch_id")
-        .dropDuplicates("batch_id", "doc_id"))
-    else None
+    StreamingDedupIngest.readLedger(spark, workDir)
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) compact(batchId)
@@ -266,13 +261,17 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       // with the ledger on, each stage frame is checkpointed so the
       // per-doc disposition diffs below read materialized results
       // instead of re-running the gates; ledger off = zero overhead
-      def ck(df: DataFrame): DataFrame = if (ledger) df.localCheckpoint() else df
+      // `prev` guard: a disabled gate's fold returns its input frame
+      // unchanged — re-checkpointing the identical frame would
+      // materialize the micro-batch once more per disabled gate
+      def ck(df: DataFrame, prev: DataFrame = null): DataFrame =
+        if (ledger && (df ne prev)) df.localCheckpoint() else df
       val input = ck(batch.select(col("doc_id"), col("text")))
       // quality gate first (map-only — cheapest drop wins), then pin
       // the bounded batch so the multi-branch plan below reads the
       // micro-batch source exactly once
       val gated = ck(quality.fold(input)(cfg =>
-        graft.curation.Curation.qualityGate(input, cfg).drop("n_tokens")))
+        graft.curation.Curation.qualityGate(input, cfg).drop("n_tokens")), input)
       // classifier gate: micro-batch scored against the static
       // offline-fitted model (broadcast joins — the stream-static
       // shape); only allowed predicted labels proceed to dedup
@@ -281,7 +280,7 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
           .filter(col("pred_label").isInCollection(allowed))
           .select(col("doc_id"))
         gated.join(keep, Seq("doc_id"), "left_semi")
-      })
+      }, gated)
       // decontamination gate: sketch-prefiltered probe of the static
       // eval gram set; only sketch-positives reach the confirm join
       val decontD = ck(decontState.fold(classed) { case (bf, evalH) =>
@@ -295,7 +294,7 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
           .join(confirm, "hv")
           .select(col("doc_id")).distinct()
         classed.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-      })
+      }, classed)
       // novelty gate: drop documents whose n-grams are mostly already
       // in the admitted corpus's gram index — exact-substring-level
       // redundancy control the LSH near-dup below can't see (a doc
@@ -378,5 +377,31 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       .option("checkpointLocation", s"$workDir/_dedup_checkpoint")
       .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}
+
+object StreamingDedupIngest {
+
+  /** The ONE reader of the on-disk ledger contract (partition ids go
+    * stale after compaction folds; `ledger_batch_id` is the durable
+    * per-batch key; crash-superset duplicates dedup on (batch, doc)) —
+    * shared by [[StreamingDedupIngest.ledgerFrame]] and the API
+    * server's `/streams/ledger` endpoint so the two can't diverge.
+    * None when `workDir` holds no ledger, or when the directory's
+    * schema is not a disposition ledger (fail closed — the path may be
+    * caller-supplied).
+    */
+  def readLedger(spark: SparkSession, workDir: String): Option[DataFrame] = {
+    val dir = s"$workDir/ledger"
+    if (!Files.isDirectory(Paths.get(dir))) None
+    else {
+      val df = spark.read.parquet(dir)
+      val needed = Set("ledger_batch_id", "doc_id", "stage", "admitted")
+      if (!needed.subsetOf(df.columns.toSet)) None
+      else Some(df
+        .drop("batch_id") // partition dir id — stale after folds
+        .withColumnRenamed("ledger_batch_id", "batch_id")
+        .dropDuplicates("batch_id", "doc_id"))
+    }
   }
 }
