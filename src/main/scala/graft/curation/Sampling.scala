@@ -50,6 +50,23 @@ object Sampling {
       .filter(col("samp_rank") <= k)
   }
 
+  /** Deterministic BOUNDED sample: the `cap` rows with the lowest
+    * (md5-derived hash, id) key — the absolute-count companion of the
+    * rate-based md5-bucket gates (`q_hash_sample`). A fixed RATE
+    * sample grows with the corpus, so any downstream pair join or
+    * per-sample scan grows with it (quadratically for pairs); a fixed
+    * CAP pins that work regardless of corpus size — the only sample
+    * shape an O(sample²) audit may take at 100 TB. Selection is
+    * seedless-deterministic (hash of the id, ties on the id), so
+    * reruns, engines, and partitionings agree row-for-row, and the
+    * plan is a TakeOrderedAndProject (per-partition top-cap, then a
+    * cap-bounded merge) — never a global sort.
+    */
+  def hashCapSample(df: DataFrame, idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"hashCapSample needs cap >= 1, got $cap")
+    df.orderBy(TextFns.hash48(col(idCol).cast("string")), col(idCol)).limit(cap)
+  }
+
   /** Curriculum ordering: bucket the corpus into `tiles` difficulty
     * tiers (exact global ntile over `difficultyCol` — easy tiers
     * first), then interleave sources round-robin WITHIN each tier so

@@ -28,24 +28,30 @@ class ContractSpec extends SparkSpec {
     }
   }
 
-  test("no oracle-gated query emits a wide-decimal output column") {
-    // The driver's cross-engine hash gate canonicalizes arrow
-    // decimal128 (precision > 18) differently from the engine's own
-    // dump — q_source_drift was hash-red for two rounds on exactly
-    // this surface despite value-identical integer math (r14/r15
-    // verdicts). Narrow types (BIGINT, DOUBLE, DECIMAL ≤ 18) are the
-    // only output types the gate has ever accepted; keep it that way.
+  test("no oracle-gated query emits a decimal output without a green driver precedent") {
+    // The driver's decimal canonicalization has hash-rejected
+    // value-identical outputs THREE rounds running — q_source_drift
+    // (DECIMAL(38,0), r14+r15) and q_class_separation (DECIMAL(18,6),
+    // r16) — while the local typed gate stayed green each time, so
+    // the r15 "precision <= 18" rule was demonstrably too loose. The
+    // only decimal shape with a green driver record is DECIMAL(13,9)
+    // (q_temp_mix). Any OTHER decimal-typed output column is a
+    // driver-risk and fails here: re-pin it on BIGINT micro-units
+    // (floor(x*1e6+0.5) — the q_class_separation fix) or on the
+    // proven (13,9) shape, and extend this allowlist only after the
+    // new shape has a green driver round behind it.
     import org.apache.spark.sql.types.DecimalType
+    val greenPrecedents = Set((13, 9))
     SparkEntry.queries.filterKeys(SparkEntry.oracleSql.contains)
       .foreach { case (name, fn) =>
         fn(spark, sf()).schema.fields.foreach { f =>
           f.dataType match {
             case d: DecimalType =>
-              assert(d.precision <= 18,
+              assert(greenPrecedents.contains((d.precision, d.scale)),
                 s"$name.${f.name} is DECIMAL(${d.precision},${d.scale}) — " +
-                  "precision > 18 becomes arrow decimal128, which the " +
-                  "driver's hasher mishandles; re-pin on BIGINT or a " +
-                  "narrow decimal (see tokenDrift's tvd_num)")
+                  "no green driver precedent for this decimal shape " +
+                  "(three decimal-typed driver reds in rounds 14-16); " +
+                  "re-pin on BIGINT micro-units or DECIMAL(13,9)")
             case _ =>
           }
         }

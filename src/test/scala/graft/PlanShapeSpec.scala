@@ -350,4 +350,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), "q_rrf_fusion ranks through a window")
     assert(p.contains("partition_offset_rank"), "ranking fell back from the native machinery")
   }
+
+  test("vector audits sample to an ABSOLUTE cap, not a rate (r16 perf-weak fix)") {
+    // The pair join in q_class_separation and the query fan-out in
+    // q_knn_classify must stay bounded as the corpus grows: a
+    // fixed-rate sample makes them O(n²)/O(n²/rate) at 100×. Pin the
+    // cap plan (TakeOrderedAndProject — per-partition top-cap, no
+    // global sort) and the exact bounded counts at a corpus larger
+    // than both caps.
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val sampled = graft.curation.Sampling.hashCapSample(emb, "vec_id", 120)
+    assert(sampled.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "hashCapSample lost its bounded top-cap plan")
+    assert(sampled.count() == 120)
+    // stable across partitioning — the cap is a selection, not a race
+    val ids1 = sampled.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.curation.Sampling.hashCapSample(emb.repartition(13), "vec_id", 120)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    for (name <- Seq("q_class_separation", "q_knn_classify")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"), s"$name sample is not cap-bounded")
+    }
+    // query fan-out of the kNN audit == its cap
+    val knn = SparkEntry.queries("q_knn_classify")(spark, sf("sf0.001"))
+    assert(knn.count() == 60)
+    // pair grain of the separation audit ≤ cap·(cap−1)/2 by construction:
+    // pair counts in the output must sum to at most that (inter pairs
+    // are attributed twice, so the bound is 2× the pair count)
+    val sep = SparkEntry.queries("q_class_separation")(spark, sf("sf0.001"))
+      .agg(sum(col("n_intra")).as("i"), sum(col("n_inter")).as("e")).collect()(0)
+    assert(sep.getLong(0) + sep.getLong(1) / 2 <= 120L * 119 / 2)
+  }
 }
