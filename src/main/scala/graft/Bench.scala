@@ -68,6 +68,13 @@ object Bench {
       if (pos % every == 0) marks += ((pos, timeSentinel()))
       val p = pos; pos += 1; p
     }
+    /** Like [[mark]], but ALWAYS takes a sentinel reading — used for
+      * the bounded suspect-retry pass, where each retried measurement
+      * must carry its own local meter instead of riding a stale one. */
+    def markForced(): Int = {
+      marks += ((pos, timeSentinel()))
+      val p = pos; pos += 1; p
+    }
     /** One closing sentinel so the last measurements have an "after" meter. */
     def close(): Unit = marks += ((pos, timeSentinel()))
     def median: Double = {
@@ -142,14 +149,28 @@ object Bench {
     val pass1 = timedPass()
     val pass2 = timedPass()
     sen.close()
-    val results = names.map(n => n -> math.min(pass1(n)._2, pass2(n)._2))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val passes = names.map(n => "\"" + n + "\":[" + pass1(n)._2 + "," + pass2(n)._2 + "]")
-      .mkString("{", ",", "}")
     // a query is suspect only if BOTH its passes sat next to a
     // deviant sentinel — one clean pass means the min is a clean
-    // steady-state sample even if the other pass hit contention
-    val suspect = names.filter(n => sen.suspect(pass1(n)._1) && sen.suspect(pass2(n)._1))
+    // steady-state sample even if the other pass hit contention.
+    // Suspect-flagged queries get ONE bounded retry (r16 exported a
+    // fully-flagged scale tier; a third sample minutes later usually
+    // lands in a calm moment and rescues the minimum), each retry
+    // carrying its own forced sentinel reading.
+    val flagged = names.filter(n => sen.suspect(pass1(n)._1) && sen.suspect(pass2(n)._1))
+    val retry: Map[String, (Int, Double)] =
+      if (flagged.isEmpty) Map.empty
+      else {
+        val r = flagged.map { n => val p = sen.markForced(); n -> ((p, timeOnce(n))) }.toMap
+        sen.close()
+        r
+      }
+    def samples(n: String): Seq[(Int, Double)] =
+      Seq(pass1(n), pass2(n)) ++ retry.get(n).toSeq
+    val results = names.map(n => n -> samples(n).map(_._2).min)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val passes = names.map(n => "\"" + n + "\":[" + samples(n).map(_._2).mkString(",") + "]")
+      .mkString("{", ",", "}")
+    val suspect = names.filter(n => samples(n).forall(s => sen.suspect(s._1)))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
 
@@ -370,18 +391,30 @@ object Bench {
       val pass1 = timedPass()
       val pass2 = timedPass()
       sen.close()
+      // bounded suspect retry, mirroring the headline tier: the r16
+      // export carried an ENTIRE scale tier as suspect — a third
+      // sample with its own forced sentinel usually lands calm and
+      // turns the tier's minima back into trustworthy numbers
+      val flagged = names.filter(n => sen.suspect(pass1(n)._1) && sen.suspect(pass2(n)._1))
+      val retry: Map[String, (Int, Option[Double])] =
+        if (flagged.isEmpty) Map.empty
+        else {
+          val r = flagged.map { n => val p = sen.markForced(); n -> ((p, timeOnce(n))) }.toMap
+          sen.close()
+          r
+        }
+      def samples(n: String): Seq[(Int, Option[Double])] =
+        Seq(pass1(n), pass2(n)) ++ retry.get(n).toSeq
       val times = names.map { n =>
-        n -> ((pass1(n)._2, pass2(n)._2) match {
-          case (Some(a), Some(b)) => math.min(a, b)
-          case _                  => -1.0
-        })
+        val ok = samples(n).flatMap(_._2)
+        n -> (if (ok.size == samples(n).size) ok.min else -1.0)
       }
       // per-pass times for noise adjudication, like the headline set;
       // a pass that threw records null, not a bogus wall time
       def fmt(o: Option[Double]) = o.map(_.toString).getOrElse("null")
-      val passes = names.map(n => "\"" + n + "\":[" + fmt(pass1(n)._2) + "," + fmt(pass2(n)._2) + "]")
+      val passes = names.map(n => "\"" + n + "\":[" + samples(n).map(s => fmt(s._2)).mkString(",") + "]")
         .mkString("{", ",", "}")
-      val suspect = names.filter(n => sen.suspect(pass1(n)._1) && sen.suspect(pass2(n)._1))
+      val suspect = names.filter(n => samples(n).forall(s => sen.suspect(s._1)))
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"copies":$copies,${times.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")},"passes":$passes,"sentinel":${sen.json},"suspect":$suspect}"""
   }
