@@ -495,6 +495,118 @@ object TextOps3 {
         |     WHERE rank <= 10 AND doc_id = query_id) FROM nq
         |) ORDER BY k""".stripMargin),
 
+    // Retrieval metrics — MRR and nDCG@10 alongside hits@10, per
+    // system, over the SAME known-item setup as q_retrieval_eval but
+    // covering the fused path too: BM25
+    // ([[graft.retrieval.Retrieval.bm25ScoreMulti]]), a term-overlap
+    // ranking (integer counts — the second signal hybrid search
+    // fuses), and their RRF fusion
+    // ([[graft.retrieval.Retrieval.rrfFuseBy]] on the (query, doc)
+    // composite key). Metrics are integer micro-unit sums
+    // ([[graft.retrieval.Retrieval.knownItemMetrics]]): rr_micro =
+    // floor(1e6/rank + 0.5) (one exact IEEE division), ndcg_micro via
+    // the round-9 log contract — order-independent BIGINT sums, no
+    // float aggregate or decimal column anywhere in the contract.
+    q("q_retrieval_metrics")(
+      (s, d) => {
+        import s.implicits._
+        val R = graft.retrieval.Retrieval
+        val F = graft.functions.TextFns
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val queries = base.filter($"doc_id" % 40 === 0)
+          .select($"doc_id".as("query_id"), slice(F.tokens($"text"), 2, 3).as("terms"))
+          .filter(size($"terms") === 3)
+        val wQ = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
+        val bmTop = graft.util.CacheScope.pin(
+          R.bm25ScoreMulti(base, queries)
+            .withColumn("rank", row_number().over(wQ)).filter($"rank" <= 10)
+            .select($"query_id", $"doc_id", $"rank"))
+        val docTerms = base.select($"doc_id",
+          explode(array_distinct(split(lower(trim($"text")), "\\s+"))).as("term"))
+        val qt = queries.select($"query_id", explode($"terms").as("t0"))
+          .select($"query_id", lower($"t0").as("term")).distinct()
+        val wO = Window.partitionBy($"query_id").orderBy($"n_overlap".desc, $"doc_id")
+        val ovTop = graft.util.CacheScope.pin(
+          docTerms.join(broadcast(qt), "term")
+            .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("n_overlap"))
+            .withColumn("rank", row_number().over(wO)).filter($"rank" <= 10)
+            .select($"query_id", $"doc_id", $"rank"))
+        val wF = Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id")
+        val rrfTop = R.rrfFuseBy(Seq(bmTop, ovTop), Seq("query_id", "doc_id"))
+          .withColumn("rank", row_number().over(wF)).filter($"rank" <= 10)
+          .select($"query_id", $"doc_id", $"rank")
+        val ranked = bmTop.withColumn("system", lit("bm25"))
+          .unionByName(ovTop.withColumn("system", lit("overlap")))
+          .unionByName(rrfTop.withColumn("system", lit("rrf")))
+        val nq = queries.agg(count(lit(1)).as("n_queries"))
+        R.knownItemMetrics(ranked, nq).orderBy($"system")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |qs AS (SELECT doc_id AS query_id,
+        |  (string_split_regex(trim(text), '\s+'))[2:4] AS terms
+        |  FROM base WHERE doc_id % 40 = 0
+        |  AND len(string_split_regex(trim(text), '\s+')) >= 4),
+        |qt AS (SELECT query_id, lower(t) AS term, CAST(COUNT(*) AS DOUBLE) AS qtf
+        |  FROM (SELECT query_id, unnest(terms) AS t FROM qs) GROUP BY 1, 2),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS len_d
+        |  FROM base),
+        |post AS MATERIALIZED (SELECT doc_id, term, len_d,
+        |  CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)) AS sum_len
+        |  FROM base),
+        |contrib AS (SELECT qt.query_id, p.doc_id,
+        |  round(qt.qtf * ((c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * (p.tf * (1.2 + 1.0))
+        |    / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (p.len_d / (c.sum_len / c.n_docs)))), 9) AS ct
+        |  FROM post p JOIN qt ON qt.term = p.term
+        |  JOIN dfs ON dfs.term = p.term CROSS JOIN c),
+        |sc AS (SELECT query_id, doc_id,
+        |  CAST(SUM(CAST(ct AS DECIMAL(28,9))) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |bm AS MATERIALIZED (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) WHERE rank <= 10),
+        |qtd AS (SELECT DISTINCT query_id, term FROM qt),
+        |dt AS (SELECT DISTINCT doc_id, term FROM post),
+        |ov0 AS (SELECT q.query_id, d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |  FROM dt d JOIN qtd q ON q.term = d.term GROUP BY 1, 2),
+        |ov AS MATERIALIZED (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY n_overlap DESC, doc_id) AS rank
+        |  FROM ov0) WHERE rank <= 10),
+        |-- fused score: fixed system order (bm25 term, then overlap term),
+        |-- each term one IEEE division — mirrors rrfFuseBy's ordered fold
+        |fused0 AS (SELECT COALESCE(b.query_id, o.query_id) AS query_id,
+        |  COALESCE(b.doc_id, o.doc_id) AS doc_id,
+        |  COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(b.rank AS DOUBLE)), CAST(0.0 AS DOUBLE))
+        |  + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(o.rank AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf_score
+        |  FROM bm b FULL OUTER JOIN ov o
+        |    ON b.query_id = o.query_id AND b.doc_id = o.doc_id),
+        |fused AS MATERIALIZED (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        |  FROM fused0) WHERE rank <= 10),
+        |ranked AS (SELECT 'bm25' AS system, query_id, doc_id, rank FROM bm
+        |  UNION ALL SELECT 'overlap', query_id, doc_id, rank FROM ov
+        |  UNION ALL SELECT 'rrf', query_id, doc_id, rank FROM fused),
+        |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs),
+        |hits AS (SELECT system, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CAST(floor(CAST(1000000.0 AS DOUBLE) / CAST(rank AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_rr_micro,
+        |  CAST(SUM(CAST(floor(CAST(0.693147181 AS DOUBLE) / round(ln(CAST(rank AS DOUBLE) + CAST(1.0 AS DOUBLE)), 9) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_ndcg_micro
+        |  FROM ranked WHERE doc_id = query_id GROUP BY 1)
+        |SELECT s.system, nq.n_queries,
+        |  COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+        |  COALESCE(h.sum_rr_micro, CAST(0 AS BIGINT)) AS sum_rr_micro,
+        |  COALESCE(h.sum_ndcg_micro, CAST(0 AS BIGINT)) AS sum_ndcg_micro
+        |FROM (SELECT DISTINCT system FROM ranked) s CROSS JOIN nq
+        |LEFT JOIN hits h USING (system)
+        |ORDER BY system""".stripMargin),
+
     // Sliding-window chunking with overlap — the long-document
     // counterpart of q_seq_pack: each doc is cut into 64-token
     // context windows on a 48-token stride (16-token overlap), the

@@ -199,17 +199,29 @@ object Retrieval {
     * ≤ N·k rows regardless of corpus size.
     */
   def rrfFuse(rankings: Seq[DataFrame], idCol: String = "doc_id",
-              rankCol: String = "rank", rrfK: Int = 60): DataFrame = {
+              rankCol: String = "rank", rrfK: Int = 60): DataFrame =
+    rrfFuseBy(rankings, Seq(idCol), rankCol, rrfK)
+
+  /** [[rrfFuse]] over a COMPOSITE key — the query-log form: ranks are
+    * per (query, doc), so a multi-query eval fuses every query's lists
+    * in one pass (`keyCols = Seq("query_id", "doc_id")`) instead of
+    * once per query. Same exactness and scale shape; the aggregation
+    * shuffles on the composite key.
+    */
+  def rrfFuseBy(rankings: Seq[DataFrame], keyCols: Seq[String],
+                rankCol: String = "rank", rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(keyCols.nonEmpty, "rrfFuseBy needs at least one key column")
+    val keys = keyCols.map(col)
     val tagged = rankings.zipWithIndex.map { case (r, i) =>
-      r.select(col(idCol), col(rankCol).cast("long").as("_rr_rank"),
-        lit(i).as("_rr_sys"))
+      r.select(keys :+ col(rankCol).cast("long").as("_rr_rank")
+        :+ lit(i).as("_rr_sys"): _*)
     }
     // fixed summation order (by system index) so the ≤N-term double
     // sum is reproducible: aggregate the per-system terms into an
     // ordered array, then fold — never a shuffle-order-dependent SUM
     tagged.reduce(_ unionByName _)
-      .groupBy(col(idCol))
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_lists"),
         min(col("_rr_rank")).as("best_rank"),
         array_sort(collect_list(struct(col("_rr_sys"), col("_rr_rank")))).as("_terms"))
@@ -217,5 +229,42 @@ object Retrieval {
         (acc, t) => acc + lit(1.0) / (lit(rrfK).cast("double") +
           t.getField("_rr_rank").cast("double"))))
       .drop("_terms")
+  }
+
+  /** Known-item retrieval metrics from per-system top-k rank lists —
+    * the numbers a retrieval stack actually reports: per system,
+    * hits@k, MRR and nDCG@k (binary relevance, one relevant doc per
+    * query = the known item), as ORDER-INDEPENDENT integer sums in
+    * micro-units so the cross-engine contract never touches a float
+    * aggregate: readers divide by n_queries·1e6 for the means.
+    *
+    * `ranked` columns: `system`, `query_id`, `doc_id`, `rank`
+    * (1-based, ≤ k). A hit is `doc_id == query_id`. Per hit:
+    * rr_micro = floor(1e6/rank + 0.5) — one exact IEEE division of
+    * integers, bit-identical on any engine; ndcg_micro =
+    * floor(ln2/round(ln(rank+1),9)·1e6 + 0.5) — the repo-wide
+    * round-9 log contract, then three correctly-rounded IEEE ops
+    * (1/log2(1+rank) is the single-relevant nDCG closed form; IDCG=1).
+    *
+    * Scale shape: input is ≤ |systems|·k rows per query; one
+    * aggregation shuffled on `system`. `nQueries` rides in as a 1-row
+    * broadcast cross-join.
+    */
+  def knownItemMetrics(ranked: DataFrame, nQueries: DataFrame): DataFrame = {
+    val rankD = col("rank").cast("double")
+    val ln2 = lit(0.693147181) // round(ln 2, 9) — the repo log contract grain
+    val hits = ranked.filter(col("doc_id") === col("query_id"))
+      .groupBy(col("system"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(floor(lit(1000000.0) / rankD + lit(0.5)).cast("long")).as("sum_rr_micro"),
+        sum(floor(ln2 / round(log(rankD + lit(1.0)), 9) * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("sum_ndcg_micro"))
+    // systems with zero hits must still report a row of zeros
+    ranked.select(col("system")).distinct()
+      .join(hits, Seq("system"), "left")
+      .na.fill(0L, Seq("n_hits", "sum_rr_micro", "sum_ndcg_micro"))
+      .crossJoin(broadcast(nQueries))
+      .select(col("system"), col("n_queries"), col("n_hits"),
+        col("sum_rr_micro"), col("sum_ndcg_micro"))
   }
 }

@@ -130,4 +130,41 @@ class RetrievalSpec extends SparkSpec {
       plain.columns.toSeq :+ "chunk_text")
     assert(plain.count() == 4)
   }
+
+  test("rrfFuseBy fuses per composite key with the fixed-order sum") {
+    val bm = Seq((10L, 1L, 1), (10L, 2L, 2), (20L, 9L, 1)).toDF("query_id", "doc_id", "rank")
+    val ov = Seq((10L, 2L, 1), (10L, 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuseBy(Seq(bm, ov), Seq("query_id", "doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // hand-computed: doc (10,2) is in both lists — 1/(60+2) + 1/(60+1),
+    // summed bm25-first exactly as the ordered fold specifies
+    assert(fused((10L, 2L)) == ((2L, 1L, (0.0 + 1.0 / 62.0) + 1.0 / 61.0)))
+    assert(fused((10L, 1L)) == ((1L, 1L, 1.0 / 61.0)))
+    assert(fused((10L, 3L)) == ((1L, 2L, 1.0 / 62.0)))
+    // queries never mix: query 20's doc 9 fuses alone
+    assert(fused((20L, 9L)) == ((1L, 1L, 1.0 / 61.0)))
+    assert(fused.size == 4)
+  }
+
+  test("knownItemMetrics: hand-computed MRR / nDCG micro sums per system") {
+    // system A: query 100 finds itself at rank 1, query 200 at rank 4;
+    // system B: only query 100, at rank 2; query 300 misses everywhere
+    val ranked = Seq(
+      ("A", 100L, 100L, 1), ("A", 100L, 7L, 2),
+      ("A", 200L, 200L, 4), ("A", 300L, 8L, 1),
+      ("B", 100L, 100L, 2), ("B", 300L, 9L, 1)
+    ).toDF("system", "query_id", "doc_id", "rank")
+    val nq = Seq(Tuple1(3L)).toDF("n_queries")
+    val m = Retrieval.knownItemMetrics(ranked, nq)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // rr: rank 1 → 1000000, rank 4 → 250000, rank 2 → 500000
+    // ndcg (1/log2(1+rank) in micro): rank 1 → 1000000,
+    // rank 4 → 1/log2(5) = 0.430676558 → 430677 (floor(x*1e6+0.5)),
+    // rank 2 → 1/log2(3) = 0.630929754 → 630930
+    assert(m("A") == ((3L, 2L, 1250000L, 1430677L)))
+    assert(m("B") == ((3L, 1L, 500000L, 630930L)))
+    assert(m.size == 2)
+  }
 }
