@@ -372,6 +372,16 @@ object TextClassify {
         col("t_all").as("corpus_tokens"),
         (col("s_obs") + d18(col("t_g")) * d19(col("t_all") - col("s_nt")))
           .cast("long").as("tvd_num"))
+      // Loud enforcement of the documented int64 bound (mirrors the
+      // logOddsTerms 2^53 guard): tvd_num ≤ 2·T², so the BIGINT
+      // re-pin is exact iff T ≤ ~2.1·10^9 — past that the non-ANSI
+      // cast would silently emit NULL tvd_num. assert_true returns
+      // NULL on success, so the filter keeps every row.
+      .filter(assert_true(col("corpus_tokens") <= lit(2147483647L),
+        lit("tokenDrift: corpus_tokens exceeds ~2.1e9 — tvd_num no " +
+          "longer fits BIGINT; drop the final cast and emit " +
+          "DECIMAL(38,0) for corpora this large (internal math is " +
+          "already exact)")).isNull)
   }
 
   /** Multi-signal quality gate with per-signal attribution — the

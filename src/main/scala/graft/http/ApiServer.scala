@@ -218,12 +218,20 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
         // streaming funnel observability: per-batch stage counts from
         // a StreamingDedupIngest disposition ledger (written when the
         // ingest runs with ledger=true). `workDir` names the ingest's
-        // work dir; defaults to the runner's. The shared reader owns
-        // the on-disk contract and fails CLOSED on non-ledger
-        // directories (the parameter is caller-supplied), so a bad
-        // path answers [] instead of a raw Spark error.
-        val base = q.get("workDir").getOrElse(runner.workDir)
-        graft.streaming.StreamingDedupIngest.readLedger(catalog.spark, base) match {
+        // work dir; defaults to the runner's, and is CONFINED to the
+        // runner's work root — the parameter is caller-supplied, and
+        // an unconfined path would let any API caller probe arbitrary
+        // filesystem directories for ledger-shaped parquet. The shared
+        // reader owns the on-disk contract and fails CLOSED on
+        // non-ledger/corrupt directories, so a bad path inside the
+        // root answers [] instead of a raw Spark error.
+        val root = java.nio.file.Paths.get(runner.workDir)
+          .toAbsolutePath.normalize
+        val base = java.nio.file.Paths.get(
+          q.get("workDir").getOrElse(runner.workDir)).toAbsolutePath.normalize
+        if (!base.startsWith(root))
+          respond(x, 403, """{"error":"workDir must be under the runner work root"}""")
+        else graft.streaming.StreamingDedupIngest.readLedger(catalog.spark, base.toString) match {
           case None => respond(x, 200, "[]")
           case Some(led) =>
             import org.apache.spark.sql.functions.{col, count, lit}

@@ -63,13 +63,17 @@ import graft.dedup.Dedup
   *   single admitted doc). The gram index is a third parquet store
   *   (`gram_index/batch_id=<n>` leaves, folded by the same compaction),
   *   NOT stream state; docs too short to gram pass. Applied between
-  *   decontamination and dedup. Coverage is total: enabling the gate
-  *   over a corpus ingested without it backfills the whole index from
-  *   the admitted store at construction; once the store exists, every
-  *   admitted batch writes its grams even while the gate is OFF (so
-  *   an on→off→on flip leaves no unindexed gap); and any positive
-  *   admitted leaf still missing its gram twin (written by a pre-gap-
-  *   fix ingest) is re-indexed at construction by leaf-id compare.
+  *   decontamination and dedup. Coverage is total once a gate-ON
+  *   construction has run: enabling the gate over a corpus ingested
+  *   without it backfills the whole index from the admitted store at
+  *   construction; once the store exists, every admitted batch writes
+  *   its grams even while the gate is OFF (so an on→off→on flip
+  *   leaves no unindexed gap); any positive admitted leaf still
+  *   missing its gram twin (a pre-gap-fix ingest) is re-indexed at
+  *   construction by leaf-id compare; and a store with no coverage
+  *   marker (predating the always-write rule — its gaps may already
+  *   be folded into consolidated segments, invisible to leaf
+  *   compares) is fully rebuilt from the admitted corpus once.
   * @param ledger when true, every batch writes a per-doc disposition
   *   frame — (doc_id, stage-that-dropped-it | 'admitted') — to
   *   `ledger/batch_id=<n>`, the streaming twin of the batch funnel's
@@ -117,21 +121,55 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
   // the gate. Build the missing index from the admitted store once, at
   // construction, into a consolidated-segment leaf (negative id, so a
   // replayed batch 0 can't overwrite it).
+  // Coverage marker: records that the gram store was built (or
+  // rebuilt) under the always-write rule, so every admitted doc's
+  // grams are in the index. A store WITHOUT it predates the rule (or
+  // the marker), and its unindexed off-period batches may already be
+  // folded into a negative consolidated segment — invisible to any
+  // leaf-id compare — so the only sound repair is a full rebuild.
+  // Underscore-prefixed, so parquet readers of gramDir ignore it.
+  private val gramCoverageMarker = Paths.get(gramDir, "_coverage_v1")
+  private def touchCoverageMarker(): Unit =
+    if (!Files.exists(gramCoverageMarker)) {
+      try Files.createFile(gramCoverageMarker)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
   if (noveltyGate.isDefined && !Files.isDirectory(Paths.get(gramDir))
       && Files.isDirectory(Paths.get(admittedDir))) {
     val corpus = spark.read.parquet(admittedDir).dropDuplicates("doc_id")
     Dedup.gramIndex(corpus, noveltyNgram)
       .write.mode("overwrite").parquet(s"$gramDir/batch_id=-1")
+    touchCoverageMarker()
+  }
+  // Legacy rebuild: a gram store with no coverage marker may hide a
+  // pre-always-write gap that compaction already folded away (the
+  // off-period batches are no longer distinguishable leaves, so the
+  // leaf-id backfill below cannot see them). Rebuild the whole index
+  // from the admitted corpus ONCE, then mark. Crash windows self-heal:
+  // a crash after the delete leaves gramDir absent, and the absent-dir
+  // full backfill above rebuilds at the next construction.
+  if (noveltyGate.isDefined && Files.isDirectory(Paths.get(gramDir))
+      && !Files.exists(gramCoverageMarker)
+      && Files.isDirectory(Paths.get(admittedDir))) {
+    val tmp = Paths.get(workDir, ".gram_rebuild_tmp")
+    deleteTree(tmp)
+    Dedup.gramIndex(spark.read.parquet(admittedDir).dropDuplicates("doc_id"), noveltyNgram)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteTree(Paths.get(gramDir))
+    Files.createDirectories(Paths.get(gramDir))
+    Files.move(tmp, Paths.get(gramDir, "batch_id=-1"),
+      StandardCopyOption.ATOMIC_MOVE)
+    touchCoverageMarker()
   }
   // Gap backfill: a gate on→off→on sequence under the pre-r16 writer
   // (grams written only while the gate was ON) left the off-period's
   // admitted batches unindexed — their leaves exist in the admitted
   // store but have no gram_index twin. Re-index exactly those leaves
   // at construction (leaf-id compare, positive ids only — negative
-  // consolidated segments fold BOTH stores at the same horizon, so
-  // with the always-write rule below they stay in lockstep; a legacy
-  // store whose gap was already folded away is covered by the
-  // absent-dir full backfill above when the index is rebuilt).
+  // consolidated segments fold BOTH stores at the same horizon once
+  // the always-write rule holds, and a not-yet-folded legacy gap is
+  // exactly a positive leaf; the already-folded legacy case is the
+  // marker rebuild above).
   if (noveltyGate.isDefined && Files.isDirectory(Paths.get(gramDir))
       && Files.isDirectory(Paths.get(admittedDir))) {
     val gramIds = leaves(gramDir).map(_._1).toSet
@@ -361,9 +399,15 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       // exists: a gate on→off→on sequence must not leave the off
       // period's admitted docs unindexed (their span-stitched
       // redundancy would silently pass the gate forever)
-      if (noveltyGate.isDefined || Files.isDirectory(Paths.get(gramDir)))
+      if (noveltyGate.isDefined || Files.isDirectory(Paths.get(gramDir))) {
         Dedup.gramIndex(admittedDocs, noveltyNgram)
           .write.mode("overwrite").parquet(s"$gramDir/batch_id=$batchId")
+        // gate-on coverage is guaranteed: construction rebuilt or
+        // backfilled any gap, and this write maintains it. (A gate-OFF
+        // write must NOT mark — it cannot vouch for a legacy store's
+        // history, only the gate-on construction pass can.)
+        if (noveltyGate.isDefined) touchCoverageMarker()
+      }
     }
   }
 
@@ -394,8 +438,10 @@ object StreamingDedupIngest {
   def readLedger(spark: SparkSession, workDir: String): Option[DataFrame] = {
     val dir = s"$workDir/ledger"
     if (!Files.isDirectory(Paths.get(dir))) None
-    else {
-      val df = spark.read.parquet(dir)
+    // Try: a caller-supplied directory holding corrupt or non-parquet
+    // content makes the read itself throw — that is "not a ledger",
+    // not an internal error, so it answers None like a schema mismatch
+    else scala.util.Try(spark.read.parquet(dir)).toOption.flatMap { df =>
       val needed = Set("ledger_batch_id", "doc_id", "stage", "admitted")
       if (!needed.subsetOf(df.columns.toSet)) None
       else Some(df

@@ -187,6 +187,14 @@ class ApiServerSpec extends SparkSpec {
       assert(body.contains("\"stage\":\"admitted\"") &&
         body.contains("\"stage\":\"near_dup_intra\""), body)
       assert(body.contains("\"batch_id\":0") && body.contains("\"n\":1"), body)
+      // corrupt/non-parquet content under the root fails CLOSED ([])
+      Files.createDirectories(java.nio.file.Paths.get(s"$work/junk/ledger"))
+      Files.write(java.nio.file.Paths.get(s"$work/junk/ledger/part-0.parquet"),
+        "not parquet".getBytes)
+      assert(get(s"$base/streams/ledger?workDir=$work/junk").body() == "[]")
+      // paths outside the runner work root are refused, never probed
+      val out = get(s"$base/streams/ledger?workDir=/etc")
+      assert(out.statusCode() == 403, out.body())
     } finally api.stop()
   }
 

@@ -455,7 +455,8 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$work/gram_index"))
     val names = try {
       import scala.jdk.CollectionConverters._
-      gramLeaves.iterator().asScala.map(_.getFileName.toString).toSet
+      gramLeaves.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch_id=")).toSet // the coverage marker rides along
     } finally gramLeaves.close()
     assert(names == Set("batch_id=-2"),
       s"gate-off compaction must fold the gram store (got $names)")
@@ -493,6 +494,39 @@ class StreamingSpec extends SparkSpec {
     assert(java.nio.file.Files.isDirectory(leaf), "gap leaf was not re-indexed")
     on3.processBatch(Seq((20L, dB)).toDF("doc_id", "text"), 3L)
     assert(!on3.admitted().get.select($"doc_id").as[Long].collect().contains(20L))
+  }
+
+  test("legacy store with an already-FOLDED gram gap (no coverage marker) is fully rebuilt") {
+    val work = java.nio.file.Files.createTempDirectory("graft_sngf").toString
+    def P(x: String) = java.nio.file.Paths.get(x)
+    val dA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    val dB = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    val on1 = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, noveltyGate = Some(50), compactEvery = 0)
+    on1.processBatch(Seq((1L, dA)).toDF("doc_id", "text"), 0L)
+    on1.processBatch(Seq((2L, dB)).toDF("doc_id", "text"), 1L)
+    // simulate the PRE-fix writer: batch 1's grams were never written
+    graft.util.Fs.deleteRecursively(P(s"$work/gram_index/batch_id=1"))
+    // ... and compaction has since folded the admitted leaves into a
+    // negative consolidated segment — the gap is no longer a leaf
+    on1.compact(2L)
+    assert(!java.nio.file.Files.isDirectory(P(s"$work/admitted/batch_id=1")),
+      "fold did not consume the admitted leaves")
+    // a pre-marker store carries no coverage marker
+    java.nio.file.Files.deleteIfExists(P(s"$work/gram_index/_coverage_v1"))
+    // leaf-id compare sees nothing to repair; the marker rebuild must
+    // recover doc 2's grams, so a stitch of dB is caught
+    val on2 = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, noveltyGate = Some(50), compactEvery = 0)
+    assert(java.nio.file.Files.exists(P(s"$work/gram_index/_coverage_v1")),
+      "rebuild did not record the coverage marker")
+    on2.processBatch(Seq((20L, dB), (21L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"))
+      .toDF("doc_id", "text"), 2L)
+    val admitted = on2.admitted().get.select($"doc_id").as[Long].collect().toSet
+    assert(!admitted.contains(20L), "folded-away gap doc still passed the gate")
+    assert(admitted.contains(21L), "novel doc was wrongly dropped")
+    // a marked store is NOT rebuilt again: the leaf-delete repair path
+    // (previous test) still owns the positive-leaf case
   }
 
   test("ledger: one disposition row per input doc, stages attributed, empty-result batch still audited") {
