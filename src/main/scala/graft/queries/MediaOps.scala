@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions.TextFns
-import graft.multimodal.{AudioPhash, ImagePhash, Multimodal}
+import graft.multimodal.{AudioPhash, CrossModal, ImagePhash, Multimodal}
 
 /** Multimodal-plumbing queries. The codec's fallback values for the
   * text-derived fixture corpus are sha256-derived, so `q_media_meta`
@@ -76,6 +76,46 @@ object MediaOps {
     // frame content even when container bytes differ. Inverted-index
     // equi-join on the digest (work ∝ collisions, never video²);
     // planted clones (doc%30==2, id+700000) share all 4 frames
+    // cross-modal pair dedup: a (text, image) document pair collapses
+    // when EITHER modality crosses its strict threshold (dup_or) or
+    // BOTH cross loose ones (dup_and — the caption-tweaked re-upload
+    // with a lightly edited image that neither single-modality pass
+    // catches). Text candidates ride the shared-shingle inverted index
+    // (recall 1 above jaccard 0), image candidates the hamming-banded
+    // join (recall 1 by pigeonhole) — the combine is one full-outer
+    // join of two collision-bounded pair frames on the pair key.
+    // Plants: doc_id%30==0 docs get a +600000 twin whose caption is
+    // the FIRST HALF of the tokens (mid-range jaccard ≈ 0.5 — below
+    // strict 0.8) and whose image swaps grid cells 0/47 (hamming ≤ 2).
+    "q_multimodal_neardup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val tk = split(trim(col("text")), "\\s+")
+      val half = array_join(
+        slice(tk, lit(1), ((size(tk) + 1) / 2).cast("int")), " ")
+      val captions = docs.select(col("doc_id"), col("text").as("caption"))
+        .unionByName(docs.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"), half.as("caption")))
+      val textPairs = graft.dedup.Dedup.jaccardPairs(captions, "doc_id", "caption")
+        .filter(col("jaccard") >= 0.3)
+      val images = docs.select(col("doc_id")).as[Long].flatMap { id =>
+        val base = ImagePhash.ImageRow(id, ImagePhash.patternBmp(id, 64, 48)) :: Nil
+        val twin =
+          if (id % 30 == 0)
+            ImagePhash.ImageRow(id + 600000L, ImagePhash.patternBmp(
+              id, 64, 48, swapCells = Some((0, ImagePhash.Bits - 1)))) :: Nil
+          else Nil
+        base ++ twin
+      }
+      val imgPairs = ImagePhash.nearDupPairs(
+          ImagePhash.phashes(images).toDF(), "media_id", "phash",
+          maxHamming = 3, bands = 4)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      CrossModal.pairPolicy(textPairs, imgPairs,
+          textStrict = 0.8, textLoose = 0.3, imgStrict = 1, imgLoose = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_video_framedup" -> ((s, d) => {
       import s.implicits._
       val base = t(s, d, "documents")
@@ -217,6 +257,60 @@ object MediaOps {
          |FROM aph a JOIN aph b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    // cross-modal: shingle-Jaccard over captions (48-bit md5 shingle
+    // hashes, the q_jaccard_pairs machinery) full-outer-joined with the
+    // analytic phash hamming pairs; the CASE mirrors the cell 0/47 swap
+    "q_multimodal_neardup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |cap AS (SELECT doc_id, text AS caption FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 600000,
+        |    array_to_string(tk[1:CAST((len(tk) + 1) // 2 AS INT)], ' ')
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM docs WHERE doc_id % 30 = 0)),
+        |toks AS (SELECT doc_id, string_split_regex(trim(caption), '\s+') AS tk FROM cap),
+        |shm AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  generate_series(1, len(tk) - 2),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+        |  FROM toks WHERE len(tk) >= 3),
+        |hvs AS (SELECT doc_id AS id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM shm),
+        |sizes AS (SELECT id, COUNT(*) AS sz FROM hvs GROUP BY id),
+        |common AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS common
+        |  FROM hvs x JOIN hvs y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2),
+        |tp AS MATERIALIZED (SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+        |  FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+        |  WHERE jaccard >= 0.3),
+        |mimgs AS (SELECT doc_id AS media_id, doc_id AS src, 0 AS variant FROM docs
+        |  UNION ALL SELECT doc_id + 600000, doc_id, 1 FROM docs WHERE doc_id % 30 = 0),
+        |mbv AS (SELECT media_id, src, variant, unnest(generate_series(0, 47)) AS b
+        |  FROM mimgs),
+        |mv AS (SELECT media_id, b,
+        |  CASE WHEN variant = 1 AND b = 0 THEN ((src + 1) * (47 + 17)) % 251
+        |       WHEN variant = 1 AND b = 47 THEN ((src + 1) * (0 + 17)) % 251
+        |       ELSE ((src + 1) * (b + 17)) % 251 END AS v
+        |  FROM mbv),
+        |mtot AS (SELECT media_id, CAST(SUM(v) AS BIGINT) AS total FROM mv GROUP BY 1),
+        |mph AS MATERIALIZED (SELECT mv.media_id,
+        |  CAST(SUM(CASE WHEN mv.v * 48 > mtot.total
+        |    THEN (CAST(1 AS BIGINT) << mv.b) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM mv JOIN mtot USING (media_id) GROUP BY 1),
+        |ip AS MATERIALIZED (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |  FROM mph a JOIN mph b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |j AS (SELECT COALESCE(t.id_a, i.id_a) AS id_a,
+        |  COALESCE(t.id_b, i.id_b) AS id_b, t.jaccard, i.hamming
+        |  FROM tp t FULL OUTER JOIN ip i
+        |    ON t.id_a = i.id_a AND t.id_b = i.id_b)
+        |SELECT id_a, id_b, jaccard, hamming,
+        |  (COALESCE(jaccard >= 0.3, FALSE) AND COALESCE(hamming <= 3, FALSE)) AS dup_and,
+        |  (COALESCE(jaccard >= 0.8, FALSE) OR COALESCE(hamming <= 1, FALSE)) AS dup_or
+        |FROM j
+        |WHERE (COALESCE(jaccard >= 0.3, FALSE) AND COALESCE(hamming <= 3, FALSE))
+        |   OR COALESCE(jaccard >= 0.8, FALSE) OR COALESCE(hamming <= 1, FALSE)
+        |ORDER BY id_a, id_b""".stripMargin,
     // mirrors MediaCodec.sampleFrames' digest chain over base videos
     // plus the clone plants
     "q_video_framedup" ->
