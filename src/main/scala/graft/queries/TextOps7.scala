@@ -448,6 +448,60 @@ object TextOps7 {
     // phone plant on every 13th doc; patterns mirror the scrubber's
     // (proven cross-engine). Map-only regex counts + one per-source
     // partial aggregation.
+    // Dataset card — the per-source release summary assembling the
+    // suite's oracle-pinned component signals (corpus stats, lang mix,
+    // exact-dup rate, PII exposure) into ONE frame via the public
+    // graft.export.DatasetCard.build, exported as a hash-manifested
+    // JSONL artifact (CorpusExportSpec pins byte-identical re-export).
+    // Fixture: the q_pii_report dirty-text plant (the raw corpus has
+    // no PII) plus verbatim-copy twins (doc_id%29==0 → +800000, same
+    // text) so the dup counter is non-trivial. All counters BIGINT.
+    q("q_dataset_card")(
+      (s, d) => {
+        import s.implicits._
+        val dirty = t(s, d, "documents")
+          .select($"doc_id", $"source",
+            concat($"text", lit(" contact user"), $"doc_id",
+              lit("@example.com or https://example.com/u/"), $"doc_id",
+              when($"doc_id" % 13 === 0, lit(" call 555-123-4567"))
+                .otherwise(lit(""))).as("text"))
+        val corpus = dirty.unionByName(dirty.filter($"doc_id" % 29 === 0)
+          .select(($"doc_id" + 800000L).as("doc_id"), $"source", $"text"))
+        graft.export.DatasetCard.build(corpus).orderBy($"source")
+      },
+      """WITH dirty AS (SELECT doc_id, source,
+        |  concat(text, ' contact user', doc_id,
+        |    '@example.com or https://example.com/u/', doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN ' call 555-123-4567' ELSE '' END) AS text
+        |  FROM documents),
+        |corpus AS (SELECT source, text FROM dirty
+        |  UNION ALL SELECT source, text FROM dirty WHERE doc_id % 29 = 0),
+        |cnt AS (SELECT source, text,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_b,
+        |  CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS is_empty,
+        |  CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+        |        >= len(regexp_extract_all(lower(text), '\b(el|la|de|los|y|en|que)\b'))
+        |    THEN 1 ELSE 0 END AS is_en,
+        |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(text, 'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones
+        |  FROM corpus)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_b) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(is_empty) AS BIGINT) AS n_empty,
+        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups,
+        |  CAST(SUM(is_en) AS BIGINT) AS n_lang_en,
+        |  CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+        |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(SUM(CASE WHEN n_urls + n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_with_pii
+        |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin),
+
     q("q_pii_report")(
       (s, d) => {
         import s.implicits._

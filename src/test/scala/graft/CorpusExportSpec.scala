@@ -134,4 +134,32 @@ class CorpusExportSpec extends SparkSpec {
     assert(CorpusExport.readManifest(dir).get.columns ==
       Seq("zeta", "alpha", "shard", "pos"))
   }
+
+  test("dataset card: exact per-source counters; byte-identical JSONL re-export") {
+    import graft.export.DatasetCard
+    // hand-computed fixture: 2 sources, a verbatim dup, an empty doc,
+    // a Spanish doc, and every PII kind once
+    val rows = Seq(
+      ("sA", "the cat and the hat is in the house"),
+      ("sA", "the cat and the hat is in the house"), // exact dup
+      ("sA", "write to bob@example.com or see https://x.io/a call 555-123-4567"),
+      ("sB", "el la de los y en que"), // es
+      ("sB", "   ")).toDF("source", "text")
+    val card = DatasetCard.build(rows).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail.map(_.asInstanceOf[Long])).toMap
+    //                 docs tokens bytes empty dups en urls emails phones pii
+    assert(card("sA") == Seq(3L, 26L, 134L, 0L, 1L, 3L, 1L, 1L, 1L, 1L), card("sA").toString)
+    assert(card("sB") == Seq(2L, 8L, 24L, 1L, 0L, 1L, 0L, 0L, 0L, 0L), card("sB").toString)
+    // export is byte-identical across reruns and partitionings
+    val d1 = Files.createTempDirectory("card_a").toString
+    val d2 = Files.createTempDirectory("card_b").toString
+    val m1 = DatasetCard.export(DatasetCard.build(rows), d1)
+    val m2 = DatasetCard.export(DatasetCard.build(rows.repartition(5)), d2)
+    assert(m1 == m2, "card manifests (incl. shard sha256) must be identical")
+    assert(m1.entries.size == 1 && m1.totalRows == 2)
+    assert(CorpusExport.verify(spark, d1) && CorpusExport.verify(spark, d2))
+    // the published artifact is one JSON object per source line
+    val lines = Files.readAllLines(Paths.get(d1, m1.entries.head.file))
+    assert(lines.size == 2 && lines.get(0).contains("\"source\":\"sA\""))
+  }
 }
