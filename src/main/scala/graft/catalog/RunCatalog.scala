@@ -229,10 +229,20 @@ class RunCatalog(private[graft] val spark: SparkSession, val dir: String,
   /** Create run header (Running) + one Pending step row per step
     * (reference `orchestrator/index.js:32-51`).
     */
-  def startRun(pipelineName: String): String = {
+  def startRun(pipelineName: String): String =
+    startRunWithSteps(pipelineName, stepNames)
+
+  /** [[startRun]] with caller-named steps — the contract extension
+    * that lets a streaming ingest record its funnel stages (quality,
+    * dedup, …) through the SAME run/step tables the batch pipeline
+    * uses, so `GET /runs/:id` shows one observability surface for
+    * both (see [[graft.streaming.StreamingDedupIngest.recordToCatalog]]).
+    */
+  def startRunWithSteps(pipelineName: String, steps: Seq[String]): String = {
+    require(steps.nonEmpty, "a run needs at least one step")
     val runId = UUID.randomUUID().toString
     jsonLines(Seq(runRow(PipelineRun(runId, nextRunNumber(), pipelineName, "Running", now(), None))), runsDir)
-    jsonLines(stepNames.zipWithIndex.map { case (name, i) =>
+    jsonLines(steps.zipWithIndex.map { case (name, i) =>
       stepRow(StepRun(runId, i + 1, name, "Pending", 0L, None, None, None))
     }, stepsDir)
     runId
@@ -244,9 +254,19 @@ class RunCatalog(private[graft] val spark: SparkSession, val dir: String,
     * read-side resolution a log-structured store does.
     */
   def updateStep(runId: String, stepNumber: Int, status: String,
-                 rowsAffected: Long = 0L, error: Option[String] = None): Unit = {
+                 rowsAffected: Long = 0L, error: Option[String] = None): Unit =
+    updateStepNamed(runId, stepNumber, stepNames(stepNumber - 1), status,
+      rowsAffected, error)
+
+  /** [[updateStep]] for a caller-named step (runs started via
+    * [[startRunWithSteps]] — the transition row must carry the same
+    * step_name the Pending row declared).
+    */
+  def updateStepNamed(runId: String, stepNumber: Int, stepName: String,
+                      status: String, rowsAffected: Long = 0L,
+                      error: Option[String] = None): Unit = {
     val ts = Some(now())
-    jsonLines(Seq(stepRow(StepRun(runId, stepNumber, stepNames(stepNumber - 1), status, rowsAffected,
+    jsonLines(Seq(stepRow(StepRun(runId, stepNumber, stepName, status, rowsAffected,
       error, if (status == "Running") ts else None,
       if (status == "Success" || status == "Failed" || status == "Cancelled") ts else None))), stepsDir)
   }

@@ -287,6 +287,34 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
   def ledgerFrame(): Option[DataFrame] =
     StreamingDedupIngest.readLedger(spark, workDir)
 
+  /** Roll the per-doc disposition ledger up into the run catalog — the
+    * closing of the observability loop: batch pipelines record their
+    * step rows-affected in the catalog, and a ledgered streaming
+    * ingest records its funnel the SAME way, as one catalog run whose
+    * steps are the funnel stages in pipeline order with
+    * `rows_affected` = docs disposed at that stage (drops per gate,
+    * survivors at 'admitted'). `GET /runs/:id` then serves the ingest
+    * funnel next to batch step rows with no new contract. None when
+    * no ledger exists (ingest ran with `ledger = false`).
+    *
+    * The rollup aggregates the (compaction-folded, replay-idempotent)
+    * ledger once per call — call it at a reporting cadence, not per
+    * batch; each call records one run snapshot of cumulative counts.
+    * The collect is |stages| rows (≤ 7), never doc-grain.
+    */
+  def recordToCatalog(catalog: graft.catalog.RunCatalog,
+                      pipelineName: String = "streaming-ingest"): Option[String] =
+    ledgerFrame().map { led =>
+      val counts = led.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val runId = catalog.startRunWithSteps(pipelineName, StreamingDedupIngest.FunnelStages)
+      StreamingDedupIngest.FunnelStages.zipWithIndex.foreach { case (st, i) =>
+        catalog.updateStepNamed(runId, i + 1, st, "Success", counts.getOrElse(st, 0L))
+      }
+      catalog.finishRun(runId, "Success")
+      runId
+    }
+
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) compact(batchId)
     if (batch.isEmpty) return
@@ -425,6 +453,12 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
 }
 
 object StreamingDedupIngest {
+
+  /** The funnel stages in pipeline order — the `stage` values the
+    * ledger writes and the step order [[recordToCatalog]] records. */
+  val FunnelStages: Seq[String] = Seq("quality", "classifier",
+    "decontamination", "novelty", "near_dup_intra", "near_dup_index",
+    "admitted")
 
   /** The ONE reader of the on-disk ledger contract (partition ids go
     * stale after compaction folds; `ledger_batch_id` is the durable

@@ -195,6 +195,13 @@ class ApiServerSpec extends SparkSpec {
       // paths outside the runner work root are refused, never probed
       val out = get(s"$base/streams/ledger?workDir=/etc")
       assert(out.statusCode() == 403, out.body())
+      // catalog rollup: the ingest funnel serves through the SAME
+      // GET /runs/:id surface as batch step rows
+      val runId = ingest.recordToCatalog(catalog).get
+      val run = get(s"$base/runs/$runId").body()
+      assert(run.contains("\"step_name\":\"near_dup_intra\"") &&
+        run.contains("\"step_name\":\"admitted\"") &&
+        run.contains("\"pipeline_name\":\"streaming-ingest\""), run)
     } finally api.stop()
   }
 

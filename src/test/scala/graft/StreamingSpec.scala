@@ -556,6 +556,26 @@ class StreamingSpec extends SparkSpec {
     // the admitted store agrees with the ledger's admitted rows
     assert(ingest.admitted().get.select($"doc_id").as[Long].collect().toSet ==
       led.filter(_._4).map(_._2))
+
+    // catalog rollup: the funnel lands in the run catalog as one run
+    // whose steps are the stages in pipeline order, rows_affected =
+    // docs disposed at that stage — the same contract batch runs use
+    val catalog = new graft.catalog.RunCatalog(spark, s"$work/catalog")
+    val runId = ingest.recordToCatalog(catalog).get
+    val steps = catalog.steps(runId)
+      .select($"step_number", $"step_name", $"status", $"rows_affected")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(steps.map(_._2).toSeq ==
+      graft.streaming.StreamingDedupIngest.FunnelStages)
+    assert(steps.forall(_._3 == "Success"))
+    val counts = steps.map(s => s._2 -> s._4).toMap
+    assert(counts == Map("quality" -> 1L, "classifier" -> 0L,
+      "decontamination" -> 0L, "novelty" -> 0L, "near_dup_intra" -> 1L,
+      "near_dup_index" -> 1L, "admitted" -> 1L), counts.toString)
+    // an unledgered ingest has nothing to roll up
+    val bare = new graft.streaming.StreamingDedupIngest(spark,
+      java.nio.file.Files.createTempDirectory("graft_sled2").toString)
+    assert(bare.recordToCatalog(catalog).isEmpty)
   }
 
   test("stream-stream attribution join matches within the window, expires outside") {
