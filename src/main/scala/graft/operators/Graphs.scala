@@ -55,4 +55,81 @@ object Graphs {
     stats.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** PageRank scale: ranks are integers in units of 1e-12 of the total
+    * probability mass. */
+  val RankScale: Long = 1000000000000L
+
+  /** INTEGER-exact PageRank — the link-graph quality prior web-corpus
+    * curation pipelines rank sources/pages by. All arithmetic is
+    * integer micro-units (ranks in 1e-12 of the mass, [[RankScale]]):
+    * per-edge contribution = `rank div out_deg` (integral division),
+    * damping applied as an exact DECIMAL(38,0) product divided back to
+    * BIGINT (the [[graft.curation.Sampling.waterFill]] idiom) — so
+    * every iteration is order-independent integer math, bit-identical
+    * on any engine and any shuffle order, with NO float anywhere.
+    * That determinism is what lets a SQL oracle (and a re-run on a
+    * different cluster) reproduce ranks EXACTLY — float PageRank never
+    * replays bit-identically under reduction reorder.
+    *
+    * Semantics (the standard simple variant, documented): damping d
+    * (as `dampingMicro`/[[RankScale]]); every node gets the uniform
+    * base `(Scale − D) div N` each round; dangling-node mass is
+    * DROPPED, not redistributed, and integral divisions shave ≤1 unit
+    * each — ranks sum to slightly under [[RankScale]] and are a
+    * ranking signal, not a calibrated distribution (at 1e-12 grain
+    * the shave is far below any ranking decision).
+    *
+    * Scale shape: per iteration ONE equi-join of the rank frame onto
+    * the edge list (shuffle on the node key) + one partial-aggregated
+    * sum shuffle on the destination; degrees computed once; N is a
+    * 1-row broadcast. Lineage is cut per round (`localCheckpoint`),
+    * so the plan stays O(1) deep instead of O(iters) — the
+    * [[graft.sim.Similarity.kmeansFit]] precedent. Power-law skew: a
+    * celebrity DESTINATION is one hot reducer key per iteration —
+    * partial aggregation combines map-side, so the hot key receives
+    * one row per upstream partition, not per in-edge.
+    *
+    * Output: (node, rank_micro, out_deg) — one row per node that
+    * appears in `edges` (either side).
+    */
+  def pageRankMicro(edges: DataFrame, iters: Int = 5,
+                    dampingMicro: Long = 850000000000L,
+                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"pageRankMicro needs iters >= 1, got $iters")
+    require(dampingMicro >= 0L && dampingMicro <= RankScale,
+      s"dampingMicro must be in [0, $RankScale], got $dampingMicro")
+    val e = graft.util.CacheScope.pin(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nodes = graft.util.CacheScope.pin(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val deg = graft.util.CacheScope.pin(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg")))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), expr(s"${RankScale}L div n").as("rank_micro"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(deg, "node") // dangling nodes contribute nothing
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank_micro div out_deg")).as("s"))
+        .select(col("dst").as("node"), col("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .na.fill(0L, Seq("s"))
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          // base + damped inflow; the product runs in DECIMAL(38,0)
+          // (s ≤ Scale, so s·D ≈ 8.5e23 overflows int64) and `div`
+          // floors it back to BIGINT — exact, engine-identical
+          expr(s"((${RankScale}L - ${dampingMicro}L) div n) + " +
+            s"(cast(s as decimal(38,0)) * ${dampingMicro}L div ${RankScale}L)")
+            .cast("long").as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks.join(deg, Seq("node"), "left")
+      .na.fill(0L, Seq("out_deg"))
+      .select(col("node"), col("rank_micro"), col("out_deg"))
+  }
 }

@@ -93,6 +93,29 @@ object Temporal {
         .select($"x.user_id".as("src"), $"y.user_id".as("dst"))
       graft.operators.Graphs.triangleCount(edges)
     }),
+    // INTEGER-exact PageRank over the symmetrized co-purchase graph —
+    // the link-graph quality prior web-corpus curation ranks sources
+    // by. Ranks are 1e-12 micro-units; every iteration is integer
+    // div/sum plus one exact DECIMAL(38,0) damping product, so the
+    // result is bit-identical on any engine/shuffle order — which is
+    // what lets a SQL oracle reproduce 5 iterations EXACTLY (float
+    // PageRank never replays bit-identically). See
+    // [[graft.operators.Graphs.pageRankMicro]] for the scale shape.
+    "q_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "events")
+        .filter($"event_type" === "purchase" && $"user_id" % 7 === 0)
+        .select(expr("(unix_micros(ts) + 15778800000000000) div 3600000000").as("h"),
+          $"user_id")
+        .distinct()
+      val und = p.as("x").join(p.as("y"),
+          $"x.h" === $"y.h" && $"x.user_id" < $"y.user_id")
+        .select($"x.user_id".as("src"), $"y.user_id".as("dst"))
+        .distinct()
+      val edges = und.unionByName(und.select($"dst".as("src"), $"src".as("dst")))
+      graft.operators.Graphs.pageRankMicro(edges, iters = 5)
+        .orderBy($"node")
+    }),
     // SCD Type-2 history assembly: collapse each user's event-type
     // stream into validity intervals — keep only CHANGE rows
     // (lag(state) differs), then valid_to = the next change's
@@ -215,6 +238,40 @@ object Temporal {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
         |  tri.n_triangles
         |FROM tri""".stripMargin,
+    // 5 unrolled integer iterations (MATERIALIZED per step — the
+    // q_bpe_merges inline-blowup lesson); HUGEINT carries the damping
+    // product (s·D ≈ 8.5e23 overflows int64), `//` floors it back
+    "q_pagerank" -> {
+      val iter = (1 to 5).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+           |  CAST(SUM(r.rank_micro // d.out_deg) AS BIGINT) AS s
+           |  FROM r${k - 1} r JOIN deg d ON d.node = r.node
+           |  JOIN e ON e.src = r.node GROUP BY 1),
+           |r$k AS MATERIALIZED (SELECT n0.node,
+           |  CAST((1000000000000 - 850000000000) // nn.n
+           |    + CAST(COALESCE(c.s, 0) AS HUGEINT) * 850000000000 // 1000000000000
+           |    AS BIGINT) AS rank_micro
+           |  FROM nodes n0 LEFT JOIN c$k c ON c.node = n0.node CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT DISTINCT
+         |  (epoch_us(ts) + 15778800000000000) // 3600000000 AS h, user_id
+         |  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0),
+         |ud AS (SELECT DISTINCT a.user_id AS a, b.user_id AS b FROM p a
+         |  JOIN p b ON b.h = a.h AND a.user_id < b.user_id),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ud
+         |  UNION ALL SELECT b, a FROM ud),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+         |  FROM e GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |r0 AS MATERIALIZED (SELECT node,
+         |  CAST(1000000000000 // nn.n AS BIGINT) AS rank_micro FROM nodes, nn),
+         |$iter
+         |SELECT r5.node AS node, r5.rank_micro,
+         |  COALESCE(deg.out_deg, CAST(0 AS BIGINT)) AS out_deg
+         |FROM r5 LEFT JOIN deg ON deg.node = r5.node
+         |ORDER BY r5.node""".stripMargin
+    },
     "q_scd2" ->
       """WITH seq AS (SELECT user_id, ts, event_id, event_type AS state,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state

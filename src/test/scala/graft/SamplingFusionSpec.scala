@@ -225,6 +225,33 @@ class SamplingFusionSpec extends SparkSpec {
     assert(count(hub)._3 == 1L)
   }
 
+  test("pageRankMicro: hand-computed integer ranks, dangling mass dropped") {
+    import graft.operators.Graphs
+    // directed: 1→2, 2→1, 2→3; node 3 is dangling. N=3, D=0.85e12.
+    // r0 = 1e12 div 3 = 333333333333 each.
+    // iter1: s(1)=s(3)=333333333333 div 2 = 166666666666, s(2)=333333333333
+    //   base = 0.15e12 div 3 = 50000000000
+    //   r1(1)=r1(3)=50000000000+floor(166666666666·0.85)=191666666666
+    //   r1(2)=50000000000+floor(333333333333·0.85)=333333333333
+    // iter2: s(1)=s(3)=333333333333 div 2, s(2)=r1(1)=191666666666
+    //   r2(1)=r2(3)=191666666666; r2(2)=50000000000+162916666666=212916666666
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val r = Graphs.pageRankMicro(edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      1L -> ((191666666666L, 1L)),
+      2L -> ((212916666666L, 2L)),
+      3L -> ((191666666666L, 0L))), r.toString)
+    // determinism: a different partitioning reproduces the ranks
+    val r2 = Graphs.pageRankMicro(edges.repartition(7), iters = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r2 == r)
+    // with damping 0 every node holds the uniform base forever
+    val r0 = Graphs.pageRankMicro(edges, iters = 3, dampingMicro = 0L)
+      .collect().map(x => x.getLong(1)).toSet
+    assert(r0 == Set(333333333333L))
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
