@@ -273,6 +273,39 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** IVF probe over the SQ8-quantized index — the production ANN
+    * memory shape: cells are assigned ONCE on the original fp32
+    * vectors (broadcast centroids, map-only), but the probe scans
+    * int8 CODES — 4× less index memory and scan I/O than fp32, which
+    * at 100 TB is the difference between an in-memory index and a
+    * spilling one. Ranking compares code cosines (every quantization
+    * step is a correctly-rounded IEEE op, so code ranking is
+    * engine-exact — the [[sq8TopK]] contract) over only the nprobe
+    * matched cells' rows ([[ivfTopK]]'s probe shape). NaN-containing
+    * vectors encode as NULL codes and are excluded from the index and
+    * the query set, exactly like [[sq8TopK]].
+    */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    def codesOf(df: DataFrame, outId: String, outVec: String): DataFrame =
+      sq8Encode(df, idCol, vecCol)
+        .select(col(idCol).as(outId), col("sq8_codes").cast("array<float>").as(outVec))
+        .filter(col(outVec).isNotNull)
+    val indexed = ivfCells(corpus, centroids, idCol, vecCol)
+      .select(col("id"), col("cell"))
+      .join(codesOf(corpus, "id", "cvec"), "id")
+    val qc = assignCells(queries, centroids, idCol, vecCol, "q_id", "q_vec", keep = nprobe)
+      .select(col("q_id"), col("cell"))
+      .join(codesOf(queries, "q_id", "qvec"), "q_id")
+    val sims = indexed.join(broadcast(qc), Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        VectorFns.cosineR(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Near-dup pairs via LSH blocking — the scale path: candidates are
     * pairs sharing any SRP bucket (near-identical vectors share ALL
     * buckets, so recall at high thresholds ≈ 1), verified by exact

@@ -344,6 +344,31 @@ class DedupSimSpec extends SparkSpec {
     assert(brute == 20L)            // ...matching brute force
   }
 
+  test("IVF over SQ8 codes: full probe equals the SQ8 brute force; partial probe stays in-cell") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = e.filter($"vec_id" < 3)
+    val centroids = e.filter($"vec_id" < 8)
+    // at nprobe = |cells| the probe scans every cell — the composed
+    // ranking must equal sq8TopK exactly (same codes, same ordering)
+    val full = Similarity.ivfSq8TopK(queries, e, centroids,
+        "vec_id", "embedding", 5, nprobe = 8)
+      .select($"q_id", $"rn", $"id").as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.sq8TopK(queries, e, "vec_id", "embedding", 5)
+      .select($"q_id", $"rn", $"id").as[(Long, Int, Long)].collect().toSet
+    assert(full == brute, "full-probe IVF-SQ8 diverged from the SQ8 brute force")
+    // partial probe returns a subset of candidates, ranks contiguous
+    val p1 = Similarity.ivfSq8TopK(queries, e, centroids,
+        "vec_id", "embedding", 5, nprobe = 1)
+      .select($"q_id", $"rn", $"id").as[(Long, Int, Long)].collect()
+    assert(p1.nonEmpty && p1.groupBy(_._1).values.forall(rs =>
+      rs.map(_._2).sorted.sameElements(1 to rs.length)))
+    // scale shape: query/centroid side broadcast, corpus never shuffles
+    val plan = Similarity.ivfSq8TopK(queries, e, centroids,
+      "vec_id", "embedding", 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("sq8: codes bounded, extremes exact, scale-invariant, zero vector safe") {
     val vecs = Seq(
       (0L, Array(1f, -1f, 0.5f, 0f)),
