@@ -578,4 +578,31 @@ object Dedup {
     lines.select(id, size(col("_ls")).cast("long").as("n_lines"))
       .join(rebuilt, idCol)
   }
+
+  /** Chunk-grain duplication audit — the signal BETWEEN doc-level
+    * dedup and span masking: a doc can be globally unique while most
+    * of its retrieval/embedding chunks already exist verbatim
+    * elsewhere (mirrored sections, syndicated fragments), which
+    * inflates an embedding index and leaks near-identical contexts
+    * into training. Chunks are the standard overlapping windows
+    * ([[graft.retrieval.Retrieval.chunkWindowsWithText]]); a chunk is
+    * duplicated when its text occurs ≥ 2 times corpus-wide (48-bit
+    * md5 key — the repo-wide collision budget). Output per doc:
+    * (idCol, n_chunks, n_dup_chunks).
+    *
+    * Scale shape: map-only chunking, ONE hash-keyed frequency
+    * aggregation (partial map-side), one join-back on the hash, one
+    * per-doc rollup — chunk-count rows end to end, never pairs.
+    */
+  def chunkDupStats(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = graft.util.CacheScope.pin(
+      graft.retrieval.Retrieval.chunkWindowsWithText(docs, window, stride, textCol, idCol)
+        .select(col(idCol), TextFns.hash48(col("chunk_text")).as("hv")))
+    val freq = chunks.groupBy(col("hv")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(freq, "hv")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
 }

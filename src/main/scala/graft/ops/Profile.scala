@@ -46,4 +46,62 @@ object Profile {
       .select(col("p.column"), col("p.n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_value"), col("p.max_value"))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov drift test, each group vs the
+    * rest of the corpus, over an integer-valued column — the
+    * distribution-shape alarm next to [[graft.classify.TextClassify
+    * .tokenDrift]]'s token-mix TVD: a source whose LENGTH distribution
+    * diverges (truncation, boilerplate, a changed extractor upstream)
+    * trips KS even when its token mix looks normal.
+    *
+    * Exactness: the KS statistic sup|F_g − F_rest| is reported as an
+    * integer NUMERATOR on the common denominator n_g·n_rest —
+    * ks_num = max over thresholds of
+    * |cum_g·n_rest − cum_rest·n_g| — pure integer products and sums,
+    * bit-identical on any engine (readers divide by n_g·n_rest for
+    * the statistic; √-based p-values are a client-side lookup).
+    * `ks_at` is the threshold value where the divergence peaks
+    * (smallest such value on ties — deterministic).
+    *
+    * Scale shape: one (group, value) count aggregation (map-side
+    * partial) collapses the corpus; everything after runs on the
+    * GRID frame — |groups| × |distinct values| rows (sources ×
+    * lengths: thousands) — where per-group windows and the one
+    * value-ordered global cumsum are bounded by the grid, never the
+    * corpus. Products are ≤ N², guarded in-plan to N ≤ 3·10⁹ (the
+    * int64 bound), with the DECIMAL escape hatch documented.
+    */
+  def ksDriftByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val base = df.select(col(groupCol).as("grp"), v.as("val"))
+    val counts = graft.util.CacheScope.pin(
+      base.groupBy(col("grp"), col("val")).agg(count(lit(1)).as("cnt")))
+    val dl = counts.select(col("val")).distinct()
+    val grps = counts.groupBy(col("grp")).agg(sum(col("cnt")).as("n_g"))
+    val nAll = counts.agg(sum(col("cnt")).as("n_all"))
+    val grid = grps.crossJoin(dl)
+      .join(counts, Seq("grp", "val"), "left").na.fill(0L, Seq("cnt"))
+    val cumG = grid.withColumn("cum_g",
+      sum(col("cnt")).over(Window.partitionBy(col("grp")).orderBy(col("val"))))
+    // the global cumsum runs on the DISTINCT-VALUE frame (value-bounded,
+    // corpus-independent) — a deliberate bounded single-task window,
+    // like the corpus-stats 1-row aggregates
+    val cumAll = counts.groupBy(col("val")).agg(sum(col("cnt")).as("c"))
+      .withColumn("cum_all", sum(col("c")).over(Window.orderBy(col("val"))))
+      .select(col("val"), col("cum_all"))
+    val scored = cumG.join(cumAll, "val").crossJoin(broadcast(nAll))
+      .filter(assert_true(col("n_all") <= lit(3000000000L),
+        lit("ksDriftByGroup: corpus rows exceed 3e9 — the cum·n " +
+          "products pass int64; cross-multiply in DECIMAL(38,0) for " +
+          "corpora this large")).isNull)
+      .withColumn("diff",
+        abs(col("cum_g") * (col("n_all") - col("n_g")) -
+          (col("cum_all") - col("cum_g")) * col("n_g")))
+    val w = Window.partitionBy(col("grp")).orderBy(col("diff").desc, col("val"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("grp").as(groupCol), col("n_g").as("n_group"),
+        (col("n_all") - col("n_g")).as("n_rest"),
+        col("diff").as("ks_num"), col("val").as("ks_at"))
+  }
 }

@@ -654,6 +654,38 @@ object TextOps3 {
         |    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |      FROM documents WHERE trim(text) <> '')) WHERE n_tokens > 0)
         |ORDER BY doc_id, start""".stripMargin)
+  ,
+
+    // Chunk-grain duplication audit — the signal between doc dedup and
+    // span masking: per doc, how many of its 64/48 retrieval chunks
+    // exist verbatim elsewhere in the corpus (planted +900000 verbatim
+    // twins make every twin-pair chunk duplicated). One hash-keyed
+    // frequency agg + join-back — chunk-count rows, never pairs.
+    q("q_chunk_dup_rate")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val corpus = base.unionByName(base.filter($"doc_id" % 31 === 0)
+          .select(($"doc_id" + 900000L).as("doc_id"), $"text"))
+        graft.dedup.Dedup.chunkDupStats(corpus).orderBy($"doc_id")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 900000, text FROM base WHERE doc_id % 31 = 0),
+        |ch AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(
+        |    array_to_string(list_slice(tk, CAST(start + 1 AS BIGINT),
+        |      CAST(start + LEAST(64, n_tokens - start) AS BIGINT)), ' ')
+        |  ), 1, 12)) AS BIGINT) AS hv
+        |  FROM (SELECT doc_id, n_tokens, tk,
+        |    unnest(generate_series(0, n_tokens - 1, 48)) AS start
+        |    FROM (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+        |      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM corpus WHERE trim(text) <> '')) WHERE n_tokens > 0)),
+        |freq AS (SELECT hv, COUNT(*) AS n_occ FROM ch GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |FROM ch JOIN freq USING (hv) GROUP BY 1 ORDER BY doc_id""".stripMargin)
   )
 
   /** zlib-ratio repetitiveness signal — no portable cross-engine

@@ -448,6 +448,47 @@ object TextOps7 {
     // phone plant on every 13th doc; patterns mirror the scrubber's
     // (proven cross-engine). Map-only regex counts + one per-source
     // partial aggregation.
+    // Exact two-sample KS drift: each source's token-LENGTH
+    // distribution vs the rest of the corpus, as an integer numerator
+    // on the n_g·n_rest denominator (pure integer cumsums/products —
+    // bit-identical cross-engine; see graft.ops.Profile.ksDriftByGroup
+    // for the grid-frame scale shape). The shape alarm next to
+    // q_source_drift's token-mix TVD.
+    q("q_ks_drift")(
+      (s, d) => {
+        import s.implicits._
+        val lens = t(s, d, "documents")
+          .select($"source", graft.functions.TextFns.tokenCount($"text").as("len"))
+        graft.ops.Profile.ksDriftByGroup(lens, "source", "len")
+          .orderBy($"source")
+      },
+      """WITH lens AS (SELECT source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS val
+        |  FROM documents),
+        |counts AS (SELECT source AS grp, val, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lens GROUP BY 1, 2),
+        |dl AS (SELECT DISTINCT val FROM counts),
+        |grps AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_g FROM counts GROUP BY 1),
+        |nall AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_all FROM counts),
+        |grid AS (SELECT g.grp, g.n_g, d.val, COALESCE(c.cnt, 0) AS cnt
+        |  FROM grps g CROSS JOIN dl d
+        |  LEFT JOIN counts c ON c.grp = g.grp AND c.val = d.val),
+        |cumg AS (SELECT grp, n_g, val,
+        |  CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY val
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g FROM grid),
+        |ca AS (SELECT val, CAST(SUM(c2) OVER (ORDER BY val
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_all
+        |  FROM (SELECT val, SUM(cnt) AS c2 FROM counts GROUP BY 1)),
+        |scored AS (SELECT cumg.grp, cumg.n_g, nall.n_all, cumg.val,
+        |  abs(cum_g * (n_all - n_g) - (cum_all - cum_g) * n_g) AS diff
+        |  FROM cumg JOIN ca ON ca.val = cumg.val CROSS JOIN nall)
+        |SELECT grp AS source, n_g AS n_group,
+        |  CAST(n_all - n_g AS BIGINT) AS n_rest,
+        |  CAST(diff AS BIGINT) AS ks_num, val AS ks_at
+        |FROM (SELECT *, row_number() OVER (PARTITION BY grp
+        |  ORDER BY diff DESC, val) AS rn FROM scored)
+        |WHERE rn = 1 ORDER BY source""".stripMargin),
+
     // Dataset card — the per-source release summary assembling the
     // suite's oracle-pinned component signals (corpus stats, lang mix,
     // exact-dup rate, PII exposure) into ONE frame via the public

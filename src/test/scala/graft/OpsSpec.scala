@@ -305,4 +305,21 @@ class OpsSpec extends SparkSpec {
     assert(checksum(foreign) == utc,
       "events instants shifted under a non-UTC caller session")
   }
+
+  test("ksDriftByGroup: hand-computed exact KS numerators, deterministic arg-max") {
+    import spark.implicits._
+    // A = {1,2}, B = {2,3,4}: sup|F_A - F_B| = 2/3 at value 2 — the
+    // numerator on the 2·3 denominator is 4, symmetric for both groups
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L), ("B", 4L))
+      .toDF("source", "len")
+    val r = graft.ops.Profile.ksDriftByGroup(df, "source", "len")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r == Map("A" -> ((2L, 3L, 4L, 2L)), "B" -> ((3L, 2L, 4L, 2L))), r.toString)
+    // identical distributions → numerator 0 (ks_at = smallest value)
+    val same = Seq(("X", 5L), ("X", 7L), ("Y", 5L), ("Y", 7L)).toDF("source", "len")
+    val r2 = graft.ops.Profile.ksDriftByGroup(same, "source", "len")
+      .collect().map(x => x.getString(0) -> ((x.getLong(3), x.getLong(4)))).toMap
+    assert(r2 == Map("X" -> ((0L, 5L)), "Y" -> ((0L, 5L))), r2.toString)
+  }
 }

@@ -317,6 +317,19 @@ class SamplingFusionSpec extends SparkSpec {
       (4L, 3L, 2L, "p q r")))
   }
 
+  test("chunkDupStats: per-doc duplicated-chunk counts, exact on hand fixture") {
+    // window 2 / stride 2: d1 → [a b][c d], d2 → [a b], d3 → [x y][z w];
+    // "a b" occurs twice corpus-wide → d1 has 1/2 dup chunks, d2 1/1
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b"), (3L, "x y z w"), (4L, "  ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(docs, window = 2, stride = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // whitespace-only doc yields no chunks (absent, like chunkWindows)
+    assert(out == Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 0L)), out.toString)
+  }
+
   test("clusterBalance caps over-represented clusters at the water line, id-first") {
     // two fixed centroids; cluster 1 gets 4 members, cluster 2 gets 2.
     // budget = 6·3 div 4 = 4 → water-fill level τ = 2: cluster 1 is cut
