@@ -29,7 +29,25 @@ object TemporalJoins {
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightCols: Map[String, String]): DataFrame = {
+           rightCols: Map[String, String]): DataFrame =
+    asOfDirected(left, right, keys, leftTs, rightTs, rightCols, forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row
+    * with `rightTs >= leftTs` in the same `keys` group — the
+    * "next reading at or after" direction (pandas `merge_asof
+    * direction='forward'`, the schedule/next-price lookup). Same
+    * one-shuffle union+window machinery as [[asOf]], ordered
+    * descending.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightCols: Map[String, String]): DataFrame =
+    asOfDirected(left, right, keys, leftTs, rightTs, rightCols, forward = true)
+
+  private def asOfDirected(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           leftTs: String, rightTs: String,
+                           rightCols: Map[String, String],
+                           forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val carriedTs = "_asof_right_ts"
 
@@ -43,8 +61,10 @@ object TemporalJoins {
         rightCols.map { case (src, dst) => lit(null).cast(right.schema(src).dataType).as(dst) } ++
         leftCols.filterNot(c => keys.contains(c)).map(c => col(c).as(s"_l_$c")): _*)
 
+    // right rows (_tag 0) sort before left rows at equal _ts in BOTH
+    // directions, so equality matches (>= / <= semantics)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_tag"))
+      .orderBy(if (forward) col("_ts").desc else col("_ts"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedRight.unionByName(taggedLeft)
@@ -58,6 +78,46 @@ object TemporalJoins {
           leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) :+
           col(carriedTs).as("asof_ts")) ++
         rightCols.values.map(col): _*)
+  }
+
+  /** Nearest as-of join: for each left row, the right row with the
+    * SMALLEST |rightTs − leftTs| in the same `keys` group, ties going
+    * to the earlier (backward) side — pandas `merge_asof
+    * direction='nearest'` semantics — with an optional symmetric
+    * `toleranceUs` beyond which no match is reported. Adds an
+    * `asof_dir` column ('backward' / 'forward', NULL on no match).
+    *
+    * Composed as [[asOf]] ⊕ [[asOfForward]] + a per-row choice: each
+    * direction's as-of already carries that direction's MINIMAL
+    * delta, so applying the tolerance and picking the smaller delta
+    * afterwards is exact. Two shuffles on `keys` plus one join of the
+    * two results on the full left row — left rows must therefore be
+    * UNIQUE as tuples (carry a unique id column if not; it rides
+    * through).
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightCols: Map[String, String],
+                  toleranceUs: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val dsts = rightCols.values.toSeq
+    def ren(df: DataFrame, sfx: String): DataFrame =
+      ("asof_ts" +: dsts).foldLeft(df)((d, c) => d.withColumnRenamed(c, c + sfx))
+    val b = ren(asOf(left, right, keys, leftTs, rightTs, rightCols), "_b")
+    val f = ren(asOfForward(left, right, keys, leftTs, rightTs, rightCols), "_f")
+    val j = b.join(f, leftCols)
+    val db = unix_micros(col(leftTs)) - unix_micros(col("asof_ts_b"))
+    val df_ = unix_micros(col("asof_ts_f")) - unix_micros(col(leftTs))
+    val within = (d: Column) => toleranceUs.map(t => d <= lit(t)).getOrElse(lit(true))
+    val backOk = col("asof_ts_b").isNotNull && within(db)
+    val fwdOk = col("asof_ts_f").isNotNull && within(df_)
+    val useBack = backOk && (!fwdOk || db <= df_)
+    val useFwd = fwdOk && !useBack
+    j.select(
+      leftCols.map(col) ++
+        Seq(when(useBack, col("asof_ts_b")).when(useFwd, col("asof_ts_f")).as("asof_ts"),
+          when(useBack, lit("backward")).when(useFwd, lit("forward")).as("asof_dir")) ++
+        dsts.map(d => when(useBack, col(d + "_b")).when(useFwd, col(d + "_f")).as(d)): _*)
   }
 
   /** Bucketed range join: pairs (l, r) with the same `keys` and

@@ -27,6 +27,38 @@ object Temporal {
         .select($"event_id", $"user_id", $"ts", $"asof_ts", $"click_value")
         .orderBy($"event_id")
     }),
+    // purchases ⟵ EARLIEST click at-or-after, per user (the forward
+    // as-of direction — next-reading/next-price lookup)
+    "q_asof_forward" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as("click_value"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      TemporalJoins.asOfForward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Map("click_value" -> "click_value"))
+        .select($"event_id", $"user_id", $"ts", $"asof_ts", $"click_value")
+        .orderBy($"event_id")
+    }),
+    // purchases ⟵ NEAREST click within ±30 min, ties backward (pandas
+    // merge_asof direction='nearest' + tolerance — the sensor-pairing
+    // semantics); both directions' minimal deltas are exact, so the
+    // choice is too
+    "q_asof_nearest" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"value", $"event_id").as("click_value"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      TemporalJoins.asOfNearest(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Map("click_value" -> "click_value"), toleranceUs = Some(1800000000L))
+        .select($"event_id", $"user_id", $"ts", $"asof_ts", $"asof_dir", $"click_value")
+        .orderBy($"event_id")
+    }),
     // events within 1 hour after each signup, per user
     "q_range_join" -> ((s, d) => {
       import s.implicits._
@@ -189,6 +221,37 @@ object Temporal {
         |SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts, c.click_value
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max_by(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |cand AS (SELECT event_id, asof_ts, click_value FROM (
+        |  SELECT p.event_id, c.ts AS asof_ts, c.click_value,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts) AS rn
+        |  FROM purchases p JOIN clicks c
+        |    ON c.user_id = p.user_id AND c.ts >= p.ts) WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts, cand.asof_ts, cand.click_value
+        |FROM purchases p LEFT JOIN cand ON cand.event_id = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max_by(value, event_id) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |cand AS (SELECT event_id, asof_ts, click_value FROM (
+        |  SELECT p.event_id, c.ts AS asof_ts, c.click_value,
+        |    row_number() OVER (PARTITION BY p.event_id ORDER BY
+        |      abs(epoch_us(c.ts) - epoch_us(p.ts)),
+        |      CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END) AS rn
+        |  FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+        |  WHERE abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 1800000000) WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts, cand.asof_ts,
+        |  CASE WHEN cand.asof_ts IS NULL THEN NULL
+        |       WHEN cand.asof_ts <= p.ts THEN 'backward' ELSE 'forward' END AS asof_dir,
+        |  cand.click_value
+        |FROM purchases p LEFT JOIN cand ON cand.event_id = p.event_id
         |ORDER BY p.event_id""".stripMargin,
     "q_range_join" ->
       """SELECT s.user_id, s.event_id, s.ts, e.event_id AS r_event_id, e.ts AS r_ts,

@@ -24,6 +24,49 @@ class TemporalJoinsSpec extends SparkSpec {
       "d" -> None))           // key with no right rows
   }
 
+  test("asOfForward picks the earliest right row at-or-after, null when none") {
+    val right = Seq((1L, ts(10), "r10"), (1L, ts(20), "r20"), (2L, ts(5), "r5"))
+      .toDF("k", "ts", "payload")
+    val left = Seq((1L, ts(9), "a"), (1L, ts(10), "b"), (1L, ts(25), "c"), (3L, ts(50), "d"))
+      .toDF("k", "ts", "name")
+    val out = TemporalJoins.asOfForward(left, right, Seq("k"), "ts", "ts",
+        Map("payload" -> "p"))
+      .select($"name", $"p").as[(String, Option[String])].collect().toMap
+    assert(out == Map(
+      "a" -> Some("r10"),     // next at-or-after
+      "b" -> Some("r10"),     // equality matches (<= semantics)
+      "c" -> None,            // after last right row
+      "d" -> None))
+  }
+
+  test("asOfNearest: smaller delta wins, ties backward, tolerance nulls out") {
+    val right = Seq((1L, ts(100), "b100"), (1L, ts(120), "c120"))
+      .toDF("k", "ts", "payload")
+    val left = Seq(
+      (1L, ts(100), "eq"),   // equal ts → backward
+      (1L, ts(110), "tie"),  // 10 vs 10 → backward
+      (1L, ts(113), "fwd"),  // 13 vs 7 → forward
+      (1L, ts(150), "far"),  // 30 back, none fwd
+      (2L, ts(10), "nok")    // no right rows at all
+    ).toDF("k", "ts", "name")
+    val out = TemporalJoins.asOfNearest(left, right, Seq("k"), "ts", "ts",
+        Map("payload" -> "p"))
+      .select($"name", $"asof_dir", $"p")
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(
+      "eq" -> ((Some("backward"), Some("b100"))),
+      "tie" -> ((Some("backward"), Some("b100"))),
+      "fwd" -> ((Some("forward"), Some("c120"))),
+      "far" -> ((Some("backward"), Some("c120"))),
+      "nok" -> ((None, None))), out.toString)
+    // a 20-minute tolerance kills the 30-minute-away match only
+    val tol = TemporalJoins.asOfNearest(left, right, Seq("k"), "ts", "ts",
+        Map("payload" -> "p"), toleranceUs = Some(20L * 60L * 1000000L))
+      .select($"name", $"p").as[(String, Option[String])].collect().toMap
+    assert(tol("far").isEmpty && tol("fwd") == Some("c120"), tol.toString)
+  }
+
   test("bucketed range join equals the naive inequality join") {
     val left = (1 to 50).map(i => (i.toLong % 5, ts(i * 7), i.toLong)).toDF("k", "ts", "lid")
     val right = (1 to 80).map(i => (i.toLong % 5, ts(i * 4), 1000L + i)).toDF("k", "ts", "rid")
