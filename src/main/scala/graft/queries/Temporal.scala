@@ -72,6 +72,41 @@ object Temporal {
           $"r_event_id", $"r_ts", $"r_event_type", $"r_value")
         .orderBy($"event_id", $"r_event_id")
     }),
+    // Ordered conversion funnel view → click → purchase, earliest-
+    // chain semantics: t1 = first view, t2 = first click AFTER t1,
+    // t3 = first purchase AFTER t2 (strict order — a purchase before
+    // the click does not convert). Exact per-step user counts + total
+    // step-transition lag in integer micros. Scale shape: three
+    // filtered per-user aggregates + two equi-joins on user_id — the
+    // funnel frames shrink monotonically; no windows, no sequence
+    // materialization.
+    "q_event_funnel" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events").select($"user_id", $"event_type", $"ts")
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"ts" > $"t1")
+        .groupBy($"user_id", $"t1").agg(min($"ts").as("t2"))
+      val s3 = ev.filter($"event_type" === "purchase")
+        .join(s2.select($"user_id", $"t2"), "user_id")
+        .filter($"ts" > $"t2")
+        .groupBy($"user_id", $"t2").agg(min($"ts").as("t3"))
+      val r1 = s1.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("step"), lit("view").as("event_type"),
+          $"n_users", lit(0L).as("sum_step_lag_us"))
+      val r2 = s2.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(unix_micros($"t2") - unix_micros($"t1")), lit(0L))
+            .as("sum_step_lag_us"))
+        .select(lit(2L).as("step"), lit("click").as("event_type"),
+          $"n_users", $"sum_step_lag_us")
+      val r3 = s3.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(unix_micros($"t3") - unix_micros($"t2")), lit(0L))
+            .as("sum_step_lag_us"))
+        .select(lit(3L).as("step"), lit("purchase").as("event_type"),
+          $"n_users", $"sum_step_lag_us")
+      r1.unionByName(r2).unionByName(r3).orderBy($"step")
+    }),
     // first-order Markov transition matrix of per-user event
     // sequences — the behavioral-sequence profile (and the anomaly
     // prior for q_event_spikes-style detectors). One shuffle on
@@ -261,6 +296,26 @@ object Temporal {
         |  AND epoch_us(e.ts) <= epoch_us(s.ts) + 3600000000
         |WHERE s.event_type = 'signup'
         |ORDER BY s.event_id, r_event_id""".stripMargin,
+    "q_event_funnel" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, t1.t1, MIN(e.ts) AS t2
+        |  FROM events e JOIN t1 ON t1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1, 2),
+        |t3 AS (SELECT e.user_id, t2.t2, MIN(e.ts) AS t3
+        |  FROM events e JOIN t2 ON t2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_users,
+        |    CAST(0 AS BIGINT) AS sum_step_lag_us
+        |  UNION ALL SELECT 2, 'click',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t2),
+        |    (SELECT CAST(COALESCE(SUM(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT) FROM t2)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM t3),
+        |    (SELECT CAST(COALESCE(SUM(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM t3)
+        |) ORDER BY step""".stripMargin,
     "q_event_transitions" ->
       """WITH seq AS (SELECT user_id, ts, event_id, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
