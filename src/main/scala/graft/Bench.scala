@@ -34,7 +34,12 @@ object Bench {
     "q_sorted_neighborhood", "q_rrf_fusion",
     // round-16 families: multimodal near-dup (codec decode + hamming
     // bands) and positional contamination spans
-    "q_image_neardup", "q_audio_neardup", "q_contamination_span")
+    "q_image_neardup", "q_audio_neardup", "q_contamination_span",
+    // round-17 families: cross-modal pair dedup (two candidate
+    // generators + the policy join), iterative integer PageRank
+    // (5 checkpointed rounds), and the multi-system retrieval eval
+    // (postings + three rankings + fused metrics)
+    "q_multimodal_neardup", "q_pagerank", "q_retrieval_metrics")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

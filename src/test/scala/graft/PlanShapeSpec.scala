@@ -351,6 +351,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partition_offset_rank"), "ranking fell back from the native machinery")
   }
 
+  test("round-17 operators never degrade to cartesian products") {
+    // (1-row broadcast cross-joins plan as BroadcastNestedLoopJoin and
+    // are fine — corpus-stats/n-count frames; an unkeyed CartesianProduct
+    // over data-grain frames is never fine)
+    for (name <- Seq("q_multimodal_neardup", "q_chunk_dup_rate",
+      "q_retrieval_metrics", "q_dataset_card", "q_pagerank", "q_ks_drift",
+      "q_ivf_sq8_topk", "q_asof_forward", "q_asof_nearest", "q_event_funnel")) {
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name plan has a cartesian product")
+    }
+  }
+
   test("vector audits sample to an ABSOLUTE cap, not a rate (r16 perf-weak fix)") {
     // The pair join in q_class_separation and the query fan-out in
     // q_knn_classify must stay bounded as the corpus grows: a
