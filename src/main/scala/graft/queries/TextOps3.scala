@@ -516,18 +516,20 @@ object TextOps3 {
         val queries = base.filter($"doc_id" % 40 === 0)
           .select($"doc_id".as("query_id"), slice(F.tokens($"text"), 2, 3).as("terms"))
           .filter(size($"terms") === 3)
+        // ONE corpus tokenization: both systems rank off the same
+        // pinned postings frame (the overlap count is the number of
+        // matched DISTINCT terms — exactly the postings grain)
+        val postings = graft.util.CacheScope.pin(R.postingsOf(base))
         val wQ = Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")
         val bmTop = graft.util.CacheScope.pin(
-          R.bm25ScoreMulti(base, queries)
+          R.bm25ScoreMultiOn(postings, queries)
             .withColumn("rank", row_number().over(wQ)).filter($"rank" <= 10)
             .select($"query_id", $"doc_id", $"rank"))
-        val docTerms = base.select($"doc_id",
-          explode(array_distinct(split(lower(trim($"text")), "\\s+"))).as("term"))
         val qt = queries.select($"query_id", explode($"terms").as("t0"))
           .select($"query_id", lower($"t0").as("term")).distinct()
         val wO = Window.partitionBy($"query_id").orderBy($"n_overlap".desc, $"doc_id")
         val ovTop = graft.util.CacheScope.pin(
-          docTerms.join(broadcast(qt), "term")
+          postings.select($"doc_id", $"term").join(broadcast(qt), "term")
             .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("n_overlap"))
             .withColumn("rank", row_number().over(wO)).filter($"rank" <= 10)
             .select($"query_id", $"doc_id", $"rank"))

@@ -89,16 +89,38 @@ object Retrieval {
                      k1: Double = 1.2, b: Double = 0.75,
                      textCol: String = "text", idCol: String = "doc_id",
                      queryIdCol: String = "query_id",
-                     termsCol: String = "terms"): DataFrame = {
+                     termsCol: String = "terms"): DataFrame =
+    bm25ScoreMultiOn(postingsOf(docs, textCol, idCol), queries,
+      k1, b, idCol, queryIdCol, termsCol)
+
+  /** The (idCol, term, len_d, tf) postings frame [[bm25ScoreMulti]]
+    * scores over — exposed so a multi-system retrieval stack
+    * (BM25 + overlap + fusion, `q_retrieval_metrics`) tokenizes and
+    * aggregates the corpus ONCE and derives every ranking from the
+    * same pinned frame instead of re-exploding the corpus per system.
+    */
+  def postingsOf(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
     val tk = split(lower(trim(col(textCol))), "\\s+")
-    val base = docs.select(col(idCol), tk.as("tk"))
+    docs.select(col(idCol), tk.as("tk"))
       .withColumn("len_d", size(col("tk")).cast("double"))
-    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
-      sum(col("len_d")).as("sum_len"))
-    val postings = graft.util.CacheScope.pin(
-      base.select(col(idCol), col("len_d"), explode(col("tk")).as("term"))
-        .groupBy(col(idCol), col("term"), col("len_d"))
-        .agg(count(lit(1)).cast("double").as("tf")))
+      .select(col(idCol), col("len_d"), explode(col("tk")).as("term"))
+      .groupBy(col(idCol), col("term"), col("len_d"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+  }
+
+  /** [[bm25ScoreMulti]] over a precomputed [[postingsOf]] frame. */
+  def bm25ScoreMultiOn(postingsIn: DataFrame, queries: DataFrame,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       idCol: String = "doc_id",
+                       queryIdCol: String = "query_id",
+                       termsCol: String = "terms"): DataFrame = {
+    val postings = graft.util.CacheScope.pin(postingsIn)
+    // corpus stats re-derived FROM the postings (one row per doc via
+    // the (id, len_d) grain) so callers pay one corpus pass total
+    val stats = postings.groupBy(col(idCol)).agg(first(col("len_d")).as("len_d"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("len_d")).as("sum_len"))
     // df computed on the postings side BEFORE the query join — the
     // joined frame repeats a term's postings once per carrying query
     val dfs = postings.groupBy(col("term"))
