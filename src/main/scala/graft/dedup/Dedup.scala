@@ -214,6 +214,69 @@ object Dedup {
         (col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
   }
 
+  /** Exact-threshold Jaccard pairs via PREFIX FILTERING (the
+    * PPJoin-family scale path): provably the same pair set as
+    * [[jaccardPairs]] filtered at `threshold`, at a fraction of the
+    * join work. Each doc's shingle set is ordered by a global
+    * (rarest-first) token order and only its PREFIX — the first
+    * |d| − ⌈t·|d|⌉ + 1 tokens — is indexed: if J(A,B) ≥ t, then
+    * |A∩B| ≥ t·max(|A|,|B|), so A and B MUST share an element inside
+    * both prefixes (pigeonhole under the common order) — candidates
+    * from the prefix index have recall exactly 1, and the exact
+    * intersection count verifies each candidate.
+    *
+    * Why rarest-first: the prefix then holds each doc's LEAST frequent
+    * shingles, so prefix-index collisions (the candidate count, which
+    * prices the whole join) are minimized — the standard ppjoin
+    * ordering. At threshold 0.8 a 100-shingle doc indexes 21 tokens
+    * instead of 100; candidate work falls superlinearly because both
+    * sides shrink AND the surviving tokens are rare.
+    *
+    * Scale shape: one postings aggregation (+df join), one
+    * per-doc window to rank tokens (partitioned by doc — parallel),
+    * the PREFIX-only self-join, then the verify join that touches
+    * full postings only for candidate pairs — work ∝ candidates ·
+    * avg set size, never full-postings². Output: (id_a, id_b,
+    * jaccard) for pairs with jaccard ≥ threshold.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardPairsPrefix needs threshold in (0, 1], got $threshold")
+    val hashed = graft.util.CacheScope.pin(df.select(col(idCol).as("id"),
+      array_distinct(TextFns.shingleHashes48(TextFns.tokens(col(textCol)), shingleN)).as("hvs")))
+    val sh = graft.util.CacheScope.pin(
+      hashed.select(col("id"), size(col("hvs")).cast("long").as("sz"),
+        explode(col("hvs")).as("hv")))
+    val dfs = sh.groupBy(col("hv")).agg(count(lit(1)).as("hdf"))
+    // rarest-first global order; per-doc rank is a doc-partitioned window
+    val ranked = sh.join(dfs, "hv")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("hdf"), col("hv"))))
+    val prefix = graft.util.CacheScope.pin(ranked
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + lit(1))
+      .select(col("id"), col("hv")))
+    val cand = prefix.as("x").join(prefix.as("y").hint("shuffle_hash"),
+        col("x.hv") === col("y.hv") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // verify: exact intersection, touching full postings only for
+    // candidate pairs (cand ⋈ postings_a ⋈ postings_b on the hash)
+    val common = cand
+      .join(sh.select(col("id").as("id_a"), col("hv")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("hv")), Seq("id_b", "hv"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = hashed.select(col("id"), size(col("hvs")).cast("long").as("sz"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs via bit-band blocking. The 48-bit simhash
     * is split into `bands` equal chunks; docs sharing any chunk value
     * are candidates, then the exact hamming distance (popcount of XOR)

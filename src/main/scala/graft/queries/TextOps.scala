@@ -254,6 +254,28 @@ object TextOps {
          |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin),
 
+    // The SAME pair set as exact Jaccard >= 0.5, through the prefix-
+    // filtered scale path (rarest-first prefixes indexed, candidates
+    // verified exactly — recall provably 1 by the pigeonhole bound;
+    // see Dedup.jaccardPairsPrefix). The oracle is the full inverted-
+    // index computation: equality IS the test.
+    q("q_jaccard_prefix")(
+      (s, d) => {
+        import s.implicits._
+        Dedup.jaccardPairsPrefix(nearDupCorpus(s, d), "doc_id", "text", threshold = 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      s"""WITH $nearDupCorpusSql,
+         |${shingleSql("corpus")},
+         |sized AS (SELECT doc_id AS id, CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM sh),
+         |sizes AS (SELECT id, COUNT(*) AS sz FROM sized GROUP BY id),
+         |common AS (SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS common
+         |  FROM sized x JOIN sized y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+         |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+         |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin),
+
     // Asymmetric containment (excerpt detection): mutants are the
     // original minus its first token, so containment into the source
     // is (n-1)/n ≈ 1 while Jaccard alone would not say which side is

@@ -303,6 +303,28 @@ class DedupSimSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("prefix-filtered jaccard equals the full inverted-index pair set at every threshold") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text")
+        .filter($"jaccard" >= t)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      val pref = graft.dedup.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", t)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"prefix filter lost/invented pairs at threshold $t")
+    }
+    spark.sharedState.cacheManager.clearCache()
+    // the prefix actually bites: at 0.8 a doc indexes ~ |d|/5 tokens
+    val hand = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k z"), // 1-token edit → high jaccard
+      (3L, "p q r s t u v w x y z2 z3")).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.jaccardPairsPrefix(hand, "doc_id", "text", 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("IVF probe search matches brute force within the probed cell; plan broadcasts") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .select($"vec_id", $"embedding")
