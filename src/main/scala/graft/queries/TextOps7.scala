@@ -448,6 +448,49 @@ object TextOps7 {
     // phone plant on every 13th doc; patterns mirror the scrubber's
     // (proven cross-engine). Map-only regex counts + one per-source
     // partial aggregation.
+    // Exact pairwise VOCABULARY Jaccard between sources — corpus
+    // forensics: two sources with near-identical vocabularies are
+    // mirrors/syndication feeds and double-count in any mixture.
+    // Exact, not minhash-estimated: the source grain is tiny (S
+    // sources ⇒ S(S−1)/2 pairs), so the inverted-index join on the
+    // token is cheap — per token the join fans out to at most
+    // (sources sharing it)² ≤ S², and the (source, token) frame is
+    // vocab-sized, not corpus-sized (one distinct aggregation
+    // collapses the corpus first). Integer counts + one exact IEEE
+    // division.
+    q("q_source_overlap")(
+      (s, d) => {
+        import s.implicits._
+        val st = t(s, d, "documents")
+          .select($"source", explode(graft.functions.TextFns.tokens(lower($"text"))).as("tok"))
+          .distinct()
+        val stp = graft.util.CacheScope.pin(st)
+        val sizes = stp.groupBy($"source").agg(count(lit(1)).as("sz"))
+        val common = stp.as("x").join(stp.as("y"),
+            $"x.tok" === $"y.tok" && $"x.source" < $"y.source")
+          .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        common
+          .join(sizes.select($"source".as("src_a"), $"sz".as("sz_a")), "src_a")
+          .join(sizes.select($"source".as("src_b"), $"sz".as("sz_b")), "src_b")
+          .select($"src_a", $"src_b", $"n_common", $"sz_a", $"sz_b",
+            ($"n_common".cast("double") / ($"sz_a" + $"sz_b" - $"n_common")).as("vocab_jaccard"))
+          .orderBy($"src_a", $"src_b")
+      },
+      """WITH st AS (SELECT DISTINCT source,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM st GROUP BY 1),
+        |common AS (SELECT x.source AS src_a, y.source AS src_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM st x JOIN st y ON x.tok = y.tok AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS vocab_jaccard
+        |FROM common JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin),
+
     // Exact two-sample KS drift: each source's token-LENGTH
     // distribution vs the rest of the corpus, as an integer numerator
     // on the n_g·n_rest denominator (pure integer cumsums/products —

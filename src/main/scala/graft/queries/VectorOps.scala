@@ -401,6 +401,58 @@ object VectorOps {
          |  CAST(SUM(CASE WHEN NOT intra THEN micro ELSE 0 END) AS BIGINT) AS sum_inter_micro
          |FROM att GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Embedding-corpus health report — the QA row a vector store is
+    // admitted on: NaN-vector and zero-vector counts plus exact
+    // rank-based norm quantiles (value at rank ⌈n/4⌉ etc., integer
+    // rank arithmetic — no float quantile interpolation; norms are
+    // round-6 doubles, cross-engine identical per the cosine-body
+    // contract). Ranking uses the range-partitioned global row number
+    // (q_length_decile machinery) — no single-task corpus window.
+    q("q_embed_health")(
+      (s, d) => {
+        import s.implicits._
+        val v = t(s, d, "embeddings").select($"vec_id",
+          exists($"embedding", x => isnan(x)).as("has_nan"),
+          round(graft.functions.VectorFns.norm($"embedding"), 6).as("nrm"))
+        val ok = graft.operators.Ranking.globalRowNumber(
+          v.filter(!$"has_nan").select($"vec_id", $"nrm"),
+          Seq($"nrm", $"vec_id"), out = "rn")
+        val nOk = ok.agg(count(lit(1)).as("n_ok"))
+        val picks = graft.util.CacheScope.pin(ok.crossJoin(broadcast(nOk))
+          .withColumn("q1r", expr("(n_ok + 3) div 4"))
+          .withColumn("medr", expr("(n_ok + 1) div 2"))
+          .withColumn("q3r", expr("(3 * n_ok + 3) div 4")))
+        def at(cond: org.apache.spark.sql.Column, name: String) =
+          picks.filter(cond).agg(min($"nrm").as(name))
+        v.agg(count(lit(1)).as("n_vecs"),
+            sum(when($"has_nan", 1L).otherwise(0L)).as("n_nan"))
+          .crossJoin(broadcast(ok.filter($"nrm" === 0.0)
+            .agg(count(lit(1)).as("n_zero"))))
+          .crossJoin(broadcast(at($"rn" === 1, "norm_min")))
+          .crossJoin(broadcast(at($"rn" === $"q1r", "norm_q1")))
+          .crossJoin(broadcast(at($"rn" === $"medr", "norm_med")))
+          .crossJoin(broadcast(at($"rn" === $"q3r", "norm_q3")))
+          .crossJoin(broadcast(at($"rn" === $"n_ok", "norm_max")))
+      },
+      """WITH v AS (SELECT vec_id,
+        |  len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0 AS has_nan,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+        |  FROM embeddings),
+        |ok AS MATERIALIZED (SELECT vec_id, nrm,
+        |  CAST(row_number() OVER (ORDER BY nrm, vec_id) AS BIGINT) AS rn
+        |  FROM v WHERE NOT has_nan),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ok FROM ok)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_vecs,
+        |  (SELECT CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) FROM v) AS n_nan,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ok WHERE nrm = 0) AS n_zero,
+        |  (SELECT nrm FROM ok WHERE rn = 1) AS norm_min,
+        |  (SELECT nrm FROM ok, n WHERE rn = (n_ok + 3) // 4) AS norm_q1,
+        |  (SELECT nrm FROM ok, n WHERE rn = (n_ok + 1) // 2) AS norm_med,
+        |  (SELECT nrm FROM ok, n WHERE rn = (3 * n_ok + 3) // 4) AS norm_q3,
+        |  (SELECT nrm FROM ok, n WHERE rn = n_ok) AS norm_max""".stripMargin),
+
     // Embedding near-dup pairs over a corpus with planted exact copies.
     q("q_embed_neardup")(
       (s, d) => {
