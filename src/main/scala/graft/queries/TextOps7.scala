@@ -458,7 +458,7 @@ object TextOps7 {
     // vocab-sized, not corpus-sized (one distinct aggregation
     // collapses the corpus first). Integer counts + one exact IEEE
     // division.
-    q("q_source_overlap")(
+    q("q_vocab_overlap")(
       (s, d) => {
         import s.implicits._
         val st = t(s, d, "documents")
