@@ -95,20 +95,54 @@ object Graphs {
     */
   def pageRankMicro(edges: DataFrame, iters: Int = 5,
                     dampingMicro: Long = 850000000000L,
-                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+                    srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    pageRankCore(edges, iters, dampingMicro, srcCol, dstCol, seeds = None, "node")
+
+  /** PERSONALIZED [[pageRankMicro]]: the teleport mass restarts at the
+    * `seeds` node set instead of uniformly — the seed-set EXPANSION
+    * operator a curation pipeline runs over its similarity/link graph
+    * ("score everything by proximity to the docs/sources we already
+    * trust"). Seeds get the initial mass and the per-round base
+    * `(Scale − D) div |seeds∩nodes|`; every other node starts (and
+    * teleports) at zero, so rank flows outward from the seeds only
+    * through edges — same integer exactness, same per-iteration cost.
+    * Seeds outside the graph's node set are ignored.
+    */
+  def pageRankMicroSeeded(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                          dampingMicro: Long = 850000000000L,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          seedCol: String = "node"): DataFrame =
+    pageRankCore(edges, iters, dampingMicro, srcCol, dstCol, Some(seeds), seedCol)
+
+  private def pageRankCore(edges: DataFrame, iters: Int, dampingMicro: Long,
+                           srcCol: String, dstCol: String,
+                           seeds: Option[DataFrame], seedCol: String): DataFrame = {
     require(iters >= 1, s"pageRankMicro needs iters >= 1, got $iters")
     require(dampingMicro >= 0L && dampingMicro <= RankScale,
       s"dampingMicro must be in [0, $RankScale], got $dampingMicro")
     val e = graft.util.CacheScope.pin(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    val nodes = graft.util.CacheScope.pin(
-      e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val allNodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    // is_seed rides the node frame; uniform mode marks every node
+    val nodes = graft.util.CacheScope.pin(seeds match {
+      case Some(sd) => allNodes.join(
+        sd.select(col(seedCol).as("node")).distinct()
+          .withColumn("is_seed", lit(true)),
+        Seq("node"), "left").na.fill(false, Seq("is_seed"))
+      case None => allNodes.withColumn("is_seed", lit(true))
+    })
     val deg = graft.util.CacheScope.pin(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg")))
-    val nRow = nodes.agg(count(lit(1)).as("n"))
+    // teleport-target count; assert_true fails loudly on an empty
+    // seed∩node set (integer div by 0 would silently NULL every rank)
+    val nRow = nodes.agg(sum(when(col("is_seed"), 1L).otherwise(0L)).as("n"))
+      .filter(assert_true(col("n") > 0L,
+        lit("pageRankMicroSeeded: no seed intersects the graph's nodes")).isNull)
     var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), expr(s"${RankScale}L div n").as("rank_micro"))
+      .select(col("node"), col("is_seed"),
+        when(col("is_seed"), expr(s"${RankScale}L div n"))
+          .otherwise(0L).as("rank_micro"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = ranks.join(deg, "node") // dangling nodes contribute nothing
@@ -119,13 +153,15 @@ object Graphs {
       ranks = nodes.join(contrib, Seq("node"), "left")
         .na.fill(0L, Seq("s"))
         .crossJoin(broadcast(nRow))
-        .select(col("node"),
-          // base + damped inflow; the product runs in DECIMAL(38,0)
-          // (s ≤ Scale, so s·D ≈ 8.5e23 overflows int64) and `div`
-          // floors it back to BIGINT — exact, engine-identical
-          expr(s"((${RankScale}L - ${dampingMicro}L) div n) + " +
-            s"(cast(s as decimal(38,0)) * ${dampingMicro}L div ${RankScale}L)")
-            .cast("long").as("rank_micro"))
+        .select(col("node"), col("is_seed"),
+          // base (teleport, seeds only) + damped inflow; the product
+          // runs in DECIMAL(38,0) (s ≤ Scale, so s·D ≈ 8.5e23
+          // overflows int64) and `div` floors it back to BIGINT —
+          // exact, engine-identical
+          (when(col("is_seed"),
+            expr(s"(${RankScale}L - ${dampingMicro}L) div n")).otherwise(0L) +
+            expr(s"cast(s as decimal(38,0)) * ${dampingMicro}L div ${RankScale}L")
+              .cast("long")).as("rank_micro"))
         .localCheckpoint()
     }
     ranks.join(deg, Seq("node"), "left")

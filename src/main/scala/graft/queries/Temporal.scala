@@ -183,6 +183,29 @@ object Temporal {
       graft.operators.Graphs.pageRankMicro(edges, iters = 5)
         .orderBy($"node")
     }),
+    // PERSONALIZED PageRank from a trusted seed set — the graph-based
+    // corpus-EXPANSION operator ("score everything by proximity to
+    // what we already trust"): teleport mass restarts only at seed
+    // nodes (node % 35 == 0 here), rank flows outward through edges.
+    // Same integer-exact arithmetic as q_pagerank, so the 5 unrolled
+    // oracle iterations reproduce it bit-for-bit.
+    "q_seed_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "events")
+        .filter($"event_type" === "purchase" && $"user_id" % 7 === 0)
+        .select(expr("(unix_micros(ts) + 15778800000000000) div 3600000000").as("h"),
+          $"user_id")
+        .distinct()
+      val und = p.as("x").join(p.as("y"),
+          $"x.h" === $"y.h" && $"x.user_id" < $"y.user_id")
+        .select($"x.user_id".as("src"), $"y.user_id".as("dst"))
+        .distinct()
+      val edges = und.unionByName(und.select($"dst".as("src"), $"src".as("dst")))
+      val seeds = edges.select($"src".as("node")).distinct()
+        .filter($"node" % 35 === 0)
+      graft.operators.Graphs.pageRankMicroSeeded(edges, seeds, iters = 5)
+        .orderBy($"node")
+    }),
     // SCD Type-2 history assembly: collapse each user's event-type
     // stream into validity intervals — keep only CHANGE rows
     // (lag(state) differs), then valid_to = the next change's
@@ -356,6 +379,42 @@ object Temporal {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
         |  tri.n_triangles
         |FROM tri""".stripMargin,
+    // the personalized variant: teleport only to seed nodes
+    // (node % 35 == 0); same unrolled integer iterations
+    "q_seed_pagerank" -> {
+      val iter = (1 to 5).map { k =>
+        s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+           |  CAST(SUM(r.rank_micro // d.out_deg) AS BIGINT) AS s
+           |  FROM r${k - 1} r JOIN deg d ON d.node = r.node
+           |  JOIN e ON e.src = r.node GROUP BY 1),
+           |r$k AS MATERIALIZED (SELECT n0.node,
+           |  CAST(CASE WHEN n0.node % 35 = 0
+           |      THEN (1000000000000 - 850000000000) // nn.n ELSE 0 END
+           |    + CAST(COALESCE(c.s, 0) AS HUGEINT) * 850000000000 // 1000000000000
+           |    AS BIGINT) AS rank_micro
+           |  FROM nodes n0 LEFT JOIN c$k c ON c.node = n0.node CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT DISTINCT
+         |  (epoch_us(ts) + 15778800000000000) // 3600000000 AS h, user_id
+         |  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0),
+         |ud AS (SELECT DISTINCT a.user_id AS a, b.user_id AS b FROM p a
+         |  JOIN p b ON b.h = a.h AND a.user_id < b.user_id),
+         |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM ud
+         |  UNION ALL SELECT b, a FROM ud),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         |deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+         |  FROM e GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(CASE WHEN node % 35 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+         |  FROM nodes),
+         |r0 AS MATERIALIZED (SELECT node,
+         |  CAST(CASE WHEN node % 35 = 0 THEN 1000000000000 // nn.n ELSE 0 END AS BIGINT)
+         |    AS rank_micro FROM nodes, nn),
+         |$iter
+         |SELECT r5.node AS node, r5.rank_micro,
+         |  COALESCE(deg.out_deg, CAST(0 AS BIGINT)) AS out_deg
+         |FROM r5 LEFT JOIN deg ON deg.node = r5.node
+         |ORDER BY r5.node""".stripMargin
+    },
     // 5 unrolled integer iterations (MATERIALIZED per step — the
     // q_bpe_merges inline-blowup lesson); HUGEINT carries the damping
     // product (s·D ≈ 8.5e23 overflows int64), `//` floors it back

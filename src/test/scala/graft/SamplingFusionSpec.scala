@@ -250,6 +250,26 @@ class SamplingFusionSpec extends SparkSpec {
     val r0 = Graphs.pageRankMicro(edges, iters = 3, dampingMicro = 0L)
       .collect().map(x => x.getLong(1)).toSet
     assert(r0 == Set(333333333333L))
+
+    // personalized: teleport only to seed {1} — mass flows outward.
+    // r1: (1)=0.15e12, (2)=0.85e12, (3)=0
+    // r2: (1)=0.15e12+floor(0.425e12·0.85)=511250000000
+    //     (2)=floor(0.15e12·0.85)=127500000000, (3)=361250000000
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val pr = Graphs.pageRankMicroSeeded(edges, seeds, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(pr == Map(1L -> 511250000000L, 2L -> 127500000000L,
+      3L -> 361250000000L), pr.toString)
+    // a seed outside the graph is ignored; an all-outside seed set
+    // fails loudly instead of silently NULLing ranks
+    val pr2 = Graphs.pageRankMicroSeeded(edges,
+      Seq(1L, 99L).map(Tuple1(_)).toDF("node"), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(pr2(2L) == 850000000000L, pr2.toString)
+    intercept[Exception] {
+      Graphs.pageRankMicroSeeded(edges, Seq(Tuple1(99L)).toDF("node"), iters = 1)
+        .collect()
+    }
   }
 
   test("normKey canonicalizes case, punctuation, and spacing") {
