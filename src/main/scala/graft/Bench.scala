@@ -310,7 +310,12 @@ object Bench {
     "q_sorted_neighborhood",
     // round-16: the positional-gram span audit — token-grain like the
     // span family, plus a broadcast-hop shape worth 10x evidence
-    "q_contamination_span")
+    "q_contamination_span",
+    // round-17: the prefix-filtered set-similarity join next to the
+    // full inverted-index q_jaccard_pairs above — the 10x numbers ARE
+    // the evidence that the prefix filter's candidate reduction holds
+    // as the corpus grows
+    "q_jaccard_prefix")
 
   private def scaleSmoke(spark: SparkSession, sfDir: String,
                          onlyQ: Option[Set[String]]): String = {

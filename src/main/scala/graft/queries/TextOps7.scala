@@ -448,6 +448,46 @@ object TextOps7 {
     // phone plant on every 13th doc; patterns mirror the scrubber's
     // (proven cross-engine). Map-only regex counts + one per-source
     // partial aggregation.
+    // Exact Spearman rank agreement between two per-doc quality
+    // signals (token count vs char count here) — "do my signals rank
+    // documents the same way", the check before dropping one of two
+    // correlated gates. DETERMINISTIC tie-broken ranks (row_number
+    // over (value, doc_id) — not fractional average ranks; the oracle
+    // mirrors the same variant), so sum_d2 = Σ(rank_a − rank_b)² is
+    // an exact BIGINT both engines agree on bit-for-bit; readers form
+    // ρ = 1 − 6·sum_d2/(n(n²−1)). Ranks via the range-partitioned
+    // global row number (no single-task corpus window); guarded to
+    // n ≤ 2·10⁶ where n³ stays inside int64 (DECIMAL escape hatch
+    // documented, the tokenDrift pattern).
+    q("q_spearman_signals")(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents")
+          .select($"doc_id",
+            graft.functions.TextFns.tokenCount($"text").cast("long").as("a"),
+            $"n_chars".cast("long").as("b"))
+        val ra = graft.operators.Ranking.globalRowNumber(
+          base.select($"doc_id", $"a"), Seq($"a", $"doc_id"), out = "rank_a")
+        val rb = graft.operators.Ranking.globalRowNumber(
+          base.select($"doc_id", $"b"), Seq($"b", $"doc_id"), out = "rank_b")
+        ra.join(rb, "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(($"rank_a" - $"rank_b") * ($"rank_a" - $"rank_b")).as("sum_d2"))
+          .filter(assert_true($"n_docs" <= lit(2000000L),
+            lit("q_spearman_signals: n^3 passes int64 beyond 2e6 docs — " +
+              "compute sum_d2 in DECIMAL(38,0) for corpora this large")).isNull)
+      },
+      """WITH base AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS a,
+        |  CAST(n_chars AS BIGINT) AS b FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY a, doc_id) AS BIGINT) AS rank_a,
+        |  CAST(row_number() OVER (ORDER BY b, doc_id) AS BIGINT) AS rank_b
+        |  FROM base)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM((rank_a - rank_b) * (rank_a - rank_b)) AS BIGINT) AS sum_d2
+        |FROM r""".stripMargin),
+
     // Exact pairwise VOCABULARY Jaccard between sources — corpus
     // forensics: two sources with near-identical vocabularies are
     // mirrors/syndication feeds and double-count in any mixture.
