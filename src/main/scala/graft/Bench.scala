@@ -310,12 +310,12 @@ object Bench {
     "q_sorted_neighborhood",
     // round-16: the positional-gram span audit — token-grain like the
     // span family, plus a broadcast-hop shape worth 10x evidence
-    "q_contamination_span",
-    // round-17: the prefix-filtered set-similarity join next to the
-    // full inverted-index q_jaccard_pairs above — the 10x numbers ARE
-    // the evidence that the prefix filter's candidate reduction holds
-    // as the corpus grows
-    "q_jaccard_prefix")
+    // (q_jaccard_prefix was measured here and removed: on THIS
+    // corpus's near-unique shingles the plain inverted index wins —
+    // the prefix path's df-ranking window costs a full-postings pass
+    // regardless of threshold; its win condition is collision-heavy
+    // corpora, demonstrated deterministically in DedupSimSpec)
+    "q_contamination_span")
 
   private def scaleSmoke(spark: SparkSession, sfDir: String,
                          onlyQ: Option[Set[String]]): String = {

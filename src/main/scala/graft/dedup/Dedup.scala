@@ -234,13 +234,48 @@ object Dedup {
     *
     * Scale shape: one postings aggregation (+df join), one
     * per-doc window to rank tokens (partitioned by doc — parallel),
-    * the PREFIX-only self-join, then the verify join that touches
-    * full postings only for candidate pairs — work ∝ candidates ·
-    * avg set size, never full-postings². Output: (id_a, id_b,
-    * jaccard) for pairs with jaccard ≥ threshold.
+    * the PREFIX-only self-join, then a per-pair array-intersection
+    * verify — work ∝ candidates, never full-postings². When it wins:
+    * COLLISION-HEAVY corpora (boilerplate/template duplication —
+    * hot shingles make the full inverted-index self-join quadratic
+    * in the hot keys, while rarest-first prefixes dodge them
+    * entirely; `DedupSimSpec` demonstrates a corpus where the full
+    * join inspects thousands of collision pairs and the prefix index
+    * generates ZERO candidates). When it loses: collision-LIGHT
+    * corpora — the df-ranking pass costs one full-postings window
+    * regardless of threshold, so if the plain self-join is already
+    * cheap ([[jaccardPairs]]' measured shape on the near-unique-
+    * shingle testdata), prefer it. Output: (id_a, id_b, jaccard) for
+    * pairs with jaccard ≥ threshold.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, shingleN: Int = 3): DataFrame = {
+    val (hashed, cand) = jaccardPrefixCandidates(df, idCol, textCol, threshold, shingleN)
+    // verify: per-pair ARRAY intersection — one row per candidate
+    // carrying both (already-distinct) hash sets, never a fan-out of
+    // candidates × postings (an earlier postings-join verify measured
+    // 25× SLOWER than the full inverted index at 10× data: the
+    // cand ⋈ postings_a frame repeats every candidate |A| times)
+    val common = cand
+      .join(hashed.select(col("id").as("id_a"), col("hvs").as("_hvs_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("hvs").as("_hvs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_hvs_a"), col("_hvs_b"))).cast("long").as("common"),
+        size(col("_hvs_a")).cast("long").as("sz_a"),
+        size(col("_hvs_b")).cast("long").as("sz_b"))
+    common
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The (hashed-sets, candidate-pairs) frames behind
+    * [[jaccardPairsPrefix]] — candidates exposed so the work
+    * reduction (the quantity that prices the join) is testable and
+    * observable without re-deriving the internals. */
+  private[graft] def jaccardPrefixCandidates(df: DataFrame, idCol: String, textCol: String,
+                                             threshold: Double,
+                                             shingleN: Int = 3): (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccardPairsPrefix needs threshold in (0, 1], got $threshold")
     val hashed = graft.util.CacheScope.pin(df.select(col(idCol).as("id"),
@@ -261,20 +296,7 @@ object Dedup {
         col("x.hv") === col("y.hv") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    // verify: exact intersection, touching full postings only for
-    // candidate pairs (cand ⋈ postings_a ⋈ postings_b on the hash)
-    val common = cand
-      .join(sh.select(col("id").as("id_a"), col("hv")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("hv")), Seq("id_b", "hv"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
-    val sizes = hashed.select(col("id"), size(col("hvs")).cast("long").as("sz"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    (hashed, cand)
   }
 
   /** SimHash near-dup pairs via bit-band blocking. The 48-bit simhash

@@ -254,15 +254,17 @@ object TextOps {
          |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 200""".stripMargin),
 
-    // The SAME pair set as exact Jaccard >= 0.5, through the prefix-
-    // filtered scale path (rarest-first prefixes indexed, candidates
-    // verified exactly — recall provably 1 by the pigeonhole bound;
-    // see Dedup.jaccardPairsPrefix). The oracle is the full inverted-
-    // index computation: equality IS the test.
+    // The SAME pair set as exact Jaccard >= 0.8 (the realistic
+    // near-dup threshold — where the prefix filter actually bites:
+    // each doc indexes ~|d|/5 tokens), through the prefix-filtered
+    // scale path (rarest-first prefixes indexed, candidates verified
+    // by per-pair array intersection — recall provably 1 by the
+    // pigeonhole bound; see Dedup.jaccardPairsPrefix). The oracle is
+    // the full inverted-index computation: equality IS the test.
     q("q_jaccard_prefix")(
       (s, d) => {
         import s.implicits._
-        Dedup.jaccardPairsPrefix(nearDupCorpus(s, d), "doc_id", "text", threshold = 0.5)
+        Dedup.jaccardPairsPrefix(nearDupCorpus(s, d), "doc_id", "text", threshold = 0.8)
           .orderBy($"id_a", $"id_b")
       },
       s"""WITH $nearDupCorpusSql,
@@ -273,7 +275,7 @@ object TextOps {
          |  FROM sized x JOIN sized y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2)
          |SELECT id_a, id_b, CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
          |FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-         |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+         |WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin),
 
     // Asymmetric containment (excerpt detection): mutants are the

@@ -325,6 +325,32 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
 
+  test("prefix filter's win condition: hot boilerplate shingles generate ZERO candidates") {
+    // 60 docs sharing a 30-token boilerplate block + 12 unique tokens
+    // each: pairwise jaccard ≈ 0.45 < 0.8, but every pair shares ~28
+    // shingles — the full inverted-index self-join inspects thousands
+    // of collision pairs that all fail the threshold, while the
+    // rarest-first prefix (the docs' UNIQUE shingles) collides nowhere
+    val boiler = (1 to 30).map(i => s"common$i").mkString(" ")
+    val docs = (1L to 60L).map(i =>
+      (i, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i u${i}j u${i}k u${i}l"))
+      .toDF("doc_id", "text")
+    val (_, cand) = graft.dedup.Dedup.jaccardPrefixCandidates(docs, "doc_id", "text", 0.8)
+    assert(cand.count() == 0, "hot-shingle corpus should produce no prefix candidates")
+    // the full join's collision volume on the same corpus, for contrast
+    val hv = docs.select($"doc_id", explode(array_distinct(
+      graft.functions.TextFns.shingleHashes48(
+        graft.functions.TextFns.tokens($"text"), 3))).as("hv"))
+    val collisions = hv.as("x").join(hv.as("y"),
+      $"x.hv" === $"y.hv" && $"x.doc_id" < $"y.doc_id").count()
+    assert(collisions > 40000L, s"expected heavy collisions, got $collisions")
+    // and the result is still exactly the (empty) threshold pair set
+    assert(graft.dedup.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.8).count() == 0)
+    assert(graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text")
+      .filter($"jaccard" >= 0.8).count() == 0)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("IVF probe search matches brute force within the probed cell; plan broadcasts") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .select($"vec_id", $"embedding")
