@@ -289,8 +289,16 @@ object Dedup {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("id")).orderBy(col("hdf"), col("hv"))))
+    // the pigeonhole bound needs ceil(sz·t) EXACTLY: when sz·t is an
+    // integer k but the double product lands one ulp above it, a bare
+    // ceil yields k+1 and the prefix silently loses one position —
+    // breaking the recall-1 guarantee. Rounding the product to 9
+    // decimals first absorbs the ulp (thresholds are human-scale
+    // constants like 0.8, never precise to 1e-9) so the bound can only
+    // be computed, never tightened by FP noise.
     val prefix = graft.util.CacheScope.pin(ranked
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + lit(1))
+      .filter(col("rn") <=
+        col("sz") - ceil(round(col("sz") * lit(threshold), 9)) + lit(1))
       .select(col("id"), col("hv")))
     val cand = prefix.as("x").join(prefix.as("y").hint("shuffle_hash"),
         col("x.hv") === col("y.hv") && col("x.id") < col("y.id"))

@@ -21,9 +21,13 @@ import graft.functions.TextFns
   *
   * Scale shape: ONE aggregation pass over the corpus, shuffled on the
   * source key (map-side partial aggregation for every counter;
-  * `n_exact_dups`' COUNT(DISTINCT text) is the standard two-phase
-  * distinct — at 100 TB swap the raw text for its 128-bit hash, same
-  * answer, narrower shuffle). The output is |sources| rows.
+  * `n_exact_dups`' distinct runs over the 48-bit text hash — the
+  * two-phase distinct shuffles 8-byte keys instead of full document
+  * bytes, which at 100 TB is the difference between a counter and a
+  * second corpus shuffle; the count is an ESTIMATE that undercounts
+  * one dup per 48-bit collision, negligible below ~2^24 distinct
+  * texts per source and bounded above it). The output is |sources|
+  * rows.
   *
   * Reference analog: none — beyond-parity curation-reporting family.
   */
@@ -31,8 +35,8 @@ object DatasetCard {
 
   /** Assemble the per-source card frame. Output columns (all BIGINT
     * beside the source key): n_docs, n_tokens, n_bytes, n_empty,
-    * n_exact_dups (docs minus distinct texts — the within-source
-    * verbatim-duplicate count), n_lang_en (language-ID heuristic),
+    * n_exact_dups (docs minus distinct text hashes — the
+    * within-source verbatim-duplicate count), n_lang_en (language-ID heuristic),
     * n_urls / n_emails / n_phones / n_docs_with_pii (the
     * `q_pii_report` detector family, emails counted on URL-scrubbed
     * text exactly like the scrubber applies them).
@@ -52,7 +56,7 @@ object DatasetCard {
         sum(TextFns.tokenCount(text).cast("long")).as("n_tokens"),
         sum(octet_length(text).cast("long")).as("n_bytes"),
         sum((trim(text) === "").cast("long")).as("n_empty"),
-        (count(lit(1)) - countDistinct(text)).as("n_exact_dups"),
+        (count(lit(1)) - countDistinct(TextFns.hash48(text))).as("n_exact_dups"),
         sum((TextFns.langPredict(text) === "en").cast("long")).as("n_lang_en"),
         sum(nUrl).as("n_urls"),
         sum(nEmail).as("n_emails"),

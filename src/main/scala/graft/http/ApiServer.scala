@@ -225,21 +225,32 @@ class ApiServer(catalog: RunCatalog, runner: PipelineRunner,
         // reader owns the on-disk contract and fails CLOSED on
         // non-ledger/corrupt directories, so a bad path inside the
         // root answers [] instead of a raw Spark error.
-        val root = java.nio.file.Paths.get(runner.workDir)
-          .toAbsolutePath.normalize
-        val base = java.nio.file.Paths.get(
-          q.get("workDir").getOrElse(runner.workDir)).toAbsolutePath.normalize
-        if (!base.startsWith(root))
-          respond(x, 403, """{"error":"workDir must be under the runner work root"}""")
-        else graft.streaming.StreamingDedupIngest.readLedger(catalog.spark, base.toString) match {
-          case None => respond(x, 200, "[]")
-          case Some(led) =>
-            import org.apache.spark.sql.functions.{col, count, lit}
-            val rows = led
-              .groupBy(col("batch_id"), col("stage"))
-              .agg(count(lit(1)).as("n"))
-              .orderBy(col("batch_id"), col("stage"))
-            respond(x, 200, jsonRows(rows))
+        // confinement resolves SYMLINKS, not just `..` segments
+        // (toRealPath): a link created under the work root that points
+        // outside it would pass a lexical startsWith check and reopen
+        // the arbitrary-directory probe this guard closes. A path that
+        // does not exist cannot hold a ledger — answer [] without
+        // probing anything.
+        def real(p: java.nio.file.Path): Option[java.nio.file.Path] =
+          try Some(p.toRealPath()) catch { case _: java.io.IOException => None }
+        val root = real(java.nio.file.Paths.get(runner.workDir).toAbsolutePath)
+        val base = real(java.nio.file.Paths.get(
+          q.get("workDir").getOrElse(runner.workDir)).toAbsolutePath)
+        (root, base) match {
+          case (_, None) => respond(x, 200, "[]") // nonexistent: no ledger
+          case (r, Some(b)) if r.isEmpty || !b.startsWith(r.get) =>
+            respond(x, 403, """{"error":"workDir must be under the runner work root"}""")
+          case (_, Some(b)) =>
+            graft.streaming.StreamingDedupIngest.readLedger(catalog.spark, b.toString) match {
+              case None => respond(x, 200, "[]")
+              case Some(led) =>
+                import org.apache.spark.sql.functions.{col, count, lit}
+                val rows = led
+                  .groupBy(col("batch_id"), col("stage"))
+                  .agg(count(lit(1)).as("n"))
+                  .orderBy(col("batch_id"), col("stage"))
+                respond(x, 200, jsonRows(rows))
+            }
         }
       case ("POST", List("admin", "sweep-timeouts")) =>
         val swept = catalog.sweepTimeouts(q.get("hours").map(_.toInt).getOrElse(6))

@@ -135,10 +135,16 @@ object Graphs {
     val deg = graft.util.CacheScope.pin(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg")))
     // teleport-target count; assert_true fails loudly on an empty
-    // seed∩node set (integer div by 0 would silently NULL every rank)
+    // teleport set (integer div by 0 would silently NULL every rank).
+    // The aggregate is NULL on an empty/all-dangling edge frame too,
+    // so the message names both causes — the unseeded path hits this
+    // exact guard when the graph itself is empty, and a seeded-only
+    // message would misdirect that caller.
     val nRow = nodes.agg(sum(when(col("is_seed"), 1L).otherwise(0L)).as("n"))
       .filter(assert_true(col("n") > 0L,
-        lit("pageRankMicroSeeded: no seed intersects the graph's nodes")).isNull)
+        lit("pageRankMicro: empty teleport set — the edge frame has no " +
+          "nodes (empty graph), or no seed intersects the graph's nodes " +
+          "(seeded variant)")).isNull)
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("node"), col("is_seed"),
         when(col("is_seed"), expr(s"${RankScale}L div n"))

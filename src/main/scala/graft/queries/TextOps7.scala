@@ -454,11 +454,16 @@ object TextOps7 {
     // correlated gates. DETERMINISTIC tie-broken ranks (row_number
     // over (value, doc_id) — not fractional average ranks; the oracle
     // mirrors the same variant), so sum_d2 = Σ(rank_a − rank_b)² is
-    // an exact BIGINT both engines agree on bit-for-bit; readers form
+    // an exact integer both engines agree on bit-for-bit; readers form
     // ρ = 1 − 6·sum_d2/(n(n²−1)). Ranks via the range-partitioned
-    // global row number (no single-task corpus window); guarded to
-    // n ≤ 2·10⁶ where n³ stays inside int64 (DECIMAL escape hatch
-    // documented, the tokenDrift pattern).
+    // global row number (no single-task corpus window). Σd² runs in
+    // DECIMAL(38,0) (HUGEINT on the oracle side) — Σd² < n³ overflows
+    // int64 already at ~2·10⁶ docs — and lands as the driver-safe
+    // hi/lo BIGINT split (hi = Σd² div 10¹⁸, lo = Σd² mod 10¹⁸; the
+    // graft.operators.Graphs damping-product idiom, NOT a new decimal
+    // output shape — ContractSpec's precedent rule): exact to
+    // n ≤ 4·10¹² docs, guarded loudly there (n³ ≤ 6.4e37 <
+    // DECIMAL(38,0)/HUGEINT range).
     q("q_spearman_signals")(
       (s, d) => {
         import s.implicits._
@@ -471,11 +476,18 @@ object TextOps7 {
         val rb = graft.operators.Ranking.globalRowNumber(
           base.select($"doc_id", $"b"), Seq($"b", $"doc_id"), out = "rank_b")
         ra.join(rb, "doc_id")
+          // d fits BIGINT (|d| < n ≤ 4e12); d² up to 1.6e25 does NOT —
+          // promote ONE factor to DECIMAL(19,0) so the square and the
+          // sum run entirely in DECIMAL(38,0) integer math
           .agg(count(lit(1)).as("n_docs"),
-            sum(($"rank_a" - $"rank_b") * ($"rank_a" - $"rank_b")).as("sum_d2"))
-          .filter(assert_true($"n_docs" <= lit(2000000L),
-            lit("q_spearman_signals: n^3 passes int64 beyond 2e6 docs — " +
-              "compute sum_d2 in DECIMAL(38,0) for corpora this large")).isNull)
+            sum(($"rank_a" - $"rank_b").cast("decimal(19,0)") *
+              ($"rank_a" - $"rank_b")).as("_d2"))
+          .filter(assert_true($"n_docs" <= lit(4000000000000L),
+            lit("q_spearman_signals: n^3 exceeds DECIMAL(38,0) beyond " +
+              "4e12 docs")).isNull)
+          .select($"n_docs",
+            expr("cast(_d2 div 1000000000000000000 as long)").as("sum_d2_hi"),
+            expr("cast(_d2 % 1000000000000000000 as long)").as("sum_d2_lo"))
       },
       """WITH base AS (SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS a,
@@ -483,10 +495,14 @@ object TextOps7 {
         |r AS (SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY a, doc_id) AS BIGINT) AS rank_a,
         |  CAST(row_number() OVER (ORDER BY b, doc_id) AS BIGINT) AS rank_b
-        |  FROM base)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM((rank_a - rank_b) * (rank_a - rank_b)) AS BIGINT) AS sum_d2
-        |FROM r""".stripMargin),
+        |  FROM base),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  SUM(CAST(rank_a - rank_b AS HUGEINT) * (rank_a - rank_b)) AS d2
+        |FROM r)
+        |SELECT n_docs,
+        |  CAST(d2 // 1000000000000000000 AS BIGINT) AS sum_d2_hi,
+        |  CAST(d2 % 1000000000000000000 AS BIGINT) AS sum_d2_lo
+        |FROM s""".stripMargin),
 
     // Exact pairwise VOCABULARY Jaccard between sources — corpus
     // forensics: two sources with near-identical vocabularies are
@@ -617,7 +633,8 @@ object TextOps7 {
         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
         |  CAST(SUM(n_b) AS BIGINT) AS n_bytes,
         |  CAST(SUM(is_empty) AS BIGINT) AS n_empty,
-        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_exact_dups,
+        |  CAST(COUNT(*) - COUNT(DISTINCT CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
+        |    AS BIGINT) AS n_exact_dups,
         |  CAST(SUM(is_en) AS BIGINT) AS n_lang_en,
         |  CAST(SUM(n_urls) AS BIGINT) AS n_urls,
         |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,

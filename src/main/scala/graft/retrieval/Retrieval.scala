@@ -98,6 +98,14 @@ object Retrieval {
     * (BM25 + overlap + fusion, `q_retrieval_metrics`) tokenizes and
     * aggregates the corpus ONCE and derives every ranking from the
     * same pinned frame instead of re-exploding the corpus per system.
+    *
+    * NULL-text docs produce no postings rows and are therefore
+    * excluded from the corpus entirely — they appear in no ranking AND
+    * are absent from the n_docs/avgdl stats [[bm25ScoreMultiOn]]
+    * re-derives from this frame (a corpus with NULL texts scores
+    * slightly differently than one where those docs were counted as
+    * empty; index NULL-free corpora, or coalesce NULLs to '' upstream
+    * if the old stats are required).
     */
   def postingsOf(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {

@@ -472,10 +472,16 @@ object StreamingDedupIngest {
   def readLedger(spark: SparkSession, workDir: String): Option[DataFrame] = {
     val dir = s"$workDir/ledger"
     if (!Files.isDirectory(Paths.get(dir))) None
-    // Try: a caller-supplied directory holding corrupt or non-parquet
-    // content makes the read itself throw — that is "not a ledger",
-    // not an internal error, so it answers None like a schema mismatch
-    else scala.util.Try(spark.read.parquet(dir)).toOption.flatMap { df =>
+    // a caller-supplied directory holding corrupt or non-parquet
+    // content makes schema inference throw AnalysisException /
+    // SparkException — that is "not a ledger", answered None like a
+    // schema mismatch. ONLY those two are swallowed: a genuine IO /
+    // permission / cluster failure propagates instead of masquerading
+    // as an empty ledger.
+    else (try Some(spark.read.parquet(dir)) catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: org.apache.spark.SparkException => None
+    }).flatMap { df =>
       val needed = Set("ledger_batch_id", "doc_id", "stage", "admitted")
       if (!needed.subsetOf(df.columns.toSet)) None
       else Some(df

@@ -195,6 +195,15 @@ class ApiServerSpec extends SparkSpec {
       // paths outside the runner work root are refused, never probed
       val out = get(s"$base/streams/ledger?workDir=/etc")
       assert(out.statusCode() == 403, out.body())
+      // a symlink INSIDE the work root pointing outside it is refused
+      // too: confinement resolves symlinks (toRealPath), not just
+      // `..` segments — a lexical check would follow the link
+      val link = java.nio.file.Paths.get(s"$work/lnk")
+      try {
+        java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get("/etc"))
+        val esc = get(s"$base/streams/ledger?workDir=$work/lnk")
+        assert(esc.statusCode() == 403, esc.body())
+      } finally java.nio.file.Files.deleteIfExists(link)
       // catalog rollup: the ingest funnel serves through the SAME
       // GET /runs/:id surface as batch step rows
       val runId = ingest.recordToCatalog(catalog).get

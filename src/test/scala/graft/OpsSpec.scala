@@ -322,4 +322,30 @@ class OpsSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> ((x.getLong(3), x.getLong(4)))).toMap
     assert(r2 == Map("X" -> ((0L, 5L)), "Y" -> ((0L, 5L))), r2.toString)
   }
+
+  test("spearman Σd² survives past the old 2e6-doc int64 guard (DECIMAL escape)") {
+    import org.apache.spark.sql.functions._
+    // n = 2,000,001 docs with fully REVERSED ranks — the worst case:
+    // Σd² = n(n²−1)/3 ≈ 2.67e18, already unrepresentable as a naive
+    // int64 partial beyond ~2e6 docs in general position (r17's guard
+    // refused here). The DECIMAL(38,0) path must produce the closed
+    // form exactly, split into hi/lo BIGINTs.
+    val n = 2000001L
+    spark.range(n).selectExpr("id AS doc_id", "id AS rank_a",
+        s"$n - 1 - id AS rank_b")
+      .createOrReplaceTempView("_sp_ranks")
+    val r = spark.sql(
+      """SELECT n_docs,
+        |  cast(_d2 div 1000000000000000000 as long) AS hi,
+        |  cast(_d2 % 1000000000000000000 as long) AS lo
+        |FROM (SELECT count(*) AS n_docs,
+        |        sum(cast(rank_a - rank_b as decimal(19,0)) *
+        |          (rank_a - rank_b)) AS _d2
+        |      FROM _sp_ranks)""".stripMargin).collect()
+    val expect = (BigInt(n) * (BigInt(n) * n - 1)) / 3
+    assert(r.length == 1)
+    assert(BigInt(r(0).getLong(1)) * BigInt("1000000000000000000")
+      + r(0).getLong(2) == expect,
+      s"hi/lo recombination != n(n²−1)/3: ${r(0)}")
+  }
 }

@@ -363,6 +363,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dataset card distinct runs over the 48-bit text hash, not full text bytes") {
+    // the two-phase COUNT(DISTINCT) shuffles its distinct key at the
+    // (source, key) grain — at 100 TB that key must be the 8-byte
+    // hash48, never the document itself (r17 verdict finding #3)
+    val p = SparkEntry.queries("q_dataset_card")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString
+    val distinctExpr = p.linesIterator.find(_.contains("count(distinct"))
+      .getOrElse(fail("q_dataset_card lost its distinct aggregate"))
+    assert(distinctExpr.contains("md5"),
+      s"n_exact_dups distinct key is not the md5-derived hash48: $distinctExpr")
+  }
+
   test("vector audits sample to an ABSOLUTE cap, not a rate (r16 perf-weak fix)") {
     // The pair join in q_class_separation and the query fan-out in
     // q_knn_classify must stay bounded as the corpus grows: a
