@@ -114,14 +114,76 @@ object Graphs {
                           seedCol: String = "node"): DataFrame =
     pageRankCore(edges, iters, dampingMicro, srcCol, dstCol, Some(seeds), seedCol)
 
+  /** WEIGHTED-edge [[pageRankMicro]] — real link/co-occurrence graphs
+    * carry multiplicities (shared hours, anchor counts, co-purchase
+    * counts), and an unweighted walk throws that evidence away. Each
+    * edge's contribution is `rank·w div Σw_out(src)` (the per-source
+    * weight total replacing the out-degree): the product runs in
+    * DECIMAL(38,0) — rank ≤ 1e12 times an int64 weight overflows
+    * int64 — and `div` floors it back to BIGINT, the same
+    * exact-arithmetic contract as the damping product, so weighted
+    * ranks keep the bit-identical-across-engines/shuffle-orders
+    * property the SQL oracle depends on. Uniform weights reproduce
+    * [[pageRankMicro]] EXACTLY (`rank·1 div Σ1 = rank div out_deg` —
+    * pinned by spec). Weights must be positive integers (asserted
+    * in-plan, per edge); same per-iteration cost and skew behavior as
+    * the unweighted core.
+    *
+    * Output: (node, rank_micro, w_out) — `w_out` the node's total
+    * outgoing weight (0 for dangling nodes).
+    */
+  def pageRankMicroWeighted(edges: DataFrame, iters: Int = 5,
+                            dampingMicro: Long = 850000000000L,
+                            srcCol: String = "src", dstCol: String = "dst",
+                            weightCol: String = "w"): DataFrame =
+    pageRankCore(edges, iters, dampingMicro, srcCol, dstCol, seeds = None,
+      "node", weight = Some(weightCol))
+
+  /** Per-iteration convergence report for the PageRank family — the
+    * frame that tells a user whether `iters` was enough instead of
+    * leaving them to guess: one row per iteration with the max
+    * absolute rank change and how many nodes moved at all. Runs the
+    * same integer-exact loop (optionally weighted / seeded) and adds
+    * ONE node-keyed join + 1-row aggregate per iteration over the
+    * already-checkpointed rank frames — the report costs one extra agg
+    * per round, never a second PageRank.
+    *
+    * Output: (iter 1-based, max_delta_micro, n_changed) — a converged
+    * walk shows max_delta_micro collapsing toward 0; readers pick the
+    * first iteration under their tolerance.
+    */
+  def pageRankConvergence(edges: DataFrame, iters: Int = 5,
+                          dampingMicro: Long = 850000000000L,
+                          srcCol: String = "src", dstCol: String = "dst",
+                          weightCol: Option[String] = None,
+                          seeds: Option[DataFrame] = None,
+                          seedCol: String = "node"): DataFrame = {
+    val sink = scala.collection.mutable.Buffer.empty[DataFrame]
+    // the returned rank frame is discarded — the checkpointed
+    // per-iteration frames the sink captured are what the report reads
+    pageRankCore(edges, iters, dampingMicro, srcCol, dstCol, seeds, seedCol,
+      weight = weightCol, deltaSink = Some(sink))
+    sink.reduce(_ unionByName _).orderBy(col("iter"))
+  }
+
   private def pageRankCore(edges: DataFrame, iters: Int, dampingMicro: Long,
                            srcCol: String, dstCol: String,
-                           seeds: Option[DataFrame], seedCol: String): DataFrame = {
+                           seeds: Option[DataFrame], seedCol: String,
+                           weight: Option[String] = None,
+                           deltaSink: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     require(iters >= 1, s"pageRankMicro needs iters >= 1, got $iters")
     require(dampingMicro >= 0L && dampingMicro <= RankScale,
       s"dampingMicro must be in [0, $RankScale], got $dampingMicro")
-    val e = graft.util.CacheScope.pin(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val e = graft.util.CacheScope.pin(weight match {
+      // a zero/negative weight would silently zero (or sign-flip) the
+      // floored contribution — refuse loudly, per edge, in-plan
+      case Some(wc) => edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(wc).cast("long").as("w"))
+        .filter(assert_true(col("w") > 0L,
+          lit("pageRankMicroWeighted: edge weights must be positive integers")).isNull)
+      case None => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    })
     val allNodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     // is_seed rides the node frame; uniform mode marks every node
@@ -132,8 +194,13 @@ object Graphs {
         Seq("node"), "left").na.fill(false, Seq("is_seed"))
       case None => allNodes.withColumn("is_seed", lit(true))
     })
-    val deg = graft.util.CacheScope.pin(
-      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg")))
+    // unweighted: out-degree; weighted: Σw_out per source (the
+    // contribution denominator either way)
+    val deg = graft.util.CacheScope.pin(weight match {
+      case Some(_) => e.groupBy(col("src").as("node"))
+        .agg(sum(col("w")).as("w_out"))
+      case None => e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
+    })
     // teleport-target count; assert_true fails loudly on an empty
     // teleport set (integer div by 0 would silently NULL every rank).
     // The aggregate is NULL on an empty/all-dangling edge frame too,
@@ -150,11 +217,20 @@ object Graphs {
         when(col("is_seed"), expr(s"${RankScale}L div n"))
           .otherwise(0L).as("rank_micro"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // per-edge contribution: rank div out_deg, or (weighted)
+    // rank·w div Σw_out — rank ≤ Scale times an int64 weight needs
+    // DECIMAL(38,0); `div` floors back to BIGINT, exact either way
+    val contribExpr = weight match {
+      case Some(_) =>
+        sum(expr("cast(rank_micro as decimal(38,0)) * w div w_out").cast("long")).as("s")
+      case None => sum(expr("rank_micro div out_deg")).as("s")
+    }
+    for (it <- 1 to iters) {
+      val prev = ranks
       val contrib = ranks.join(deg, "node") // dangling nodes contribute nothing
         .join(e, col("node") === col("src"))
         .groupBy(col("dst"))
-        .agg(sum(expr("rank_micro div out_deg")).as("s"))
+        .agg(contribExpr)
         .select(col("dst").as("node"), col("s"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .na.fill(0L, Seq("s"))
@@ -169,9 +245,20 @@ object Graphs {
             expr(s"cast(s as decimal(38,0)) * ${dampingMicro}L div ${RankScale}L")
               .cast("long")).as("rank_micro"))
         .localCheckpoint()
+      // convergence row: one node-keyed join + 1-row agg over the two
+      // CHECKPOINTED frames — cheap, and lazy consumers re-read the
+      // checkpoints, never re-run the walk
+      deltaSink.foreach { sink =>
+        sink += ranks.select(col("node"), col("rank_micro").as("_r_new"))
+          .join(prev.select(col("node"), col("rank_micro").as("_r_old")), Seq("node"))
+          .agg(max(abs(col("_r_new") - col("_r_old"))).as("max_delta_micro"),
+            sum(when(col("_r_new") =!= col("_r_old"), 1L).otherwise(0L)).as("n_changed"))
+          .select(lit(it.toLong).as("iter"), col("max_delta_micro"), col("n_changed"))
+      }
     }
+    val degName = if (weight.isDefined) "w_out" else "out_deg"
     ranks.join(deg, Seq("node"), "left")
-      .na.fill(0L, Seq("out_deg"))
-      .select(col("node"), col("rank_micro"), col("out_deg"))
+      .na.fill(0L, Seq(degName))
+      .select(col("node"), col("rank_micro"), col(degName))
   }
 }

@@ -206,6 +206,50 @@ object Temporal {
       graft.operators.Graphs.pageRankMicroSeeded(edges, seeds, iters = 5)
         .orderBy($"node")
     }),
+    // WEIGHTED PageRank over the same co-purchase graph — the edge
+    // weight is the co-occurrence count (shared purchase hours), so
+    // repeat co-activity carries proportionally more rank than a
+    // one-off: contribution = rank·w div Σw_out in DECIMAL(38,0),
+    // floored back to BIGINT — same integer exactness, so the 5
+    // unrolled oracle iterations reproduce it bit-for-bit. See
+    // [[graft.operators.Graphs.pageRankMicroWeighted]].
+    "q_pagerank_weighted" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "events")
+        .filter($"event_type" === "purchase" && $"user_id" % 7 === 0)
+        .select(expr("(unix_micros(ts) + 15778800000000000) div 3600000000").as("h"),
+          $"user_id")
+        .distinct()
+      val und = p.as("x").join(p.as("y"),
+          $"x.h" === $"y.h" && $"x.user_id" < $"y.user_id")
+        .groupBy($"x.user_id".as("src"), $"y.user_id".as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = und.unionByName(und.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      graft.operators.Graphs.pageRankMicroWeighted(edges, iters = 5)
+        .orderBy($"node")
+    }),
+    // Convergence report for the weighted walk — per iteration, the
+    // max absolute rank change and how many nodes moved: the frame
+    // that says whether iters was enough instead of leaving the user
+    // to guess. One extra node-keyed 1-row aggregate per iteration
+    // over the already-checkpointed rank frames. Integer-exact, so
+    // the unrolled oracle reproduces every delta bit-for-bit.
+    "q_pagerank_converge" -> ((s, d) => {
+      import s.implicits._
+      val p = t(s, d, "events")
+        .filter($"event_type" === "purchase" && $"user_id" % 7 === 0)
+        .select(expr("(unix_micros(ts) + 15778800000000000) div 3600000000").as("h"),
+          $"user_id")
+        .distinct()
+      val und = p.as("x").join(p.as("y"),
+          $"x.h" === $"y.h" && $"x.user_id" < $"y.user_id")
+        .groupBy($"x.user_id".as("src"), $"y.user_id".as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = und.unionByName(und.select($"dst".as("src"), $"src".as("dst"), $"w"))
+      graft.operators.Graphs.pageRankConvergence(edges, iters = 5,
+          weightCol = Some("w"))
+        .orderBy($"iter")
+    }),
     // SCD Type-2 history assembly: collapse each user's event-type
     // stream into validity intervals — keep only CHANGE rows
     // (lag(state) differs), then valid_to = the next change's
@@ -269,6 +313,41 @@ object Temporal {
         .orderBy($"event_type", $"day")
     })
   )
+
+  // Shared CTE prelude of the two weighted-PageRank oracles: the
+  // co-purchase graph with co-occurrence-count weights, 5 unrolled
+  // integer iterations (MATERIALIZED per step — the q_bpe_merges
+  // inline-blowup lesson). HUGEINT carries both the per-edge rank·w
+  // product and the damping product (each overflows int64); `//`
+  // floors them back — identical to Spark's `div` on these
+  // nonnegative operands.
+  private val weightedPrankCtes: String = {
+    val iter = (1 to 5).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+         |  CAST(SUM(CAST(r.rank_micro AS HUGEINT) * e.w // d.w_out) AS BIGINT) AS s
+         |  FROM r${k - 1} r JOIN wdeg d ON d.node = r.node
+         |  JOIN e ON e.src = r.node GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT n0.node,
+         |  CAST((1000000000000 - 850000000000) // nn.n
+         |    + CAST(COALESCE(c.s, 0) AS HUGEINT) * 850000000000 // 1000000000000
+         |    AS BIGINT) AS rank_micro
+         |  FROM nodes n0 LEFT JOIN c$k c ON c.node = n0.node CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT DISTINCT
+       |  (epoch_us(ts) + 15778800000000000) // 3600000000 AS h, user_id
+       |  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0),
+       |ud AS (SELECT a.user_id AS a, b.user_id AS b, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM p a JOIN p b ON b.h = a.h AND a.user_id < b.user_id GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ud
+       |  UNION ALL SELECT b, a, w FROM ud),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |wdeg AS MATERIALIZED (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS w_out
+       |  FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node,
+       |  CAST(1000000000000 // nn.n AS BIGINT) AS rank_micro FROM nodes, nn),
+       |$iter""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_asof_join" ->
@@ -448,6 +527,26 @@ object Temporal {
          |  COALESCE(deg.out_deg, CAST(0 AS BIGINT)) AS out_deg
          |FROM r5 LEFT JOIN deg ON deg.node = r5.node
          |ORDER BY r5.node""".stripMargin
+    },
+    "q_pagerank_weighted" -> {
+      s"""$weightedPrankCtes
+         |SELECT r5.node AS node, r5.rank_micro,
+         |  COALESCE(wdeg.w_out, CAST(0 AS BIGINT)) AS w_out
+         |FROM r5 LEFT JOIN wdeg ON wdeg.node = r5.node
+         |ORDER BY r5.node""".stripMargin
+    },
+    "q_pagerank_converge" -> {
+      val deltas = (1 to 5).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS iter,
+           |  CAST(MAX(ABS(a.rank_micro - b.rank_micro)) AS BIGINT) AS max_delta_micro,
+           |  CAST(SUM(CASE WHEN a.rank_micro <> b.rank_micro THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_changed
+           |FROM r$k a JOIN r${k - 1} b ON b.node = a.node""".stripMargin
+      }.mkString(" UNION ALL\n")
+      s"""$weightedPrankCtes
+         |SELECT * FROM (
+         |$deltas
+         |) ORDER BY iter""".stripMargin
     },
     "q_scd2" ->
       """WITH seq AS (SELECT user_id, ts, event_id, event_type AS state,

@@ -272,6 +272,50 @@ class SamplingFusionSpec extends SparkSpec {
     }
   }
 
+  test("pageRankMicroWeighted: uniform == unweighted; hand ranks; convergence rows") {
+    import graft.operators.Graphs
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    // uniform weights reproduce the unweighted walk EXACTLY:
+    // rank·1 div Σ1 = rank div out_deg, every iteration
+    val un = Graphs.pageRankMicro(edges, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val wu = Graphs.pageRankMicroWeighted(
+        edges.withColumn("w", lit(1L)), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(wu == un, s"uniform-weight ranks diverged: $wu vs $un")
+
+    // hand-computed weighted case: 1→2 (w=3), 1→3 (w=1), 2→1 (w=2);
+    // Σw_out(1)=4, Σw_out(2)=2, node 3 dangling. r0 = 333333333333.
+    // iter1 inflows: s(2)=r0·3 div 4=249999999999, s(3)=r0 div 4=
+    // 83333333333, s(1)=r0·2 div 2=333333333333; base=50000000000:
+    // r1(1)=333333333333, r1(2)=262499999999, r1(3)=120833333333
+    val we = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 2L)).toDF("src", "dst", "w")
+    val r = Graphs.pageRankMicroWeighted(we, iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      1L -> ((333333333333L, 4L)),
+      2L -> ((262499999999L, 2L)),
+      3L -> ((120833333333L, 0L))), r.toString)
+
+    // convergence report on the same walk: iter1 deltas are the
+    // hand values above (|Δ|max = 333333333333-120833333333 at node 3
+    // = 212500000000; nodes 2 and 3 moved, node 1 landed unchanged)
+    val conv = Graphs.pageRankConvergence(we, iters = 1, weightCol = Some("w"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(conv.toSeq == Seq((1L, 212500000000L, 2L)), conv.mkString(","))
+    // damping 0: every node sits at the uniform base from r0 on —
+    // the report shows an already-converged walk (all-zero rows)
+    val conv0 = Graphs.pageRankConvergence(edges, iters = 2, dampingMicro = 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(conv0.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L)), conv0.mkString(","))
+
+    // zero/negative weights are refused loudly, never sign-flipped
+    intercept[Exception] {
+      Graphs.pageRankMicroWeighted(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), iters = 1).collect()
+    }
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
