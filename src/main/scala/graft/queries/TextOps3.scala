@@ -23,6 +23,16 @@ object TextOps3 {
                               sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
     name -> ((fn, sql))
 
+  // the repo-wide round-6 cosine contract (VectorOps' template) — the
+  // dense system of q_retrieval_metrics re-derives the SQ8 probe
+  private val cosineSqlBody =
+    """list_sum(list_transform(generate_series(1, len(@B@)), i -> CAST(@A@[i] AS DOUBLE) * CAST(@B@[i] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(@A@, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(@B@, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"round(${cosineSqlBody.replace("@A@", a).replace("@B@", b)}, 6)"
+
   private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
 
     // Per-source document cap — domain balancing: keep the first 10
@@ -500,9 +510,20 @@ object TextOps3 {
     // covering the fused path too: BM25
     // ([[graft.retrieval.Retrieval.bm25ScoreMulti]]), a term-overlap
     // ranking (integer counts — the second signal hybrid search
-    // fuses), and their RRF fusion
+    // fuses), their RRF fusion
     // ([[graft.retrieval.Retrieval.rrfFuseBy]] on the (query, doc)
-    // composite key). Metrics are integer micro-unit sums
+    // composite key), and the production DENSE path
+    // ([[graft.sim.Similarity.ivfSq8TopK]], nprobe=2 over the
+    // q_ivf_sq8_topk cell structure): the query doc's own embedding
+    // probes the quantized index WITHOUT self-exclusion (query ids
+    // ride offset by 1e9 so the probe's q≠d filter never drops the
+    // known item), so its hits@/MRR/nDCG row reports ANN
+    // SELF-RETRIEVAL recall — a probe that misses the item's cell, or
+    // a code-cosine tie resolved to a lower id, scores a miss, which
+    // is exactly the exact-vs-ANN trade a retrieval stack tunes on
+    // (the metric twin of q_ivf_tuning's scan-cost frontier). Queries
+    // whose embedding quantizes to NULL (NaN) rank nothing and count
+    // as misses. Metrics are integer micro-unit sums
     // ([[graft.retrieval.Retrieval.knownItemMetrics]]): rr_micro =
     // floor(1e6/rank + 0.5) (one exact IEEE division), ndcg_micro via
     // the round-9 log contract — order-independent BIGINT sums, no
@@ -537,28 +558,40 @@ object TextOps3 {
         val rrfTop = R.rrfFuseBy(Seq(bmTop, ovTop), Seq("query_id", "doc_id"))
           .withColumn("rank", row_number().over(wF)).filter($"rank" <= 10)
           .select($"query_id", $"doc_id", $"rank")
+        // dense: the query doc's embedding (ids aligned doc_id ==
+        // vec_id) probes the SQ8 IVF index; the +1e9 id offset defeats
+        // the probe's self-exclusion so the known item is findable
+        val emb = t(s, d, "embeddings")
+        val denseQ = emb.join(queries.select($"query_id"),
+            $"vec_id" === $"query_id")
+          .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+        val denseTop = graft.sim.Similarity.ivfSq8TopK(denseQ, emb,
+            emb.filter($"vec_id" < 8), "vec_id", "embedding", 10, nprobe = 2)
+          .select(($"q_id" - 1000000000L).as("query_id"),
+            $"id".as("doc_id"), $"rn".as("rank"))
         val ranked = bmTop.withColumn("system", lit("bm25"))
           .unionByName(ovTop.withColumn("system", lit("overlap")))
           .unionByName(rrfTop.withColumn("system", lit("rrf")))
+          .unionByName(denseTop.withColumn("system", lit("dense")))
         val nq = queries.agg(count(lit(1)).as("n_queries"))
         R.knownItemMetrics(ranked, nq).orderBy($"system")
       },
-      """WITH base AS (SELECT doc_id, text FROM documents),
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
         |qs AS (SELECT doc_id AS query_id,
-        |  (string_split_regex(trim(text), '\s+'))[2:4] AS terms
+        |  (string_split_regex(trim(text), '\\s+'))[2:4] AS terms
         |  FROM base WHERE doc_id % 40 = 0
-        |  AND len(string_split_regex(trim(text), '\s+')) >= 4),
+        |  AND len(string_split_regex(trim(text), '\\s+')) >= 4),
         |qt AS (SELECT query_id, lower(t) AS term, CAST(COUNT(*) AS DOUBLE) AS qtf
         |  FROM (SELECT query_id, unnest(terms) AS t FROM qs) GROUP BY 1, 2),
         |tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
-        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS len_d
+        |  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS len_d
         |  FROM base),
         |post AS MATERIALIZED (SELECT doc_id, term, len_d,
         |  CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2, 3),
         |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
         |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |  SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)) AS sum_len
+        |  SUM(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE)) AS sum_len
         |  FROM base),
         |contrib AS (SELECT qt.query_id, p.doc_id,
         |  round(qt.qtf * ((c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
@@ -593,9 +626,40 @@ object TextOps3 {
         |  SELECT query_id, doc_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
         |  FROM fused0) WHERE rank <= 10),
+        |-- dense: the q_ivf_sq8_topk cell/quantization CTEs, query set =
+        |-- the known-item queries' own embeddings, NO self-exclusion
+        |dz AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |dcs AS MATERIALIZED (SELECT e.vec_id, z.cell,
+        |  ${cosineSql("e.embedding", "z.cv")} AS c_sim
+        |  FROM embeddings e, dz z),
+        |dcells AS (SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn
+        |  FROM dcs) WHERE arn = 1),
+        |dqc AS (SELECT vec_id AS q_id, cell FROM (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn
+        |  FROM dcs WHERE vec_id IN (SELECT query_id FROM qs)) WHERE arn <= 2),
+        |denc AS MATERIALIZED (
+        |  SELECT vec_id, CASE WHEN m = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)) END AS codes
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |        FROM embeddings
+        |        WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0)),
+        |dsims AS (SELECT dqc.q_id, c.vec_id, ${cosineSql("qe.codes", "ce.codes")} AS sim
+        |  FROM dqc JOIN dcells c ON c.cell = dqc.cell
+        |  JOIN denc ce ON ce.vec_id = c.vec_id
+        |  JOIN denc qe ON qe.vec_id = dqc.q_id),
+        |dense AS MATERIALIZED (SELECT q_id AS query_id, vec_id AS doc_id, rank FROM (
+        |  SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM dsims) WHERE rank <= 10),
         |ranked AS (SELECT 'bm25' AS system, query_id, doc_id, rank FROM bm
         |  UNION ALL SELECT 'overlap', query_id, doc_id, rank FROM ov
-        |  UNION ALL SELECT 'rrf', query_id, doc_id, rank FROM fused),
+        |  UNION ALL SELECT 'rrf', query_id, doc_id, rank FROM fused
+        |  UNION ALL SELECT 'dense', query_id, doc_id, rank FROM dense),
         |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs),
         |hits AS (SELECT system, CAST(COUNT(*) AS BIGINT) AS n_hits,
         |  CAST(SUM(CAST(floor(CAST(1000000.0 AS DOUBLE) / CAST(rank AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_rr_micro,

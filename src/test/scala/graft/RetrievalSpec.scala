@@ -167,4 +167,32 @@ class RetrievalSpec extends SparkSpec {
     assert(m("B") == ((3L, 1L, 500000L, 630930L)))
     assert(m.size == 2)
   }
+
+  test("dense known-item system: the +1e9 id offset defeats the probe's self-exclusion") {
+    // the q_retrieval_metrics dense system rides ivfSq8TopK, whose
+    // probe filters q_id =!= id — a query that IS a corpus row would
+    // never find itself. Offsetting the query id makes the known item
+    // findable; the raw id hides it. Hand graph: centroids (1,0)/(0,1);
+    // query = vector 2 = (0.6, 0.8) → cell of centroid 1 = {1, 2};
+    // codes (95,127) vs (0,127) → self at code-cosine 1.0, rank 1.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = emb.filter($"vec_id" < 2)
+    val qOff = emb.filter($"vec_id" === 2L)
+      .select(($"vec_id" + 1000000000L).as("vec_id"), $"embedding")
+    val top = graft.sim.Similarity.ivfSq8TopK(qOff, emb, cents,
+        "vec_id", "embedding", 2, nprobe = 1)
+      .orderBy("rn")
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(top.toSeq == Seq((2L, 1), (1L, 2)), top.mkString(","))
+    // same query under its RAW id: the self item is invisible
+    val raw = graft.sim.Similarity.ivfSq8TopK(emb.filter($"vec_id" === 2L),
+        emb, cents, "vec_id", "embedding", 2, nprobe = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(!raw.contains(2L), raw.toString)
+  }
 }
