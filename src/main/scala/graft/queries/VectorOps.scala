@@ -205,6 +205,59 @@ object VectorOps {
          |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin),
 
+    // Probe over the PERSISTENT vector index store — the same ANN
+    // search as q_ivf_sq8_topk, but against materialized state: the
+    // store is built incrementally (create from the even half of the
+    // corpus, add the odd half as a second batch — exercising the
+    // incremental-add path), then probed. The store materializes the
+    // q_ivf_sq8_topk cell assignment + SQ8 codes as cell-partitioned
+    // parquet, so the probe reads O(nprobe) cell directories instead
+    // of re-deriving the index from the raw corpus (the gap between
+    // "ANN operators" and "an ANN index"). The oracle is IDENTICAL to
+    // q_ivf_sq8_topk's — probe-over-store == ivfSq8TopK-over-corpus is
+    // exactly the store's correctness contract (also spec-pinned as
+    // frame equality in VectorIndexSpec).
+    q("q_ivf_index_probe")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        val dir = java.nio.file.Files.createTempDirectory("graft_vec_index")
+        val store = new graft.sim.VectorIndexStore(s, dir.toString)
+        store.create(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" < 8),
+          "vec_id", "embedding")
+        store.add(1L, e.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+        store.probe(e.filter($"vec_id" < 5), "vec_id", "embedding", 3, nprobe = 2)
+          .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
+          .orderBy($"q_id", $"rn")
+      },
+      s"""WITH z AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |cs AS (SELECT e.vec_id, z.cell, ${cosineSql("e.embedding", "z.cv")} AS c_sim
+         |  FROM embeddings e, z),
+         |cells AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn FROM cs)
+         |  WHERE arn = 1),
+         |qc AS (SELECT vec_id AS q_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn
+         |  FROM cs WHERE vec_id < 5) WHERE arn <= 2),
+         |enc AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN m = 0
+         |      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |      ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)) END AS codes
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM embeddings
+         |        WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0)),
+         |sims AS (SELECT qc.q_id, c.vec_id, ${cosineSql("qe.codes", "ce.codes")} AS sim
+         |  FROM qc JOIN cells c ON c.cell = qc.cell AND c.vec_id <> qc.q_id
+         |  JOIN enc ce ON ce.vec_id = c.vec_id
+         |  JOIN enc qe ON qe.vec_id = qc.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+         |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin),
+
     // IVF tuning frontier — the ANN twin of q_lsh_tuning: the SAME
     // corpus, cells, and brute-force ground truth swept over nprobe ∈
     // {1,2,4,8}, one row of exact counts per setting. n_scanned (the

@@ -53,7 +53,7 @@ object Similarity {
     * `keep` > 1 assigns the row to its `keep` nearest cells (the
     * query-side multi-probe of IVF).
     */
-  private def assignCells(df: DataFrame, centroids: DataFrame,
+  private[graft] def assignCells(df: DataFrame, centroids: DataFrame,
                           idCol: String, vecCol: String,
                           outId: String, outVec: String,
                           keep: Int = 1): DataFrame = {

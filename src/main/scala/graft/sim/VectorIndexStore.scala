@@ -1,0 +1,222 @@
+package graft.sim
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Persistent, incrementally-maintained IVF/SQ8 vector index — the
+  * embedding twin of the text side's persistent gram/band indexes
+  * ([[graft.dedup.Dedup.gramIndex]] /
+  * [[graft.streaming.StreamingDedupIngest]]'s stores): before this,
+  * every ANN query re-derived cell assignment and quantization from
+  * the raw corpus; the store materializes both ONCE and lets probes,
+  * incremental adds, and streaming gates run against the index alone.
+  *
+  * On-disk layout (all parquet):
+  *
+  *   dir/centroids/                 (cell, vec fp32) — fixed at create
+  *   dir/codes/batch_id=<n>/cell=<c>/…  (id, codes ARRAY<TINYINT>)
+  *
+  * The codes store follows the streaming stores' segment contract:
+  * one leaf per add-batch (`batch_id=<n>`, n ≥ 0) so a REPLAYED batch
+  * overwrites its own leaf — idempotent under restart; [[compact]]
+  * folds old leaves into a consolidated negative segment via the
+  * crash-atomic temp-dir + ATOMIC_MOVE + delete-after sequence (every
+  * crash point leaves a complete superset; readers dedup by id).
+  * Leaves are partitioned by `cell`, so a probe's `cell IN (…)`
+  * filter prunes at the DIRECTORY level — a probe reads O(nprobe)
+  * cell dirs per segment, never the index ([[probe]]'s plan is
+  * PlanShapeSpec-pinned on the files-read metric).
+  *
+  * Quantization and assignment reuse the [[Similarity]] contracts
+  * exactly: cells assigned ONCE on the fp32 vectors (ties → lower
+  * cell id), codes via [[Similarity.sq8Encode]] (every step a
+  * correctly-rounded IEEE op; NaN vectors quantize to NULL and are
+  * excluded), probe ranking = int8-code cosine — so a probe over a
+  * store holding exactly a corpus EQUALS [[Similarity.ivfSq8TopK]]
+  * over that corpus (the `q_ivf_index_probe` oracle contract).
+  *
+  * 100 TB shape: `create`/`add` are one broadcast-centroid assignment
+  * + one partitioned write per batch (no corpus shuffle); `probe`
+  * reads nprobe·|queries| cell directories of int8 codes (4× smaller
+  * than fp32) and broadcasts the query side; `compact` is the only
+  * whole-store pass and runs at an operator-chosen cadence.
+  *
+  * Reference analog: none — beyond-parity ANN-index family.
+  */
+class VectorIndexStore(spark: SparkSession, dir: String,
+                       segmentFiles: Int = 4) {
+
+  private val centroidsDir = s"$dir/centroids"
+  private val codesDir = s"$dir/codes"
+
+  /** True once [[init]]/[[create]] has published the centroid frame. */
+  def exists: Boolean = Files.isDirectory(Paths.get(centroidsDir))
+
+  /** Fix the store's cell structure: persist `centroids` (any frame
+    * with `idCol`/`vecCol`) as the immutable (cell, vec) frame every
+    * add and probe assigns against. Refuses to re-init an existing
+    * store — the cell structure is the index; changing it silently
+    * would orphan every written code leaf (rebuild into a new dir
+    * instead).
+    */
+  def init(centroids: DataFrame, idCol: String, vecCol: String): Unit = {
+    require(!exists, s"VectorIndexStore at $dir already initialized — " +
+      "the cell structure is immutable; build a new store to re-cluster")
+    centroids.select(col(idCol).as("cell"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(centroidsDir)
+  }
+
+  /** [[init]] + first batch: materialize `corpus`'s cell assignment
+    * and SQ8 codes as leaf `batch_id=0`.
+    */
+  def create(corpus: DataFrame, centroids: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    init(centroids, idCol, vecCol)
+    add(0L, corpus, idCol, vecCol)
+  }
+
+  /** The stored (cell, vec) centroid frame. */
+  def centroidsFrame(): DataFrame = {
+    require(exists, s"no VectorIndexStore at $dir")
+    spark.read.parquet(centroidsDir)
+  }
+
+  /** Incrementally index a batch: assign `vectors` to the EXISTING
+    * centroids (broadcast, map-only — the corpus already indexed is
+    * read zero times), quantize, and write leaf `batch_id=<batchId>`
+    * partitioned by cell. Overwrites its own leaf only, so replaying
+    * a batch (streaming restart, retried job) is idempotent. NaN
+    * vectors quantize to NULL codes and are excluded — the
+    * [[Similarity.sq8TopK]] contract.
+    */
+  def add(batchId: Long, vectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    require(batchId >= 0, s"add: batchId must be >= 0 (negative ids are " +
+      s"compaction segments), got $batchId")
+    val cents = centroidsFrame()
+      .select(col("cell").as(idCol), col("vec").as(vecCol))
+    val cells = Similarity.ivfCells(vectors, cents, idCol, vecCol)
+      .select(col("id"), col("cell"))
+    val codes = Similarity.sq8Encode(vectors, idCol, vecCol)
+      .select(col(idCol).as("id"), col("sq8_codes").as("codes"))
+      .filter(col("codes").isNotNull)
+    cells.join(codes, "id")
+      .select(col("id"), col("codes"), col("cell"))
+      .coalesce(segmentFiles)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$codesDir/batch_id=$batchId")
+  }
+
+  /** The indexed (id, cell, codes) frame — deduped by id for the
+    * crash-mid-compaction superset window, like the streaming stores'
+    * readers.
+    */
+  def codes(): DataFrame = {
+    require(exists, s"no VectorIndexStore at $dir")
+    spark.read.parquet(codesDir)
+      .select(col("id"), col("cell"), col("codes"))
+      .dropDuplicates("id")
+  }
+
+  /** Top-k code-cosine neighbors of each query, scanning ONLY the
+    * nprobe matched cells' directories: query-side cell assignment
+    * runs on the fp32 vectors against the stored centroids (the tiny
+    * query frame broadcasts), the ≤ |queries|·nprobe probe-cell ids
+    * are collected driver-side (control-grain — they become the
+    * partition-pruning `cell IN (…)` literal on the codes scan), and
+    * ranking compares SQ8 code cosines. Over a store holding exactly
+    * a corpus this EQUALS [[Similarity.ivfSq8TopK]] on that corpus.
+    *
+    * `excludeSelf` (default true, the ANN-query contract) drops
+    * candidates whose id equals the query id; a near-dup GATE probes
+    * with `excludeSelf = false` so a re-sent id still matches its own
+    * admitted twin.
+    */
+  def probe(queries: DataFrame, idCol: String, vecCol: String,
+            k: Int, nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = centroidsFrame()
+      .select(col("cell").as(idCol), col("vec").as(vecCol))
+    val qc = Similarity.assignCells(queries, cents, idCol, vecCol,
+      "q_id", "q_vec", keep = nprobe).select(col("q_id"), col("cell"))
+    val qCodes = Similarity.sq8Encode(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("sq8_codes").cast("array<float>").as("qvec"))
+      .filter(col("qvec").isNotNull)
+    val qSide = graft.util.CacheScope.pin(qc.join(qCodes, "q_id"))
+    // control-grain collect: ≤ |queries|·nprobe cell ids, never rows
+    val probeCells = qSide.select(col("cell")).distinct().collect()
+      .map(_.get(0)).toIndexedSeq
+    val idx = spark.read.parquet(codesDir)
+      .filter(col("cell").isin(probeCells: _*)) // directory-level pruning
+      .dropDuplicates("id")
+      .select(col("id"), col("cell"), col("codes").cast("array<float>").as("cvec"))
+    val sims = idx.join(broadcast(qSide), Seq("cell"))
+      .filter(if (excludeSelf) col("q_id") =!= col("id") else lit(true))
+      .select(col("q_id"), col("id"),
+        VectorFns.cosineR(col("qvec"), col("cvec")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  private def leaves(): List[(Long, Path)] =
+    if (!Files.isDirectory(Paths.get(codesDir))) Nil
+    else {
+      val s = Files.list(Paths.get(codesDir))
+      try s.iterator().asScala.toList.flatMap { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("batch_id="))
+          scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption.map(_ -> p)
+        else None
+      } finally s.close()
+    }
+
+  /** How many leaf directories (add batches + consolidated segments)
+    * the codes store currently holds — the quantity [[compact]]
+    * bounds. */
+  def leafCount(): Int = leaves().size
+
+  /** Fold every leaf with id < `horizon` (add leaves and previous
+    * consolidated segments alike) into one fresh negative segment —
+    * the [[graft.streaming.StreamingDedupIngest]] crash-atomic fold:
+    * write the fold to a temp dir outside the store, ATOMIC_MOVE it to
+    * a fresh negative `batch_id`, delete the folded sources last.
+    * Every crash point leaves a complete superset (readers dedup by
+    * id). Non-positive horizons are a no-op — the fresh-id search
+    * starts at `-horizon` and must never collide with a real leaf.
+    */
+  def compact(horizon: Long): Unit = if (horizon > 0) {
+    val tmp = Paths.get(dir, ".compact_tmp_codes")
+    deleteTree(tmp) // sweep an orphan from any earlier crash
+    val fold = leaves().filter { case (id, _) => id < horizon }
+    if (fold.size < 2) return
+    // basePath: each leaf root is itself a partition dir (batch_id=N)
+    // holding cell=C children — without the table root, partition
+    // discovery rejects the multi-root read as conflicting structures
+    spark.read.option("basePath", codesDir).parquet(fold.map(_._2.toString): _*)
+      .dropDuplicates("id")
+      .select(col("id"), col("codes"), col("cell"))
+      .coalesce(segmentFiles)
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
+    val taken = fold.map(_._1).toSet
+    val segId = Iterator.iterate(-horizon)(_ - 1L).dropWhile(taken.contains).next()
+    Files.move(tmp, Paths.get(codesDir, s"batch_id=$segId"),
+      StandardCopyOption.ATOMIC_MOVE)
+    fold.foreach { case (_, p) => deleteTree(p) }
+  }
+
+  private def deleteTree(root: Path): Unit =
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+}

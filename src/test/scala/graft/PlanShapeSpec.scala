@@ -357,7 +357,8 @@ class PlanShapeSpec extends SparkSpec {
     // over data-grain frames is never fine)
     for (name <- Seq("q_multimodal_neardup", "q_chunk_dup_rate",
       "q_retrieval_metrics", "q_dataset_card", "q_pagerank", "q_ks_drift",
-      "q_ivf_sq8_topk", "q_asof_forward", "q_asof_nearest", "q_event_funnel")) {
+      "q_ivf_sq8_topk", "q_asof_forward", "q_asof_nearest", "q_event_funnel",
+      "q_ivf_index_probe", "q_pagerank_weighted", "q_pagerank_converge")) {
       assert(!plan(name).contains("CartesianProduct"),
         s"$name plan has a cartesian product")
     }

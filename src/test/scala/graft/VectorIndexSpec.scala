@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.{Similarity, VectorIndexStore}
+
+/** The persistent IVF/SQ8 vector index store and its streaming gate:
+  * probe-over-store == ivfSq8TopK-over-corpus, incremental add +
+  * replay idempotence, crash-safe compaction, and the O(nprobe)
+  * cell-directory probe plan.
+  */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  test("probe over an incrementally built store equals ivfSq8TopK over the corpus") {
+    val dir = tmp("graft_vis_eq")
+    val store = new VectorIndexStore(spark, dir)
+    // build in two batches — create(even half) + add(odd half): the
+    // probe must see the UNION exactly as if the index were built once
+    store.create(emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" < 8),
+      "vec_id", "embedding")
+    store.add(1L, emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"rn", $"id", $"sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val fromStore = key(store.probe(queries, "vec_id", "embedding", 3, nprobe = 2))
+    val fromCorpus = key(Similarity.ivfSq8TopK(queries, emb,
+      emb.filter($"vec_id" < 8), "vec_id", "embedding", 3, nprobe = 2))
+    assert(fromStore == fromCorpus, "store probe diverged from ivfSq8TopK")
+    assert(fromStore.nonEmpty)
+  }
+
+  test("replay idempotence: re-adding a batch overwrites its own leaf only") {
+    val dir = tmp("graft_vis_replay")
+    val store = new VectorIndexStore(spark, dir)
+    store.create(emb.filter($"vec_id" < 20), emb.filter($"vec_id" < 8),
+      "vec_id", "embedding")
+    store.add(1L, emb.filter($"vec_id" >= 20 && $"vec_id" < 30), "vec_id", "embedding")
+    val before = store.codes().count()
+    val leaves = store.leafCount()
+    // a restarted stream replays batch 1 — same leaf, same contents
+    store.add(1L, emb.filter($"vec_id" >= 20 && $"vec_id" < 30), "vec_id", "embedding")
+    assert(store.codes().count() == before, "replay duplicated rows")
+    assert(store.leafCount() == leaves, "replay grew the leaf set")
+    // a NEW add becomes findable: its own vector probes to itself at
+    // code-cosine 1.0 when self-exclusion is off
+    store.add(2L, emb.filter($"vec_id" >= 30 && $"vec_id" < 31), "vec_id", "embedding")
+    val self = store.probe(emb.filter($"vec_id" === 30), "vec_id", "embedding",
+        1, nprobe = 1, excludeSelf = false)
+      .collect()
+    assert(self.length == 1 && self(0).getLong(1) == 30L, self.mkString(","))
+    // the centroid structure is immutable — re-init refuses
+    intercept[IllegalArgumentException] {
+      store.init(emb.filter($"vec_id" < 4), "vec_id", "embedding")
+    }
+  }
+
+  test("compaction folds leaves, bounds the directory count, and preserves probes") {
+    val dir = tmp("graft_vis_compact")
+    val store = new VectorIndexStore(spark, dir)
+    store.create(emb.filter($"vec_id" % 3 === 0), emb.filter($"vec_id" < 8),
+      "vec_id", "embedding")
+    store.add(1L, emb.filter($"vec_id" % 3 === 1), "vec_id", "embedding")
+    store.add(2L, emb.filter($"vec_id" % 3 === 2), "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    def probeKey() = store.probe(queries, "vec_id", "embedding", 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val before = probeKey()
+    store.compact(3L)
+    assert(store.leafCount() == 1, s"expected one folded segment, got ${store.leafCount()}")
+    assert(probeKey() == before, "compaction changed probe results")
+    assert(store.codes().count() == emb.filter(
+      expr("size(filter(embedding, x -> isnan(cast(x as double)))) = 0")).count())
+  }
+
+  test("probe plan prunes to the probed cells at the DIRECTORY level") {
+    val dir = tmp("graft_vis_prune")
+    val store = new VectorIndexStore(spark, dir)
+    store.create(emb, emb.filter($"vec_id" < 8), "vec_id", "embedding")
+    // layout: one partition dir per cell under the single leaf
+    val leaf = Files.list(Paths.get(s"$dir/codes")).iterator().next()
+    val cellDirs = Files.list(leaf).iterator()
+    var nCells = 0
+    while (cellDirs.hasNext) {
+      if (cellDirs.next().getFileName.toString.startsWith("cell=")) nCells += 1
+    }
+    assert(nCells >= 4, s"fixture should spread over several cells, got $nCells")
+    // one query at nprobe=2 probes ≤ 2 of those dirs: the scan must
+    // carry the cell IN (...) predicate as a PARTITION filter (pruned
+    // before reading a single row — the O(nprobe) read contract)
+    val probe = store.probe(emb.filter($"vec_id" === 0), "vec_id", "embedding",
+      3, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell"))
+    assert(scanLine.isDefined, s"codes scan lost its cell partition filter:\n$plan")
+    assert(!scanLine.get.contains("PartitionFilters: []"),
+      s"cell filter not pushed to partition pruning: ${scanLine.get}")
+  }
+
+  test("streaming embed gate: intra-batch, cross-batch, and re-sent dups all drop") {
+    val work = tmp("graft_vis_stream")
+    // axis-aligned centroids; vectors constructed so near-dup pairs
+    // share a cell (cosine of identical vectors = 1.0 ≥ 0.995)
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "vec")
+    val gate = new graft.streaming.StreamingEmbedIngest(spark, work, cents,
+      simThreshold = 0.999, nprobe = 1, compactEvery = 4)
+    // batch 0: ids 10 and 11 are identical vectors in the same cell —
+    // min-id wins; 12 is distinct
+    gate.processBatch(Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f)),
+      (11L, Array(0.9f, 0.1f, 0.0f)),
+      (12L, Array(0.0f, 0.8f, 0.2f))).toDF("id", "vec"), 0L)
+    assert(gate.admitted().select("id").as[Long].collect().toSet == Set(10L, 12L))
+    // batch 1: 20 duplicates the admitted 10 (cross-batch, via the
+    // store probe); 21 is novel; a RE-SENT id 10 must also drop (the
+    // self-exclusion-off contract), not overwrite
+    gate.processBatch(Seq(
+      (20L, Array(0.9f, 0.1f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f)),
+      (21L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "vec"), 1L)
+    assert(gate.admitted().select("id").as[Long].collect().toSet ==
+      Set(10L, 12L, 21L))
+    // replaying batch 1 changes nothing (leaf overwrite, same drops)
+    gate.processBatch(Seq(
+      (20L, Array(0.9f, 0.1f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f)),
+      (21L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "vec"), 1L)
+    assert(gate.admitted().select("id").as[Long].collect().toSet ==
+      Set(10L, 12L, 21L))
+    // batch 4 triggers compaction of the committed leaves; admitted
+    // state and novelty decisions survive the fold
+    gate.processBatch(Seq(
+      (40L, Array(0.9f, 0.1f, 0.0f)),
+      (41L, Array(0.5f, 0.5f, 0.70710678f))).toDF("id", "vec"), 4L)
+    assert(gate.admitted().select("id").as[Long].collect().toSet ==
+      Set(10L, 12L, 21L, 41L))
+    assert(gate.store.leafCount() <= 2, s"compaction did not bound leaves")
+  }
+}
