@@ -380,6 +380,72 @@ case class CompactPathCommand(targetDir: String) extends LeafRunnableCommand {
   }
 }
 
+/** `COMPACT STREAMS '<workDir>'` — fold every streaming store under a
+  * [[graft.streaming.StreamingDedupIngest]] /
+  * [[graft.streaming.StreamingEmbedIngest]] work dir (band index,
+  * admitted corpus, gram index, disposition ledger, vector index)
+  * into consolidated segments, through the same SQL maintenance
+  * surface as merge targets' `COMPACT '<path>'`: operators maintain
+  * streaming state without constructing the ingest classes. The fold
+  * horizon is max(batch leaf id) + 1 — everything committed folds —
+  * so run it while the stream is STOPPED (a live stream compacts
+  * itself on its own cadence and a replayed boundary batch must keep
+  * its own leaf). Returns one row per existing store with the leaf
+  * directory count before/after (the quantity compaction bounds).
+  */
+case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("store", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("leaves_before", LongType, nullable = false)(),
+    AttributeReference("leaves_after", LongType, nullable = false)())
+
+  private val stores = Seq(
+    "band_index" -> "band_index", "admitted" -> "admitted",
+    "gram_index" -> "gram_index", "ledger" -> "ledger",
+    "vector_index" -> "vector_index/codes")
+
+  private def leafIds(dir: java.nio.file.Path): Seq[Long] =
+    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.flatMap { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("batch_id="))
+            scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+          else None
+        }
+      } finally s.close()
+    }
+
+  override def run(session: SparkSession): Seq[Row] = {
+    def counts(): Map[String, Seq[Long]] = stores.flatMap { case (name, sub) =>
+      val ids = leafIds(java.nio.file.Paths.get(workDir, sub.split('/'): _*))
+      if (ids.isEmpty && !java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(workDir, sub.split('/'): _*))) None
+      else Some(name -> ids)
+    }.toMap
+    val before = counts()
+    require(before.nonEmpty,
+      s"COMPACT STREAMS: no streaming stores under $workDir")
+    val horizon = before.valuesIterator.flatten.filter(_ >= 0)
+      .foldLeft(-1L)(math.max) + 1
+    if (horizon > 0) {
+      new graft.streaming.StreamingDedupIngest(session, workDir).compact(horizon)
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(workDir, "vector_index")))
+        new graft.sim.VectorIndexStore(session, s"$workDir/vector_index")
+          .compact(horizon)
+    }
+    val after = counts()
+    before.keys.toSeq.sorted.map { name =>
+      Row(name, before(name).size.toLong,
+        after.getOrElse(name, Seq.empty).size.toLong)
+    }
+  }
+}
+
 /** `VACUUM '<path>' [KEEP n]` — reclaim versions older than the newest
   * `n` (default 2) that no kept manifest references (the SQL face of
   * [[MergeWriter.vacuum]]). Returns how many versions were reclaimed.
@@ -537,6 +603,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val AssignRe = """(?is)^\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*(.+?)\s*$""".r
 
   private val CompactRe = """(?is)^\s*COMPACT\s+'([^']+)'\s*;?\s*$""".r
+  private val CompactStreamsRe =
+    """(?is)^\s*COMPACT\s+STREAMS\s+'([^']+)'\s*;?\s*$""".r
   private val ExportRe =
     ("""(?is)^\s*EXPORT\s+CORPUS\s+([\w.]+)\s+TO\s+'([^']+)'\s+SHARDS\s+(\d+)""" +
       """(?:\s+FORMAT\s+(\w+))?\s+ORDER\s+BY\s+(.+?)(\s+OVERWRITE)?\s*;?\s*$""").r
@@ -610,6 +678,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     }
     sqlText match {
       case MergeRe(_, _, _, _, _, _) => parseMerge(sqlText, None)
+      case CompactStreamsRe(dir) => CompactStreamsCommand(dir)
       case CompactRe(dir) => CompactPathCommand(dir)
       case ExportRe(src, dir, n, fmt, order, ow) =>
         ExportCorpusCommand(src, dir, n.toInt, order, ow != null,

@@ -1061,6 +1061,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("no such column"))
   }
 
+  test("COMPACT STREAMS folds every streaming store through the SQL surface") {
+    val work = java.nio.file.Files.createTempDirectory("graft_compact_streams").toString
+    // text ingest: 4 batches, 2 distinct 12-token docs each (long
+    // enough to shingle → band index leaves), ledger on
+    val ingest = new graft.streaming.StreamingDedupIngest(spark, work,
+      simThreshold = 0.9, ledger = true)
+    def doc(i: Long) = (1 to 12).map(t => s"w$i$t").mkString(" ")
+    for (b <- 0L to 3L)
+      ingest.processBatch(Seq(b * 10 + 1, b * 10 + 2)
+        .map(i => (i, doc(i))).toDF("doc_id", "text"), b)
+    // embedding gate in the SAME work dir: 4 batches of angle-spread
+    // vectors (min pairwise angle 0.1 rad → cosine ≤ 0.9950 < 0.999,
+    // nothing drops)
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("id", "vec")
+    val gate = new graft.streaming.StreamingEmbedIngest(spark, work, cents,
+      simThreshold = 0.999, nprobe = 1)
+    def vec(i: Long) = Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)
+    for (b <- 0L to 3L)
+      gate.processBatch(Seq(b * 10 + 1, b * 10 + 2)
+        .map(i => (i, vec(i))).toDF("id", "vec"), b)
+    val admittedBefore = ingest.admitted().get.count()
+    assert(admittedBefore == 8 && gate.admitted().count() == 8)
+
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    val res = s2.sql(s"COMPACT STREAMS '$work'").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // novelty gate was off → no gram store; everything else folds 4→1
+    assert(res.keySet == Set("band_index", "admitted", "ledger", "vector_index"),
+      res.toString)
+    res.foreach { case (store, (before, after)) =>
+      assert(before == 4 && after == 1, s"$store: $before -> $after")
+    }
+    // state survives the fold byte-for-byte at the contract level
+    assert(ingest.admitted().get.count() == admittedBefore)
+    assert(gate.admitted().select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 11L, 12L, 21L, 22L, 31L, 32L))
+    assert(ingest.ledgerFrame().get.count() == 8)
+    // a dir with no streaming stores is refused, not silently empty
+    intercept[Exception] { s2.sql(s"COMPACT STREAMS '${work}_nope'").collect() }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val plan = e.select(graft.functions.VectorFns.cosine($"embedding", $"embedding"))
