@@ -144,6 +144,78 @@ object TextClassify {
         col("ll").cast("double").as("score"): _*)
   }
 
+  /** Selective-prediction risk–coverage table — the accept/abstain
+    * tuning curve for a classifier gate: rank documents by prediction
+    * CONFIDENCE (the log-likelihood margin between the best and
+    * runner-up class), split the ranking into `buckets` equal coverage
+    * bands, and report per-band and cumulative correctness. Reading
+    * row k: "if the gate auto-accepts the top k/buckets most-confident
+    * predictions, cum_correct/cum_docs is the accuracy it ships" —
+    * the coverage-vs-risk trade a routing/abstention threshold is
+    * actually chosen on (selective classification, El-Yaniv & Wiener's
+    * risk–coverage formulation).
+    *
+    * Exactness contract: the margin `ll₁ − ll₂` is a difference of
+    * two DECIMAL-exact log-likelihoods ([[naiveBayesScore]]'s pinned
+    * 9-decimal terms — order-independent sums), so ranking and band
+    * boundaries are bit-identical on any engine; band assignment is
+    * integer math (`(rank−1)·buckets div n + 1` — sizes differ by at
+    * most one, no NTILE implementation dependence). Ties in margin
+    * break on ascending `idCol`. Docs with blank text carry no
+    * evidence and are excluded (the [[naiveBayesScore]] contract);
+    * every scored doc has all k class rows (the grid covers the full
+    * class × vocab grid), so the runner-up always exists when k ≥ 2.
+    *
+    * Output, one row per band: (band, n_docs, n_correct, cum_docs,
+    * cum_correct) — all BIGINT; readers form accuracy = n_correct /
+    * n_docs and selective risk = 1 − cum_correct / cum_docs.
+    *
+    * Scale shape: broadcast-grid scoring + ONE (doc, class) shuffle
+    * (the [[naiveBayesScore]] shape), a per-doc top-2 window (k rows
+    * per doc), then the margin ranking routes through
+    * [[graft.operators.Ranking.globalRowNumber]]'s range-partition
+    * machinery — no single-task global window; the final cumulative
+    * window runs on the `buckets`-row aggregate.
+    */
+  def selectiveRiskCoverage(docs: DataFrame, labelCol: String = "lang",
+                            textCol: String = "text", idCol: String = "doc_id",
+                            buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val model = naiveBayesFit(docs, labelCol, textCol)
+    val scored = occurrences(docs, labelCol, textCol, idCol)
+      .join(broadcast(model.grid), Seq("tok"))
+      .groupBy(col(idCol), col(labelCol), col("c"))
+      .agg(sum(col("term")).as("tsum"))
+      .join(broadcast(model.priors), Seq("c"))
+      .select(col(idCol), col(labelCol), col("c"),
+        (col("prior") + col("tsum")).as("ll"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("ll").desc, col("c").asc)
+    val perDoc = scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 2)
+      .groupBy(col(idCol), col(labelCol))
+      .agg(max(when(col("_rn") === 1, col("c"))).as("pred"),
+        max(when(col("_rn") === 1, col("ll"))).as("ll1"),
+        max(when(col("_rn") === 2, col("ll"))).as("ll2"))
+      .select(col(idCol),
+        (col("pred") === col(labelCol)).cast("long").as("correct"),
+        (col("ll1") - col("ll2")).as("margin"))
+    val n = broadcast(perDoc.agg(count(lit(1)).as("_n")))
+    val banded = graft.operators.Ranking
+      .globalRowNumber(perDoc, Seq(col("margin").desc, col(idCol)), out = "_rk")
+      .crossJoin(n)
+      .withColumn("band",
+        expr(s"CAST(((_rk - 1) * $buckets) div _n + 1 AS BIGINT)"))
+    val perBand = banded.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"))
+    val cw = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `buckets`-row frame: the unpartitioned window is bounded by design
+    perBand
+      .withColumn("cum_docs", sum(col("n_docs")).over(cw))
+      .withColumn("cum_correct", sum(col("n_correct")).over(cw))
+  }
+
   /** Frequency-ranked vocabulary with a token-mass coverage cutoff.
     *
     * Output, one row per distinct token: (`tok`, `cnt`, `rank`,

@@ -173,6 +173,71 @@ object Curation {
         (coalesce(col("longest_run"), lit(1L - n)) + lit(n - 1L)).as("longest_span_tokens"))
   }
 
+  /** Interval-UNION coverage of contaminated spans per eval doc — the
+    * third span metric next to [[contaminationSpans]]'s longest run and
+    * matched-gram count: how much of the document is covered by the
+    * union of all matched n-gram spans, and in how many contiguous
+    * regions. Forty scattered 8-grams and one 47-gram verbatim block
+    * have the same `n_matched_grams`; their union coverage differs by
+    * 8× — this is the "what fraction of the benchmark leaked" number
+    * a contamination report actually quotes.
+    *
+    * Semantics: each matched positional n-gram at 0-based position p
+    * covers tokens [p, p+n-1]; coverage is the exact cardinality of
+    * the union of those intervals, computed by the classic
+    * sorted-starts island scan (fixed-length spans ⇒ the running max
+    * end is just the previous start + n-1, so one `lag` suffices). An
+    * island is a maximal CONTIGUOUS covered region — two spans that
+    * merely touch (pos == prev_end + 1) merge. `coverage_ppm` =
+    * covered · 10⁶ div n_tokens (integer floor — exact on any engine).
+    *
+    * Output: (doc_id, n_tokens, n_grams, n_matched_grams,
+    * covered_tokens, n_islands, coverage_ppm), one row per
+    * gram-bearing eval doc (docs under n tokens have nothing to audit).
+    *
+    * Scale shape: identical to [[contaminationSpans]] — the training
+    * corpus stays map-only (eval gram set broadcasts in, surviving
+    * hit-hv set broadcasts back out); both windows (lag + running
+    * island id) share ONE per-eval-doc sort over matched positions
+    * only, ∝ contamination, not corpus size.
+    */
+  def spanUnionCoverage(train: DataFrame, evalDocs: DataFrame,
+                        n: Int = 8): DataFrame = {
+    def posGrams(d: DataFrame) = d
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).as("n_tokens"),
+        posexplode(TextFns.shingleHashes48(TextFns.tokens(col("text")), n)))
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("col").as("hv"))
+    val evalPos = posGrams(evalDocs)
+    val evalHvs = evalPos.select(col("hv")).distinct()
+    val hitHvs = posGrams(train).select(col("hv"))
+      .join(broadcast(evalHvs), "hv").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = evalPos.join(broadcast(hitHvs), "hv")
+      .withColumn("ppos", lag(col("pos"), 1).over(w))
+      .withColumn("st",
+        (col("ppos").isNull || col("pos") > col("ppos") + lit(n.toLong)).cast("long"))
+      .withColumn("iid", sum(col("st")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val agg = islands
+      .groupBy(col("doc_id"), col("iid"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(n.toLong)).as("cov"),
+        count(lit(1)).as("nm"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("covered"), count(lit(1)).as("n_islands"),
+        sum(col("nm")).as("n_matched"))
+    evalPos.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_grams"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"))
+      .withColumn("coverage_ppm",
+        expr("CAST((covered_tokens * 1000000) div n_tokens AS BIGINT)"))
+  }
+
   /** Corpus-side span audit — [[contaminationSpans]] with the roles
     * flipped to the shape a DECONTAMINATION pass needs: for every
     * CORPUS doc, the longest run of consecutive positional n-grams

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.classify.TextClassify
+import graft.curation.Curation
+
+/** Eighth text batch: audit-metric closers — interval-union span
+  * coverage (the "what fraction of the benchmark leaked" number next
+  * to q_contamination_span's longest run), inter-gate agreement
+  * (Cohen-kappa confusion cells between two quality gates), and the
+  * selective-prediction risk–coverage table for the NB classifier
+  * (the accept/abstain tuning curve).
+  *
+  * Reproducibility contracts: coverage and agreement stay integer
+  * end-to-end; the risk–coverage ranking orders by a DECIMAL-exact
+  * log-likelihood margin with an id tie-break and assigns bands by
+  * integer cross-multiplication — no NTILE implementation dependence,
+  * no floating comparison anywhere.
+  */
+object TextOps8 {
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  /** The q_contamination_span planted fixture, shared: every 7th
+    * non-eval doc gets one eval doc's 8-token prefix appended, so eval
+    * docs carry real matched spans to measure. */
+  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val F = graft.functions.TextFns
+    val base = t(s, d, "documents").select($"doc_id", $"text")
+    val evalPrefix = base.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" / 50).cast("long").as("k"),
+        concat_ws(" ", slice(F.tokens($"text"), 1, 8)).as("prefix"))
+    base
+      .join(broadcast(evalPrefix), ($"doc_id" % 10) + 1 === $"k", "left")
+      .select($"doc_id",
+        when($"doc_id" % 7 === 0 && $"doc_id" % 50 =!= 0,
+          concat($"text", lit(" "), $"prefix")).otherwise($"text").as("text"))
+  }
+
+  /** Shared oracle CTEs: the planted fixture down to `m` — per eval
+    * doc, the positions of its 8-grams present in the training side
+    * (verbatim from the q_contamination_span oracle). */
+  private val plantedSpanSql =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |evalp AS (SELECT doc_id // 50 AS k,
+      |  array_to_string((string_split_regex(trim(text), '\s+'))[1:8], ' ') AS prefix
+      |  FROM base WHERE doc_id % 50 = 0),
+      |corpus AS (SELECT b.doc_id,
+      |  CASE WHEN b.doc_id % 7 = 0 AND b.doc_id % 50 <> 0
+      |       THEN b.text || ' ' || e.prefix ELSE b.text END AS text
+      |  FROM base b LEFT JOIN evalp e ON e.k = (b.doc_id % 10) + 1),
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM corpus),
+      |pg AS MATERIALIZED (SELECT doc_id,
+      |  unnest(generate_series(1, len(tk) - 7)) AS pos,
+      |  unnest(list_transform(generate_series(1, len(tk) - 7),
+      |    i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+      |         tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7])) AS s
+      |  FROM toks WHERE len(tk) >= 8),
+      |h AS (SELECT doc_id, pos,
+      |  CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT) AS hv FROM pg),
+      |ev AS MATERIALIZED (SELECT doc_id, pos, hv FROM h WHERE doc_id % 50 = 0),
+      |tr AS (SELECT DISTINCT hv FROM h WHERE doc_id % 50 <> 0),
+      |m AS MATERIALIZED (SELECT doc_id, pos FROM ev
+      |  WHERE hv IN (SELECT hv FROM tr))""".stripMargin
+
+  private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
+    // Interval-union coverage of contaminated spans per eval doc —
+    // [[Curation.spanUnionCoverage]]: union cardinality of all matched
+    // 8-gram spans plus the count of contiguous covered regions.
+    // Same planted fixture as q_contamination_span; the oracle runs
+    // the same sorted-starts island scan (fixed-length spans ⇒ one
+    // lag) in SQL windows. Positions are 0-based in Spark and 1-based
+    // in the oracle — both the island test (a difference of positions)
+    // and the island length (max − min + n) are shift-invariant.
+    q("q_span_coverage")(
+      (s, d) => {
+        import s.implicits._
+        val corpus = plantedCorpus(s, d)
+        Curation.spanUnionCoverage(
+            corpus.filter($"doc_id" % 50 =!= 0),
+            corpus.filter($"doc_id" % 50 === 0), n = 8)
+          .orderBy($"doc_id")
+      },
+      s"""$plantedSpanSql,
+        |lagged AS (SELECT doc_id, pos,
+        |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS ppos FROM m),
+        |isl AS (SELECT doc_id, pos,
+        |  SUM(CASE WHEN ppos IS NULL OR pos > ppos + 8 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS iid FROM lagged),
+        |per AS (SELECT doc_id, iid,
+        |  MAX(pos) - MIN(pos) + 8 AS cov, COUNT(*) AS nm FROM isl GROUP BY 1, 2),
+        |cagg AS (SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS covered,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(nm) AS BIGINT) AS n_matched FROM per GROUP BY 1),
+        |grams AS (SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(MAX(len(toks.tk)) AS BIGINT) AS n_tokens
+        |  FROM ev JOIN toks ON toks.doc_id = ev.doc_id GROUP BY 1)
+        |SELECT grams.doc_id, grams.n_tokens, grams.n_grams,
+        |  coalesce(cagg.n_matched, 0) AS n_matched_grams,
+        |  coalesce(cagg.covered, 0) AS covered_tokens,
+        |  coalesce(cagg.n_islands, 0) AS n_islands,
+        |  CAST((coalesce(cagg.covered, 0) * 1000000) // grams.n_tokens AS BIGINT)
+        |    AS coverage_ppm
+        |FROM grams LEFT JOIN cagg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // Inter-gate agreement: Cohen-kappa confusion cells between two
+    // quality gates (a length gate on tokens vs a length gate on
+    // chars), per source — "are my two gates measuring the same
+    // thing" before dropping one. The exact sufficient statistics
+    // (n, n11, n10, n01, n00 — each ≤ n, int64-safe to 9·10¹⁸ docs)
+    // ship instead of a formed kappa: κ = (n·(n11+n00) − Σ_marginals)
+    // / (n² − Σ_marginals) can be NEGATIVE, and signed integer
+    // division semantics (floor vs truncate) diverge across engines —
+    // the cells are exact on any engine and kappa is one reader-side
+    // division. `po_ppm` (raw agreement, always ≥ 0) IS formed:
+    // (n11+n00)·10⁶ div n, exact floor on both engines. One partial
+    // aggregation, map-side combined — scale-free.
+    q("q_kappa_gates")(
+      (s, d) => {
+        import s.implicits._
+        val g = t(s, d, "documents").select($"source",
+          (graft.functions.TextFns.tokenCount($"text") >= 56).as("a"),
+          ($"n_chars" >= 306).as("b"))
+        g.groupBy($"source").agg(
+            count(lit(1)).as("n"),
+            sum(($"a" && $"b").cast("long")).as("n11"),
+            sum(($"a" && !$"b").cast("long")).as("n10"),
+            sum((!$"a" && $"b").cast("long")).as("n01"),
+            sum((!$"a" && !$"b").cast("long")).as("n00"))
+          .withColumn("po_ppm",
+            expr("CAST(((n11 + n00) * 1000000) div n AS BIGINT)"))
+          .orderBy($"source")
+      },
+      """WITH g AS (SELECT source,
+        |  len(string_split_regex(trim(text), '\s+')) >= 56 AS a,
+        |  n_chars >= 306 AS b FROM documents),
+        |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |  CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |  CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |  CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM g GROUP BY 1)
+        |SELECT source, n, n11, n10, n01, n00,
+        |  CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_ppm
+        |FROM c ORDER BY source""".stripMargin),
+
+    // Selective-prediction risk–coverage table for the NB language
+    // classifier — [[TextClassify.selectiveRiskCoverage]]: rank docs
+    // by log-likelihood margin (best − runner-up, DECIMAL-exact),
+    // split into 10 equal coverage bands, report per-band and
+    // cumulative correctness. The oracle rebuilds the q_nb_classify
+    // grid and runs the same margin ranking in SQL windows.
+    q("q_selective_risk")(
+      (s, d) => TextClassify.selectiveRiskCoverage(
+          t(s, d, "documents"), labelCol = "lang")
+        .orderBy(col("band")),
+      """WITH occ AS (SELECT doc_id, lang,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |vsz AS (SELECT COUNT(DISTINCT tok) AS v FROM occ),
+        |ct AS (SELECT lang AS c, tok, COUNT(*) AS n_tc FROM occ GROUP BY 1, 2),
+        |tot AS (SELECT lang AS c, COUNT(*) AS t_c FROM occ GROUP BY 1),
+        |pri AS (SELECT lang AS c, COUNT(*) AS d_c FROM documents GROUP BY 1),
+        |dall AS (SELECT COUNT(*) AS d_all FROM documents),
+        |prior AS (SELECT c, CAST(round(ln(CAST(d_c AS DOUBLE) / d_all), 9)
+        |  AS DECIMAL(18,9)) AS prior FROM pri CROSS JOIN dall),
+        |vocab AS (SELECT DISTINCT tok FROM occ),
+        |grid AS (SELECT tot.c, vocab.tok,
+        |  CAST(round(ln(CAST(coalesce(ct.n_tc, 0) + 1 AS DOUBLE)
+        |    / (tot.t_c + vsz.v)), 9) AS DECIMAL(18,9)) AS term
+        |  FROM tot CROSS JOIN vocab CROSS JOIN vsz
+        |  LEFT JOIN ct ON ct.c = tot.c AND ct.tok = vocab.tok),
+        |sc AS (SELECT occ.doc_id, occ.lang, grid.c, SUM(grid.term) AS tsum
+        |  FROM occ JOIN grid ON grid.tok = occ.tok GROUP BY 1, 2, 3),
+        |ll AS (SELECT sc.doc_id, sc.lang, sc.c, prior.prior + sc.tsum AS ll
+        |  FROM sc JOIN prior ON prior.c = sc.c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY ll DESC, c ASC) AS rn FROM ll),
+        |pd AS (SELECT r1.doc_id,
+        |  CASE WHEN r1.c = r1.lang THEN 1 ELSE 0 END AS correct,
+        |  r1.ll - r2.ll AS margin
+        |  FROM (SELECT * FROM rk WHERE rn = 1) r1
+        |  JOIN (SELECT * FROM rk WHERE rn = 2) r2 USING (doc_id)),
+        |nn AS (SELECT COUNT(*) AS n FROM pd),
+        |bd AS (SELECT correct,
+        |  ((row_number() OVER (ORDER BY margin DESC, doc_id) - 1) * 10) // nn.n + 1
+        |    AS band FROM pd CROSS JOIN nn),
+        |pb AS (SELECT CAST(band AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(correct) AS BIGINT) AS n_correct FROM bd GROUP BY 1)
+        |SELECT band, n_docs, n_correct,
+        |  CAST(SUM(n_docs) OVER (ORDER BY band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |  CAST(SUM(n_correct) OVER (ORDER BY band
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_correct
+        |FROM pb ORDER BY band""".stripMargin))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  def oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}
