@@ -54,6 +54,7 @@ class VectorIndexStore(spark: SparkSession, dir: String,
 
   private val centroidsDir = s"$dir/centroids"
   private val codesDir = s"$dir/codes"
+  private val tombsDir = s"$dir/tombstones"
 
   /** True once [[init]]/[[create]] has published the centroid frame. */
   def exists: Boolean = Files.isDirectory(Paths.get(centroidsDir))
@@ -114,15 +115,54 @@ class VectorIndexStore(spark: SparkSession, dir: String,
       .parquet(s"$codesDir/batch_id=$batchId")
   }
 
+  /** Tombstone a batch of ids (doc retractions, takedowns): every
+    * reader ([[codes]], [[probe]], [[compact]]'s fold) excludes them
+    * from that moment on; the bytes are reclaimed when [[compact]]
+    * folds the leaves that hold them, and the tombstones themselves
+    * are purged by [[vacuum]]. Same leaf contract as [[add]]: one
+    * `batch_id=<n>` leaf per delete batch, replay-idempotent.
+    *
+    * A tombstone is FINAL while it exists: re-[[add]]ing a tombstoned
+    * id stays invisible (the store is an id-keyed set, and delete wins
+    * — the [[graft.merge.MergeWriter]] delete-then-reinsert hazard is
+    * refused rather than resolved by write order). To resurrect an id,
+    * [[vacuum]] first (physically purging both the rows and the
+    * tombstones), then add it again.
+    */
+  def delete(batchId: Long, ids: DataFrame, idCol: String): Unit = {
+    require(batchId >= 0, s"delete: batchId must be >= 0, got $batchId")
+    require(exists, s"no VectorIndexStore at $dir")
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tombsDir/batch_id=$batchId")
+  }
+
+  /** The union of all tombstoned ids, if any delete batch exists. */
+  private def tombstoneIds(): Option[DataFrame] = {
+    val root = Paths.get(tombsDir)
+    if (!Files.isDirectory(root)) None
+    else {
+      val s = Files.list(root)
+      val any = try s.iterator().asScala.exists(
+        _.getFileName.toString.startsWith("batch_id=")) finally s.close()
+      if (!any) None
+      else Some(spark.read.parquet(tombsDir).select(col("id")).distinct())
+    }
+  }
+
+  /** How many ids are currently tombstoned (0 when none). */
+  def tombstoneCount(): Long = tombstoneIds().map(_.count()).getOrElse(0L)
+
   /** The indexed (id, cell, codes) frame — deduped by id for the
     * crash-mid-compaction superset window, like the streaming stores'
-    * readers.
+    * readers, and minus tombstoned ids.
     */
   def codes(): DataFrame = {
     require(exists, s"no VectorIndexStore at $dir")
-    spark.read.parquet(codesDir)
+    val live = spark.read.parquet(codesDir)
       .select(col("id"), col("cell"), col("codes"))
       .dropDuplicates("id")
+    tombstoneIds().fold(live)(tb => live.join(tb, Seq("id"), "left_anti"))
   }
 
   /** Top-k code-cosine neighbors of each query, scanning ONLY the
@@ -153,10 +193,12 @@ class VectorIndexStore(spark: SparkSession, dir: String,
     // control-grain collect: ≤ |queries|·nprobe cell ids, never rows
     val probeCells = qSide.select(col("cell")).distinct().collect()
       .map(_.get(0)).toIndexedSeq
-    val idx = spark.read.parquet(codesDir)
+    val pruned = spark.read.parquet(codesDir)
       .filter(col("cell").isin(probeCells: _*)) // directory-level pruning
       .dropDuplicates("id")
       .select(col("id"), col("cell"), col("codes").cast("array<float>").as("cvec"))
+    val idx = tombstoneIds().fold(pruned)(tb =>
+      pruned.join(tb, Seq("id"), "left_anti"))
     val sims = idx.join(broadcast(qSide), Seq("cell"))
       .filter(if (excludeSelf) col("q_id") =!= col("id") else lit(true))
       .select(col("q_id"), col("id"),
@@ -192,21 +234,45 @@ class VectorIndexStore(spark: SparkSession, dir: String,
     * id). Non-positive horizons are a no-op — the fresh-id search
     * starts at `-horizon` and must never collide with a real leaf.
     */
-  def compact(horizon: Long): Unit = if (horizon > 0) {
+  def compact(horizon: Long): Unit = if (horizon > 0)
+    foldLeaves(leaves().filter { case (id, _) => id < horizon },
+      minSources = 2, segIdStart = -horizon)
+
+  /** Fold the WHOLE store into one segment with every tombstoned row
+    * physically dropped, then purge the tombstones — after vacuum the
+    * store holds exactly its live ids and [[delete]]d ids may be
+    * re-[[add]]ed. Same crash-atomic sequence as [[compact]], with the
+    * tombstone purge strictly LAST: a crash at any earlier point
+    * leaves the tombstones in place, and they keep filtering whatever
+    * leaves survived — readers are correct at every crash point.
+    */
+  def vacuum(): Unit = {
+    val all = leaves()
+    val minSources = if (tombstoneIds().isDefined) 1 else 2
+    foldLeaves(all, minSources, segIdStart = -1L)
+    deleteTree(Paths.get(tombsDir))
+  }
+
+  private def foldLeaves(fold: List[(Long, Path)], minSources: Int,
+                         segIdStart: Long): Unit = {
     val tmp = Paths.get(dir, ".compact_tmp_codes")
     deleteTree(tmp) // sweep an orphan from any earlier crash
-    val fold = leaves().filter { case (id, _) => id < horizon }
-    if (fold.size < 2) return
+    if (fold.size < minSources) return
     // basePath: each leaf root is itself a partition dir (batch_id=N)
     // holding cell=C children — without the table root, partition
     // discovery rejects the multi-root read as conflicting structures
-    spark.read.option("basePath", codesDir).parquet(fold.map(_._2.toString): _*)
+    val folded = spark.read.option("basePath", codesDir)
+      .parquet(fold.map(_._2.toString): _*)
       .dropDuplicates("id")
-      .select(col("id"), col("codes"), col("cell"))
+    // reclaim tombstoned rows' bytes here; the tombstones themselves
+    // stay until vacuum() (leaves outside this fold may hold the id)
+    val live = tombstoneIds().fold(folded)(tb =>
+      folded.join(tb, Seq("id"), "left_anti"))
+    live.select(col("id"), col("codes"), col("cell"))
       .coalesce(segmentFiles)
       .write.partitionBy("cell").mode("overwrite").parquet(tmp.toString)
     val taken = fold.map(_._1).toSet
-    val segId = Iterator.iterate(-horizon)(_ - 1L).dropWhile(taken.contains).next()
+    val segId = Iterator.iterate(segIdStart)(_ - 1L).dropWhile(taken.contains).next()
     Files.move(tmp, Paths.get(codesDir, s"batch_id=$segId"),
       StandardCopyOption.ATOMIC_MOVE)
     fold.foreach { case (_, p) => deleteTree(p) }

@@ -83,6 +83,44 @@ class VectorIndexSpec extends SparkSpec {
       expr("size(filter(embedding, x -> isnan(cast(x as double)))) = 0")).count())
   }
 
+  test("delete tombstones immediately, compact reclaims, vacuum purges and re-enables the id") {
+    val dir = tmp("graft_vis_delete")
+    val store = new VectorIndexStore(spark, dir)
+    store.create(emb.filter($"vec_id" < 20), emb.filter($"vec_id" < 8),
+      "vec_id", "embedding")
+    store.add(1L, emb.filter($"vec_id" >= 20 && $"vec_id" < 30), "vec_id", "embedding")
+    val liveBefore = store.codes().count()
+    store.delete(2L, emb.filter($"vec_id" === 25), "vec_id")
+    // reader-visible immediately, and never a probe ANSWER — even a
+    // self-probe with exclusion off must not surface the deleted id
+    assert(store.codes().count() == liveBefore - 1)
+    assert(store.probe(emb.filter($"vec_id" === 25), "vec_id", "embedding",
+        5, nprobe = 8, excludeSelf = false)
+      .collect().forall(_.getLong(1) != 25L))
+    // re-add does NOT resurrect while the tombstone exists
+    store.add(3L, emb.filter($"vec_id" === 25), "vec_id", "embedding")
+    assert(store.codes().filter($"id" === 25).count() == 0)
+    val queries = emb.filter($"vec_id" < 5)
+    def probeKey() = store.probe(queries, "vec_id", "embedding", 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val before = probeKey()
+    // compact folds the leaves and physically drops the tombstoned
+    // rows, but keeps the tombstone (delete stays final)
+    store.compact(4L)
+    assert(store.leafCount() == 1)
+    assert(store.tombstoneCount() == 1L)
+    assert(probeKey() == before, "compaction under a tombstone changed probes")
+    // vacuum purges rows AND tombstones; probes still agree
+    store.vacuum()
+    assert(probeKey() == before, "vacuum changed probe results")
+    assert(store.tombstoneCount() == 0L)
+    assert(store.codes().filter($"id" === 25).count() == 0)
+    // with the tombstone gone, the id can come back
+    store.add(4L, emb.filter($"vec_id" === 25), "vec_id", "embedding")
+    assert(store.codes().filter($"id" === 25).count() == 1)
+  }
+
   test("probe plan prunes to the probed cells at the DIRECTORY level") {
     val dir = tmp("graft_vis_prune")
     val store = new VectorIndexStore(spark, dir)
