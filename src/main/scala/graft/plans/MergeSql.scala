@@ -446,6 +446,41 @@ case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
   }
 }
 
+/** `COMPACT VECTORS '<storeDir>'` / `VACUUM VECTORS '<storeDir>'` —
+  * the maintenance face of a STANDALONE [[graft.sim.VectorIndexStore]]
+  * (one embedded in a streaming work dir is folded by
+  * `COMPACT STREAMS`). COMPACT folds every committed leaf into one
+  * consolidated segment, physically reclaiming tombstoned rows while
+  * keeping the tombstones (deletes stay final); VACUUM additionally
+  * purges the tombstones, re-enabling the deleted ids for future adds.
+  * Both return the leaf-directory counts before/after plus the live
+  * tombstone count after the operation — the two quantities an
+  * operator watches. Run while no writer is active (same contract as
+  * `COMPACT STREAMS`).
+  */
+case class VectorStoreMaintenanceCommand(storeDir: String, vacuum: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("leaves_before", LongType, nullable = false)(),
+    AttributeReference("leaves_after", LongType, nullable = false)(),
+    AttributeReference("tombstones", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val store = new graft.sim.VectorIndexStore(session, storeDir)
+    val verb = if (vacuum) "VACUUM" else "COMPACT"
+    require(store.exists, s"$verb VECTORS: no vector index store at $storeDir")
+    val before = store.leafCount().toLong
+    if (vacuum) store.vacuum()
+    else {
+      // fold everything committed: horizon = max add-leaf id + 1 (the
+      // COMPACT STREAMS convention; negative consolidated segments
+      // ride along inside the fold)
+      val horizon = store.leafIds().filter(_ >= 0).foldLeft(-1L)(math.max) + 1
+      store.compact(horizon)
+    }
+    Seq(Row(before, store.leafCount().toLong, store.tombstoneCount()))
+  }
+}
+
 /** `VACUUM '<path>' [KEEP n]` — reclaim versions older than the newest
   * `n` (default 2) that no kept manifest references (the SQL face of
   * [[MergeWriter.vacuum]]). Returns how many versions were reclaimed.
@@ -605,6 +640,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val CompactRe = """(?is)^\s*COMPACT\s+'([^']+)'\s*;?\s*$""".r
   private val CompactStreamsRe =
     """(?is)^\s*COMPACT\s+STREAMS\s+'([^']+)'\s*;?\s*$""".r
+  private val CompactVectorsRe =
+    """(?is)^\s*COMPACT\s+VECTORS\s+'([^']+)'\s*;?\s*$""".r
+  private val VacuumVectorsRe =
+    """(?is)^\s*VACUUM\s+VECTORS\s+'([^']+)'\s*;?\s*$""".r
   private val ExportRe =
     ("""(?is)^\s*EXPORT\s+CORPUS\s+([\w.]+)\s+TO\s+'([^']+)'\s+SHARDS\s+(\d+)""" +
       """(?:\s+FORMAT\s+(\w+))?\s+ORDER\s+BY\s+(.+?)(\s+OVERWRITE)?\s*;?\s*$""").r
@@ -679,6 +718,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     sqlText match {
       case MergeRe(_, _, _, _, _, _) => parseMerge(sqlText, None)
       case CompactStreamsRe(dir) => CompactStreamsCommand(dir)
+      case CompactVectorsRe(dir) => VectorStoreMaintenanceCommand(dir, vacuum = false)
+      case VacuumVectorsRe(dir) => VectorStoreMaintenanceCommand(dir, vacuum = true)
       case CompactRe(dir) => CompactPathCommand(dir)
       case ExportRe(src, dir, n, fmt, order, ow) =>
         ExportCorpusCommand(src, dir, n.toInt, order, ow != null,

@@ -225,6 +225,10 @@ class VectorIndexStore(spark: SparkSession, dir: String,
     * bounds. */
   def leafCount(): Int = leaves().size
 
+  /** The leaf ids on disk (add batches ≥ 0, consolidated segments
+    * < 0) — what a maintenance caller derives a fold horizon from. */
+  def leafIds(): List[Long] = leaves().map(_._1)
+
   /** Fold every leaf with id < `horizon` (add leaves and previous
     * consolidated segments alike) into one fresh negative segment —
     * the [[graft.streaming.StreamingDedupIngest]] crash-atomic fold:

@@ -1102,6 +1102,32 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] { s2.sql(s"COMPACT STREAMS '${work}_nope'").collect() }
   }
 
+  test("COMPACT VECTORS / VACUUM VECTORS maintain a standalone store via SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_sql").toString
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val store = new graft.sim.VectorIndexStore(spark, dir)
+    store.create(emb.filter($"vec_id" < 20), emb.filter($"vec_id" < 8),
+      "vec_id", "embedding")
+    store.add(1L, emb.filter($"vec_id" >= 20 && $"vec_id" < 30), "vec_id", "embedding")
+    store.delete(2L, emb.filter($"vec_id" === 25), "vec_id")
+    val liveBefore = store.codes().count()
+
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    // COMPACT folds 2 leaves → 1, reclaims the tombstoned row's bytes,
+    // keeps the tombstone (delete stays final)
+    val c = s2.sql(s"COMPACT VECTORS '$dir'").collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 1L, 1L)), c.mkString(","))
+    assert(store.codes().count() == liveBefore)
+    // VACUUM purges the tombstone; live set unchanged
+    val v = s2.sql(s"VACUUM VECTORS '$dir'").collect()
+    assert(v.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 0L)), v.mkString(","))
+    assert(store.codes().count() == liveBefore)
+    // a dir without a store is refused loudly
+    intercept[Exception] { s2.sql(s"VACUUM VECTORS '${dir}_nope'").collect() }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val plan = e.select(graft.functions.VectorFns.cosine($"embedding", $"embedding"))
