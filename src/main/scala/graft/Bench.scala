@@ -39,7 +39,11 @@ object Bench {
     // generators + the policy join), iterative integer PageRank
     // (5 checkpointed rounds), and the multi-system retrieval eval
     // (postings + three rankings + fused metrics)
-    "q_multimodal_neardup", "q_pagerank", "q_retrieval_metrics")
+    "q_multimodal_neardup", "q_pagerank", "q_retrieval_metrics",
+    // round-18 families: interval-union span coverage (the island
+    // windows over matched positions) and the selective risk-coverage
+    // table (broadcast-grid scoring + the distributed margin ranking)
+    "q_span_coverage", "q_selective_risk")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

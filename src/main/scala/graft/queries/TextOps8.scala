@@ -151,6 +151,59 @@ object TextOps8 {
         |  CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_ppm
         |FROM c ORDER BY source""".stripMargin),
 
+    // Holdout confusion matrix for the NB classifier — the fit/apply
+    // SPLIT under oracle (q_nb_classify is the resubstitution form:
+    // train == score; real gates train on a curated seed and score
+    // unseen docs). Train = doc_id % 5 ≠ 0, test = the held-out fifth;
+    // the vocabulary-model contract applies: test tokens outside the
+    // TRAINING vocabulary carry no evidence (inner grid join), and a
+    // test doc with zero in-vocab tokens is absent. Output is the
+    // (lang × pred_label) confusion matrix — the generalization-gap
+    // reading next to q_nb_classify's training-set fit.
+    q("q_nb_holdout")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val train = docs.filter($"doc_id" % 5 =!= 0)
+        val test = docs.filter($"doc_id" % 5 === 0)
+        val model = TextClassify.naiveBayesFit(train, labelCol = "lang")
+        TextClassify.naiveBayesApply(test, model)
+          .join(test.select($"doc_id", $"lang"), "doc_id")
+          .groupBy($"lang", $"pred_label")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"lang", $"pred_label")
+      },
+      """WITH occ AS (SELECT doc_id, lang,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |tro AS (SELECT * FROM occ WHERE doc_id % 5 <> 0),
+        |teo AS (SELECT * FROM occ WHERE doc_id % 5 = 0),
+        |vsz AS (SELECT COUNT(DISTINCT tok) AS v FROM tro),
+        |ct AS (SELECT lang AS c, tok, COUNT(*) AS n_tc FROM tro GROUP BY 1, 2),
+        |tot AS (SELECT lang AS c, COUNT(*) AS t_c FROM tro GROUP BY 1),
+        |pri AS (SELECT lang AS c, COUNT(*) AS d_c FROM documents
+        |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |dall AS (SELECT COUNT(*) AS d_all FROM documents WHERE doc_id % 5 <> 0),
+        |prior AS (SELECT c, CAST(round(ln(CAST(d_c AS DOUBLE) / d_all), 9)
+        |  AS DECIMAL(18,9)) AS prior FROM pri CROSS JOIN dall),
+        |vocab AS (SELECT DISTINCT tok FROM tro),
+        |grid AS (SELECT tot.c, vocab.tok,
+        |  CAST(round(ln(CAST(coalesce(ct.n_tc, 0) + 1 AS DOUBLE)
+        |    / (tot.t_c + vsz.v)), 9) AS DECIMAL(18,9)) AS term
+        |  FROM tot CROSS JOIN vocab CROSS JOIN vsz
+        |  LEFT JOIN ct ON ct.c = tot.c AND ct.tok = vocab.tok),
+        |sc AS (SELECT teo.doc_id, grid.c, SUM(grid.term) AS tsum
+        |  FROM teo JOIN grid ON grid.tok = teo.tok GROUP BY 1, 2),
+        |ll AS (SELECT sc.doc_id, sc.c, prior.prior + sc.tsum AS ll
+        |  FROM sc JOIN prior ON prior.c = sc.c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY ll DESC, c ASC) AS rn FROM ll),
+        |top AS (SELECT doc_id, c AS pred_label FROM rk WHERE rn = 1),
+        |lab AS (SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0)
+        |SELECT lab.lang, top.pred_label, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM top JOIN lab USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY lang, pred_label""".stripMargin),
+
     // Selective-prediction risk–coverage table for the NB language
     // classifier — [[TextClassify.selectiveRiskCoverage]]: rank docs
     // by log-likelihood margin (best − runner-up, DECIMAL-exact),
