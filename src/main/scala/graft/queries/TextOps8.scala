@@ -151,6 +151,81 @@ object TextOps8 {
         |  CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_ppm
         |FROM c ORDER BY source""".stripMargin),
 
+    // RM3-style pseudo-relevance feedback search —
+    // [[graft.retrieval.Retrieval.prfSearch]]: BM25 pass, top-3 docs
+    // per query taken as relevant, the 2 heaviest non-query terms
+    // harvested (summed tf over the feedback set, ties on term),
+    // appended at weight 1, re-scored; final top-5. The known-item
+    // fixture of q_retrieval_eval (every 40th doc queried by its own
+    // tokens 2-4). Both passes ride the SAME postings frame and the
+    // same decimal-pinned BM25 as q_bm25/q_retrieval_metrics.
+    q("q_prf_search")(
+      (s, d) => {
+        import s.implicits._
+        val F = graft.functions.TextFns
+        val base = t(s, d, "documents").select($"doc_id", $"text")
+        val queries = base.filter($"doc_id" % 40 === 0)
+          .select($"doc_id".as("query_id"), slice(F.tokens($"text"), 2, 3).as("terms"))
+          .filter(size($"terms") === 3)
+        graft.retrieval.Retrieval.prfSearch(base, queries,
+            fbDocs = 3, fbTerms = 2, k = 5)
+          .orderBy($"query_id", $"rn")
+      },
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |qs AS (SELECT doc_id AS query_id,
+        |  (string_split_regex(trim(text), '\s+'))[2:4] AS terms
+        |  FROM base WHERE doc_id % 40 = 0
+        |  AND len(string_split_regex(trim(text), '\s+')) >= 4),
+        |qt AS (SELECT query_id, lower(t) AS term, CAST(COUNT(*) AS DOUBLE) AS qtf
+        |  FROM (SELECT query_id, unnest(terms) AS t FROM qs) GROUP BY 1, 2),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS len_d
+        |  FROM base),
+        |post AS MATERIALIZED (SELECT doc_id, term, len_d,
+        |  CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+        |c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |  SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE)) AS sum_len
+        |  FROM base),
+        |contrib AS (SELECT qt.query_id, p.doc_id,
+        |  round(qt.qtf * ((c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * (p.tf * (1.2 + 1.0))
+        |    / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (p.len_d / (c.sum_len / c.n_docs)))), 9) AS ct
+        |  FROM post p JOIN qt ON qt.term = p.term
+        |  JOIN dfs ON dfs.term = p.term CROSS JOIN c),
+        |sc AS (SELECT query_id, doc_id,
+        |  CAST(SUM(CAST(ct AS DECIMAL(28,9))) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |fbdocs AS MATERIALIZED (SELECT query_id, doc_id FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) WHERE rank <= 3),
+        |mass AS (SELECT f.query_id, p.term, SUM(p.tf) AS mass
+        |  FROM fbdocs f JOIN post p ON p.doc_id = f.doc_id
+        |  LEFT JOIN qt ON qt.query_id = f.query_id AND qt.term = p.term
+        |  WHERE qt.term IS NULL GROUP BY 1, 2),
+        |fbt AS (SELECT query_id, term FROM (
+        |  SELECT query_id, term,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY mass DESC, term) AS trank
+        |  FROM mass) WHERE trank <= 2),
+        |qt2 AS MATERIALIZED (SELECT query_id, term, qtf FROM qt
+        |  UNION ALL SELECT query_id, term, CAST(1 AS DOUBLE) FROM fbt),
+        |contrib2 AS (SELECT q2.query_id, p.doc_id,
+        |  round(q2.qtf * ((c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+        |    * (p.tf * (1.2 + 1.0))
+        |    / (p.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (p.len_d / (c.sum_len / c.n_docs)))), 9) AS ct
+        |  FROM post p JOIN qt2 q2 ON q2.term = p.term
+        |  JOIN dfs ON dfs.term = p.term CROSS JOIN c),
+        |sc2 AS (SELECT query_id, doc_id,
+        |  CAST(SUM(CAST(ct AS DECIMAL(28,9))) AS DOUBLE) AS score
+        |  FROM contrib2 GROUP BY 1, 2)
+        |SELECT query_id, rn, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |  FROM sc2) WHERE rn <= 5
+        |ORDER BY query_id, rn""".stripMargin),
+
     // Holdout confusion matrix for the NB classifier — the fit/apply
     // SPLIT under oracle (q_nb_classify is the resubstitution form:
     // train == score; real gates train on a curated seed and score

@@ -124,6 +124,30 @@ object Retrieval {
                        queryIdCol: String = "query_id",
                        termsCol: String = "terms"): DataFrame = {
     val postings = graft.util.CacheScope.pin(postingsIn)
+    bm25OnQueryTerms(postings,
+      queryTermsOf(queries, queryIdCol, termsCol), k1, b, idCol, queryIdCol)
+  }
+
+  /** The (queryIdCol, term, qtf) multiset of a query frame — lowercased
+    * terms with their in-query counts, the grain [[bm25OnQueryTerms]]
+    * scores against. */
+  def queryTermsOf(queries: DataFrame, queryIdCol: String = "query_id",
+                   termsCol: String = "terms"): DataFrame =
+    queries
+      .select(col(queryIdCol), explode(col(termsCol)).as("t0"))
+      .select(col(queryIdCol), lower(col("t0")).as("term"))
+      .groupBy(col(queryIdCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("qtf"))
+
+  /** BM25 scoring of a pre-exploded (queryIdCol, term, qtf) frame over
+    * pinned postings — the shared tail of [[bm25ScoreMultiOn]] and the
+    * feedback pass of [[prfSearch]] (which re-scores an EXPANDED term
+    * multiset no array column expresses).
+    */
+  def bm25OnQueryTerms(postings: DataFrame, qterms: DataFrame,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       idCol: String = "doc_id",
+                       queryIdCol: String = "query_id"): DataFrame = {
     // corpus stats re-derived FROM the postings (one row per doc via
     // the (id, len_d) grain) so callers pay one corpus pass total
     val stats = postings.groupBy(col(idCol)).agg(first(col("len_d")).as("len_d"))
@@ -133,11 +157,6 @@ object Retrieval {
     // joined frame repeats a term's postings once per carrying query
     val dfs = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val qterms = queries
-      .select(col(queryIdCol), explode(col(termsCol)).as("t0"))
-      .select(col(queryIdCol), lower(col("t0")).as("term"))
-      .groupBy(col(queryIdCol), col("term"))
-      .agg(count(lit(1)).cast("double").as("qtf"))
     postings.join(broadcast(qterms), "term")
       .join(dfs, "term")
       .crossJoin(broadcast(stats))
@@ -151,6 +170,59 @@ object Retrieval {
       .agg(sum(round(col("contrib"), 9)
         .cast(org.apache.spark.sql.types.DecimalType(28, 9)))
         .cast("double").as("score"))
+  }
+
+  /** RM3-style pseudo-relevance feedback search: score the queries
+    * with BM25, treat each query's top `fbDocs` documents as relevant,
+    * harvest the `fbTerms` heaviest NON-query terms from those
+    * documents (by summed term frequency over the feedback set, ties
+    * on ascending term), append them to the query at weight 1, and
+    * re-score — the classic two-pass expansion that recovers vocabulary
+    * mismatch (a query phrased differently than the corpus). Output:
+    * the post-feedback top-`k` per query (queryIdCol, rn, idCol,
+    * score).
+    *
+    * Determinism contract: both passes are the decimal-pinned BM25
+    * (order-independent 9-decimal DECIMAL sums), the feedback-doc cut
+    * and the term cut are row_numbers with id/term tie-breaks, and the
+    * term-mass ranking sums integer-valued tf doubles (exact far below
+    * 2⁵³) — every intermediate is bit-reproducible cross-engine.
+    *
+    * Scale shape: ONE postings pass (pinned, shared by both scoring
+    * passes and the term harvest); the query side and the
+    * |queries|·fbDocs feedback-doc set broadcast; all joins are
+    * term- or id-keyed. Work ∝ matched postings, never
+    * |queries| × |corpus|.
+    */
+  def prfSearch(docs: DataFrame, queries: DataFrame,
+                fbDocs: Int = 3, fbTerms: Int = 2, k: Int = 10,
+                k1: Double = 1.2, b: Double = 0.75,
+                textCol: String = "text", idCol: String = "doc_id",
+                queryIdCol: String = "query_id",
+                termsCol: String = "terms"): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1 && k >= 1,
+      s"prfSearch: fbDocs/fbTerms/k must be >= 1, got $fbDocs/$fbTerms/$k")
+    val postings = graft.util.CacheScope.pin(postingsOf(docs, textCol, idCol))
+    val qterms0 = graft.util.CacheScope.pin(
+      queryTermsOf(queries, queryIdCol, termsCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(idCol))
+    val fb = bm25OnQueryTerms(postings, qterms0, k1, b, idCol, queryIdCol)
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= fbDocs)
+      .select(col(queryIdCol), col(idCol))
+    val tw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("mass").desc, col("term"))
+    val fbt = broadcast(fb).join(postings, idCol)
+      .groupBy(col(queryIdCol), col("term"))
+      .agg(sum(col("tf")).as("mass"))
+      .join(qterms0.select(col(queryIdCol), col("term")),
+        Seq(queryIdCol, "term"), "left_anti")
+      .withColumn("_tr", row_number().over(tw)).filter(col("_tr") <= fbTerms)
+      .select(col(queryIdCol), col("term"), lit(1.0).as("qtf"))
+    val expanded = qterms0.unionByName(fbt)
+    bm25OnQueryTerms(postings, expanded, k1, b, idCol, queryIdCol)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(queryIdCol), col("rn"), col(idCol), col("score"))
   }
 
   /** Cut each document into `window`-token chunks on a `stride`-token

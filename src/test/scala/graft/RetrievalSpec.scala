@@ -195,4 +195,29 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(!raw.contains(2L), raw.toString)
   }
+
+  test("prfSearch: feedback terms recover a doc the literal query misses") {
+    // query 'apple' matches docs 1,2 only; their dominant shared
+    // non-query term is 'banana' (mass 2 beats cherry/damson at 1,
+    // ties broken on term asc) — after expansion doc 3 (banana-only)
+    // becomes retrievable
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana damson"),
+      (3L, "banana elderberry fig"),
+      (4L, "grape horseradish iceberg")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, Seq("apple"))).toDF("query_id", "terms")
+    val out = Retrieval.prfSearch(docs, qs, fbDocs = 2, fbTerms = 1, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(_._3).toSet == Set(1L, 2L, 3L), out.mkString(","))
+    // docs carrying the ORIGINAL term still outrank the expansion-only
+    // doc (feedback weight 1 vs apple idf + banana): 1,2 before 3
+    assert(out.sortBy(_._2).map(_._3).last == 3L, out.mkString(","))
+    // partition invariance: the expansion decision is deterministic
+    val rep = Retrieval.prfSearch(docs.repartition(5), qs,
+        fbDocs = 2, fbTerms = 1, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rep == out.toSet)
+  }
 }
