@@ -29,7 +29,8 @@ object SparkEntry {
       (_root_.graft.queries.TextOps5.queries, _root_.graft.queries.TextOps5.oracles),
       (_root_.graft.queries.TextOps6.queries, _root_.graft.queries.TextOps6.oracles),
       (_root_.graft.queries.TextOps7.queries, _root_.graft.queries.TextOps7.oracles),
-      (_root_.graft.queries.TextOps8.queries, _root_.graft.queries.TextOps8.oracles)
+      (_root_.graft.queries.TextOps8.queries, _root_.graft.queries.TextOps8.oracles),
+      (_root_.graft.queries.GraphOps.queries, _root_.graft.queries.GraphOps.oracles)
     )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

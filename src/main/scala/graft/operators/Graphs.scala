@@ -166,6 +166,81 @@ object Graphs {
     sink.reduce(_ unionByName _).orderBy(col("iter"))
   }
 
+  /** INTEGER-exact HITS (Kleinberg hubs & authorities) — the
+    * bipartite-graph ranking that separates "links to many good
+    * things" (hub) from "is linked by many good hubs" (authority):
+    * on a customer→item purchase graph the authorities are the
+    * consensus items and the hubs the broad, well-aligned buyers —
+    * the dual signal PageRank's single score conflates. Same
+    * exact-arithmetic contract as [[pageRankMicro]]: scores are
+    * BIGINT micro-units of [[RankScale]], each half-iteration sums
+    * the opposite score over edges in DECIMAL(38,0) (an int64 raw
+    * sum would overflow at ~9·10⁶ nodes × full mass) and then
+    * L1-normalizes by `raw·Scale div Σraw` — an exact
+    * DECIMAL(38,0) product floored back to BIGINT, so the scores
+    * replay bit-identically on any engine and shuffle order (the
+    * classic L2-normalized float HITS never does; L1 keeps the
+    * ranking and makes the SQL oracle possible).
+    *
+    * Scale shape: per iteration TWO edge-keyed equi-joins + partial-
+    * aggregated sums (authority: shuffle on dst; hub: shuffle on
+    * src) and two 1-row broadcast totals; lineage cut per round
+    * (`localCheckpoint`), hot endpoints receive one row per upstream
+    * partition thanks to map-side combine — the [[pageRankMicro]]
+    * skew argument, both directions.
+    *
+    * Output: (node, hub_micro, auth_micro) for every node on either
+    * side of `edges`; pure sources carry auth 0, pure sinks hub 0.
+    * Fails loudly on an empty edge frame — driver-side, on the pinned
+    * edge frame: an in-plan assert cannot fire when zero rows flow
+    * (empty-relation propagation silently returns an empty result
+    * instead), and the check forces the cached dedup every iteration
+    * reuses anyway, so it costs no extra pass.
+    */
+  def hitsMicro(edges: DataFrame, iters: Int = 3,
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"hitsMicro needs iters >= 1, got $iters")
+    val e = graft.util.CacheScope.pin(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    if (e.isEmpty)
+      throw new IllegalArgumentException(
+        "hitsMicro: empty edge frame — no nodes to score")
+    val nodes = graft.util.CacheScope.pin(
+      e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
+        .distinct())
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var hubs = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), expr(s"${RankScale}L div n").as("h"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      // authority update: sum of hub scores over in-edges, L1-normalized
+      val aRaw = hubs.join(e, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
+        .select(col("dst").as("node"), col("raw"))
+      auths = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aRaw.agg(sum(col("raw")).as("t"))))
+        .select(col("node"),
+          expr("coalesce(raw, cast(0 as decimal(38,0))) * 1000000000000 div t")
+            .cast("long").as("a"))
+        .localCheckpoint()
+      // hub update: sum of authority scores over out-edges, L1-normalized
+      val hRaw = auths.join(e, col("node") === col("dst"))
+        .groupBy(col("src"))
+        .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
+        .select(col("src").as("node"), col("raw"))
+      hubs = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hRaw.agg(sum(col("raw")).as("t"))))
+        .select(col("node"),
+          expr("coalesce(raw, cast(0 as decimal(38,0))) * 1000000000000 div t")
+            .cast("long").as("h"))
+        .localCheckpoint()
+    }
+    hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+  }
+
   private def pageRankCore(edges: DataFrame, iters: Int, dampingMicro: Long,
                            srcCol: String, dstCol: String,
                            seeds: Option[DataFrame], seedCol: String,

@@ -66,4 +66,58 @@ object Layout {
       .sortWithinPartitions(col("_z"))
       .drop("_z")
   }
+
+  /** Hilbert-curve index of two `bits`-bit dimension values — the
+    * space-filling key that strictly dominates [[zorder2]] on
+    * locality: consecutive Hilbert codes are ALWAYS grid neighbors
+    * (Morton order jumps across the plane at every power-of-two
+    * boundary), so range scans on the sorted layout touch fewer row
+    * groups for the same 2-D clustering. The trade is cost: Hilbert
+    * needs the per-bit quadrant rotation (a native Catalyst
+    * expression, [[graft.plans.HilbertKey]] — `bits` loop rounds of
+    * integer ops per row; an unrolled Column chain would blow up
+    * ~5× per bit once CollapseProject inlines the steps), where
+    * Morton is 10 mask-dilation ops. Standard xy2d walk
+    * from the top bit down (see Hamilton's compact-Hilbert tech
+    * report CS-2006-07 / the classic Wikipedia formulation): at each
+    * scale `s = 2^k` the quadrant `(rx, ry)` contributes
+    * `s² · ((3·rx) xor ry)` to the distance, then the lower bits are
+    * rotated/reflected into the quadrant's frame. Pure positive
+    * integer arithmetic — identical on any engine with shifts,
+    * and/xor, and CASE — which is what lets a SQL oracle reproduce
+    * the codes bit-for-bit. Inputs are masked to `bits` bits; callers
+    * bucket raw columns down first, exactly as for [[zorder2]].
+    */
+  def hilbert2(x: Column, y: Column, bits: Int = 10): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.HilbertKey(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(x.cast("long")),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(y.cast("long")),
+        bits))
+
+  /** DuckDB SQL text computing [[hilbert2]] over columns named
+    * `x`/`y` — one chained CTE per bit, same CASE/mask walk, so the
+    * oracle reproduces the Spark codes bit-for-bit. `inner` must
+    * yield (idCols…, x, y); the result exposes the same columns plus
+    * `hkey`. Kept next to the operator so both sides of the contract
+    * evolve together.
+    */
+  def hilbert2Sql(inner: String, idCols: Seq[String], bits: Int = 10): String = {
+    val mask = (1L << bits) - 1L
+    val ids = idCols.mkString(", ")
+    val steps = (bits - 1 to 0 by -1).zipWithIndex.map { case (k, i) =>
+      val s = 1L << k
+      val prev = if (i == 0) "hb0" else s"hb$i"
+      s"""hb${i + 1} AS (SELECT $ids, x, y,
+         |  d + ${s * s} * xor(3 * ((cx >> $k) & 1), ((cy >> $k) & 1)) AS d,
+         |  CASE WHEN ((cy >> $k) & 1) = 1 THEN cx
+         |       WHEN ((cx >> $k) & 1) = 1 THEN ${s - 1L} - cy ELSE cy END AS cx,
+         |  CASE WHEN ((cy >> $k) & 1) = 1 THEN cy
+         |       WHEN ((cx >> $k) & 1) = 1 THEN ${s - 1L} - cx ELSE cx END AS cy
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""hb0 AS (SELECT $ids, x, y, x & $mask AS cx, y & $mask AS cy,
+       |  CAST(0 AS BIGINT) AS d FROM ($inner)),
+       |$steps""".stripMargin
+  }
 }

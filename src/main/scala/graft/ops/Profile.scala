@@ -104,4 +104,44 @@ object Profile {
         (col("n_all") - col("n_g")).as("n_rest"),
         col("diff").as("ks_num"), col("val").as("ks_at"))
   }
+
+  /** Join-key skew profile — the pre-flight audit run BEFORE shuffling
+    * 100 TB on `keyCol`: the top-`topK` heavy-hitter keys with their
+    * row share, plus the exact Gini coefficient of the whole key
+    * distribution (0 = uniform, →1 = one key owns the table), both in
+    * ppm. A key whose `share_ppm` ≫ 10⁶/numPartitions is the one that
+    * melts a reducer and wants [[graft.operators.Salting]] or AQE skew
+    * handling; the Gini says whether it's one celebrity or a heavy
+    * tail. Ranks ride [[graft.operators.Ranking.globalRowNumber]]
+    * (range-partitioned — no single-task global window), and
+    * Gini = (2·Σr·c − (n+1)·Σc)·10⁶ div (n·Σc) with the rank-count
+    * cross products in DECIMAL(38,0): exact integer arithmetic at any
+    * corpus size, bit-identical on any engine/shuffle order.
+    *
+    * Output: (rank, key, cnt, share_ppm, n_keys, gini_ppm), one row
+    * per heavy hitter, ordered by rank.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"keySkewProfile needs topK >= 1, got $topK")
+    val counts = graft.util.CacheScope.pin(
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")))
+    val ranked = graft.operators.Ranking.globalRowNumber(counts,
+      Seq(col("cnt").asc, col(keyCol).asc), out = "r")
+    val stats = ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt").cast("decimal(38,0)")).as("s"),
+      sum(expr("cast(r as decimal(38,0)) * cnt")).as("s1"))
+      .select(col("n_keys"), col("s"),
+        expr("cast((2 * s1 - (n_keys + 1) * s) * 1000000 div (n_keys * s) as bigint)")
+          .as("gini_ppm"))
+    val top = graft.operators.Ranking.globalRowNumber(counts,
+      Seq(col("cnt").desc, col(keyCol).asc), out = "rank")
+      .filter(col("rank") <= topK)
+    top.crossJoin(broadcast(stats))
+      .select(col("rank"), col(keyCol), col("cnt"),
+        expr("cast(cast(cnt as decimal(38,0)) * 1000000 div s as bigint)")
+          .as("share_ppm"),
+        col("n_keys"), col("gini_ppm"))
+      .orderBy(col("rank"))
+  }
 }

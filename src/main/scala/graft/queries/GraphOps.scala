@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.{Graphs, Layout}
+
+/** Graph/layout wave two: HITS hubs & authorities over the
+  * customer→part purchase graph (the dual ranking PageRank's single
+  * score conflates), the Hilbert-curve clustering key (the
+  * strictly-better-locality sibling of q_zorder's Morton code), and
+  * the join-key skew profiler (the pre-flight audit that predicts
+  * which keys melt a reducer BEFORE the 100-TB shuffle runs).
+  *
+  * Reproducibility contracts: HITS runs the integer micro-unit /
+  * DECIMAL(38,0) L1-normalization arithmetic of the PageRank family,
+  * Hilbert is pure positive-integer CASE/mask bit walking, and the
+  * skew profile's Gini is an exact integer cross-multiplication —
+  * every query replays bit-identically on any engine/shuffle order.
+  */
+object GraphOps {
+
+  private def q(name: String)(fn: (SparkSession, String) => DataFrame,
+                              sql: String): (String, ((SparkSession, String) => DataFrame, String)) =
+    name -> ((fn, sql))
+
+  /** Unrolled-iteration CTE text for the [[Graphs.hitsMicro]] oracle:
+    * per round, the authority half (sum hubs over in-edges, L1
+    * normalize to 1e12) then the hub half (sum authorities over
+    * out-edges, normalize). HUGEINT carries raw sums and the
+    * `raw·Scale` product (≈1e33 at 1e9-node scale); `//` floors back
+    * exactly as Spark's DECIMAL(38,0) `div`.
+    */
+  private def hitsIterSql(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT e.dst AS node, SUM(h.h) AS raw
+         |  FROM h${k - 1} h JOIN e ON e.src = h.node GROUP BY 1),
+         |at$k AS (SELECT SUM(raw) AS t FROM ar$k),
+         |a$k AS MATERIALIZED (SELECT n0.node,
+         |  CAST(COALESCE(ar.raw, 0) * 1000000000000 // at$k.t AS BIGINT) AS a
+         |  FROM nodes n0 LEFT JOIN ar$k ar ON ar.node = n0.node CROSS JOIN at$k),
+         |hr$k AS MATERIALIZED (SELECT e.src AS node, SUM(a.a) AS raw
+         |  FROM a$k a JOIN e ON e.dst = a.node GROUP BY 1),
+         |ht$k AS (SELECT SUM(raw) AS t FROM hr$k),
+         |h$k AS MATERIALIZED (SELECT n0.node,
+         |  CAST(COALESCE(hr.raw, 0) * 1000000000000 // ht$k.t AS BIGINT) AS h
+         |  FROM nodes n0 LEFT JOIN hr$k hr ON hr.node = n0.node CROSS JOIN ht$k)""".stripMargin
+    }.mkString(",\n")
+
+  private val defs = Seq(
+
+    // INTEGER-exact HITS over the bipartite customer→part purchase
+    // graph: authorities = consensus parts (bought by many broad
+    // buyers), hubs = broad well-aligned customers — the dual signal
+    // a single PageRank score conflates. 3 unrolled oracle rounds
+    // reproduce the L1-normalized micro-unit scores bit-for-bit; see
+    // [[graft.operators.Graphs.hitsMicro]] for the scale shape (two
+    // partial-aggregated edge joins per round, map-side combine on
+    // hot endpoints). Part keys are offset by 1e7 into their own id
+    // space so the two sides never collide.
+    q("q_hits")(
+      (s, d) => {
+        import s.implicits._
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" % 3 === 0)
+          .select($"o_custkey".as("src"), ($"l_partkey" + 10000000L).as("dst"))
+        Graphs.hitsMicro(edges, iters = 3).orderBy($"node")
+      },
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,
+         |  l.l_partkey + 10000000 AS dst
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_custkey % 3 = 0),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |h0 AS MATERIALIZED (SELECT node,
+         |  CAST(1000000000000 // nn.n AS BIGINT) AS h FROM nodes, nn),
+         |${hitsIterSql(3)}
+         |SELECT h3.node AS node, h3.h AS hub_micro, a3.a AS auth_micro
+         |FROM h3 JOIN a3 ON a3.node = h3.node
+         |ORDER BY node""".stripMargin),
+
+    // Hilbert-curve clustering key over the same (user bucket, hour
+    // bucket) plane as q_zorder — consecutive Hilbert codes are
+    // ALWAYS grid neighbors where Morton order teleports across the
+    // plane at power-of-two boundaries, so the sorted layout's row
+    // groups carry tighter x/y min-max for the same sort cost. Per
+    // event so the 10-round quadrant-rotation bit walk itself is
+    // oracle-pinned (positive-integer CASE/mask ops, identical on
+    // both engines); map-only until the final ORDER BY.
+    q("q_hilbert_layout")(
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+          .select($"event_id", ($"user_id" % 1024).as("x"),
+            (expr("(unix_micros(ts) + 15778800000000000) div 3600000000") % 1024).as("y"))
+        ev.withColumn("hkey", Layout.hilbert2($"x", $"y", bits = 10))
+          .orderBy($"hkey", $"event_id")
+      },
+      s"""WITH b AS (SELECT event_id,
+         |  CAST(user_id % 1024 AS BIGINT) AS x,
+         |  CAST(((epoch_us(ts) + 15778800000000000) // 3600000000) % 1024 AS BIGINT) AS y
+         |  FROM events),
+         |${Layout.hilbert2Sql("SELECT event_id, x, y FROM b", Seq("event_id"), bits = 10)}
+         |SELECT event_id, x, y, d AS hkey FROM hb10
+         |ORDER BY hkey, event_id""".stripMargin),
+
+    // Join-key skew profiler — the pre-flight audit run BEFORE
+    // shuffling 100 TB on a key: per-key counts, the top-20 heavy
+    // hitters with their row share, and the exact Gini coefficient of
+    // the key distribution (0 = uniform, →1 = one key owns the
+    // table), in ppm. A key with share_ppm ≫ 10⁶/numPartitions is
+    // the one that melts a reducer and wants salting
+    // ([[graft.operators.Salting]]) or AQE skew handling. See
+    // [[graft.ops.Profile.keySkewProfile]] for the exact-Gini
+    // arithmetic and the range-partitioned ranking shape.
+    q("q_key_skew")(
+      (s, d) => graft.ops.Profile.keySkewProfile(
+        t(s, d, "events"), keyCol = "user_id", topK = 20),
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |rk AS (SELECT user_id, cnt,
+        |  row_number() OVER (ORDER BY cnt, user_id) AS r FROM c),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  SUM(CAST(cnt AS HUGEINT)) AS s,
+        |  SUM(CAST(r AS HUGEINT) * cnt) AS s1 FROM rk),
+        |gini AS (SELECT n_keys, s,
+        |  CAST((2 * s1 - (n_keys + 1) * s) * 1000000 // (n_keys * s) AS BIGINT)
+        |    AS gini_ppm FROM st),
+        |top AS (SELECT user_id, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank
+        |  FROM c QUALIFY rank <= 20)
+        |SELECT t.rank, t.user_id, t.cnt,
+        |  CAST(CAST(t.cnt AS HUGEINT) * 1000000 // g.s AS BIGINT) AS share_ppm,
+        |  g.n_keys, g.gini_ppm
+        |FROM top t CROSS JOIN gini g ORDER BY t.rank""".stripMargin))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (n, (fn, _)) => n -> fn }.toMap
+
+  def oracles: Map[String, String] =
+    defs.map { case (n, (_, sql)) => n -> sql }.toMap
+}

@@ -50,7 +50,11 @@ class ContractSpec extends SparkSpec {
       "TextOps6" -> (_root_.graft.queries.TextOps6.queries.keySet,
         _root_.graft.queries.TextOps6.oracles.keySet),
       "TextOps7" -> (_root_.graft.queries.TextOps7.queries.keySet,
-        _root_.graft.queries.TextOps7.oracles.keySet))
+        _root_.graft.queries.TextOps7.oracles.keySet),
+      "TextOps8" -> (_root_.graft.queries.TextOps8.queries.keySet,
+        _root_.graft.queries.TextOps8.oracles.keySet),
+      "GraphOps" -> (_root_.graft.queries.GraphOps.queries.keySet,
+        _root_.graft.queries.GraphOps.oracles.keySet))
     val seen = scala.collection.mutable.Map[String, String]()
     for ((mod, (qs, _)) <- modules; name <- qs) {
       val prev = seen.get(name)

@@ -66,6 +66,61 @@ class LayoutSpec extends SparkSpec {
     assert(rm._2 - rm._1 + 1 > 3L * (inBox._2 - inBox._1 + 1))
   }
 
+  test("hilbert2: hand cases, bijectivity, and the every-step-is-a-neighbor property") {
+    // hand cases cross-checked against the classic xy2d reference at bits=10
+    val pts = Seq((0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L), (1023L, 0L), (512L, 700L))
+      .toDF("x", "y")
+    val h = pts.withColumn("h", Layout.hilbert2($"x", $"y", bits = 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(h == Map((0L, 0L) -> 0L, (1L, 0L) -> 1L, (1L, 1L) -> 2L, (0L, 1L) -> 3L,
+      (1023L, 0L) -> 1048575L, (512L, 700L) -> 585722L), h.toString)
+
+    // bits=4: bijective on the 16×16 grid AND every consecutive pair of
+    // codes is a grid NEIGHBOR (|Δx|+|Δy| = 1) — the locality property
+    // Morton lacks (z-order jumps at every power-of-two boundary)
+    val grid = (0 until 16).flatMap(x => (0 until 16).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val cells = grid.withColumn("h", Layout.hilbert2($"x", $"y", bits = 4))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 256L))
+    cells.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1L,
+        s"hilbert step ($x1,$y1)→($x2,$y2) is not a grid neighbor")
+    }
+    // Morton on the same grid breaks the neighbor property many times
+    val zcells = grid.withColumn("z", Layout.zorder2($"x", $"y"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    val zjumps = zcells.sliding(2).count { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      math.abs(x2 - x1) + math.abs(y2 - y1) > 1L
+    }
+    assert(zjumps > 0, "expected Morton to jump where Hilbert does not")
+  }
+
+  test("keySkewProfile: exact Gini hand cases, heavy-hitter shares, topK cap") {
+    import graft.ops.Profile
+    // counts {a:1, b:1, c:2, d:4}: n=4, S=8, ranks asc 1..4,
+    // S1 = 1+2+6+16 = 25 → gini = (50-40)·1e6 // 32 = 312500
+    val rows = (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(4)("d")).toDF("k")
+    val p = Profile.keySkewProfile(rows, "k", topK = 2).collect()
+    assert(p.length == 2)
+    val first = p.head
+    assert(first.getLong(0) == 1L && first.getString(1) == "d" &&
+      first.getLong(2) == 4L && first.getLong(3) == 500000L &&
+      first.getLong(4) == 4L && first.getLong(5) == 312500L, first.toString)
+    assert(p(1).getString(1) == "c" && p(1).getLong(3) == 250000L)
+    // uniform distribution → gini exactly 0
+    val uni = Seq.fill(3)("x").zipWithIndex.map { case (_, i) => s"k$i" }
+      .flatMap(k => Seq.fill(3)(k)).toDF("k")
+    val g0 = Profile.keySkewProfile(uni, "k", topK = 1).collect().head.getLong(5)
+    assert(g0 == 0L)
+    // partition invariance
+    val p2 = Profile.keySkewProfile(rows.repartition(5), "k", topK = 2).collect()
+    assert(p2.map(_.toString).toSeq == p.map(_.toString).toSeq)
+  }
+
   test("zorderBy clusters a quadrant into few contiguous range partitions") {
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")

@@ -316,6 +316,37 @@ class SamplingFusionSpec extends SparkSpec {
     }
   }
 
+  test("hitsMicro: hand-computed hubs/authorities, partition invariance, empty fails loud") {
+    import graft.operators.Graphs
+    // bipartite 1→10, 1→11, 2→10. N=4, h0 = 1e12 div 4 = 250000000000.
+    // auth: raw(10)=500e9, raw(11)=250e9, A=750e9
+    //   a(10)=500e9·1e12 div 750e9 = 666666666666, a(11)=333333333333
+    // hub: raw(1)=a(10)+a(11)=999999999999, raw(2)=666666666666,
+    //   H=1666666666665 → h(1)=600000000000 exact, h(2)=400000000000 exact
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val r = Graphs.hitsMicro(edges, iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      1L -> ((600000000000L, 0L)),
+      2L -> ((400000000000L, 0L)),
+      10L -> ((0L, 666666666666L)),
+      11L -> ((0L, 333333333333L))), r.toString)
+    // duplicate edges are deduped (multigraph input is safe), and a
+    // different partitioning replays the scores bit-for-bit
+    val r2 = Graphs.hitsMicro(
+      edges.unionByName(edges).repartition(7), iters = 1)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r2 == r)
+    // scores remain L1-coupled after more rounds: every round renormalizes
+    val r3 = Graphs.hitsMicro(edges, iters = 3).collect()
+    assert(r3.map(_.getLong(1)).sum <= 1000000000000L)
+    assert(r3.map(_.getLong(2)).sum <= 1000000000000L)
+    intercept[Exception] {
+      Graphs.hitsMicro(Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 1)
+        .collect()
+    }
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
