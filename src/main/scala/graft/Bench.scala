@@ -43,7 +43,11 @@ object Bench {
     // round-18 families: interval-union span coverage (the island
     // windows over matched positions) and the selective risk-coverage
     // table (broadcast-grid scoring + the distributed margin ranking)
-    "q_span_coverage", "q_selective_risk")
+    "q_span_coverage", "q_selective_risk",
+    // round-18 wave three: iterative dual-score HITS (two edge joins
+    // per round), the native Hilbert-key bit walk + global sort, and
+    // the skew profiler's double global ranking over the key counts
+    "q_hits", "q_hilbert_layout", "q_key_skew")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).
