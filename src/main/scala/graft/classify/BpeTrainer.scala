@@ -33,13 +33,68 @@ import graft.functions.TextFns
   */
 object BpeTrainer {
 
-  /** Learn `steps` merges; returns (step, c1, c2, pair_count). */
-  def fitMerges(docs: DataFrame, steps: Int,
-                textCol: String = "text"): DataFrame = {
-    require(steps >= 1, s"fitMerges needs steps >= 1, got $steps")
-    val words = docs.filter(trim(col(textCol)) =!= "")
+  import org.apache.spark.sql.Column
+
+  /** Greedy left-to-right application of one merge (c1, c2) to a
+    * symbol-array column: fold the array; a position merges with its
+    * predecessor iff the predecessor is exactly c1 and it is exactly
+    * c2 — a freshly merged symbol is longer than c1, so it can never
+    * re-match as the left half in the same pass, which is exactly the
+    * serial non-overlapping rule. Shared by training (c1/c2 are the
+    * broadcast argmax row's columns) and encoding (literals).
+    */
+  private[classify] def applyMerge(syms: Column, c1: Column, c2: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === c1 && x === c2,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(c1, c2))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The distinct-word frame with corpus frequencies: (w, freq). */
+  private def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(trim(col(textCol)) =!= "")
       .select(explode(TextFns.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** ENCODE under a learned tokenizer: apply an ordered merge list to
+    * the corpus and return the encoded distinct-word frame
+    * (w, freq, syms) — the input to token counting, vocabulary audits
+    * and per-source token budgets.
+    *
+    * The merge list is driver-side (control-grain: tokenizer merge
+    * tables are tiny next to the corpus — collect the
+    * [[fitMerges]] output, or supply a pre-trained table). Scale
+    * shape: ONE corpus pass collapses to the vocabulary-sized
+    * distinct-word frame, then every merge is a map-side array fold —
+    * no shuffle per merge, no explode back to position grain; the
+    * corpus is read once no matter how many merges.
+    */
+  def encodeWords(docs: DataFrame, merges: Seq[(String, String)],
+                  textCol: String = "text"): DataFrame =
+    encodeFreqs(wordFreqs(docs, textCol), merges)
+
+  /** [[encodeWords]] over a precomputed (w, freq) frame — callers that
+    * already hold a word-frequency aggregation (e.g. a per-source one
+    * re-aggregated to the corpus grain) skip the second corpus pass.
+    */
+  def encodeFreqs(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      words.select(col("w"), col("freq"),
+        filter(split(col("w"), ""), c => c =!= "").as("syms"))) {
+      case (seqs, (c1, c2)) =>
+        seqs.select(col("w"), col("freq"),
+          applyMerge(col("syms"), lit(c1), lit(c2)).as("syms"))
+    }
+
+  /** Learn `steps` merges; returns (step, c1, c2, pair_count). */
+  def fitMerges(docs: DataFrame, steps: Int,
+                textCol: String = "text"): DataFrame =
+    fitMergesOnFreqs(wordFreqs(docs, textCol), steps)
+
+  /** [[fitMerges]] over a precomputed (w, freq) frame. */
+  def fitMergesOnFreqs(words: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"fitMergesOnFreqs needs steps >= 1, got $steps")
     var seqs = words.select(col("freq"),
       filter(split(col("w"), ""), c => c =!= "").as("syms"))
     val rules = Seq.newBuilder[DataFrame]
@@ -56,18 +111,9 @@ object BpeTrainer {
         .orderBy(col("pair_count").desc, col("c1"), col("c2")).limit(1)
       rules += best.select(lit(step.toLong).as("step"),
         col("c1"), col("c2"), col("pair_count"))
-      // greedy left-to-right application: fold each word's symbols;
-      // a freshly merged symbol is longer than c1, so it can never
-      // re-match as the left half in the same pass — exactly the
-      // serial non-overlapping rule
       seqs = seqs.crossJoin(broadcast(best.select(col("c1"), col("c2"))))
         .select(col("freq"),
-          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === col("c1") && x === col("c2"),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(col("c1"), col("c2")))))
-              .otherwise(concat(acc, array(x)))).as("syms"))
+          applyMerge(col("syms"), col("c1"), col("c2")).as("syms"))
     }
     rules.result().reduce(_ unionByName _)
   }

@@ -40,7 +40,19 @@ object TextOps6 {
     * default and each step references its predecessor ~3×, so the
     * un-materialized plan blows up 3^steps.
     */
-  private def bpeOracleSql(steps: Int): String = {
+  private def bpeOracleSql(steps: Int): String =
+    s"""WITH ${bpeFitCtes(steps)}
+       |${(1 to steps).map(s =>
+          s"SELECT CAST($s AS BIGINT) AS step, c1, c2, pair_count FROM best$s")
+          .mkString("\nUNION ALL ")}
+       |ORDER BY step""".stripMargin
+
+  /** The WITH-body of the BPE fit: words → seq0 → (p/best/pos/cand/
+    * mrg/seq)×steps. `seq$steps` is the fully-merged distinct-word
+    * frame (w, freq, syms) — the encode queries read it directly, so
+    * the oracle's tokenizer is the very table its fit produced.
+    */
+  private def bpeFitCtes(steps: Int): String = {
     val stepCtes = (1 to steps).map { s =>
       s"""p$s AS MATERIALIZED (SELECT c1, c2, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
          |  SELECT freq,
@@ -74,17 +86,12 @@ object TextOps6 {
          |  LEFT JOIN mrg$s cons ON cons.w = p.w AND cons.i = p.i - 1
          |  WHERE cons.i IS NULL GROUP BY p.w)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to steps).map(s =>
-      s"SELECT CAST($s AS BIGINT) AS step, c1, c2, pair_count FROM best$s")
-      .mkString("\nUNION ALL ")
-    s"""WITH words AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    s"""words AS (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents WHERE trim(text) <> '') GROUP BY 1),
        |seq0 AS MATERIALIZED (SELECT w, freq,
        |  list_filter(string_split_regex(w, ''), c -> c <> '') AS syms FROM words),
-       |$stepCtes
-       |$out
-       |ORDER BY step""".stripMargin
+       |$stepCtes""".stripMargin
   }
 
   private val defs: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
@@ -449,6 +456,77 @@ object TextOps6 {
           t(s, d, "documents"), steps = 5)
         .orderBy(col("step")),
       bpeOracleSql(5)),
+
+    // BPE ENCODE, half one: the token vocabulary under the tokenizer
+    // the corpus itself trained — fit 5 merges, collect the tiny merge
+    // table (control-grain, like a vocab), then apply it as 5 map-side
+    // greedy folds over the distinct-word frame and aggregate the
+    // token table (occurrences weighted by word frequency + word-type
+    // counts). The oracle re-fits with the same unrolled CTE chain and
+    // reads the final seq5 frame — the tokenizer IS its fit output on
+    // both sides, so fit and encode stay one contract.
+    q("q_bpe_encode")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val merges = graft.classify.BpeTrainer.fitMerges(docs, steps = 5)
+          .orderBy($"step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.classify.BpeTrainer.encodeWords(docs, merges)
+          .select(explode($"syms").as("token"), $"w", $"freq")
+          .groupBy($"token")
+          .agg(sum($"freq").as("n_occ"), countDistinct($"w").as("n_types"))
+          .orderBy($"n_occ".desc, $"token")
+      },
+      s"""WITH ${bpeFitCtes(5)},
+         |tok AS (SELECT w, freq, unnest(syms) AS token FROM seq5)
+         |SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+         |FROM tok GROUP BY token
+         |ORDER BY n_occ DESC, token""".stripMargin),
+
+    // BPE ENCODE, half two: the per-source token budget — how many
+    // training tokens each source contributes under the learned
+    // tokenizer, next to its word and character mass (chars/token is
+    // the tokenizer-quality ratio readers divide out). ONE corpus
+    // pass: the per-source word frame is pinned, the corpus-grain
+    // frequencies re-aggregate from it, and the encoded word lengths
+    // join back at the vocabulary grain (the word-length map is
+    // vocab-sized — corpus bytes never shuffle). Int64-safe to ~10¹⁸
+    // corpus tokens.
+    q("q_token_budget")(
+      (s, d) => {
+        import s.implicits._
+        import graft.classify.BpeTrainer
+        val docs = t(s, d, "documents")
+        val sw = graft.util.CacheScope.pin(
+          docs.filter(trim($"text") =!= "")
+            .select($"source",
+              explode(graft.functions.TextFns.tokens($"text")).as("w"))
+            .groupBy($"source", $"w").agg(count(lit(1)).as("freq")))
+        val words = sw.groupBy($"w").agg(sum($"freq").as("freq"))
+        val merges = BpeTrainer.fitMergesOnFreqs(words, steps = 5)
+          .orderBy($"step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val lens = BpeTrainer.encodeFreqs(words, merges)
+          .select($"w", size($"syms").cast("long").as("n_syms"))
+        sw.join(lens, "w")
+          .groupBy($"source")
+          .agg(sum($"freq").as("n_words"),
+            sum($"freq" * length($"w")).as("n_chars"),
+            sum($"freq" * $"n_syms").as("n_tokens"))
+          .orderBy($"source")
+      },
+      s"""WITH ${bpeFitCtes(5)},
+         |lens AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM seq5),
+         |sw AS (SELECT source, tok AS w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents WHERE trim(text) <> '') GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(freq) AS BIGINT) AS n_words,
+         |  CAST(SUM(freq * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(freq * n_syms) AS BIGINT) AS n_tokens
+         |FROM sw JOIN lens USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin),
 
     // Exact integer water-filling: cap the big sources at a common
     // level so the corpus hits an 80% budget — the proportional-

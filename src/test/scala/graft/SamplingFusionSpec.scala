@@ -390,6 +390,39 @@ class SamplingFusionSpec extends SparkSpec {
     assert(tie == (("x", "y")))
   }
 
+  test("BPE encode applies a merge list exactly as the serial greedy rule") {
+    import graft.classify.BpeTrainer
+    // the fitted merges of the hand corpus above, applied back to it:
+    //   (a,a): aaab → [aa,a,b], ab → [a,b]
+    //   (a,b): aaab → [aa,ab],  ab → [ab]
+    //   (aa,ab): aaab → [aaab], ab → [ab]
+    val docs = Seq("aaab ab", "aaab").toDF("text")
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val enc = BpeTrainer.encodeWords(docs, merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[String](2).toList))).toMap
+    assert(enc == Map("aaab" -> ((2L, List("aaab"))),
+      "ab" -> ((1L, List("ab")))), enc.toString)
+    // greedy left-to-right within one pass: "aaa" + (a,a) → [aa, a],
+    // and a later (aa,a) merge picks up the leftover
+    val tri = BpeTrainer.encodeWords(Seq("aaa").toDF("text"), Seq(("a", "a")))
+      .collect().head.getSeq[String](2).toList
+    assert(tri == List("aa", "a"))
+    val tri2 = BpeTrainer.encodeWords(Seq("aaa").toDF("text"),
+      Seq(("a", "a"), ("aa", "a"))).collect().head.getSeq[String](2).toList
+    assert(tri2 == List("aaa"))
+    // empty merge list = plain character split
+    val none = BpeTrainer.encodeWords(Seq("xy").toDF("text"), Seq.empty)
+      .collect().head.getSeq[String](2).toList
+    assert(none == List("x", "y"))
+    // an encoded corpus token count is invariant to partitioning
+    val big = (1 to 50).map(i => s"w$i aaab ab").toDF("text")
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      BpeTrainer.encodeWords(df, merges)
+        .agg(sum(size(col("syms")) * col("freq"))).collect().head.getLong(0)
+    assert(total(big) == total(big.repartition(7)))
+  }
+
   test("dedupLines keeps first occurrences in order; short and all-dup docs exact") {
     val docs = Seq(
       // lines (w=2): [a b][c d][a b][e f] → dup line 3 dropped
