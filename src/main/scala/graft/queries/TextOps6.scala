@@ -494,7 +494,7 @@ object TextOps6 {
     // join back at the vocabulary grain (the word-length map is
     // vocab-sized — corpus bytes never shuffle). Int64-safe to ~10¹⁸
     // corpus tokens.
-    q("q_token_budget")(
+    q("q_bpe_token_budget")(
       (s, d) => {
         import s.implicits._
         import graft.classify.BpeTrainer
