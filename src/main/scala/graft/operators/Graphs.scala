@@ -56,6 +56,55 @@ object Graphs {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** Synchronous label propagation (Raghavan et al.'s LPA) made fully
+    * deterministic — the near-linear community detector that segments
+    * a co-occurrence graph into interaction clusters without a K or a
+    * distance metric. Every node starts labeled with its own id; each
+    * round, every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — the classic
+    * random-tie-break variant replaced with a total order so the
+    * result replays bit-identically on any engine and shuffle order
+    * (what makes the unrolled SQL oracle possible). Fixed `iters`
+    * synchronous rounds (the asynchronous/until-fixpoint variant is
+    * order-dependent by construction; synchronous LPA can oscillate
+    * on bipartite structure, so communities are read at a declared
+    * round, not a fixpoint).
+    *
+    * Scale shape: edges symmetrized + deduped once (cached); each
+    * round is ONE label join on the src side + a two-level aggregate
+    * — (dst, label) partial counts, then the per-dst argmax via a
+    * single min(struct(inv_cnt, label)) (map-side combinable; a hot
+    * node receives one row per upstream partition per distinct
+    * neighbor label, not per edge). Lineage cut per round. Isolated
+    * nodes cannot occur (nodes are induced from edges).
+    *
+    * Output: (node, label) for every node of the symmetrized graph.
+    */
+  def labelPropagate(edges: DataFrame, iters: Int = 3,
+                     srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"labelPropagate needs iters >= 1, got $iters")
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = graft.util.CacheScope.pin(
+      fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct())
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = sym.join(labels, sym("u") === labels("node"))
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax by (cnt desc, label asc) as ONE min-aggregate:
+        // inv = Long.Max - cnt is exact and keeps the struct order
+        // integer-only, so the combiner runs map-side
+        .groupBy(col("v"))
+        .agg(min(struct((lit(Long.MaxValue) - col("cnt")).as("inv"),
+          col("label"))).as("m"))
+        .select(col("v").as("node"), col("m.label").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** PageRank scale: ranks are integers in units of 1e-12 of the total
     * probability mass. */
   val RankScale: Long = 1000000000000L

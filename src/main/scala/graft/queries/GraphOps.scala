@@ -82,6 +82,42 @@ object GraphOps {
          |FROM h3 JOIN a3 ON a3.node = h3.node
          |ORDER BY node""".stripMargin),
 
+    // Deterministic synchronous label propagation (LPA community
+    // detection) over the symmetrized customer↔part purchase graph:
+    // every node starts as its own community; each of 3 rounds adopts
+    // the most frequent neighbor label with the smallest-label tie
+    // break — the random-tie variant made a total order, which is
+    // what lets the unrolled oracle replay the rounds bit-for-bit.
+    // See [[graft.operators.Graphs.labelPropagate]] for the one-join
+    // + two-level-aggregate round shape (hot nodes receive one row
+    // per upstream partition per distinct neighbor label).
+    q("q_label_prop")(
+      (s, d) => {
+        import s.implicits._
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" % 3 === 1)
+          .select($"o_custkey".as("src"), ($"l_partkey" + 10000000L).as("dst"))
+        Graphs.labelPropagate(edges, iters = 3).orderBy($"node")
+      },
+      s"""WITH base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,
+         |  l.l_partkey + 10000000 AS dst
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_custkey % 3 = 1),
+         |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |  SELECT src AS u, dst AS v FROM base
+         |  UNION ALL SELECT dst, src FROM base) WHERE u <> v),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e),
+         |${(1 to 3).map { k =>
+            s"""c$k AS MATERIALIZED (SELECT e.v, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+               |  FROM e JOIN l${k - 1} l ON l.node = e.u GROUP BY 1, 2),
+               |l$k AS MATERIALIZED (SELECT v AS node, label FROM (
+               |  SELECT v, label,
+               |    row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rk
+               |  FROM c$k) WHERE rk = 1)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin),
+
     // Hilbert-curve clustering key over the same (user bucket, hour
     // bucket) plane as q_zorder — consecutive Hilbert codes are
     // ALWAYS grid neighbors where Morton order teleports across the

@@ -347,6 +347,30 @@ class SamplingFusionSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagate: hand-traced rounds, multigraph dedup, partition invariance") {
+    import graft.operators.Graphs
+    // triangle {1,2,3} + pendant 4—3, synchronous min-tie-break LPA:
+    //   r1: 1→min(2,3)=2 (tie), 2→1 (tie), 3→1 (tie of 1,2,4), 4→3
+    //   r2: 1→1 (both nbrs hold 1), 2→1 (tie 2,1), 3→1 (tie 2,1,3), 4→1
+    //   r3: everything 1 — one community
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame, iters: Int) =
+      Graphs.labelPropagate(df, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(edges, 1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    assert(run(edges, 2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(run(edges, 3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // duplicate + reversed edges change nothing; repartition replays
+    val noisy = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      .repartition(7)
+    assert(run(noisy, 2) == run(edges, 2))
+    // two disconnected triangles stay two communities at any round
+    val two = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val comms = run(two, 3).groupBy(_._2).keys.toSet
+    assert(comms.size == 2)
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
