@@ -105,6 +105,58 @@ object Graphs {
     labels
   }
 
+  /** k-core of an undirected graph by synchronous peeling — the
+    * dense-subgraph extractor (spam/bot rings, consensus clusters):
+    * repeatedly delete EVERY node whose current degree is below `k`
+    * until none remains below. The peeling fixpoint is unique (the
+    * k-core is the maximal subgraph with min degree ≥ k regardless of
+    * deletion order), so the result is engine- and
+    * shuffle-order-independent even though the round count is
+    * data-dependent.
+    *
+    * Scale shape: edges symmetrized + deduped once; each round is one
+    * degree aggregation + two semi-joins restricting the edge frame
+    * to surviving endpoints, with a lineage cut per round. The frame
+    * only shrinks. Rounds are bounded by `maxRounds` (the synchronous
+    * peel converges in O(√|E|) rounds on real graphs — typically a
+    * handful); the loop stops early at the fixpoint via one cached
+    * edge count per round (control-grain scalar). Fails loudly if the
+    * bound is hit before the fixpoint rather than returning a
+    * not-yet-core frame.
+    *
+    * Output: (node, deg) for every k-core member, `deg` its degree
+    * INSIDE the core (≥ k by construction); empty frame when the core
+    * is empty.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 30,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    require(maxRounds >= 1, s"kCore needs maxRounds >= 1, got $maxRounds")
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    var g = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var nEdges = g.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val deg = g.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      g = g.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val n = g.count()
+      converged = n == nEdges
+      nEdges = n
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: no fixpoint within $maxRounds rounds (edges still shrinking " +
+          s"at $nEdges) — raise maxRounds")
+    g.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** PageRank scale: ranks are integers in units of 1e-12 of the total
     * probability mass. */
   val RankScale: Long = 1000000000000L

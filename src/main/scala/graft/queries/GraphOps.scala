@@ -118,6 +118,40 @@ object GraphOps {
           }.mkString(",\n")}
          |SELECT node, label FROM l3 ORDER BY node""".stripMargin),
 
+    // k-core of the symmetrized customer↔part purchase graph: peel
+    // every node of degree < 9 until none remains — the maximal
+    // subgraph of min degree ≥ 9, the consensus cluster that
+    // one-off/bot-like interactions cannot enter. The fixpoint is
+    // deletion-order-independent, so the engine's until-converged
+    // loop and the oracle's 12 unrolled peels (identity once the
+    // fixpoint is reached) land on the same subgraph; see
+    // [[graft.operators.Graphs.kCore]] for the per-round degree-agg +
+    // two-semi-join shape and the loud maxRounds guard.
+    q("q_kcore")(
+      (s, d) => {
+        import s.implicits._
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" % 3 === 2)
+          .select($"o_custkey".as("src"), ($"l_partkey" + 10000000L).as("dst"))
+        Graphs.kCore(edges, k = 9).orderBy($"node")
+      },
+      s"""WITH base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,
+         |  l.l_partkey + 10000000 AS dst
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_custkey % 3 = 2),
+         |g0 AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |  SELECT src AS u, dst AS v FROM base
+         |  UNION ALL SELECT dst, src FROM base) WHERE u <> v),
+         |${(1 to 12).map { i =>
+            s"""k$i AS MATERIALIZED (SELECT u AS node FROM g${i - 1}
+               |  GROUP BY 1 HAVING COUNT(*) >= 9),
+               |g$i AS MATERIALIZED (SELECT e.u, e.v FROM g${i - 1} e
+               |  JOIN k$i a ON a.node = e.u JOIN k$i b ON b.node = e.v)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM g12
+         |GROUP BY 1 ORDER BY node""".stripMargin),
+
     // Hilbert-curve clustering key over the same (user bucket, hour
     // bucket) plane as q_zorder — consecutive Hilbert codes are
     // ALWAYS grid neighbors where Morton order teleports across the

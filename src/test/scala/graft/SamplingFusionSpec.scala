@@ -371,6 +371,33 @@ class SamplingFusionSpec extends SparkSpec {
     assert(comms.size == 2)
   }
 
+  test("kCore peels to the exact core, cascades, and handles empty cores") {
+    import graft.operators.Graphs
+    // K4 {1,2,3,4} + a chain 4—5—6: 5 (deg 2) and 6 (deg 1) peel in
+    // the first synchronous round and the K4 survives it (4 drops to
+    // degree 3) — the 3-core is exactly the K4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core3 = Graphs.kCore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), core3.toString)
+    // k above the max degree → empty core, no exception
+    assert(Graphs.kCore(edges, k = 10).count() == 0L)
+    // k=1 keeps everything (after self-loop/dedup canonicalization)
+    assert(Graphs.kCore(edges, k = 1).count() == 6L)
+    // multigraph + reversed duplicates + partitioning change nothing
+    val noisy = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      .repartition(5)
+    val core3b = Graphs.kCore(noisy, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3b == core3)
+    // a too-small round bound fails loudly instead of returning a
+    // not-yet-core frame
+    intercept[IllegalStateException] {
+      Graphs.kCore(edges, k = 3, maxRounds = 1).collect()
+    }
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
