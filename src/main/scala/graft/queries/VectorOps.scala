@@ -560,6 +560,38 @@ object VectorOps {
         |  (SELECT nrm FROM ok, n WHERE rn = (3 * n_ok + 3) // 4) AS norm_q3,
         |  (SELECT nrm FROM ok, n WHERE rn = n_ok) AS norm_max""".stripMargin),
 
+    // Mutual nearest-neighbor pairs — bitext-mining-style semantic
+    // pairing: (a,b) qualifies iff each is the OTHER's single nearest
+    // neighbor (cosine desc, id asc). Mutuality is the precision
+    // filter one-directional NN lacks (a hub vector "nearest" to half
+    // the corpus almost never gets them back). Planted exact copies
+    // guarantee 20 structural pairs; natural mutual pairs join them.
+    // See [[graft.sim.Similarity.mutualNearestPairs]] for the
+    // pluggable-candidate scale path (IVF cells / SRP buckets).
+    q("q_mutual_nn")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings").select($"vec_id", $"embedding")
+        val planted = e.filter($"vec_id" < 20)
+          .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+        Similarity.mutualNearestPairs(e.union(planted), "vec_id", "embedding")
+          .orderBy($"vec_a")
+      },
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id),
+         |nn AS (SELECT qa, qb AS nn_id, sim FROM (
+         |  SELECT qa, qb, sim,
+         |    row_number() OVER (PARTITION BY qa ORDER BY sim DESC, qb) AS rn
+         |  FROM s) WHERE rn = 1)
+         |SELECT x.qa AS vec_a, y.qa AS vec_b, x.sim AS sim
+         |FROM nn x JOIN nn y ON x.qa = y.nn_id AND y.qa = x.nn_id AND x.qa < y.qa
+         |ORDER BY vec_a""".stripMargin),
+
     // Embedding near-dup pairs over a corpus with planted exact copies.
     q("q_embed_neardup")(
       (s, d) => {

@@ -338,6 +338,41 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Mutual nearest-neighbor pairs — the bitext-mining / semantic-
+    * pairing primitive: (a, b) qualifies iff b is a's single nearest
+    * neighbor AND a is b's (cosine desc, id asc — a total order, so
+    * the pairing replays identically on any engine). Mutuality is the
+    * classic precision filter over one-directional NN: a hubby vector
+    * that is "nearest" to half the corpus almost never gets them back.
+    *
+    * `candidates` plugs in the scale path: any (q_id, id, sim) frame —
+    * [[ivfCandidatesFromCells]] over a persistent index, or an SRP-
+    * bucketed pair frame — bounds the search to collisions, making
+    * this ANN-mutual (exact on any pair the candidate generator
+    * recalls). Default is the exact all-pairs join, the oracle
+    * baseline at correctness scale. The NN argmax is one map-side-
+    * combinable min(struct(-sim, id)) per side; the mutuality check is
+    * a self-join on the |corpus|-sized NN frame.
+    *
+    * Output: (vec_a, vec_b, sim) with vec_a < vec_b.
+    */
+  def mutualNearestPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         candidates: Option[DataFrame] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = candidates.getOrElse(
+      c.as("a").join(c.as("b"), col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("q_id"), col("b.id").as("id"),
+          VectorFns.cosineR(col("a.vec"), col("b.vec")).as("sim")))
+    val nn = cand.groupBy(col("q_id"))
+      .agg(min(struct((-col("sim")).as("ns"), col("id"))).as("m"))
+      .select(col("q_id"), col("m.id").as("nn_id"), (-col("m.ns")).as("sim"))
+    nn.as("x").join(nn.as("y"),
+        col("x.q_id") === col("y.nn_id") && col("y.q_id") === col("x.nn_id") &&
+          col("x.q_id") < col("y.q_id"))
+      .select(col("x.q_id").as("vec_a"), col("y.q_id").as("vec_b"),
+        col("x.sim").as("sim"))
+  }
+
   /** Diversity-aware top-k: maximal marginal relevance (Carbonell/
     * Goldstein MMR) over the top-`c` cosine candidates of each query —
     * the standard redundancy-suppression step for retrieval-augmented

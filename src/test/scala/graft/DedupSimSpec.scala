@@ -627,4 +627,36 @@ class DedupSimSpec extends SparkSpec {
     // the planted near-dups make the sweep non-degenerate at r=1
     assert(out.head._5 > 0, "r=1 found no planted true pair")
   }
+
+  test("mutualNearestPairs: hub vectors filtered, mutual twins kept, candidate path agrees") {
+    import graft.sim.Similarity
+    // 2-D layout: 1=(1,0) and 2=(0.995,0.1)-ish are each other's NN;
+    // 3=(0,1) and 4=(0.1,0.995)-ish likewise; 5=(0.7,0.7) sits between
+    // the two clusters — its NN is 2, but 2's NN is 1, so the hub 5
+    // joins NO pair. Exactly two mutual pairs come out.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.995f, 0.0999f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(0.0999f, 0.995f)),
+      (5L, Array(0.74f, 0.6726f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.mutualNearestPairs(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), pairs.toString)
+    // partition invariance
+    val pairs2 = Similarity.mutualNearestPairs(vecs.repartition(4),
+      "vec_id", "embedding").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == pairs)
+    // a candidate frame missing 5's edges changes nothing for the
+    // mutual pairs the generator recalls (ANN-mutual contract)
+    val c = vecs.select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cand = c.as("a").join(c.as("b"),
+        $"a.id" =!= $"b.id" && $"a.id" =!= 5L && $"b.id" =!= 5L)
+      .select($"a.id".as("q_id"), $"b.id".as("id"),
+        graft.functions.VectorFns.cosineR($"a.vec", $"b.vec").as("sim"))
+    val pairs3 = Similarity.mutualNearestPairs(vecs, "vec_id", "embedding",
+        candidates = Some(cand))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs3 == pairs)
+  }
 }
