@@ -157,6 +157,83 @@ object Graphs {
     g.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Bipartite co-occurrence projection — the graph CONSTRUCTOR for
+    * the ranking family: project a (left, right) incidence frame onto
+    * weighted left-left edges, weight = number of shared right
+    * neighbors (co-purchases, co-citations, shared n-grams). The
+    * output feeds [[pageRankMicro]]'s weighted variant, [[kCore]],
+    * and [[labelPropagate]] directly.
+    *
+    * Scale shape — the celebrity-right-node hazard is the whole
+    * problem: a right node of degree d yields d² pairs, so `maxDeg`
+    * DROPS right nodes above the bound (the standard projection
+    * guard: a part bought by everyone says nothing about taste
+    * anyway — same argument as the stopword cut and the LSH hot-
+    * bucket cap). Dropped = deterministic, documented, and mirrored
+    * in the oracle; pair generation is then one self-join on the
+    * right key bounded by maxDeg² per group.
+    *
+    * Output: (a, b, w) with a < b, w ≥ minShared.
+    */
+  def cooccurrenceProject(edges: DataFrame, leftCol: String = "src",
+                          rightCol: String = "dst", maxDeg: Int = 1000,
+                          minShared: Long = 1L): DataFrame = {
+    require(maxDeg >= 2, s"cooccurrenceProject needs maxDeg >= 2, got $maxDeg")
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
+    val keep = e.groupBy(col("r")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDeg).select(col("r"))
+    val bounded = e.join(keep, Seq("r"), "left_semi")
+    bounded.as("x").join(bounded.as("y"),
+        col("x.r") === col("y.r") && col("x.l") < col("y.l"))
+      .groupBy(col("x.l").as("a"), col("y.l").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minShared)
+  }
+
+  /** Multi-source BFS: the minimum hop distance from any seed within
+    * `maxHops` rounds — the reachability audit (how much of the link
+    * graph do the trusted seeds cover, and how fast). Unreachable-
+    * within-bound nodes are absent from the output (their distance is
+    * not 0 or ∞-as-a-sentinel — they simply don't appear, the
+    * frame-native encoding).
+    *
+    * Scale shape: per round ONE frontier-edge join + a min-distance
+    * merge (map-side combinable), frontier = nodes first reached that
+    * round only — already-settled nodes never rejoin (the standard
+    * frontier pruning, anti-join against the settled frame), so total
+    * work is O(|E|) across all rounds on a connected expansion, not
+    * O(rounds·|E|). Lineage cut per round. Directed: edges are
+    * followed src→dst; symmetrize upstream for undirected reach.
+    *
+    * Output: (node, hops) for every node within `maxHops` of a seed
+    * (seeds at 0). Seeds not present in the graph still appear at 0 —
+    * reachability FROM them is what's being measured.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              srcCol: String = "src", dstCol: String = "dst",
+              seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 1, s"bfsHops needs maxHops >= 1, got $maxHops")
+    val e = graft.util.CacheScope.pin(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v")).distinct())
+    var settled = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("hops")).localCheckpoint()
+    var frontier = settled
+    var h = 1
+    // the checkpointed frontier makes the empty test a control-grain
+    // scalar; an exhausted frontier ends the walk early
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(e, frontier("node") === e("u"))
+        .select(col("v").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    settled
+  }
+
   /** PageRank scale: ranks are integers in units of 1e-12 of the total
     * probability mass. */
   val RankScale: Long = 1000000000000L

@@ -152,6 +152,78 @@ object GraphOps {
          |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM g12
          |GROUP BY 1 ORDER BY node""".stripMargin),
 
+    // Bipartite co-occurrence projection: customer↔part incidence →
+    // weighted customer–customer co-purchase edges (weight = shared
+    // parts), the graph CONSTRUCTOR feeding the weighted-PageRank /
+    // k-core / LPA family. Right nodes above degree 50 are dropped
+    // before pairing — the celebrity guard that keeps projection work
+    // at maxDeg² per right node instead of d² on the hottest part
+    // (mirrored in the oracle, so dropped-is-deterministic is itself
+    // under test). minShared=2 keeps edges with real co-purchase
+    // signal.
+    q("q_copurchase")(
+      (s, d) => {
+        import s.implicits._
+        val edges = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" % 3 === 0)
+          .select($"o_custkey".as("src"), $"l_partkey".as("dst"))
+        Graphs.cooccurrenceProject(edges, maxDeg = 50, minShared = 2L)
+          .orderBy($"a", $"b")
+      },
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS l,
+         |  l.l_partkey AS r
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_custkey % 3 = 0),
+         |keep AS (SELECT r FROM e GROUP BY 1 HAVING COUNT(*) <= 50),
+         |bd AS MATERIALIZED (SELECT e.l, e.r FROM e JOIN keep USING (r))
+         |SELECT x.l AS a, y.l AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |FROM bd x JOIN bd y ON x.r = y.r AND x.l < y.l
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY a, b""".stripMargin),
+
+    // Multi-source BFS reachability: minimum hops from the trusted
+    // customer seed set (c_custkey % 30 = 0 — inside the filtered
+    // graph's id space; TPC-H customers without orders stay detached
+    // and pin the seeds-at-0 contract) over the symmetrized purchase
+    // graph, 4 rounds. Per
+    // round one frontier-edge join + an anti-join against settled
+    // nodes — total work O(|E|) across rounds, not O(rounds·|E|); see
+    // [[graft.operators.Graphs.bfsHops]].
+    q("q_bfs_hops")(
+      (s, d) => {
+        import s.implicits._
+        val fwd = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" % 3 === 0)
+          .select($"o_custkey".as("src"), ($"l_partkey" + 10000000L).as("dst"))
+        val edges = fwd.unionByName(
+          fwd.select($"dst".as("src"), $"src".as("dst")))
+        val seeds = t(s, d, "customer").filter($"c_custkey" % 30 === 0)
+          .select($"c_custkey".as("node"))
+        Graphs.bfsHops(edges, seeds, maxHops = 4).orderBy($"node")
+      },
+      s"""WITH base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,
+         |  l.l_partkey + 10000000 AS dst
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_custkey % 3 = 0),
+         |e AS MATERIALIZED (SELECT src AS u, dst AS v FROM base
+         |  UNION ALL SELECT dst, src FROM base),
+         |s0 AS MATERIALIZED (SELECT DISTINCT c_custkey AS node,
+         |  CAST(0 AS BIGINT) AS hops FROM customer WHERE c_custkey % 30 = 0),
+         |f0 AS (SELECT node FROM s0),
+         |${(1 to 4).map { h =>
+            s"""n$h AS MATERIALIZED (SELECT nd.node FROM (
+               |  SELECT DISTINCT e.v AS node FROM f${h - 1} f
+               |  JOIN e ON e.u = f.node) nd
+               |  LEFT JOIN s${h - 1} st ON st.node = nd.node
+               |  WHERE st.node IS NULL),
+               |s$h AS MATERIALIZED (SELECT node, hops FROM s${h - 1}
+               |  UNION ALL SELECT node, CAST($h AS BIGINT) FROM n$h),
+               |f$h AS (SELECT node FROM n$h)""".stripMargin
+          }.mkString(",\n")}
+         |SELECT node, hops FROM s4 ORDER BY node""".stripMargin),
+
     // Hilbert-curve clustering key over the same (user bucket, hour
     // bucket) plane as q_zorder — consecutive Hilbert codes are
     // ALWAYS grid neighbors where Morton order teleports across the

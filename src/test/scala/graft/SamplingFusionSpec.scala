@@ -398,6 +398,44 @@ class SamplingFusionSpec extends SparkSpec {
     }
   }
 
+  test("cooccurrenceProject: shared-neighbor weights, celebrity cut, minShared floor") {
+    import graft.operators.Graphs
+    // p1 shared by {1,2}; p2 shared by {1,2,3} → (1,2)=2, (1,3)=1, (2,3)=1
+    val e = Seq((1L, 100L), (2L, 100L), (1L, 200L), (2L, 200L), (3L, 200L))
+      .toDF("src", "dst")
+    def run(maxDeg: Int, minShared: Long) =
+      Graphs.cooccurrenceProject(e, maxDeg = maxDeg, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(run(50, 1L) == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    assert(run(50, 2L) == Map((1L, 2L) -> 2L))
+    // maxDeg=2 drops the degree-3 part entirely: only p1's pair remains
+    assert(run(2, 1L) == Map((1L, 2L) -> 1L))
+    // duplicate incidence rows don't inflate weights
+    val dup = Graphs.cooccurrenceProject(e.unionByName(e).repartition(5),
+      maxDeg = 50, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dup == run(50, 1L))
+  }
+
+  test("bfsHops: hop distances, settled-node pruning on cycles, detached seeds at 0") {
+    import graft.operators.Graphs
+    import org.apache.spark.sql.functions.col
+    // directed chain 1→2→3→4 plus a back-edge 2→1 (cycle must not
+    // resurrect node 1), seed {1, 9} with 9 absent from the graph
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("node")
+    def run(maxHops: Int) = Graphs.bfsHops(e, seeds, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(run(4) == Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // the early exit: a huge bound terminates and returns the fixpoint
+    assert(run(30) == run(4))
+    // direction respected: nothing reaches 1's predecessors-only side
+    val back = Graphs.bfsHops(Seq((5L, 1L)).toDF("src", "dst"), seeds, 3)
+      .filter(col("node") === 5L).count()
+    assert(back == 0L)
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
