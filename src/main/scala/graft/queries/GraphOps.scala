@@ -6,18 +6,24 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.operators.{Graphs, Layout}
 
-/** Graph/layout wave two: HITS hubs & authorities over the
-  * customer→part purchase graph (the dual ranking PageRank's single
-  * score conflates), the Hilbert-curve clustering key (the
-  * strictly-better-locality sibling of q_zorder's Morton code), and
-  * the join-key skew profiler (the pre-flight audit that predicts
-  * which keys melt a reducer BEFORE the 100-TB shuffle runs).
+/** Graph/layout batch: HITS hubs & authorities (the dual ranking
+  * PageRank's single score conflates), deterministic LPA community
+  * detection, k-core peeling, bipartite co-occurrence projection
+  * (the graph CONSTRUCTOR for the ranking family), multi-source BFS
+  * reachability, exact degree-assortativity sufficient statistics,
+  * the per-side degree histogram, the Hilbert-curve clustering key
+  * (the strictly-better-locality sibling of q_zorder's Morton code),
+  * and the join-key skew profiler (the pre-flight audit that
+  * predicts which keys melt a reducer BEFORE the 100-TB shuffle).
   *
   * Reproducibility contracts: HITS runs the integer micro-unit /
-  * DECIMAL(38,0) L1-normalization arithmetic of the PageRank family,
-  * Hilbert is pure positive-integer CASE/mask bit walking, and the
-  * skew profile's Gini is an exact integer cross-multiplication —
-  * every query replays bit-identically on any engine/shuffle order.
+  * DECIMAL(38,0) L1-normalization arithmetic of the PageRank family;
+  * LPA/k-core/BFS/projection are pure integer fixpoints or counts
+  * with total-order tie-breaks; assortativity ships hi/lo-split
+  * DECIMAL(38,0) sums; Hilbert is positive-integer CASE/mask bit
+  * walking; the skew profile's Gini is an exact integer
+  * cross-multiplication — every query replays bit-identically on any
+  * engine/shuffle order.
   */
 object GraphOps {
 
@@ -47,6 +53,15 @@ object GraphOps {
          |  CAST(COALESCE(hr.raw, 0) * 1000000000000 // ht$k.t AS BIGINT) AS h
          |  FROM nodes n0 LEFT JOIN hr$k hr ON hr.node = n0.node CROSS JOIN ht$k)""".stripMargin
     }.mkString(",\n")
+
+  /** floor(log2(deg)) as a pure integer CASE chain (deg ≥ 1), shared
+    * verbatim by the engine (`expr`) and the DuckDB oracle — no
+    * floating log2 whose last bit could disagree at exact powers.
+    * Degrees ≥ 2048 fold into the top bucket.
+    */
+  private val degBucketSql: String =
+    (1 to 11).map(i => s"WHEN deg < ${1L << i} THEN CAST(${i - 1} AS BIGINT)")
+      .mkString("CASE ", " ", " ELSE CAST(11 AS BIGINT) END")
 
   private val defs = Seq(
 
@@ -223,6 +238,101 @@ object GraphOps {
                |f$h AS (SELECT node FROM n$h)""".stripMargin
           }.mkString(",\n")}
          |SELECT node, hops FROM s4 ORDER BY node""".stripMargin),
+
+    // Degree assortativity as EXACT sufficient statistics — does the
+    // graph wire hubs to hubs (assortative, r>0) or hubs to leaves
+    // (disassortative, r<0)? The one-number wiring health check run
+    // before trusting ranking/propagation output. Pearson r over the
+    // (deg u, deg v) pairs of every directed edge end; by symmetry of
+    // the symmetrized frame Σx=Σy and Σx²=Σy², so the stats ship once.
+    // r's square root makes the division irrational → ship the exact
+    // pieces (the q_kappa_gates precedent) in DECIMAL(38,0) computed
+    // sums split hi/lo into driver-safe BIGINTs (the
+    // q_spearman_signals idiom): r = (n·Σxy − Σx²ᵗᵒᵗ)/(n·Σx² − Σx²ᵗᵒᵗ)
+    // reader-side. Scale: one degree agg + two vocab-grain joins +
+    // one total agg; Σxy ≤ deg²·2|E| ≈ 10²⁴ at 10¹²-edge corpora —
+    // inside DECIMAL(38,0) everywhere.
+    q("q_assortativity")(
+      (s, d) => {
+        import s.implicits._
+        val fwd = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" % 3 === 0)
+          .select($"o_custkey".as("src"), ($"l_partkey" + 10000000L).as("dst"))
+        val e = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+          .distinct()
+        val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        e.join(deg.select($"node".as("src"), $"deg".as("x")), "src")
+          .join(deg.select($"node".as("dst"), $"deg".as("y")), "dst")
+          .agg(count(lit(1)).as("n_ends"),
+            sum($"x".cast("decimal(19,0)")).as("_sx"),
+            sum($"x".cast("decimal(19,0)") * $"y").as("_sxy"),
+            sum($"x".cast("decimal(19,0)") * $"x").as("_sx2"))
+          .select($"n_ends",
+            expr("cast(_sx div 1000000000000000000 as long)").as("sum_x_hi"),
+            expr("cast(_sx % 1000000000000000000 as long)").as("sum_x_lo"),
+            expr("cast(_sxy div 1000000000000000000 as long)").as("sum_xy_hi"),
+            expr("cast(_sxy % 1000000000000000000 as long)").as("sum_xy_lo"),
+            expr("cast(_sx2 div 1000000000000000000 as long)").as("sum_x2_hi"),
+            expr("cast(_sx2 % 1000000000000000000 as long)").as("sum_x2_lo"))
+      },
+      s"""WITH base AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,
+         |  l.l_partkey + 10000000 AS dst
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_custkey % 3 = 0),
+         |e AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |  SELECT src AS u, dst AS v FROM base
+         |  UNION ALL SELECT dst, src FROM base)),
+         |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY 1),
+         |j AS (SELECT dx.deg AS x, dy.deg AS y FROM e
+         |  JOIN deg dx ON dx.node = e.u JOIN deg dy ON dy.node = e.v),
+         |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ends,
+         |  SUM(CAST(x AS HUGEINT)) AS sx,
+         |  SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |  SUM(CAST(x AS HUGEINT) * x) AS sx2 FROM j)
+         |SELECT n_ends,
+         |  CAST(sx // 1000000000000000000 AS BIGINT) AS sum_x_hi,
+         |  CAST(sx % 1000000000000000000 AS BIGINT) AS sum_x_lo,
+         |  CAST(sxy // 1000000000000000000 AS BIGINT) AS sum_xy_hi,
+         |  CAST(sxy % 1000000000000000000 AS BIGINT) AS sum_xy_lo,
+         |  CAST(sx2 // 1000000000000000000 AS BIGINT) AS sum_x2_hi,
+         |  CAST(sx2 % 1000000000000000000 AS BIGINT) AS sum_x2_lo
+         |FROM t""".stripMargin),
+
+    // Log2-bucketed degree histogram per bipartite side — the
+    // distribution read BEFORE any graph work: is the part side
+    // heavy-tailed (celebrity hazard for projections/joins) and how
+    // wide is the customer fan-out? The bucket CASE is ONE shared SQL
+    // text evaluated by both engines (pure integer compares), so the
+    // histogram replays exactly.
+    q("q_degree_hist")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .filter($"o_custkey" % 3 === 0)
+          .select($"o_custkey".as("src"), $"l_partkey".as("dst"))
+          .distinct()
+        val deg = e.select(lit("cust").as("side"), $"src".as("node"))
+          .unionByName(e.select(lit("part").as("side"), $"dst".as("node")))
+          .groupBy($"side", $"node").agg(count(lit(1)).as("deg"))
+        deg.groupBy($"side", expr(degBucketSql).as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min($"deg").as("min_deg"), max($"deg").as("max_deg"))
+          .orderBy($"side", $"bucket")
+      },
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,
+         |  l.l_partkey AS dst
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_custkey % 3 = 0),
+         |deg AS (SELECT side, node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |  SELECT 'cust' AS side, src AS node FROM e
+         |  UNION ALL SELECT 'part', dst FROM e) GROUP BY 1, 2)
+         |SELECT side, $degBucketSql AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  MIN(deg) AS min_deg, MAX(deg) AS max_deg
+         |FROM deg GROUP BY 1, 2 ORDER BY side, bucket""".stripMargin),
 
     // Hilbert-curve clustering key over the same (user bucket, hour
     // bucket) plane as q_zorder — consecutive Hilbert codes are
