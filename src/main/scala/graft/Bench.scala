@@ -47,7 +47,12 @@ object Bench {
     // round-18 wave three: iterative dual-score HITS (two edge joins
     // per round), the native Hilbert-key bit walk + global sort, and
     // the skew profiler's double global ranking over the key counts
-    "q_hits", "q_hilbert_layout", "q_key_skew")
+    "q_hits", "q_hilbert_layout", "q_key_skew",
+    // round-18 wave four: LPA community rounds, the until-fixpoint
+    // k-core peel, the celebrity-guarded co-occurrence projection,
+    // and BPE fit+encode (5 training rounds + the map-side merge
+    // folds over the vocabulary frame)
+    "q_label_prop", "q_kcore", "q_copurchase", "q_bpe_encode")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).
