@@ -230,6 +230,34 @@ object Extra {
          |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
          |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin),
 
+    // Bloom-pruned anti join ([[graft.operators.BloomJoin.antiJoin]]):
+    // fact rows whose key is a DEFINITE sketch miss are in the answer
+    // with no join at all; only the might-contain sliver goes through
+    // the exact anti join — on an ingest-dedup shape where most rows
+    // are new, most of the fact side never shuffles. One-sided bloom
+    // error means the output is bit-identical to the plain NOT EXISTS,
+    // which is exactly what this oracle checks.
+    q("q_bloom_anti_join")(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+        val dim = t(s, d, "part").filter($"p_partkey" % 7 === 0)
+          .select($"p_partkey")
+        graft.operators.BloomJoin.antiJoin(li, dim, "l_partkey", "p_partkey",
+            expectedItems = 100000L)
+          .groupBy($"l_partkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum($"l_orderkey").as("sum_okey"))
+          .orderBy($"l_partkey")
+      },
+      """SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p
+        |  WHERE p.p_partkey % 7 = 0 AND p.p_partkey = l.l_partkey)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
+
     // Exact-moment distribution statistics per group: mean, variance,
     // skewness derived from INTEGER power sums (quantities are
     // integer-valued, so Σq, Σq², Σq³ are exact longs — order-

@@ -348,4 +348,33 @@ class OpsSpec extends SparkSpec {
       + r(0).getLong(2) == expect,
       s"hi/lo recombination != n(n²−1)/3: ${r(0)}")
   }
+
+  test("bloom-pruned joins are bit-identical to the plain joins, empty dim included") {
+    import graft.operators.BloomJoin
+    val spark2 = spark; import spark2.implicits._
+    val fact = (1L to 2000L).map(k => (k, k % 97)).toDF("row_id", "k")
+    val dim = (0L to 96L by 3).toDF("dk") // every third residue
+    def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("row_id").collect().map(_.getLong(0)).toSet
+    val plainSemi = keys(fact.join(dim.withColumnRenamed("dk", "k"), Seq("k"), "left_semi"))
+    val plainAnti = keys(fact.join(dim.withColumnRenamed("dk", "k"), Seq("k"), "left_anti"))
+    assert(keys(BloomJoin.semiJoin(fact, dim, "k", "dk", 1000L)) == plainSemi)
+    assert(keys(BloomJoin.antiJoin(fact, dim, "k", "dk", 1000L)) == plainAnti)
+    assert(plainSemi.nonEmpty && plainAnti.nonEmpty &&
+      (plainSemi ++ plainAnti).size == 2000)
+    // inner join carries dim columns through
+    val inner = BloomJoin.innerJoin(fact, dim, "k", "dk", 1000L)
+    assert(inner.columns.toSet == Set("row_id", "k", "dk"))
+    assert(keys(inner) == plainSemi)
+    // a TINY sketch (high FP rate) changes nothing — positives are
+    // always confirmed exactly
+    assert(keys(BloomJoin.antiJoin(fact, dim, "k", "dk", 1000L, numBits = 64L))
+      == plainAnti)
+    // empty dim: anti keeps everything (constant-false probe, no join),
+    // semi/inner keep nothing
+    val empty = dim.filter($"dk" < 0L)
+    assert(keys(BloomJoin.antiJoin(fact, empty, "k", "dk", 1000L)).size == 2000)
+    assert(BloomJoin.semiJoin(fact, empty, "k", "dk", 1000L).count() == 0L)
+    assert(BloomJoin.innerJoin(fact, empty, "k", "dk", 1000L).count() == 0L)
+  }
 }
