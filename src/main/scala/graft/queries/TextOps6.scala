@@ -468,11 +468,18 @@ object TextOps6 {
     q("q_bpe_encode")(
       (s, d) => {
         import s.implicits._
-        val docs = t(s, d, "documents")
-        val merges = graft.classify.BpeTrainer.fitMerges(docs, steps = 5)
+        import graft.classify.BpeTrainer
+        // ONE corpus pass: the word-frequency frame is pinned and
+        // shared by the fit's 5 training steps and the encode's 5
+        // map-side refolds (the q_bpe_token_budget shape)
+        val words = graft.util.CacheScope.pin(
+          t(s, d, "documents").filter(trim($"text") =!= "")
+            .select(explode(TextFns.tokens($"text")).as("w"))
+            .groupBy($"w").agg(count(lit(1)).as("freq")))
+        val merges = BpeTrainer.fitMergesOnFreqs(words, steps = 5)
           .orderBy($"step").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
-        graft.classify.BpeTrainer.encodeWords(docs, merges)
+        BpeTrainer.encodeFreqs(words, merges)
           .select(explode($"syms").as("token"), $"w", $"freq")
           .groupBy($"token")
           .agg(sum($"freq").as("n_occ"), countDistinct($"w").as("n_types"))
