@@ -392,11 +392,14 @@ object Graphs {
       .localCheckpoint()
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      // authority update: sum of hub scores over in-edges, L1-normalized
+      // authority update: sum of hub scores over in-edges, L1-normalized.
+      // The raw frame is read twice (total + join) — checkpoint it so
+      // the edge join/aggregate runs once per half-step, not twice.
       val aRaw = hubs.join(e, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
         .select(col("dst").as("node"), col("raw"))
+        .localCheckpoint()
       auths = nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aRaw.agg(sum(col("raw")).as("t"))))
         .select(col("node"),
@@ -408,6 +411,7 @@ object Graphs {
         .groupBy(col("src"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
         .select(col("src").as("node"), col("raw"))
+        .localCheckpoint()
       hubs = nodes.join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hRaw.agg(sum(col("raw")).as("t"))))
         .select(col("node"),
