@@ -408,4 +408,29 @@ class PlanShapeSpec extends SparkSpec {
       .agg(sum(col("n_intra")).as("i"), sum(col("n_inter")).as("e")).collect()(0)
     assert(sep.getLong(0) + sep.getLong(1) / 2 <= 120L * 119 / 2)
   }
+
+  test("q_bloom_anti_join probes the sketch as a literal BELOW the exact join") {
+    val p = plan("q_bloom_anti_join")
+    // the might_contain probe must appear as a Filter over the scan
+    // side (the pre-shuffle prune this operator exists for), with the
+    // sketch folded into the plan as a literal — no extra join to a
+    // sketch frame
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the definite-miss branch unions back AROUND the anti join: the
+    // plan has a Union and exactly one join over the confirm sliver
+    assert(p.contains("Union"), "bloom short-circuit union missing")
+  }
+
+  test("graph family: no cartesians; the skew profiler ranks without single-task windows") {
+    for (name <- Seq("q_hits", "q_label_prop", "q_kcore", "q_copurchase",
+      "q_bfs_hops", "q_assortativity", "q_degree_hist", "q_mutual_nn")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
+    }
+    // keySkewProfile's two global rankings ride the range-partitioned
+    // machinery: no Window over a single partition anywhere
+    val p = plan("q_key_skew")
+    assert(!p.contains("Window [row_number()"), s"q_key_skew fell back to a window")
+  }
 }
