@@ -258,6 +258,59 @@ object Extra {
         |  WHERE p.p_partkey % 7 = 0 AND p.p_partkey = l.l_partkey)
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
 
+    // Golden-record fusion ([[graft.dedup.GoldenRecord.fuse]]): the
+    // RESOLVE step after clustering — per duplicate cluster, each
+    // attribute from the highest-VERSION member that has it non-null
+    // (most-recent-non-null survivorship). The fixture plants v2
+    // rows missing the address and v3 rows missing segment+phone, so
+    // every survivorship branch (newest wins / newest-null falls
+    // back / all-versions-null impossible here) is exercised. ONE
+    // map-side-combinable aggregation fuses all attributes — no
+    // per-attribute joins, no windows.
+    q("q_golden_record")(
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer")
+        val v1 = c.select($"c_custkey".as("cluster"), lit(1L).as("version"),
+          $"c_name", $"c_mktsegment", $"c_acctbal")
+        val v2 = c.filter($"c_custkey" % 11 === 0)
+          .select($"c_custkey".as("cluster"), lit(2L).as("version"),
+            lit(null: String).as("c_name"), lit("SEGMENT-V2").as("c_mktsegment"),
+            lit(null: String).cast("double").as("c_acctbal"))
+        val v3 = c.filter($"c_custkey" % 13 === 0)
+          .select($"c_custkey".as("cluster"), lit(3L).as("version"),
+            concat(lit("renamed-"), $"c_name").as("c_name"),
+            lit(null: String).as("c_mktsegment"),
+            lit(null: String).cast("double").as("c_acctbal"))
+        graft.dedup.GoldenRecord.fuse(
+            v1.unionByName(v2).unionByName(v3), "cluster",
+            Seq("c_name", "c_mktsegment", "c_acctbal"), col("version"))
+          .orderBy($"cluster")
+      },
+      """WITH r AS (
+        |  SELECT c_custkey AS cluster, 1 AS version,
+        |    c_name, c_mktsegment, c_acctbal FROM customer
+        |  UNION ALL SELECT c_custkey, 2, NULL, 'SEGMENT-V2', NULL
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |  UNION ALL SELECT c_custkey, 3, 'renamed-' || c_name, NULL, NULL
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |a1 AS (SELECT cluster, c_name FROM (SELECT cluster, c_name,
+        |  row_number() OVER (PARTITION BY cluster
+        |    ORDER BY (c_name IS NOT NULL) DESC, version DESC) AS rn FROM r)
+        |  WHERE rn = 1),
+        |a2 AS (SELECT cluster, c_mktsegment FROM (SELECT cluster, c_mktsegment,
+        |  row_number() OVER (PARTITION BY cluster
+        |    ORDER BY (c_mktsegment IS NOT NULL) DESC, version DESC) AS rn FROM r)
+        |  WHERE rn = 1),
+        |a3 AS (SELECT cluster, c_acctbal FROM (SELECT cluster, c_acctbal,
+        |  row_number() OVER (PARTITION BY cluster
+        |    ORDER BY (c_acctbal IS NOT NULL) DESC, version DESC) AS rn FROM r)
+        |  WHERE rn = 1),
+        |n AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members FROM r GROUP BY 1)
+        |SELECT n.cluster, a1.c_name, a2.c_mktsegment, a3.c_acctbal, n.n_members
+        |FROM n JOIN a1 USING (cluster) JOIN a2 USING (cluster) JOIN a3 USING (cluster)
+        |ORDER BY cluster""".stripMargin),
+
     // Exact-moment distribution statistics per group: mean, variance,
     // skewness derived from INTEGER power sums (quantities are
     // integer-valued, so Σq, Σq², Σq³ are exact longs — order-

@@ -377,4 +377,31 @@ class OpsSpec extends SparkSpec {
     assert(BloomJoin.semiJoin(fact, empty, "k", "dk", 1000L).count() == 0L)
     assert(BloomJoin.innerJoin(fact, empty, "k", "dk", 1000L).count() == 0L)
   }
+
+  test("goldenRecord fuses most-recent-non-null per attribute in one pass") {
+    import graft.dedup.GoldenRecord
+    val spark2 = spark; import spark2.implicits._
+    val rows = Seq(
+      // cluster 1: v3 newest but null addr → addr from v2, seg from v3
+      (1L, 1L, Some("a1"), Some("s1")),
+      (1L, 2L, Some("a2"), None: Option[String]),
+      (1L, 3L, None: Option[String], Some("s3")),
+      // cluster 2: all-null attribute stays null; single attr fused
+      (2L, 1L, None: Option[String], Some("sx")),
+      (2L, 2L, None: Option[String], None: Option[String]))
+      .toDF("cluster", "version", "addr", "seg")
+    val out = GoldenRecord.fuse(rows, "cluster", Seq("addr", "seg"),
+        org.apache.spark.sql.functions.col("version"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((Some("a2"), Some("s3"), 3L)),
+      2L -> ((None, Some("sx"), 2L))), out.toString)
+    // partition invariance
+    val out2 = GoldenRecord.fuse(rows.repartition(7), "cluster", Seq("addr", "seg"),
+        org.apache.spark.sql.functions.col("version"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)), r.getLong(3)))).toMap
+    assert(out2 == out)
+  }
 }
