@@ -311,6 +311,61 @@ object Extra {
         |FROM n JOIN a1 USING (cluster) JOIN a2 USING (cluster) JOIN a3 USING (cluster)
         |ORDER BY cluster""".stripMargin),
 
+    // Declarative expectation suite ([[graft.ops.Expect.run]]): five
+    // data-contract checks — null key, quantity range, flag regex,
+    // composite-key uniqueness, FK integrity — with violation COUNTS
+    // as evidence. All row-grain checks compile into ONE aggregation
+    // over one corpus scan (pass-count, not check-count); only the FK
+    // check costs an anti join. The fixture mutates every 1009th
+    // order's rows to violate ALL five at once, so each counter is
+    // pinned against the same planted set.
+    q("q_expectations")(
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.Expect
+        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_linenumber",
+          $"l_partkey", $"l_quantity", $"l_returnflag")
+        val corpus = li.unionByName(li.filter($"l_orderkey" % 1009 === 0)
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_partkey" + 90000000L).as("l_partkey"),
+            ($"l_quantity" * 1000).as("l_quantity"),
+            lit(null: String).as("l_returnflag")))
+        Expect.run(corpus, Seq(
+            Expect.NotNull("l_returnflag"),
+            Expect.InRange("l_quantity", 1L, 50L),
+            Expect.Matches("l_returnflag", "[ARN]"),
+            Expect.Unique(Seq("l_orderkey", "l_linenumber")),
+            Expect.RefIntegrity("l_partkey", t(s, d, "part"), "p_partkey")))
+          .orderBy($"check")
+      },
+      """WITH corpus AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_returnflag
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey + 90000000,
+        |    l_quantity * 1000, NULL
+        |  FROM lineitem WHERE l_orderkey % 1009 = 0),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+        |    OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL
+        |    OR NOT regexp_full_match(l_returnflag, '(?:[ARN])')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+        |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_uniq
+        |  FROM corpus),
+        |ref AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_ref FROM corpus c
+        |  WHERE l_partkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey))
+        |SELECT * FROM (
+        |  SELECT 'not_null:l_returnflag' AS "check", n AS n_rows,
+        |    v_null AS n_violations, v_null = 0 AS pass FROM agg
+        |  UNION ALL SELECT 'in_range:l_quantity', n, v_range, v_range = 0 FROM agg
+        |  UNION ALL SELECT 'matches:l_returnflag', n, v_re, v_re = 0 FROM agg
+        |  UNION ALL SELECT 'unique:l_orderkey,l_linenumber', n, v_uniq, v_uniq = 0 FROM agg
+        |  UNION ALL SELECT 'ref:l_partkey', n, v_ref, v_ref = 0 FROM agg, ref)
+        |ORDER BY "check"""".stripMargin),
+
     // Exact-moment distribution statistics per group: mean, variance,
     // skewness derived from INTEGER power sums (quantities are
     // integer-valued, so Σq, Σq², Σq³ are exact longs — order-

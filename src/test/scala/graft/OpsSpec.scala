@@ -378,6 +378,35 @@ class OpsSpec extends SparkSpec {
     assert(BloomJoin.innerJoin(fact, empty, "k", "dk", 1000L).count() == 0L)
   }
 
+  test("Expect: violation counts per check, one-agg row grain, FK orphans") {
+    import graft.ops.Expect
+    val spark2 = spark; import spark2.implicits._
+    val df = Seq(
+      (Some(1L), 10L, "A"), (Some(2L), 60L, "B"), (None: Option[Long], 5L, "A"),
+      (Some(1L), 20L, "zz"), (Some(4L), 0L, "A"))
+      .toDF("k", "qty", "flag")
+    val dim = Seq(1L, 2L).toDF("pk")
+    val out = Expect.run(df, Seq(
+        Expect.NotNull("k"),
+        Expect.InRange("qty", 1L, 50L),
+        Expect.Matches("flag", "[AB]"),
+        Expect.Unique(Seq("k")),
+        Expect.RefIntegrity("k", dim, "pk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      "not_null:k" -> ((5L, 1L, false)),
+      "in_range:qty" -> ((5L, 2L, false)),      // 60 and 0
+      "matches:flag" -> ((5L, 1L, false)),      // zz
+      "unique:k" -> ((5L, 1L, false)),          // k=1 twice
+      "ref:k" -> ((5L, 1L, false))), out.toString) // k=4 orphan (null k skipped)
+    // a clean frame passes everything
+    val clean = Expect.run(df.filter($"k" === 2L), Seq(
+      Expect.NotNull("k"), Expect.Unique(Seq("k")),
+      Expect.RefIntegrity("k", dim, "pk")))
+    assert(clean.collect().forall(_.getBoolean(3)))
+  }
+
   test("goldenRecord fuses most-recent-non-null per attribute in one pass") {
     import graft.dedup.GoldenRecord
     val spark2 = spark; import spark2.implicits._
