@@ -446,6 +446,37 @@ case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
   }
 }
 
+/** `PROFILE SKEW '<path>' ON <col> [TOP n]` — the SQL face of
+  * [[graft.ops.Profile.keySkewProfile]]: the pre-flight audit an
+  * operator runs BEFORE shuffling a big parquet table on a key. One
+  * aggregation over the table + two range-partitioned global rankings;
+  * the returned rows are the top-n heavy hitters (≤ n, control-grain)
+  * with their row share and the exact Gini of the whole key
+  * distribution in ppm. The key prints as its string form so the
+  * command's schema is stable across key types.
+  */
+case class ProfileSkewCommand(path: String, keyCol: String, topK: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rank", LongType, nullable = false)(),
+    AttributeReference("key", org.apache.spark.sql.types.StringType, nullable = true)(),
+    AttributeReference("cnt", LongType, nullable = false)(),
+    AttributeReference("share_ppm", LongType, nullable = false)(),
+    AttributeReference("n_keys", LongType, nullable = false)(),
+    AttributeReference("gini_ppm", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(topK >= 1, s"PROFILE SKEW: TOP must be >= 1, got $topK")
+    val df = session.read.parquet(path)
+    require(df.columns.contains(keyCol),
+      s"PROFILE SKEW: no column '$keyCol' in $path (has ${df.columns.mkString(", ")})")
+    graft.ops.Profile.keySkewProfile(df, keyCol, topK)
+      .collect().toSeq.map { r =>
+      Row(r.getLong(0), Option(r.get(1)).map(_.toString).orNull,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+  }
+}
+
 /** `COMPACT VECTORS '<storeDir>'` / `VACUUM VECTORS '<storeDir>'` —
   * the maintenance face of a STANDALONE [[graft.sim.VectorIndexStore]]
   * (one embedded in a streaming work dir is folded by
@@ -648,6 +679,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*EXPORT\s+CORPUS\s+([\w.]+)\s+TO\s+'([^']+)'\s+SHARDS\s+(\d+)""" +
       """(?:\s+FORMAT\s+(\w+))?\s+ORDER\s+BY\s+(.+?)(\s+OVERWRITE)?\s*;?\s*$""").r
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
+  private val ProfileSkewRe =
+    """(?is)^\s*PROFILE\s+SKEW\s+'([^']+)'\s+ON\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?\s*;?\s*$""".r
 
   private val UsingParenRe = """(?is)^(\s*MERGE\s+INTO\s+'[^']+'\s+USING\s+)\(""".r
 
@@ -726,6 +759,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
       case VacuumRe(dir, keep) =>
         VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))
+      case ProfileSkewRe(path, keyCol, topK) =>
+        ProfileSkewCommand(path, keyCol, Option(topK).map(_.toInt).getOrElse(20))
       case _ => delegate.parsePlan(sqlText)
     }
   }

@@ -1128,6 +1128,29 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] { s2.sql(s"VACUUM VECTORS '${dir}_nope'").collect() }
   }
 
+  test("PROFILE SKEW statement audits a parquet table's key distribution via SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew_sql").toString
+    // counts {a:1, b:1, c:2, d:4} — the keySkewProfile hand case:
+    // gini = 312500 ppm, d owns 500000 ppm
+    (Seq.fill(1)("a") ++ Seq.fill(1)("b") ++ Seq.fill(2)("c") ++ Seq.fill(4)("d"))
+      .toDF("k").write.mode("overwrite").parquet(dir)
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    val top = s2.sql(s"PROFILE SKEW '$dir' ON k TOP 2").collect()
+    assert(top.length == 2)
+    assert(top.head.getLong(0) == 1L && top.head.getString(1) == "d" &&
+      top.head.getLong(2) == 4L && top.head.getLong(3) == 500000L &&
+      top.head.getLong(4) == 4L && top.head.getLong(5) == 312500L,
+      top.mkString(","))
+    // default TOP is 20: all 4 keys come back, ranked
+    val all = s2.sql(s"PROFILE SKEW '$dir' ON k").collect()
+    assert(all.length == 4 && all.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // a missing column is refused loudly, naming the real ones
+    val err = intercept[Exception] {
+      s2.sql(s"PROFILE SKEW '$dir' ON nope").collect()
+    }
+    assert(err.getMessage.contains("no column 'nope'"), err.getMessage)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val plan = e.select(graft.functions.VectorFns.cosine($"embedding", $"embedding"))
