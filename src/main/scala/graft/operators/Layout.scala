@@ -67,6 +67,23 @@ object Layout {
       .drop("_z")
   }
 
+  /** Range-partition + sort by the Hilbert code — [[zorderBy]]'s twin
+    * over [[hilbert2]]: same write cost, strictly tighter per-row-group
+    * x/y min-max (consecutive Hilbert codes are always grid neighbors,
+    * so a row group never straddles the plane the way Morton's
+    * power-of-two jumps force it to).
+    */
+  def hilbertBy(df: DataFrame, x: Column, y: Column, bits: Int = 10,
+                numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    df.withColumn("_h", hilbert2(x, y, bits))
+      .repartitionByRange(parts, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
+  }
+
   /** Hilbert-curve index of two `bits`-bit dimension values — the
     * space-filling key that strictly dominates [[zorder2]] on
     * locality: consecutive Hilbert codes are ALWAYS grid neighbors

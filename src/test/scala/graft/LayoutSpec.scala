@@ -133,4 +133,21 @@ class LayoutSpec extends SparkSpec {
     assert(pids.length <= 2, s"quadrant scattered across ${pids.mkString(",")}")
     assert(pids.last - pids.head == pids.length - 1, "partition span not contiguous")
   }
+
+  test("hilbertBy clusters a quadrant contiguously and preserves the frame") {
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val laid = Layout.hilbertBy(grid, $"x", $"y", bits = 6, numPartitions = 16)
+      .withColumn("pid", spark_partition_id())
+    // an aligned quadrant is one contiguous Hilbert range by
+    // construction (the curve fills each quadrant completely before
+    // leaving it), so a quadrant scan touches a contiguous run
+    val pids = laid.filter($"x" < 16 && $"y" < 16)
+      .select($"pid").distinct().collect().map(_.getInt(0)).sorted
+    assert(pids.length <= 2, s"quadrant scattered across ${pids.mkString(",")}")
+    assert(pids.last - pids.head == pids.length - 1, "partition span not contiguous")
+    // the layout is a permutation: no rows gained/lost, helper dropped
+    assert(laid.columns.toSet == Set("x", "y", "pid"))
+    assert(laid.count() == 4096L)
+  }
 }
