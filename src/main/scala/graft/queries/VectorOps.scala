@@ -560,6 +560,62 @@ object VectorOps {
         |  (SELECT nrm FROM ok, n WHERE rn = (3 * n_ok + 3) // 4) AS norm_q3,
         |  (SELECT nrm FROM ok, n WHERE rn = n_ok) AS norm_max""".stripMargin),
 
+    // Cluster topic labels — "what IS in my embedding clusters":
+    // assign every document's embedding to its nearest centroid, then
+    // surface each cluster's 3 most distinctive terms by the same
+    // rational-idf score as q_tfidf_terms (tf · (K − df + 0.5)/(df +
+    // 0.5) over cluster-level document frequency — IEEE-exact, both
+    // engines bit-equal). The embedding side buys the grouping no
+    // text signal could (semantic clusters, not source labels); the
+    // text side names it. Centroids broadcast; one (cluster, term)
+    // shuffle; the per-cluster window partitions on K=8 clusters.
+    q("q_cluster_topics")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        val assigned = Similarity.assignToCentroids(
+            e, e.filter($"vec_id" < 8), "vec_id", "embedding")
+          .select($"id".as("doc_id"), $"centroid_id")
+        val tf = assigned
+          .join(t(s, d, "documents").select($"doc_id", $"text"), "doc_id")
+          .select($"centroid_id", explode(
+            graft.functions.TextFns.tokens($"text")).as("term"))
+          .groupBy($"centroid_id", $"term")
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val dfT = tf.groupBy($"term").agg(count(lit(1)).cast("double").as("df"))
+        val k = assigned.agg(count_distinct($"centroid_id").cast("double").as("k"))
+        val scored = tf.join(dfT, "term").crossJoin(broadcast(k))
+          .select($"centroid_id", $"term", $"tf",
+            ($"tf" * (($"k" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))).as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"centroid_id").orderBy($"score".desc, $"term")
+        scored.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+          .orderBy($"centroid_id", $"rn")
+      },
+      s"""WITH z AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |scored0 AS (SELECT e.vec_id AS doc_id, z.centroid_id,
+         |  ${cosineSql("e.embedding", "z.cv")} AS sim FROM embeddings e, z),
+         |assigned AS (SELECT doc_id, centroid_id FROM (
+         |  SELECT doc_id, centroid_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, centroid_id) AS rn
+         |  FROM scored0) WHERE rn = 1),
+         |tok AS (SELECT a.centroid_id,
+         |  unnest(string_split_regex(trim(d.text), '\\s+')) AS term
+         |  FROM assigned a JOIN documents d ON d.doc_id = a.doc_id),
+         |tf AS (SELECT centroid_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |kk AS (SELECT CAST(COUNT(DISTINCT centroid_id) AS DOUBLE) AS k FROM assigned),
+         |sc AS (SELECT tf.centroid_id, tf.term, tf.tf,
+         |  tf.tf * ((kk.k - df.df + 0.5) / (df.df + 0.5)) AS score
+         |  FROM tf JOIN df USING (term), kk),
+         |r AS (SELECT centroid_id, term, tf, score,
+         |  row_number() OVER (PARTITION BY centroid_id ORDER BY score DESC, term) AS rn
+         |  FROM sc)
+         |SELECT centroid_id, term, tf, score, rn FROM r WHERE rn <= 3
+         |ORDER BY centroid_id, rn""".stripMargin),
+
     // Mutual nearest-neighbor pairs — bitext-mining-style semantic
     // pairing: (a,b) qualifies iff each is the OTHER's single nearest
     // neighbor (cosine desc, id asc). Mutuality is the precision
