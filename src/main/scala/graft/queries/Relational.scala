@@ -249,6 +249,63 @@ object Relational {
         |           AND up.o_orderkey % 10 = 0)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // CDC EXTRACT between two merge-target VERSIONS
+    // ([[graft.merge.SnapshotDiff.diff]] over readTargetAt(v1) vs
+    // readTargetAt(v2)): "what happened between version 1 and 2"
+    // without replaying the merge log — inserts, deletes (the %10
+    // tombstones), and updates with the count of columns that
+    // actually changed; untouched keys are absent. One full-outer
+    // shuffle on the key; null-safe column compares. The fixture is
+    // q_merge_delete's two-merge lifecycle, so the oracle is its
+    // closed form classified per key.
+    q("q_snapshot_diff")(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft_merge_diff")
+        val s2 = mergeSqlSession(s)
+        try {
+          val o = t(s2, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          o.filter($"o_orderkey" % 3 === 0).createOrReplaceTempView("graft_sd1")
+          o.filter($"o_orderkey" % 2 === 0)
+            .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+            .createOrReplaceTempView("graft_sd2")
+          s2.sql(s"MERGE INTO '$dir' USING graft_sd1 ON o_orderkey").collect()
+          s2.sql(s"MERGE INTO '$dir' USING graft_sd2 ON o_orderkey " +
+            "WHEN MATCHED AND o_orderkey % 10 = 0 THEN DELETE " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *").collect()
+          val vs = graft.merge.MergeWriter.listVersions(dir.toString)
+          def at(v: Int) = graft.merge.MergeWriter.readTargetAt(s2, dir.toString, v)
+            .get.select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+          graft.merge.SnapshotDiff.diff(at(vs(vs.length - 2)), at(vs.last),
+              Seq("o_orderkey"))
+            .orderBy($"o_orderkey")
+            .localCheckpoint()
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      """WITH tg AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |v2 AS (SELECT COALESCE(up.o_orderkey, tg.o_orderkey) AS o_orderkey,
+        |  COALESCE(up.o_totalprice, tg.o_totalprice) AS o_totalprice,
+        |  COALESCE(up.o_orderstatus, tg.o_orderstatus) AS o_orderstatus
+        |  FROM tg FULL OUTER JOIN up ON tg.o_orderkey = up.o_orderkey
+        |  WHERE NOT (tg.o_orderkey IS NOT NULL AND up.o_orderkey IS NOT NULL
+        |             AND up.o_orderkey % 10 = 0)),
+        |d AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |       WHEN b.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN CAST(2 AS BIGINT)
+        |       ELSE CAST((CASE WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |                  THEN 1 ELSE 0 END)
+        |          + (CASE WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |             THEN 1 ELSE 0 END) AS BIGINT) END AS n_changed
+        |  FROM tg a FULL OUTER JOIN v2 b ON b.o_orderkey = a.o_orderkey)
+        |SELECT o_orderkey, op, n_changed FROM d
+        |WHERE op <> 'update' OR n_changed > 0
+        |ORDER BY o_orderkey""".stripMargin),
+
     // K2 with a COMPOSITE merge key: the MERGE matches on the
     // (l_orderkey, l_linenumber) conjunction and buckets by the key
     // tuple's hash. The testdata's lineitem repeats tuples, so both

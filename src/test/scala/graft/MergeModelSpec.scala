@@ -116,4 +116,35 @@ class MergeModelSpec extends SparkSpec {
         s"round $round ($mode): target state diverged from the model")
     }
   }
+
+  test("snapshotDiff classifies inserts/deletes/updates, drops unchanged, null-safe") {
+    import graft.merge.SnapshotDiff
+    val spark2 = spark; import spark2.implicits._
+    val v1 = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, Some("c"), 30L),
+      (4L, None: Option[String], 40L))
+      .toDF("k", "s", "v")
+    val v2 = Seq(
+      (1L, Some("a"), 10L),                       // unchanged → absent
+      (2L, Some("B"), 21L),                       // update, 2 cols
+      (4L, Some("now"), 40L),                     // NULL→value IS a change
+      (5L, Some("e"), 50L))                       // insert; 3 deleted
+      .toDF("k", "s", "v")
+    val out = SnapshotDiff.diff(v1, v2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      2L -> (("update", 2L)),
+      3L -> (("delete", 2L)),
+      4L -> (("update", 1L)),
+      5L -> (("insert", 2L))), out.toString)
+    // identical snapshots diff to empty; partitioning changes nothing
+    assert(SnapshotDiff.diff(v1, v1, Seq("k")).count() == 0L)
+    val out2 = SnapshotDiff.diff(v1.repartition(5), v2.repartition(3), Seq("k"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out2 == out)
+    // mismatched schemas are refused loudly
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(v1, v2.withColumnRenamed("v", "w"), Seq("k"))
+    }
+  }
 }
