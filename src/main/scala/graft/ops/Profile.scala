@@ -121,6 +121,49 @@ object Profile {
     * Output: (rank, key, cnt, share_ppm, n_keys, gini_ppm), one row
     * per heavy hitter, ordered by rank.
     */
+  /** Exact join-cardinality prediction — [[keySkewProfile]]'s sibling
+    * and the other pre-flight audit run BEFORE a 100-TB join: the
+    * EXACT output row count of `a ⋈ b` on an equi-key
+    * (Σ_k cntA(k)·cntB(k) — two count aggregations and a vocab-grain
+    * join, never the join itself), the worst single key's output
+    * (the row count ONE reducer will emit — the "will this join
+    * explode" number AQE can only react to after the fact), and the
+    * top-`topK` contributing keys. Counts multiply in DECIMAL(38,0)
+    * and the total ships hi/lo-split (the q_spearman_signals idiom) —
+    * exact at any corpus size.
+    *
+    * Output: (rank, key, cnt_a, cnt_b, out_rows, out_total_hi,
+    * out_total_lo, n_join_keys), one row per top contributor by
+    * (out_rows desc, key asc).
+    */
+  def joinCardinality(a: DataFrame, b: DataFrame, keyA: String, keyB: String,
+                      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"joinCardinality needs topK >= 1, got $topK")
+    val ca = a.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("cnt_a"))
+    val cb = b.groupBy(col(keyB).as("k")).agg(count(lit(1)).as("cnt_b"))
+    val per = graft.util.CacheScope.pin(
+      ca.join(cb, "k")
+        .select(col("k"), col("cnt_a"), col("cnt_b"),
+          (col("cnt_a").cast("decimal(19,0)") * col("cnt_b")).as("_out")))
+    val tot = per.agg(count(lit(1)).as("n_join_keys"), sum(col("_out")).as("_t"))
+      .select(col("n_join_keys"),
+        expr("cast(_t div 1000000000000000000 as long)").as("out_total_hi"),
+        expr("cast(_t % 1000000000000000000 as long)").as("out_total_lo"))
+    graft.operators.Ranking.globalRowNumber(per,
+        Seq(col("_out").desc, col("k").asc), out = "rank")
+      .filter(col("rank") <= topK)
+      // a single key above int64 output rows means the join is
+      // infeasible outright — fail loud rather than overflow silently
+      .filter(assert_true(col("_out") <= lit(Long.MaxValue),
+        lit("joinCardinality: a single key's output exceeds int64 rows — " +
+          "the join is infeasible as keyed")).isNull)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("k"), col("cnt_a"), col("cnt_b"),
+        col("_out").cast("long").as("out_rows"),
+        col("out_total_hi"), col("out_total_lo"), col("n_join_keys"))
+      .orderBy(col("rank"))
+  }
+
   def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
     require(topK >= 1, s"keySkewProfile needs topK >= 1, got $topK")
     val counts = graft.util.CacheScope.pin(

@@ -359,6 +359,34 @@ object GraphOps {
          |SELECT event_id, x, y, d AS hkey FROM hb10
          |ORDER BY hkey, event_id""".stripMargin),
 
+    // Exact join-cardinality prediction — q_key_skew's sibling audit:
+    // the EXACT output size of lineitem ⋈ lineitem on l_partkey
+    // (Σ_k cntA·cntB over two count aggregations and a vocab-grain
+    // join — never the join itself), the worst key's single-reducer
+    // output, and the top-20 contributors. The number AQE can only
+    // react to after the shuffle is already on disk; hi/lo-split
+    // DECIMAL(38,0) total, loud int64 guard on the per-key product.
+    // See [[graft.ops.Profile.joinCardinality]].
+    q("q_join_cardinality")(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        graft.ops.Profile.joinCardinality(li, li, "l_partkey", "l_partkey",
+          topK = 20)
+      },
+      """WITH ca AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt_a
+        |  FROM lineitem GROUP BY 1),
+        |per AS (SELECT k, cnt_a, cnt_a AS cnt_b,
+        |  CAST(cnt_a AS HUGEINT) * cnt_a AS o FROM ca),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+        |  CAST(SUM(o) // 1000000000000000000 AS BIGINT) AS out_total_hi,
+        |  CAST(SUM(o) % 1000000000000000000 AS BIGINT) AS out_total_lo FROM per),
+        |top AS (SELECT k, cnt_a, cnt_b, CAST(o AS BIGINT) AS out_rows,
+        |  CAST(row_number() OVER (ORDER BY o DESC, k) AS BIGINT) AS rank
+        |  FROM per QUALIFY rank <= 20)
+        |SELECT t.rank, t.k, t.cnt_a, t.cnt_b, t.out_rows,
+        |  g.out_total_hi, g.out_total_lo, g.n_join_keys
+        |FROM top t CROSS JOIN tot g ORDER BY t.rank""".stripMargin),
+
     // Join-key skew profiler — the pre-flight audit run BEFORE
     // shuffling 100 TB on a key: per-key counts, the top-20 heavy
     // hitters with their row share, and the exact Gini coefficient of

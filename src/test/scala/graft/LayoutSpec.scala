@@ -121,6 +121,28 @@ class LayoutSpec extends SparkSpec {
     assert(p2.map(_.toString).toSeq == p.map(_.toString).toSeq)
   }
 
+  test("joinCardinality: exact totals, worst key first, loud int64 guard") {
+    import graft.ops.Profile
+    // a: {x:3, y:2, z:1}; b: {x:2, y:5, w:9} → join keys {x: 6, y: 10};
+    // total 16; worst key y (10 rows on one reducer)
+    val a = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq.fill(1)("z")).toDF("ka")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(5)("y") ++ Seq.fill(9)("w")).toDF("kb")
+    val out = Profile.joinCardinality(a, b, "ka", "kb", topK = 10).collect()
+    assert(out.length == 2)
+    assert(out.head.getLong(0) == 1L && out.head.getString(1) == "y" &&
+      out.head.getLong(2) == 2L && out.head.getLong(3) == 5L &&
+      out.head.getLong(4) == 10L && out.head.getLong(5) == 0L &&
+      out.head.getLong(6) == 16L && out.head.getLong(7) == 2L, out.head.toString)
+    assert(out(1).getString(1) == "x" && out(1).getLong(4) == 6L)
+    // exact join-output equality: the prediction IS the join's count
+    val joined = a.join(b, a("ka") === b("kb")).count()
+    assert(joined == 16L)
+    // partition invariance
+    val out2 = Profile.joinCardinality(a.repartition(5), b.repartition(3),
+      "ka", "kb", topK = 10).collect()
+    assert(out2.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
+
   test("zorderBy clusters a quadrant into few contiguous range partitions") {
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
       .toDF("x", "y")
