@@ -256,6 +256,42 @@ object Temporal {
     // valid_from (NULL = current) — the slowly-changing-dimension
     // build every warehouse needs next to the as-of read side. Two
     // windows, both partitioned by user_id: fully parallel.
+    // Event DEBOUNCE — telemetry jitter dedup: within each (user,
+    // event_type) stream, collapse every gap-chained burst (each event
+    // < 5s after its predecessor) to its FIRST event, reporting how
+    // many rows it absorbed. This is keep-first-per-burst, NOT
+    // lag-only dedup (a 2s+2s chain is ONE burst even though the
+    // third event is 4s from the first) and NOT sessionization (which
+    // aggregates; debounce keeps a representative row). Burst = the
+    // classic gap-flag running sum, windowed per (user, type) key —
+    // state never leaves its key partition. Fixture plants +2s and
+    // +4s clones so chained absorption is exercised.
+    "q_event_debounce" -> ((s, d) => {
+      import s.implicits._
+      val base = t(s, d, "events")
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+      val ev = base
+        .unionByName(base.filter($"event_id" % 17 === 0)
+          .select(($"event_id" + 10000000L).as("event_id"), $"user_id",
+            $"event_type", ($"ts" + expr("INTERVAL 2 SECONDS")).as("ts")))
+        .unionByName(base.filter($"event_id" % 34 === 0)
+          .select(($"event_id" + 20000000L).as("event_id"), $"user_id",
+            $"event_type", ($"ts" + expr("INTERVAL 4 SECONDS")).as("ts")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"event_type").orderBy($"ts", $"event_id")
+      ev.withColumn("prev", lag($"ts", 1).over(w))
+        .withColumn("brk", when($"prev".isNull ||
+          unix_micros($"ts") - unix_micros($"prev") >= 5000000L, 1L)
+          .otherwise(0L))
+        .withColumn("grp", sum($"brk").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"event_type", $"grp")
+        .agg(min(struct($"ts", $"event_id")).as("first"),
+          count(lit(1)).as("n_collapsed"))
+        .select($"first.event_id".as("event_id"), $"user_id", $"event_type",
+          $"first.ts".as("ts"), $"n_collapsed")
+        .orderBy($"event_id")
+    }),
     "q_scd2" -> ((s, d) => {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
@@ -350,6 +386,29 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_event_debounce" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, ts FROM events),
+        |ev AS (SELECT * FROM base
+        |  UNION ALL SELECT event_id + 10000000, user_id, event_type,
+        |    ts + INTERVAL 2 SECOND FROM base WHERE event_id % 17 = 0
+        |  UNION ALL SELECT event_id + 20000000, user_id, event_type,
+        |    ts + INTERVAL 4 SECOND FROM base WHERE event_id % 34 = 0),
+        |lagged AS (SELECT *, lag(ts) OVER
+        |  (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+        |  FROM ev),
+        |flagged AS (SELECT *, CASE WHEN prev IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev) >= 5000000 THEN 1 ELSE 0 END AS brk
+        |  FROM lagged),
+        |grouped AS (SELECT *, SUM(brk) OVER
+        |  (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS grp FROM flagged),
+        |bursts AS (SELECT user_id, event_type, grp,
+        |  MIN({'ts': ts, 'event_id': event_id}) AS first,
+        |  CAST(COUNT(*) AS BIGINT) AS n_collapsed
+        |  FROM grouped GROUP BY 1, 2, 3)
+        |SELECT first.event_id AS event_id, user_id, event_type,
+        |  first.ts AS ts, n_collapsed
+        |FROM bursts ORDER BY event_id""".stripMargin,
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, max_by(value, event_id) AS click_value
