@@ -422,6 +422,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Union"), "bloom short-circuit union missing")
   }
 
+  test("close-wave queries: no cartesians, no single-task windows where keyed ones suffice") {
+    // snapshot diff is one keyed full-outer; join-cardinality ranks on
+    // the range-partitioned machinery; debounce's windows partition on
+    // (user, type); cluster topics joins broadcast centroids
+    for (name <- Seq("q_snapshot_diff", "q_join_cardinality",
+      "q_event_debounce", "q_cluster_topics", "q_golden_record",
+      "q_expectations")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product")
+    }
+    // q_join_cardinality: no Window operator at all — the global rank
+    // must come from the partition-offset machinery
+    assert(!plan("q_join_cardinality").contains("Window"),
+      "q_join_cardinality fell back to a window")
+    // debounce windows must be partitioned (no empty PARTITION BY —
+    // the single-task global-window shape WindowExec warns about)
+    val dp = plan("q_event_debounce")
+    assert(!dp.contains("windowspecdefinition(" + "ts"),
+      "q_event_debounce window lost its key partitioning")
+  }
+
   test("graph family: no cartesians; the skew profiler ranks without single-task windows") {
     for (name <- Seq("q_hits", "q_label_prop", "q_kcore", "q_copurchase",
       "q_bfs_hops", "q_assortativity", "q_degree_hist", "q_mutual_nn")) {
