@@ -131,6 +131,46 @@ object TextOps {
         |  / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Quality-threshold token curve — the data-mix planning table
+    // BEFORE committing to a gate setting: for each candidate minimum
+    // stopword share (the naturalness signal), the docs AND training
+    // tokens that would survive. Tokens are the budget currency, so
+    // the doc-count curve alone misleads (long docs fail gates
+    // disproportionately). Threshold compare is the integer
+    // cross-multiplication stop·10⁶ ≥ t_ppm·tokens — no division —
+    // and the 5-threshold sweep is one map-side explode + ONE
+    // aggregation pass over the corpus.
+    q("q_quality_curve")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select(
+          TextFns.tokenCount($"text").cast("long").as("n_tokens"),
+          (TextFns.stopwordCount($"text").cast("long") * 1000000L).as("stop_scaled"))
+        docs.select(explode(array((0 to 4).map(i => lit(i * 50000L)): _*))
+            .as("threshold_ppm"), $"n_tokens", $"stop_scaled")
+          .groupBy($"threshold_ppm")
+          .agg(
+            sum(when($"stop_scaled" >= $"threshold_ppm" * $"n_tokens", 1L)
+              .otherwise(0L)).as("n_docs"),
+            sum(when($"stop_scaled" >= $"threshold_ppm" * $"n_tokens", $"n_tokens")
+              .otherwise(0L)).as("n_tokens"))
+          .orderBy($"threshold_ppm")
+      },
+      """WITH d AS (SELECT
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) * 1000000
+        |    AS stop_scaled
+        |  FROM documents),
+        |th AS (SELECT CAST(unnest([0, 50000, 100000, 150000, 200000]) AS BIGINT)
+        |  AS threshold_ppm)
+        |SELECT th.threshold_ppm,
+        |  CAST(SUM(CASE WHEN d.stop_scaled >= th.threshold_ppm * d.n_tokens
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN d.stop_scaled >= th.threshold_ppm * d.n_tokens
+        |    THEN d.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens
+        |FROM d CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Language-ID heuristic (stopword-hit argmax) vs the labeled lang.
     q("q_lang_id")(
       (s, d) => {
