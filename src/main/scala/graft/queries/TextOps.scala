@@ -171,6 +171,52 @@ object TextOps {
         |    THEN d.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens
         |FROM d CROSS JOIN th GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // TOKEN-weighted length quantiles — "the median training TOKEN
+    // lives in a doc of length X": doc-weighted quantiles describe
+    // the file listing, token-weighted ones describe what the model
+    // actually trains on (a handful of giant docs can carry half the
+    // mass). Exact integers end-to-end: docs ranked by (n_tokens,
+    // doc_id) through the range-partitioned running sum (no
+    // single-task window), quantile q = the FIRST doc where
+    // cum·100 ≥ q·total (integer cross-multiplication, no float
+    // percentile interpolation); per-quantile argmin is one
+    // min(struct) over the crossing rows.
+    q("q_token_quantiles")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select($"doc_id", TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+        val cum = graft.operators.Ranking.globalRunningSum(
+          docs, $"n_tokens", Seq($"n_tokens", $"doc_id"), out = "cum")
+        val total = cum.agg(max($"cum").as("total"))
+        cum.crossJoin(broadcast(total))
+          .select($"n_tokens", $"cum", $"total",
+            explode(array(Seq(25, 50, 75, 90).map(q => lit(q.toLong)): _*)).as("q"))
+          .filter($"cum" * 100 >= $"q" * $"total")
+          .groupBy($"q")
+          .agg(min(struct($"cum", $"n_tokens")).as("m"), max($"total").as("total_tokens"))
+          .select($"q", $"m.n_tokens".as("len_at_q"), $"m.cum".as("cum_tokens"),
+            $"total_tokens")
+          .orderBy($"q")
+      },
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY n_tokens, doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS cum FROM d),
+        |tt AS (SELECT CAST(MAX(cum) AS BIGINT) AS total FROM c),
+        |qs AS (SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT) AS q)
+        |SELECT qs.q,
+        |  CAST(MIN({'cum': c.cum, 'n_tokens': c.n_tokens}).n_tokens AS BIGINT)
+        |    AS len_at_q,
+        |  CAST(MIN({'cum': c.cum, 'n_tokens': c.n_tokens}).cum AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(MAX(tt.total) AS BIGINT) AS total_tokens
+        |FROM c CROSS JOIN tt CROSS JOIN qs
+        |WHERE c.cum * 100 >= qs.q * tt.total
+        |GROUP BY qs.q ORDER BY qs.q""".stripMargin),
+
     // Language-ID heuristic (stopword-hit argmax) vs the labeled lang.
     q("q_lang_id")(
       (s, d) => {
