@@ -70,7 +70,12 @@ object BloomJoin {
                numBits: Long = DefaultBits): DataFrame = {
     val bf = Bloom.sketch(dim, col(dimKey), expectedItems, numBits)
     val probe = Bloom.mightContain(bf, col(factKey))
-    val definiteMiss = fact.filter(!probe)
+    // A NULL key never matches any dim row, so under anti-join
+    // semantics it belongs in the answer — but might_contain(NULL) is
+    // NULL, failing BOTH probe filters. Route NULL keys to the
+    // definite-miss branch explicitly to keep bit-identity with the
+    // plain left-anti join.
+    val definiteMiss = fact.filter(col(factKey).isNull || !probe)
     val confirmed = fact.filter(probe)
       .join(dim.select(col(dimKey).as(factKey)).distinct(),
         Seq(factKey), "left_anti")

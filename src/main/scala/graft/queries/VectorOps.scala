@@ -222,13 +222,16 @@ object VectorOps {
         import s.implicits._
         val e = t(s, d, "embeddings")
         val dir = java.nio.file.Files.createTempDirectory("graft_vec_index")
-        val store = new graft.sim.VectorIndexStore(s, dir.toString)
-        store.create(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" < 8),
-          "vec_id", "embedding")
-        store.add(1L, e.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
-        store.probe(e.filter($"vec_id" < 5), "vec_id", "embedding", 3, nprobe = 2)
-          .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
-          .orderBy($"q_id", $"rn")
+        try {
+          val store = new graft.sim.VectorIndexStore(s, dir.toString)
+          store.create(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" < 8),
+            "vec_id", "embedding")
+          store.add(1L, e.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+          store.probe(e.filter($"vec_id" < 5), "vec_id", "embedding", 3, nprobe = 2)
+            .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
+            .orderBy($"q_id", $"rn")
+            .localCheckpoint() // materialize before the finally deletes the store
+        } finally graft.util.Fs.deleteRecursively(dir)
       },
       s"""WITH z AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
          |cs AS (SELECT e.vec_id, z.cell, ${cosineSql("e.embedding", "z.cv")} AS c_sim
@@ -273,15 +276,18 @@ object VectorOps {
         import s.implicits._
         val e = t(s, d, "embeddings")
         val dir = java.nio.file.Files.createTempDirectory("graft_vec_del")
-        val store = new graft.sim.VectorIndexStore(s, dir.toString)
-        store.create(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" < 8),
-          "vec_id", "embedding")
-        store.add(1L, e.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
-        store.delete(2L, e.filter($"vec_id" % 7 === 3), "vec_id")
-        store.vacuum()
-        store.probe(e.filter($"vec_id" < 5), "vec_id", "embedding", 3, nprobe = 2)
-          .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
-          .orderBy($"q_id", $"rn")
+        try {
+          val store = new graft.sim.VectorIndexStore(s, dir.toString)
+          store.create(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" < 8),
+            "vec_id", "embedding")
+          store.add(1L, e.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+          store.delete(2L, e.filter($"vec_id" % 7 === 3), "vec_id")
+          store.vacuum()
+          store.probe(e.filter($"vec_id" < 5), "vec_id", "embedding", 3, nprobe = 2)
+            .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
+            .orderBy($"q_id", $"rn")
+            .localCheckpoint() // materialize before the finally deletes the store
+        } finally graft.util.Fs.deleteRecursively(dir)
       },
       s"""WITH z AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8),
          |cs AS (SELECT e.vec_id, z.cell, ${cosineSql("e.embedding", "z.cv")} AS c_sim

@@ -153,15 +153,35 @@ class VectorIndexStore(spark: SparkSession, dir: String,
   /** How many ids are currently tombstoned (0 when none). */
   def tombstoneCount(): Long = tombstoneIds().map(_.count()).getOrElse(0L)
 
-  /** The indexed (id, cell, codes) frame — deduped by id for the
-    * crash-mid-compaction superset window, like the streaming stores'
-    * readers, and minus tombstoned ids.
+  /** Resolve cross-leaf duplicate ids DETERMINISTICALLY: the row from
+    * the highest `batch_id` wins, so a re-[[add]] of a live id takes
+    * the newest batch's vector on every read, every engine, every
+    * replay — an arbitrary `dropDuplicates` would make the index
+    * nondeterministic under re-adds. Ordering is sound across
+    * compaction too: consolidated segments carry negative ids and only
+    * ever hold fold-time winners, so any later add leaf (id ≥ 0)
+    * correctly outranks them; within one batch a duplicate id falls
+    * back to max (cell, codes) — still a total order.
+    */
+  private def newestById(df: DataFrame): DataFrame =
+    df.groupBy(col("id"))
+      .agg(max(struct(col("batch_id"), col("cell"), col("codes"))).as("_s"))
+      .select(col("id"), col("_s.cell").as("cell"), col("_s.codes").as("codes"))
+
+  private def requireLeaves(op: String): Unit =
+    require(leafCount() > 0,
+      s"VectorIndexStore at $dir has no code leaves — $op needs at " +
+        "least one add() batch (init() alone publishes only centroids)")
+
+  /** The indexed (id, cell, codes) frame — duplicates resolved
+    * newest-batch-wins ([[newestById]]; covers both the
+    * crash-mid-compaction superset window and re-added ids), minus
+    * tombstoned ids.
     */
   def codes(): DataFrame = {
     require(exists, s"no VectorIndexStore at $dir")
-    val live = spark.read.parquet(codesDir)
-      .select(col("id"), col("cell"), col("codes"))
-      .dropDuplicates("id")
+    requireLeaves("codes()")
+    val live = newestById(spark.read.parquet(codesDir))
     tombstoneIds().fold(live)(tb => live.join(tb, Seq("id"), "left_anti"))
   }
 
@@ -182,6 +202,7 @@ class VectorIndexStore(spark: SparkSession, dir: String,
   def probe(queries: DataFrame, idCol: String, vecCol: String,
             k: Int, nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    requireLeaves("probe()")
     val cents = centroidsFrame()
       .select(col("cell").as(idCol), col("vec").as(vecCol))
     val qc = Similarity.assignCells(queries, cents, idCol, vecCol,
@@ -193,9 +214,12 @@ class VectorIndexStore(spark: SparkSession, dir: String,
     // control-grain collect: ≤ |queries|·nprobe cell ids, never rows
     val probeCells = qSide.select(col("cell")).distinct().collect()
       .map(_.get(0)).toIndexedSeq
-    val pruned = spark.read.parquet(codesDir)
-      .filter(col("cell").isin(probeCells: _*)) // directory-level pruning
-      .dropDuplicates("id")
+    // newest-batch dedup WITHIN the pruned cells: deterministic on any
+    // read. (If a re-add moved an id to a different cell, the stale
+    // row is visible only until a compact/vacuum folds it away —
+    // global newest-wins would forfeit the O(nprobe) directory read.)
+    val pruned = newestById(spark.read.parquet(codesDir)
+        .filter(col("cell").isin(probeCells: _*))) // directory-level pruning
       .select(col("id"), col("cell"), col("codes").cast("array<float>").as("cvec"))
     val idx = tombstoneIds().fold(pruned)(tb =>
       pruned.join(tb, Seq("id"), "left_anti"))
@@ -265,9 +289,8 @@ class VectorIndexStore(spark: SparkSession, dir: String,
     // basePath: each leaf root is itself a partition dir (batch_id=N)
     // holding cell=C children — without the table root, partition
     // discovery rejects the multi-root read as conflicting structures
-    val folded = spark.read.option("basePath", codesDir)
-      .parquet(fold.map(_._2.toString): _*)
-      .dropDuplicates("id")
+    val folded = newestById(spark.read.option("basePath", codesDir)
+      .parquet(fold.map(_._2.toString): _*))
     // reclaim tombstoned rows' bytes here; the tombstones themselves
     // stay until vacuum() (leaves outside this fold may hold the id)
     val live = tombstoneIds().fold(folded)(tb =>

@@ -376,6 +376,20 @@ class OpsSpec extends SparkSpec {
     assert(keys(BloomJoin.antiJoin(fact, empty, "k", "dk", 1000L)).size == 2000)
     assert(BloomJoin.semiJoin(fact, empty, "k", "dk", 1000L).count() == 0L)
     assert(BloomJoin.innerJoin(fact, empty, "k", "dk", 1000L).count() == 0L)
+    // NULL join keys: might_contain(NULL) is NULL, which would fail
+    // both probe branches — the anti join must still keep NULL-key
+    // rows (NULL never matches, so they are definite misses), matching
+    // the plain left-anti join bit-for-bit
+    val withNull = fact.unionByName(
+      Seq((9001L, Option.empty[Long]), (9002L, Option.empty[Long]))
+        .toDF("row_id", "k"))
+    val plainAntiN = keys(withNull.join(
+      dim.withColumnRenamed("dk", "k"), Seq("k"), "left_anti"))
+    assert(plainAntiN.contains(9001L) && plainAntiN.contains(9002L))
+    assert(keys(BloomJoin.antiJoin(withNull, dim, "k", "dk", 1000L)) == plainAntiN)
+    // semi/inner drop NULL keys, same as the plain joins
+    assert(keys(BloomJoin.semiJoin(withNull, dim, "k", "dk", 1000L)) == plainSemi)
+    assert(keys(BloomJoin.innerJoin(withNull, dim, "k", "dk", 1000L)) == plainSemi)
   }
 
   test("Expect: violation counts per check, one-agg row grain, FK orphans") {

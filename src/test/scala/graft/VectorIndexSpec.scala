@@ -121,6 +121,36 @@ class VectorIndexSpec extends SparkSpec {
     assert(store.codes().filter($"id" === 25).count() == 1)
   }
 
+  test("re-adding a live id is deterministic (newest batch wins); empty store refuses loudly") {
+    val dir = tmp("graft_vis_readd")
+    val store = new VectorIndexStore(spark, dir)
+    // init'ed-but-never-add'ed is a legal state: readers must refuse
+    // with a message naming the store, not a raw path-not-found error
+    store.init(emb.filter($"vec_id" < 8), "vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] { store.codes() }
+    assert(e1.getMessage.contains(dir), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      store.probe(emb.filter($"vec_id" < 2), "vec_id", "embedding", 1)
+    }
+    assert(e2.getMessage.contains(dir), e2.getMessage)
+    // re-add a LIVE id with a different vector in a later batch: every
+    // reader deterministically sees the newest batch's codes (an
+    // arbitrary drop-duplicates would make reads nondeterministic)
+    store.add(0L, emb.filter($"vec_id" < 20), "vec_id", "embedding")
+    val replacement = emb.filter($"vec_id" === 40)
+      .select(lit(7L).as("vec_id"), $"embedding")
+    store.add(1L, replacement, "vec_id", "embedding")
+    val want = Similarity.sq8Encode(replacement, "vec_id", "embedding")
+      .select($"sq8_codes").collect()(0).getSeq[Byte](0).toList
+    def codes7() = store.codes().filter($"id" === 7)
+      .select($"codes").collect().map(_.getSeq[Byte](0).toList).toList
+    assert(codes7() == List(want), "reader did not take the newest batch's vector")
+    assert(codes7() == List(want), "second read disagreed with the first")
+    // the fold keeps the same winner
+    store.compact(2L)
+    assert(codes7() == List(want), "compaction lost the newest version")
+  }
+
   test("probe plan prunes to the probed cells at the DIRECTORY level") {
     val dir = tmp("graft_vis_prune")
     val store = new VectorIndexStore(spark, dir)
