@@ -512,6 +512,34 @@ case class VectorStoreMaintenanceCommand(storeDir: String, vacuum: Boolean)
   }
 }
 
+/** `REFRESH VECTORS '<storeDir>' USING <table_or_view> ID <col>
+  * VEC <col> [K n] [ITERS n] [SAMPLE n]` — the SQL face of
+  * [[graft.sim.VectorIndexStore.retrain]]: re-fit centroids on a
+  * hash-capped sample (default K 16, ITERS 3, SAMPLE 100000) of the
+  * live vectors read from `table_or_view` (which must carry the fp32
+  * vector for every live id — the corpus is the system of record) and
+  * republish the whole index as the next generation behind the atomic
+  * `_GEN` pointer. Returns the new generation plus the republished
+  * cell/row counts. Run while no writer is active (the COMPACT
+  * VECTORS contract).
+  */
+case class RefreshVectorsCommand(storeDir: String, source: String,
+                                 idCol: String, vecCol: String,
+                                 k: Int, iters: Int, sampleCap: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("generation", LongType, nullable = false)(),
+    AttributeReference("cells", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val store = new graft.sim.VectorIndexStore(session, storeDir)
+    require(store.exists, s"REFRESH VECTORS: no vector index store at $storeDir")
+    val gen = store.retrain(session.table(source), idCol, vecCol,
+      k = k, iters = iters, sampleCap = sampleCap)
+    Seq(Row(gen, store.centroidsFrame().count(), store.codes().count()))
+  }
+}
+
 /** `VACUUM '<path>' [KEEP n]` — reclaim versions older than the newest
   * `n` (default 2) that no kept manifest references (the SQL face of
   * [[MergeWriter.vacuum]]). Returns how many versions were reclaimed.
@@ -681,6 +709,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
   private val ProfileSkewRe =
     """(?is)^\s*PROFILE\s+SKEW\s+'([^']+)'\s+ON\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?\s*;?\s*$""".r
+  private val RefreshVectorsRe =
+    ("""(?is)^\s*REFRESH\s+VECTORS\s+'([^']+)'\s+USING\s+([\w.]+)""" +
+      """\s+ID\s+([A-Za-z_]\w*)\s+VEC\s+([A-Za-z_]\w*)""" +
+      """(?:\s+K\s+(\d+))?(?:\s+ITERS\s+(\d+))?(?:\s+SAMPLE\s+(\d+))?\s*;?\s*$""").r
 
   private val UsingParenRe = """(?is)^(\s*MERGE\s+INTO\s+'[^']+'\s+USING\s+)\(""".r
 
@@ -761,6 +793,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))
       case ProfileSkewRe(path, keyCol, topK) =>
         ProfileSkewCommand(path, keyCol, Option(topK).map(_.toInt).getOrElse(20))
+      case RefreshVectorsRe(dir, source, idCol, vecCol, k, iters, sample) =>
+        RefreshVectorsCommand(dir, source, idCol, vecCol,
+          Option(k).map(_.toInt).getOrElse(16),
+          Option(iters).map(_.toInt).getOrElse(3),
+          Option(sample).map(_.toLong).getOrElse(100000L))
       case _ => delegate.parsePlan(sqlText)
     }
   }

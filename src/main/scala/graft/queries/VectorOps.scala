@@ -318,6 +318,71 @@ object VectorOps {
          |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin),
 
+    // Centroid RETRAIN against the persistent vector index store —
+    // the lifecycle step q_ivf_index_delete leaves open: without it,
+    // incremental adds assign to the creation-time cells forever and
+    // probe recall decays silently under drift. The store is built
+    // incrementally (create + add), a deterministic subset is deleted
+    // (vec_id % 7 = 3, NO vacuum — the tombstones must survive the
+    // swap), then retrain republishes the WHOLE index as generation 1
+    // under NEW explicit centroids (vec_id in [10, 18) — explicit
+    // rather than k-means-fit, because Lloyd means are float
+    // averages no cross-engine oracle can replay bit-exactly; the
+    // k-means sampling path is spec-gated in VectorIndexSpec). The
+    // probe after the swap must equal ivfSq8TopK over the raw corpus
+    // with the NEW centroids, minus the deleted ids — which is the
+    // q_ivf_index_probe oracle re-celled to the new centroid set,
+    // proving re-assignment, re-encode, atomic pointer swap, and
+    // carried-forward tombstones in one driver-gated frame.
+    q("q_ivf_index_retrain")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        val dir = java.nio.file.Files.createTempDirectory("graft_vec_retrain")
+        try {
+          val store = new graft.sim.VectorIndexStore(s, dir.toString)
+          store.create(e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" < 8),
+            "vec_id", "embedding")
+          store.add(1L, e.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+          store.delete(2L, e.filter($"vec_id" % 7 === 3), "vec_id")
+          store.retrain(e, "vec_id", "embedding",
+            newCentroids = Some(e.filter($"vec_id" >= 10 && $"vec_id" < 18)))
+          store.probe(e.filter($"vec_id" < 5), "vec_id", "embedding", 3, nprobe = 2)
+            .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
+            .orderBy($"q_id", $"rn")
+            .localCheckpoint() // materialize before the finally deletes the store
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      s"""WITH z AS (SELECT vec_id AS cell, embedding AS cv FROM embeddings
+         |  WHERE vec_id >= 10 AND vec_id < 18),
+         |cs AS (SELECT e.vec_id, z.cell, ${cosineSql("e.embedding", "z.cv")} AS c_sim
+         |  FROM embeddings e, z),
+         |cells AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn FROM cs)
+         |  WHERE arn = 1),
+         |qc AS (SELECT vec_id AS q_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS arn
+         |  FROM cs WHERE vec_id < 5) WHERE arn <= 2),
+         |enc AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN m = 0
+         |      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |      ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)) END AS codes
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM embeddings
+         |        WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0)),
+         |sims AS (SELECT qc.q_id, c.vec_id, ${cosineSql("qe.codes", "ce.codes")} AS sim
+         |  FROM qc JOIN cells c ON c.cell = qc.cell AND c.vec_id <> qc.q_id
+         |    AND c.vec_id % 7 <> 3
+         |  JOIN enc ce ON ce.vec_id = c.vec_id
+         |  JOIN enc qe ON qe.vec_id = qc.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+         |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin),
+
     // IVF tuning frontier — the ANN twin of q_lsh_tuning: the SAME
     // corpus, cells, and brute-force ground truth swept over nprobe ∈
     // {1,2,4,8}, one row of exact counts per setting. n_scanned (the

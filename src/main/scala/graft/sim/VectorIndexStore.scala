@@ -52,9 +52,25 @@ import graft.functions.VectorFns
 class VectorIndexStore(spark: SparkSession, dir: String,
                        segmentFiles: Int = 4) {
 
-  private val centroidsDir = s"$dir/centroids"
-  private val codesDir = s"$dir/codes"
-  private val tombsDir = s"$dir/tombstones"
+  // ---- generations: the cell structure is immutable WITHIN a
+  // generation; [[retrain]] republishes the whole index (new
+  // centroids, re-assigned/re-encoded rows) as generation g+1 behind
+  // the `_GEN` pointer — the MergeWriter `_CURRENT` idiom. Generation
+  // 0 is the original flat layout (dir/centroids, dir/codes, …), so
+  // every pre-generation store reads back unchanged; generation g > 0
+  // lives under dir/gen=<g>/. Readers resolve the pointer per
+  // operation; writers are single-writer by contract (same as
+  // compact/vacuum).
+  private def genPointer = Paths.get(dir, "_GEN")
+
+  /** The generation currently served (0 before any [[retrain]]). */
+  def currentGen: Long =
+    if (Files.exists(genPointer)) Files.readString(genPointer).trim.toLong else 0L
+
+  private def genRoot(g: Long): String = if (g == 0L) dir else s"$dir/gen=$g"
+  private def centroidsDir = s"${genRoot(currentGen)}/centroids"
+  private def codesDir = s"${genRoot(currentGen)}/codes"
+  private def tombsDir = s"${genRoot(currentGen)}/tombstones"
 
   /** True once [[init]]/[[create]] has published the centroid frame. */
   def exists: Boolean = Files.isDirectory(Paths.get(centroidsDir))
@@ -101,18 +117,26 @@ class VectorIndexStore(spark: SparkSession, dir: String,
   def add(batchId: Long, vectors: DataFrame, idCol: String, vecCol: String): Unit = {
     require(batchId >= 0, s"add: batchId must be >= 0 (negative ids are " +
       s"compaction segments), got $batchId")
-    val cents = centroidsFrame()
-      .select(col("cell").as(idCol), col("vec").as(vecCol))
-    val cells = Similarity.ivfCells(vectors, cents, idCol, vecCol)
+    encodeAssign(vectors, centroidsFrame(), idCol, vecCol)
+      .coalesce(segmentFiles)
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$codesDir/batch_id=$batchId")
+  }
+
+  /** fp32 cell assignment against `cents` (a (cell, vec) frame) +
+    * SQ8 quantization — the one (id, codes, cell) derivation every
+    * writer ([[add]], [[retrain]]) shares, so a generation swap cannot
+    * drift from the incremental path. */
+  private def encodeAssign(vectors: DataFrame, cents: DataFrame,
+                           idCol: String, vecCol: String): DataFrame = {
+    val c = cents.select(col("cell").as(idCol), col("vec").as(vecCol))
+    val cells = Similarity.ivfCells(vectors, c, idCol, vecCol)
       .select(col("id"), col("cell"))
     val codes = Similarity.sq8Encode(vectors, idCol, vecCol)
       .select(col(idCol).as("id"), col("sq8_codes").as("codes"))
       .filter(col("codes").isNotNull)
     cells.join(codes, "id")
       .select(col("id"), col("codes"), col("cell"))
-      .coalesce(segmentFiles)
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$codesDir/batch_id=$batchId")
   }
 
   /** Tombstone a batch of ids (doc retractions, takedowns): every
@@ -280,6 +304,119 @@ class VectorIndexStore(spark: SparkSession, dir: String,
     foldLeaves(all, minSources, segIdStart = -1L)
     deleteTree(Paths.get(tombsDir))
   }
+
+  /** Cell-occupancy skew of the live index — the drift ALARM for
+    * [[retrain]]: incremental adds assign against the generation's
+    * fixed centroids, so under distribution drift cells skew and probe
+    * recall decays silently; the exact Gini and top-`topK` heavy cells
+    * (one [[graft.ops.Profile.keySkewProfile]] pass over the (id,
+    * cell) frame) are the quantities an operator alerts on before
+    * paying for a retrain.
+    */
+  def cellSkewProfile(topK: Int = 20): DataFrame =
+    graft.ops.Profile.keySkewProfile(codes().select(col("cell")), "cell", topK)
+
+  /** Re-cluster and republish the WHOLE index as generation
+    * `currentGen + 1`: fit fresh centroids (Lloyd's k-means on a
+    * hash-capped sample of the live vectors — or take
+    * `newCentroids` verbatim when the caller brings its own), then
+    * re-assign + re-encode every live row against them and swap the
+    * `_GEN` pointer atomically. The cure for centroid drift: without
+    * it, incremental adds assign to the creation-time cells forever.
+    *
+    * `vectors` must hold the fp32 vector for EVERY live id (the
+    * corpus is the system of record; the store keeps only int8
+    * codes) — checked loudly, because a silent subset would shrink
+    * the index. Tombstones are carried forward: a [[delete]]d id
+    * stays invisible across the generation swap (delete stays FINAL
+    * until [[vacuum]], same as within a generation). Rows whose id is
+    * not live (never added, deleted, or NaN-excluded) are ignored.
+    *
+    * Crash-safety, the MergeWriter pointer idiom: the new generation
+    * is fully written under a temp dir, ATOMIC_MOVEd to `gen=<g+1>`,
+    * and only then does the pointer swap (itself an atomic rename);
+    * every crash point leaves readers on a complete generation. The
+    * replaced generation's bytes are reclaimed after the swap;
+    * orphans from crashed retrains are swept on the next call.
+    *
+    * 100 TB shape: one pass over the live corpus (broadcast-centroid
+    * assignment + map-only quantization + one partitioned write) plus
+    * the k-means sample fit — the same cost class as the original
+    * [[create]], run at an operator-chosen cadence when
+    * [[cellSkewProfile]] alarms.
+    *
+    * Returns the new generation id.
+    */
+  def retrain(vectors: DataFrame, idCol: String, vecCol: String,
+              k: Int = 0, iters: Int = 3, sampleCap: Long = 100000L,
+              newCentroids: Option[DataFrame] = None): Long = {
+    require(exists, s"no VectorIndexStore at $dir")
+    requireLeaves("retrain()")
+    val g = currentGen
+    val next = g + 1
+    // sweep orphans: generation dirs the pointer does not reference
+    // (crashed retrains), and — once past gen 0 — stale flat-layout
+    // dirs a crashed post-swap cleanup left behind
+    listGenDirs().filter(_._1 != g).foreach { case (_, p) => deleteTree(p) }
+    if (g > 0) Seq("centroids", "codes", "tombstones")
+      .foreach(s => deleteTree(Paths.get(dir, s)))
+    val tmp = Paths.get(dir, ".retrain_tmp")
+    deleteTree(tmp)
+
+    val live = codes().select(col("id"))
+    val cur = vectors.select(col(idCol), col(vecCol))
+      .join(live.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint() // one scan; reused by the sample fit AND the re-encode
+    val nLive = live.count()
+    val nCur = cur.count()
+    require(nCur == nLive,
+      s"retrain: vectors frame covers $nCur of $nLive live ids — the " +
+        s"corpus handed to retrain must contain every id live in $dir")
+    val cents = newCentroids.map(
+        _.select(col(idCol).as("cell"), col(vecCol).cast("array<float>").as("vec")))
+      .getOrElse {
+        require(k >= 1, "retrain: k >= 1 required when no explicit centroids are given")
+        // hash-capped sample: deterministic, corpus-order-free
+        val ratio = math.max(1L, (nLive + sampleCap - 1) / math.max(1L, sampleCap))
+        val sample = if (ratio <= 1L) cur
+          else cur.filter(pmod(xxhash64(col(idCol)), lit(ratio)) === 0)
+        Similarity.kmeansFit(sample, idCol, vecCol, k, iters)
+          .select(col("centroid_id").as("cell"), col("vec"))
+      }
+    cents.coalesce(1).write.mode("errorifexists").parquet(s"$tmp/centroids")
+    encodeAssign(cur, spark.read.parquet(s"$tmp/centroids"), idCol, vecCol)
+      .coalesce(segmentFiles)
+      .write.partitionBy("cell").mode("errorifexists")
+      .parquet(s"$tmp/codes/batch_id=0")
+    // deletes carried forward: the re-encode wrote only LIVE rows, but
+    // the tombstones must survive so a post-retrain re-add of a
+    // deleted id stays invisible until vacuum
+    tombstoneIds().foreach(_.coalesce(1)
+      .write.mode("errorifexists").parquet(s"$tmp/tombstones/batch_id=0"))
+    Files.move(tmp, Paths.get(genRoot(next)), StandardCopyOption.ATOMIC_MOVE)
+    val ptmp = Paths.get(dir, "._gen_tmp")
+    Files.writeString(ptmp, next.toString)
+    Files.move(ptmp, genPointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // reclaim the replaced generation (readers are already on `next`;
+    // a crash here only leaves unreferenced bytes for the next sweep)
+    if (g == 0L) Seq("centroids", "codes", "tombstones")
+      .foreach(s => deleteTree(Paths.get(dir, s)))
+    else deleteTree(Paths.get(genRoot(g)))
+    next
+  }
+
+  private def listGenDirs(): List[(Long, Path)] =
+    if (!Files.isDirectory(Paths.get(dir))) Nil
+    else {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.toList.flatMap { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("gen="))
+          scala.util.Try(name.stripPrefix("gen=").toLong).toOption.map(_ -> p)
+        else None
+      } finally s.close()
+    }
 
   private def foldLeaves(fold: List[(Long, Path)], minSources: Int,
                          segIdStart: Long): Unit = {

@@ -1128,6 +1128,41 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] { s2.sql(s"VACUUM VECTORS '${dir}_nope'").collect() }
   }
 
+  test("REFRESH VECTORS retrains a store's centroids end-to-end via SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_refresh").toString
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val store = new graft.sim.VectorIndexStore(spark, dir)
+    store.create(emb.filter($"vec_id" < 30), emb.filter($"vec_id" < 4),
+      "vec_id", "embedding")
+    val liveBefore = store.codes().count()
+    assert(store.currentGen == 0L)
+
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    // temp views are per-session: register through the SQL session
+    s2.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .createOrReplaceTempView("graft_refresh_emb")
+    // K 6 re-clusters the 4-cell store into 6 cells in generation 1;
+    // the row count is unchanged (every live id re-encoded)
+    val r = s2.sql(s"REFRESH VECTORS '$dir' USING graft_refresh_emb " +
+      "ID vec_id VEC embedding K 6").collect()
+    assert(r.length == 1, r.mkString(","))
+    assert(r(0).getLong(0) == 1L, s"generation: ${r(0)}")
+    // kmeansFit may drop a centroid that loses every member, so the
+    // cell count is <= K but re-clustered past the original 4
+    assert(r(0).getLong(1) >= 2L && r(0).getLong(1) <= 6L, s"cells: ${r(0)}")
+    assert(r(0).getLong(2) == liveBefore, s"rows: ${r(0)}")
+    assert(store.currentGen == 1L)
+    assert(store.centroidsFrame().count() == r(0).getLong(1))
+    // the refreshed store still probes (structure is healthy)
+    assert(store.probe(emb.filter($"vec_id" === 0), "vec_id", "embedding",
+      2, nprobe = 2).count() == 2L)
+    // a dir without a store is refused loudly
+    intercept[Exception] {
+      s2.sql(s"REFRESH VECTORS '${dir}_nope' USING graft_refresh_emb " +
+        "ID vec_id VEC embedding").collect()
+    }
+  }
+
   test("PROFILE SKEW statement audits a parquet table's key distribution via SQL") {
     val dir = java.nio.file.Files.createTempDirectory("graft_skew_sql").toString
     // counts {a:1, b:1, c:2, d:4} — the keySkewProfile hand case:

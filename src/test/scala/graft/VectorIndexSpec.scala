@@ -176,6 +176,63 @@ class VectorIndexSpec extends SparkSpec {
       s"cell filter not pushed to partition pruning: ${scanLine.get}")
   }
 
+  test("retrain under drift: planted boundary cluster regains recall; generation swaps; deletes carry") {
+    val dir = tmp("graft_vis_retrain")
+    val store = new VectorIndexStore(spark, dir)
+    // fixed creation-time cells along x and y; ids chosen so the
+    // k-means init (3 lowest-id vectors) seeds one per TRUE cluster
+    val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("id", "vec")
+    val all = Seq(
+      1L -> Array(0.90f, 0.10f, 0f), // x-cluster
+      2L -> Array(0.10f, 0.90f, 0f), // y-cluster
+      3L -> Array(0.72f, 0.69f, 0f), // drifted diagonal — assigns x
+      4L -> Array(0.69f, 0.72f, 0f), // its twin — assigns y
+      5L -> Array(0.95f, 0.05f, 0f),
+      6L -> Array(0.88f, 0.12f, 0f),
+      7L -> Array(0.05f, 0.95f, 0f),
+      8L -> Array(0.12f, 0.88f, 0f),
+      9L -> Array(0.74f, 0.67f, 0f),  // more drift mass
+      10L -> Array(0.67f, 0.74f, 0f)
+    ).toDF("id", "vec")
+    store.init(cents, "id", "vec")
+    store.add(0L, all.filter($"id" <= 8), "id", "vec")
+    store.add(1L, all.filter($"id" > 8), "id", "vec") // drift keeps arriving
+    store.delete(2L, Seq(5L).toDF("id"), "id")
+    // the drifted twins straddle the x/y boundary: id 3 probes cell x,
+    // id 4 lives in cell y — invisible at nprobe=1, the silent recall
+    // decay retrain exists to cure
+    def probe3(): Set[Long] = store.probe(all.filter($"id" === 3), "id", "vec",
+      k = 3, nprobe = 1).collect().map(_.getLong(1)).toSet
+    assert(!probe3().contains(4L), s"twin visible pre-retrain: ${probe3()}")
+    // occupancy alarm surface exists and sees the 2 creation cells
+    assert(store.cellSkewProfile().collect().map(_.getLong(4)).headOption.contains(2L))
+    // retrain on the live corpus (k-means path): a centroid lands on
+    // the drifted cluster and the twins share a cell again
+    val gen = store.retrain(all, "id", "vec", k = 3, iters = 3)
+    assert(gen == 1L && store.currentGen == 1L)
+    assert(probe3().contains(4L), s"twin still invisible after retrain: ${probe3()}")
+    assert(store.centroidsFrame().count() == 3L)
+    // the delete carried forward: id 5 stays gone, tombstone intact
+    assert(store.codes().filter($"id" === 5).count() == 0)
+    assert(store.tombstoneCount() == 1L)
+    store.add(3L, all.filter($"id" === 5), "id", "vec")
+    assert(store.codes().filter($"id" === 5).count() == 0,
+      "re-add resurrected a deleted id across the generation swap")
+    // compaction and vacuum keep working inside the new generation
+    store.compact(4L)
+    store.vacuum()
+    assert(store.tombstoneCount() == 0L)
+    assert(probe3().contains(4L), "post-vacuum probe lost the twin")
+    // the replaced generation's flat-layout bytes were reclaimed
+    assert(!Files.isDirectory(Paths.get(s"$dir/codes")), "gen-0 codes not reclaimed")
+    // a retrain demands full coverage of the live ids — a partial
+    // corpus must refuse loudly, not silently shrink the index
+    intercept[IllegalArgumentException] {
+      store.retrain(all.filter($"id" <= 4), "id", "vec", k = 2)
+    }
+  }
+
   test("streaming embed gate: intra-batch, cross-batch, and re-sent dups all drop") {
     val work = tmp("graft_vis_stream")
     // axis-aligned centroids; vectors constructed so near-dup pairs
