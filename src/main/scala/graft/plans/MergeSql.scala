@@ -540,6 +540,42 @@ case class RefreshVectorsCommand(storeDir: String, source: String,
   }
 }
 
+/** `CHECK EXPECTATIONS ON '<path>' (NOT NULL col, RANGE col lo hi,
+  * MATCHES col 're', UNIQUE (a,b), ...)` — the SQL face of
+  * [[graft.ops.Expect.run]]: the declarative data-contract suite for
+  * the operational audience that lives on the SQL maintenance surface
+  * (where PROFILE SKEW already is), without constructing Check objects
+  * in Scala. All row-grain checks compile into ONE aggregation over
+  * ONE scan of the parquet table (the Expect contract); returns the
+  * (check, n_rows, n_violations, pass) frame. Referenced columns are
+  * validated loudly against the table's schema before the scan.
+  */
+case class CheckExpectationsCommand(path: String, checks: Seq[graft.ops.Expect.Check])
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("check", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("n_violations", LongType, nullable = false)(),
+    AttributeReference("pass", org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(checks.nonEmpty, "CHECK EXPECTATIONS: at least one check required")
+    val df = session.read.parquet(path)
+    val referenced = checks.flatMap {
+      case graft.ops.Expect.NotNull(c) => Seq(c)
+      case graft.ops.Expect.InRange(c, _, _) => Seq(c)
+      case graft.ops.Expect.Matches(c, _) => Seq(c)
+      case graft.ops.Expect.Unique(cs) => cs
+      case graft.ops.Expect.RefIntegrity(c, _, _) => Seq(c)
+    }.distinct
+    val missing = referenced.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"CHECK EXPECTATIONS: no column(s) " +
+      s"${missing.mkString(", ")} in $path (has ${df.columns.mkString(", ")})")
+    graft.ops.Expect.run(df, checks).collect().toSeq.map { r =>
+      Row(r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    }
+  }
+}
+
 /** `VACUUM '<path>' [KEEP n]` — reclaim versions older than the newest
   * `n` (default 2) that no kept manifest references (the SQL face of
   * [[MergeWriter.vacuum]]). Returns how many versions were reclaimed.
@@ -713,6 +749,50 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)^\s*REFRESH\s+VECTORS\s+'([^']+)'\s+USING\s+([\w.]+)""" +
       """\s+ID\s+([A-Za-z_]\w*)\s+VEC\s+([A-Za-z_]\w*)""" +
       """(?:\s+K\s+(\d+))?(?:\s+ITERS\s+(\d+))?(?:\s+SAMPLE\s+(\d+))?\s*;?\s*$""").r
+  private val CheckExpectationsRe =
+    """(?is)^\s*CHECK\s+EXPECTATIONS\s+ON\s+'([^']+)'\s*\((.+)\)\s*;?\s*$""".r
+  private val ExpectNotNullRe = """(?is)^NOT\s+NULL\s+([A-Za-z_]\w*)$""".r
+  private val ExpectRangeRe =
+    """(?is)^RANGE\s+([A-Za-z_]\w*)\s+(-?\d+)\s+(-?\d+)$""".r
+  private val ExpectMatchesRe =
+    """(?is)^MATCHES\s+([A-Za-z_]\w*)\s+'((?:[^']|'')*)'$""".r
+  private val ExpectUniqueRe =
+    """(?is)^UNIQUE\s+(?:\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)|([A-Za-z_]\w*))$""".r
+
+  /** Split a check list on top-level commas only — commas inside a
+    * UNIQUE's paren group or a MATCHES regex literal must not split. */
+  private def splitChecks(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '\'' => i = skipQuoted(body, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += body.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += body.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseCheck(spec: String): graft.ops.Expect.Check = spec match {
+    case ExpectNotNullRe(c) => graft.ops.Expect.NotNull(c)
+    case ExpectRangeRe(c, lo, hi) => graft.ops.Expect.InRange(c, lo.toLong, hi.toLong)
+    case ExpectMatchesRe(c, re) =>
+      graft.ops.Expect.Matches(c, re.replace("''", "'"))
+    case ExpectUniqueRe(group, single) =>
+      graft.ops.Expect.Unique(
+        if (group != null) group.split(",").toSeq.map(_.trim) else Seq(single))
+    case other => throw new UnsupportedOperationException(
+      s"CHECK EXPECTATIONS: unrecognized check '$other' — expected " +
+        "NOT NULL col | RANGE col lo hi | MATCHES col 're' | UNIQUE (a,b)")
+  }
 
   private val UsingParenRe = """(?is)^(\s*MERGE\s+INTO\s+'[^']+'\s+USING\s+)\(""".r
 
@@ -798,6 +878,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(k).map(_.toInt).getOrElse(16),
           Option(iters).map(_.toInt).getOrElse(3),
           Option(sample).map(_.toLong).getOrElse(100000L))
+      case CheckExpectationsRe(path, body) =>
+        CheckExpectationsCommand(path, splitChecks(body).map(parseCheck))
       case _ => delegate.parsePlan(sqlText)
     }
   }

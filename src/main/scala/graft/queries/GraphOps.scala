@@ -415,7 +415,51 @@ object GraphOps {
         |SELECT t.rank, t.user_id, t.cnt,
         |  CAST(CAST(t.cnt AS HUGEINT) * 1000000 // g.s AS BIGINT) AS share_ppm,
         |  g.n_keys, g.gini_ppm
-        |FROM top t CROSS JOIN gini g ORDER BY t.rank""".stripMargin))
+        |FROM top t CROSS JOIN gini g ORDER BY t.rank""".stripMargin),
+
+    // Connected components by the ALTERNATING big-star algorithm on a
+    // planted HIGH-DIAMETER graph — the case
+    // [[graft.dedup.Dedup.connectedComponents]]'s min-label loop is
+    // wrong for (labels crawl one hop per round): within-segment
+    // doc-id paths (diameter 49 per 50-doc segment) bridged every
+    // 1000 docs into ~100-node chains. The engine runs
+    // [[Graphs.connectedComponentsBigStar]] (O(log²) rounds,
+    // spec-pinned round count); the oracle replays the closure with a
+    // recursive CTE — component ids are exact integers, so the frames
+    // hash-match bit-for-bit. Output mirrors q_dedup_clusters:
+    // (doc_id, cluster_id, n_members).
+    q("q_cc_bigstar")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id")
+        val e1 = docs.as("a").join(docs.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 && col("a.doc_id") % 50 =!= 49)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val e2 = docs.as("a").join(docs.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 250 && col("a.doc_id") % 1000 === 0)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val comp = Graphs.connectedComponentsBigStar(e1.unionByName(e2))
+        comp.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+          .join(comp, "cluster_id")
+          .select($"id".as("doc_id"), $"cluster_id", $"n_members")
+          .orderBy($"doc_id")
+      },
+      """WITH RECURSIVE
+        |e1 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 50 <> 49),
+        |e2 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 250 WHERE a.doc_id % 1000 = 0),
+        |edges AS MATERIALIZED (SELECT src, dst FROM e1
+        |  UNION ALL SELECT dst, src FROM e1
+        |  UNION ALL SELECT src, dst FROM e2
+        |  UNION ALL SELECT dst, src FROM e2),
+        |reach(id, r) AS (SELECT DISTINCT src AS id, src AS r FROM edges
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT c.id AS doc_id, c.cluster_id, n.n_members
+        |FROM comp c JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap

@@ -1128,6 +1128,44 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] { s2.sql(s"VACUUM VECTORS '${dir}_nope'").collect() }
   }
 
+  test("CHECK EXPECTATIONS runs the data-contract suite on a parquet table via SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_expect_sql").toString
+    // the OpsSpec Expect fixture, written to parquet: null key, two
+    // range breaks (0 and 60), one regex break (zz), duplicate k=1
+    Seq((Option(1L), 10L, "A"), (Option(2L), 60L, "B"),
+        (Option.empty[Long], 5L, "A"), (Option(1L), 20L, "zz"),
+        (Option(4L), 0L, "A"))
+      .toDF("k", "qty", "flag")
+      .write.parquet(s"$dir/t.parquet")
+
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    val out = s2.sql(s"CHECK EXPECTATIONS ON '$dir/t.parquet' " +
+        "(NOT NULL k, RANGE qty 1 50, MATCHES flag '[A,B]', UNIQUE (k, flag), UNIQUE k)")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // the MATCHES regex deliberately carries a comma ([A,B]) and the
+    // UNIQUE a paren group — the check-list splitter must not split
+    // inside either; [A,B] as a character class still admits only A/B
+    assert(out == Map(
+      "not_null:k" -> ((5L, 1L, false)),
+      "in_range:qty" -> ((5L, 2L, false)),
+      "matches:flag" -> ((5L, 1L, false)),
+      "unique:k,flag" -> ((5L, 0L, true)),
+      "unique:k" -> ((5L, 1L, false))), out.toString)
+    // a clean contract passes
+    val clean = s2.sql(s"CHECK EXPECTATIONS ON '$dir/t.parquet' (RANGE qty 0 60)")
+      .collect()
+    assert(clean.length == 1 && clean(0).getBoolean(3))
+    // unknown column and unknown check verb both refuse loudly
+    intercept[Exception] {
+      s2.sql(s"CHECK EXPECTATIONS ON '$dir/t.parquet' (NOT NULL nope)").collect()
+    }
+    intercept[Exception] {
+      s2.sql(s"CHECK EXPECTATIONS ON '$dir/t.parquet' (FROBNICATE k)").collect()
+    }
+  }
+
   test("REFRESH VECTORS retrains a store's centroids end-to-end via SQL") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vec_refresh").toString
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")

@@ -436,6 +436,36 @@ class SamplingFusionSpec extends SparkSpec {
     assert(back == 0L)
   }
 
+  test("connectedComponentsBigStar: == min-label CC everywhere; rounds << diameter on a long path") {
+    import graft.operators.Graphs
+    val spark2 = spark; import spark2.implicits._
+    // a 300-node path with ids increasing along it — the adversarial
+    // case for min-label propagation (labels crawl one hop per round,
+    // Ω(n) rounds); the alternating algorithm must land in O(log²)
+    val path = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Graphs.bigStarWithRounds(path)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 300 && got.forall(_._2 == 0L),
+      s"path did not contract to component 0: ${got.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds <= 12, s"expected O(log²) rounds on a 300-path, got $rounds")
+    // hand case: two components + a self-loop-only node stays its own
+    // singleton (the self-loop is dropped, the node is not)
+    val hand = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L)).toDF("id_a", "id_b")
+    assert(Graphs.connectedComponentsBigStar(hand).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (5L, 5L)))
+    // drop-in equality with the min-label operator on a pseudo-random
+    // multigraph (dups + both orientations in the input)
+    val rand = (0L until 200L).map(i => (i, (i * i * 31L + 7L) % 200L))
+      .filter { case (a, b) => a != b }
+    val messy = (rand ++ rand.map(_.swap) ++ rand.take(40)).toDF("id_a", "id_b")
+    val viaBigStar = Graphs.connectedComponentsBigStar(messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMinLabel = graft.dedup.Dedup.connectedComponents(messy).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBigStar == viaMinLabel, "big-star diverged from min-label CC")
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
