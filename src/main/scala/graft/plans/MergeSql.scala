@@ -402,7 +402,8 @@ case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
   private val stores = Seq(
     "band_index" -> "band_index", "admitted" -> "admitted",
     "gram_index" -> "gram_index", "ledger" -> "ledger",
-    "vector_index" -> "vector_index/codes")
+    "vector_index" -> "vector_index/codes",
+    "image_band_index" -> "image_band_index", "image_ledger" -> "image_ledger")
 
   private def leafIds(dir: java.nio.file.Path): Seq[Long] =
     if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
@@ -436,6 +437,10 @@ case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
       if (java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(workDir, "vector_index")))
         new graft.sim.VectorIndexStore(session, s"$workDir/vector_index")
+          .compact(horizon)
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(workDir, "image_band_index")))
+        new graft.streaming.StreamingImageIngest(session, workDir)
           .compact(horizon)
     }
     val after = counts()

@@ -611,4 +611,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0) == Streams.SessionOut(1L, 1L, 2L))
     q.stop()
   }
+
+  test("streaming image gate: resized twin drops intra-batch and vs-index; replay idempotent; ledger attributes") {
+    import graft.multimodal.ImagePhash
+    val work = Files.createTempDirectory("graft_img_stream").toString
+    val gate = new graft.streaming.StreamingImageIngest(spark, work,
+      maxHamming = 3, bands = 4, compactEvery = 4)
+    def admittedIds(): Set[Long] = gate.admitted()
+      .map(_.select("media_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def stages(batch: Long): Map[Long, String] = gate.ledgerFrame().get
+      .filter($"ledger_batch_id" === batch)
+      .select($"media_id", $"stage").as[(Long, String)].collect().toMap
+    // batch 0: 10 = pattern A at 64×48; 11 = the 2× RESIZED twin of A
+    // (the deterministic-BMP fixture's hash is size-invariant by
+    // construction — the resized-twin plant); 12 = distinct pattern;
+    // 13 = bytes the JDK cannot decode
+    gate.processBatch(Seq(
+      (10L, ImagePhash.patternBmp(1, 64, 48)),
+      (11L, ImagePhash.patternBmp(1, 128, 96)),
+      (12L, ImagePhash.patternBmp(4, 64, 48)),
+      (13L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"), 0L)
+    assert(admittedIds() == Set(10L, 12L))
+    assert(stages(0L) == Map(10L -> "admitted", 12L -> "admitted",
+      11L -> "near_dup_intra", 13L -> "undecodable"))
+    // batch 1: 20 = another resize of A (drops VS-INDEX); 21 = lightly
+    // EDITED twin of 12 (two cells swapped — Hamming ≤ 2, vs-index);
+    // 22 = novel; a RE-SENT id 10 must drop against its own admitted
+    // twin (no self-exclusion), not overwrite
+    val batch1 = Seq(
+      (20L, ImagePhash.patternBmp(1, 128, 96)),
+      (21L, ImagePhash.patternBmp(4, 64, 48, swapCells = Some((0, 9)))),
+      (22L, ImagePhash.patternBmp(5, 64, 48)),
+      (10L, ImagePhash.patternBmp(1, 64, 48))).toDF("media_id", "payload")
+    gate.processBatch(batch1, 1L)
+    assert(admittedIds() == Set(10L, 12L, 22L))
+    // 20 pairs with the RE-SENT 10 inside the batch first (min-id
+    // wins at the intra stage), then 10 itself drops vs the index
+    assert(stages(1L) == Map(20L -> "near_dup_intra", 21L -> "near_dup_index",
+      10L -> "near_dup_index", 22L -> "admitted"))
+    // replaying batch 1 changes nothing: leaf overwrite, same drops
+    gate.processBatch(batch1, 1L)
+    assert(admittedIds() == Set(10L, 12L, 22L))
+    // batch 4 triggers compaction of committed leaves; decisions and
+    // admitted state survive the fold — a resize of 22's pattern still
+    // drops vs the FOLDED index
+    gate.processBatch(Seq(
+      (40L, ImagePhash.patternBmp(5, 128, 96)),
+      (41L, ImagePhash.patternBmp(6, 64, 48))).toDF("media_id", "payload"), 4L)
+    assert(admittedIds() == Set(10L, 12L, 22L, 41L))
+    assert(stages(4L) == Map(40L -> "near_dup_index", 41L -> "admitted"))
+    assert(gate.leafCount() <= 2, s"compaction did not bound leaves: ${gate.leafCount()}")
+  }
 }
