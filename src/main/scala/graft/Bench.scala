@@ -52,7 +52,10 @@ object Bench {
     // k-core peel, the celebrity-guarded co-occurrence projection,
     // and BPE fit+encode (5 training rounds + the map-side merge
     // folds over the vocabulary frame)
-    "q_label_prop", "q_kcore", "q_copurchase", "q_bpe_encode")
+    "q_label_prop", "q_kcore", "q_copurchase", "q_bpe_encode",
+    // round-19 family: the alternating big-star CC rounds (high-
+    // diameter components that min-label propagation cannot touch)
+    "q_cc_bigstar")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

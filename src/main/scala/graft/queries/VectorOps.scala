@@ -383,6 +383,59 @@ object VectorOps {
          |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin),
 
+    // Cell-occupancy skew of the persistent vector store — the DRIFT
+    // ALARM feeding q_ivf_index_retrain: incremental adds assign
+    // against the generation's fixed centroids, so under distribution
+    // drift cells skew and probe recall decays silently; this is the
+    // exact-Gini + heavy-cell report an operator alerts on before
+    // paying for a retrain ([[VectorIndexStore.cellSkewProfile]] —
+    // keySkewProfile over the store's (id, cell) frame). Oracle:
+    // re-derive the fp32 cell assignment (the q_ivf_index_probe cells
+    // CTE, NaN ids excluded exactly as the store excludes them) and
+    // replay the q_key_skew integer-Gini arithmetic over the cell
+    // counts.
+    q("q_vector_cell_skew")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        val dir = java.nio.file.Files.createTempDirectory("graft_vec_skew")
+        try {
+          val store = new graft.sim.VectorIndexStore(s, dir.toString)
+          store.create(e, e.filter($"vec_id" < 8), "vec_id", "embedding")
+          store.cellSkewProfile(topK = 10)
+            // the cell rides back as a parquet PARTITION column, whose
+            // directory-name inference types it INT; the oracle's cell
+            // ids are the BIGINT centroid ids
+            .withColumn("cell", $"cell".cast("long"))
+            .orderBy($"rank")
+            .localCheckpoint() // materialize before the finally deletes the store
+        } finally graft.util.Fs.deleteRecursively(dir)
+      },
+      s"""WITH z AS (SELECT vec_id AS zcell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |live AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0),
+         |cs AS (SELECT e.vec_id, z.zcell, ${cosineSql("e.embedding", "z.cv")} AS c_sim
+         |  FROM live e, z),
+         |cells AS (SELECT vec_id, zcell FROM (
+         |  SELECT vec_id, zcell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, zcell) AS arn FROM cs)
+         |  WHERE arn = 1),
+         |c AS (SELECT zcell AS cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1),
+         |rk AS (SELECT cell, cnt, row_number() OVER (ORDER BY cnt, cell) AS r FROM c),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  SUM(CAST(cnt AS HUGEINT)) AS s,
+         |  SUM(CAST(r AS HUGEINT) * cnt) AS s1 FROM rk),
+         |gini AS (SELECT n_keys, s,
+         |  CAST((2 * s1 - (n_keys + 1) * s) * 1000000 // (n_keys * s) AS BIGINT)
+         |    AS gini_ppm FROM st),
+         |top AS (SELECT cell, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, cell) AS BIGINT) AS rank
+         |  FROM c QUALIFY rank <= 10)
+         |SELECT t.rank, t.cell, t.cnt,
+         |  CAST(CAST(t.cnt AS HUGEINT) * 1000000 // g.s AS BIGINT) AS share_ppm,
+         |  g.n_keys, g.gini_ppm
+         |FROM top t CROSS JOIN gini g ORDER BY t.rank""".stripMargin),
+
     // IVF tuning frontier — the ANN twin of q_lsh_tuning: the SAME
     // corpus, cells, and brute-force ground truth swept over nprobe ∈
     // {1,2,4,8}, one row of exact counts per setting. n_scanned (the

@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.multimodal.ImagePhash
 
@@ -145,6 +146,32 @@ class StreamingImageIngest(spark: SparkSession, workDir: String,
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
     }
+  }
+
+  /** Watch `watchDir` for image FILES (any format the JDK decodes —
+    * the `binaryFile` streaming source, payload = whole file). The
+    * media id is the first digit run in the file name (`123.png` →
+    * 123); files without one get a deterministic 62-bit path hash, so
+    * nothing is silently skipped and a re-delivered file keeps its id
+    * (the replay contract). Checkpointed under the work dir — the
+    * [[StreamingEmbedIngest.start]] twin.
+    */
+  def start(watchDir: String, availableNow: Boolean = false): StreamingQuery = {
+    val stream = spark.readStream.format("binaryFile")
+      // the binaryFile source's fixed schema — streaming sources
+      // require it stated rather than inferred
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(watchDir)
+      .select(
+        coalesce(
+          expr("try_cast(regexp_extract(element_at(split(path, '/'), -1), '(\\\\d+)', 1) as bigint)"),
+          pmod(xxhash64(col("path")), lit(Long.MaxValue))).as("media_id"),
+        col("content").as("payload"))
+    val writer = stream.writeStream
+      .queryName("graft-streaming-image-ingest")
+      .option("checkpointLocation", s"$workDir/_image_checkpoint")
+      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
   /** Fold every leaf with id < `horizon` (band index AND ledger) into

@@ -662,4 +662,30 @@ class StreamingSpec extends SparkSpec {
     assert(stages(4L) == Map(40L -> "near_dup_index", 41L -> "admitted"))
     assert(gate.leafCount() <= 2, s"compaction did not bound leaves: ${gate.leafCount()}")
   }
+
+  test("streaming image gate watches a directory of image files (binaryFile source)") {
+    import graft.multimodal.ImagePhash
+    val work = Files.createTempDirectory("graft_img_watch").toString
+    val watch = Files.createTempDirectory("graft_img_land").toString
+    def land(name: String, bytes: Array[Byte]): Unit =
+      Files.write(java.nio.file.Paths.get(watch, name), bytes): Unit
+    // media ids parse from the file names; 101 and 102 are the same
+    // pattern at two sizes — the resized twin must drop in-stream
+    land("101.bmp", ImagePhash.patternBmp(1, 64, 48))
+    land("102.bmp", ImagePhash.patternBmp(1, 128, 96))
+    land("103.bmp", ImagePhash.patternBmp(4, 64, 48))
+    val gate = new graft.streaming.StreamingImageIngest(spark, work)
+    val q = gate.start(watch, availableNow = true)
+    q.awaitTermination(120000)
+    val admitted = gate.admitted().get.select("media_id").as[Long].collect().toSet
+    assert(admitted == Set(101L, 103L), admitted.toString)
+    // a later delivery gates against the persisted index: another
+    // resize of pattern 1 drops, a novel pattern admits
+    land("201.bmp", ImagePhash.patternBmp(1, 128, 96))
+    land("202.bmp", ImagePhash.patternBmp(5, 64, 48))
+    val q2 = gate.start(watch, availableNow = true)
+    q2.awaitTermination(120000)
+    val admitted2 = gate.admitted().get.select("media_id").as[Long].collect().toSet
+    assert(admitted2 == Set(101L, 103L, 202L), admitted2.toString)
+  }
 }
