@@ -383,6 +383,56 @@ object VectorOps {
          |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin),
 
+    // Cluster-level SEMANTIC dedup — the SemDeDup recipe
+    // ([[Similarity.semanticDedup]]): nearest-centroid cells once,
+    // SQ8 code cosines compared WITHIN cells only, min-id-wins. The
+    // corpus is the q_embed_neardup plant (verbatim twins at
+    // vec_id+100000 — identical vectors share a cell by construction,
+    // so every twin drops with dropped_for = its original). The
+    // oracle replays cells + codes + within-cell pairs + per-id min;
+    // every value is a correctly-rounded IEEE op, bit-identical
+    // across engines.
+    q("q_semantic_dedup")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings").select($"vec_id", $"embedding")
+        val planted = e.filter($"vec_id" < 20)
+          .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+        Similarity.semanticDedup(e.union(planted), e.filter($"vec_id" < 8),
+            "vec_id", "embedding", simThreshold = 0.99)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy($"vec_id")
+      },
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         |live AS (SELECT vec_id, embedding FROM corpus
+         |  WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) = 0),
+         |z AS (SELECT vec_id AS zcell, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |cs AS (SELECT e.vec_id, z.zcell, ${cosineSql("e.embedding", "z.cv")} AS c_sim
+         |  FROM live e, z),
+         |cells AS (SELECT vec_id, zcell AS cell FROM (
+         |  SELECT vec_id, zcell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, zcell) AS arn FROM cs)
+         |  WHERE arn = 1),
+         |enc AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN m = 0
+         |      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+         |      ELSE list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5)) END AS codes
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |        FROM live)),
+         |drops AS (SELECT b.vec_id, MIN(a.vec_id) AS dropped_for
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN enc ea ON ea.vec_id = a.vec_id
+         |  JOIN enc eb ON eb.vec_id = b.vec_id
+         |  WHERE ${cosineSql("ea.codes", "eb.codes")} >= CAST(0.99 AS DOUBLE)
+         |  GROUP BY 1)
+         |SELECT c.vec_id, c.cell, d.dropped_for IS NULL AS keep, d.dropped_for
+         |FROM cells c LEFT JOIN drops d ON d.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin),
+
     // Cell-occupancy skew of the persistent vector store — the DRIFT
     // ALARM feeding q_ivf_index_retrain: incremental adds assign
     // against the generation's fixed centroids, so under distribution

@@ -306,6 +306,46 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Cluster-level SEMANTIC dedup (the SemDeDup recipe, Abbas et al.
+    * 2023, arXiv:2303.09540): assign every vector to its nearest
+    * centroid cell ONCE (broadcast centroids, map-only), then compare
+    * SQ8 code cosines WITHIN each cell only and drop the higher id of
+    * any pair at or above `simThreshold` — semantic near-duplicates
+    * live in the same cluster by construction, so the O(n²) pair space
+    * collapses to Σ_cell m² (at k ≈ √n cells, O(n^1.5) total, each
+    * cell's pairs a self-contained equi-join partition — the published
+    * recipe's reason for clustering first). Min-id-wins pairwise, the
+    * dedup family's convention; chains (A≈B≈C with A<B<C) drop B and C
+    * both — [[graft.dedup.Dedup.resolveDropTargets]] reconstructs
+    * transitive keepers when needed.
+    *
+    * Returns one row per non-NaN corpus vector: (id, cell, keep,
+    * dropped_for) with `dropped_for` = the SMALLEST same-cell neighbor
+    * at/above threshold below the id (NULL ⇒ kept). Cosines compare on
+    * the SQ8 codes ([[sq8Encode]] — every step correctly rounded, so
+    * the frame replays bit-identically on any engine).
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String,
+                    simThreshold: Double): DataFrame = {
+    val coded = graft.util.CacheScope.pin(
+      ivfCells(corpus, centroids, idCol, vecCol)
+        .select(col("id"), col("cell"))
+        .join(sq8Encode(corpus, idCol, vecCol)
+          .select(col(idCol).as("id"),
+            col("sq8_codes").cast("array<float>").as("cvec"))
+          .filter(col("cvec").isNotNull), "id"))
+    val drops = coded.as("a").join(coded.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(VectorFns.cosineR(col("a.cvec"), col("b.cvec")) >= simThreshold)
+      .groupBy(col("b.id").as("id"))
+      .agg(min(col("a.id")).as("dropped_for"))
+    coded.select(col("id"), col("cell"))
+      .join(drops, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        col("dropped_for").isNull.as("keep"), col("dropped_for"))
+  }
+
   /** Near-dup pairs via LSH blocking — the scale path: candidates are
     * pairs sharing any SRP bucket (near-identical vectors share ALL
     * buckets, so recall at high thresholds ≈ 1), verified by exact

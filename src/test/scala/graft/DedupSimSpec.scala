@@ -659,4 +659,31 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs3 == pairs)
   }
+
+  test("semanticDedup: within-cell min-id drops, chains drop all followers, cross-cell twins survive, NaN excluded") {
+    val spark2 = spark; import spark2.implicits._
+    val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f))).toDF("id", "vec")
+    val corpus = Seq(
+      1L -> Array(0.90f, 0.10f, 0f),  // x-cell original
+      2L -> Array(0.90f, 0.10f, 0f),  // verbatim twin → drops for 1
+      3L -> Array(0.90f, 0.10f, 0f),  // chain: also drops, for 1 (min), not 2
+      4L -> Array(0.10f, 0.90f, 0f),  // y-cell, unique → keeps
+      // boundary near-twins SPLIT across cells: the recall trade the
+      // recipe makes — cross-cell pairs are never compared
+      5L -> Array(0.72f, 0.69f, 0f),  // assigns x
+      6L -> Array(0.69f, 0.72f, 0f),  // assigns y → both keep
+      9L -> Array(Float.NaN, 0f, 0f)  // NaN → excluded outright
+    ).toDF("id", "vec")
+    val out = graft.sim.Similarity.semanticDedup(corpus, cents, "id", "vec", 0.99)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), out.toString)
+    assert(out(1L) == ((0L, true, -1L)))
+    assert(out(2L) == ((0L, false, 1L)))
+    assert(out(3L) == ((0L, false, 1L)), "chain follower must point at the MIN, not its neighbor")
+    assert(out(4L) == ((1L, true, -1L)))
+    assert(out(5L)._2 && out(6L)._2, "cross-cell near-twins must both survive")
+    assert(out(5L)._1 == 0L && out(6L)._1 == 1L)
+  }
 }
