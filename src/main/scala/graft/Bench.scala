@@ -53,9 +53,11 @@ object Bench {
     // and BPE fit+encode (5 training rounds + the map-side merge
     // folds over the vocabulary frame)
     "q_label_prop", "q_kcore", "q_copurchase", "q_bpe_encode",
-    // round-19 family: the alternating big-star CC rounds (high-
+    // round-19 families: the alternating big-star CC rounds (high-
     // diameter components that min-label propagation cannot touch)
-    "q_cc_bigstar")
+    // and cluster-level semantic dedup (cells + within-cell code
+    // cosines — the SemDeDup shape)
+    "q_cc_bigstar", "q_semantic_dedup")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).
