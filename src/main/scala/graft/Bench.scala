@@ -377,7 +377,12 @@ object Bench {
     // are unshifted), so these measure exactly the edge-dedup +
     // iterate machinery growing denser — the adversarial direction
     // for per-node aggregates.
-    "q_pagerank", "q_hits", "q_label_prop", "q_copurchase")
+    "q_pagerank", "q_hits", "q_label_prop", "q_copurchase",
+    // round-19: the alternating-CC rounds at 10× components (the
+    // shifted documents copies replicate the planted high-diameter
+    // chains per shard — 1e7 ≡ 0 mod both segment sizes, so every
+    // copy carries the same path/bridge structure)
+    "q_cc_bigstar")
 
   private def scaleSmoke(spark: SparkSession, sfDir: String,
                          onlyQ: Option[Set[String]]): String = {

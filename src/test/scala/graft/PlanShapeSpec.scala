@@ -35,6 +35,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-19 cell/star operators stay cartesian-free") {
+    // q_semantic_dedup's pair space is the within-cell equi-join (the
+    // SemDeDup contract) — a cartesian here means the cell blocking
+    // collapsed and the corpus is being paired all-against-all. Its
+    // BNLs are the tiny-constant-side centroid broadcasts
+    // (assignCells), the same allowance q_ivf_topk carries.
+    // q_cc_bigstar's per-round joins run eagerly inside the query
+    // body; the returned plan covers the final label join — pinned
+    // BNL-free too, the star rounds share its equi-join construction.
+    for (name <- Seq("q_semantic_dedup", "q_cc_bigstar")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plan has a cartesian product:\n$p")
+      if (name != "q_semantic_dedup")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plan has a BNL join:\n$p")
+    }
+  }
+
   test("q_topn is a TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topn")
     assert(p.contains("TakeOrderedAndProject"))
