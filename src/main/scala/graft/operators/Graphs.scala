@@ -549,6 +549,30 @@ object Graphs {
   def connectedComponentsBigStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
     bigStarWithRounds(pairs, maxRounds)._1
 
+  /** INCREMENTAL component maintenance: fold a batch of new edges
+    * into an existing (id, cluster_id) labeling WITHOUT recomputing
+    * from the full pair set — the lifecycle step a streaming dedup
+    * index needs (its clusters grow batch by batch; re-clustering
+    * 100 TB of accumulated pairs per micro-batch is not a plan).
+    * The existing labels ARE a star forest (member → component min),
+    * so they re-enter [[connectedComponentsBigStar]] as edges next to
+    * the new pairs: the alternating rounds then run over
+    * |labels| + |batch| rows — the accumulated PAIR SET (arbitrarily
+    * larger than the label set) is read zero times. Equals the
+    * from-scratch clustering of (old pairs ∪ new pairs) exactly,
+    * because a component's star is connectivity-equivalent to every
+    * edge set that produced it (spec-pinned, and driver-gated via
+    * `q_cc_incremental`'s full-closure oracle).
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+                      maxRounds: Int = 50): DataFrame = {
+    val labelEdges = labels
+      .select(col("id").as("id_a"), col("cluster_id").as("id_b"))
+    connectedComponentsBigStar(
+      labelEdges.unionByName(
+        newPairs.select(col("id_a"), col("id_b"))), maxRounds)
+  }
+
   /** [[connectedComponentsBigStar]] plus the converged round count —
     * the quantity the O(log²) claim is spec-pinned on. */
   private[graft] def bigStarWithRounds(pairs: DataFrame,

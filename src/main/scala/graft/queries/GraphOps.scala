@@ -459,6 +459,48 @@ object GraphOps {
         |SELECT c.id AS doc_id, c.cluster_id, n.n_members
         |FROM comp c JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |  FROM comp GROUP BY cluster_id) n USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // INCREMENTAL component maintenance under the driver gate
+    // ([[Graphs.mergeComponents]]): cluster the within-segment paths
+    // FIRST (batch 1), then fold the bridge edges in as a second
+    // batch against the LABELS ONLY — the accumulated pair set is
+    // read zero times, the streaming-dedup lifecycle shape. The
+    // result must equal the from-scratch closure of ALL edges, which
+    // is exactly q_cc_bigstar's oracle — a star forest is
+    // connectivity-equivalent to every edge set that produced it.
+    q("q_cc_incremental")(
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents").select($"doc_id")
+        val e1 = docs.as("a").join(docs.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 1 && col("a.doc_id") % 50 =!= 49)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val e2 = docs.as("a").join(docs.as("b"),
+            col("b.doc_id") === col("a.doc_id") + 250 && col("a.doc_id") % 1000 === 0)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val batch1 = Graphs.connectedComponentsBigStar(e1)
+        val comp = Graphs.mergeComponents(batch1, e2)
+        comp.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+          .join(comp, "cluster_id")
+          .select($"id".as("doc_id"), $"cluster_id", $"n_members")
+          .orderBy($"doc_id")
+      },
+      """WITH RECURSIVE
+        |e1 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 50 <> 49),
+        |e2 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 250 WHERE a.doc_id % 1000 = 0),
+        |edges AS MATERIALIZED (SELECT src, dst FROM e1
+        |  UNION ALL SELECT dst, src FROM e1
+        |  UNION ALL SELECT src, dst FROM e2
+        |  UNION ALL SELECT dst, src FROM e2),
+        |reach(id, r) AS (SELECT DISTINCT src AS id, src AS r FROM edges
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+        |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT c.id AS doc_id, c.cluster_id, n.n_members
+        |FROM comp c JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM comp GROUP BY cluster_id) n USING (cluster_id)
         |ORDER BY doc_id""".stripMargin))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -466,6 +466,28 @@ class SamplingFusionSpec extends SparkSpec {
     assert(viaBigStar == viaMinLabel, "big-star diverged from min-label CC")
   }
 
+  test("mergeComponents: incremental batches equal the from-scratch clustering; singletons survive") {
+    import graft.operators.Graphs
+    val spark2 = spark; import spark2.implicits._
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 1: two chains and an isolated self-loop node
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L)).toDF("id_a", "id_b")
+    val l1 = Graphs.connectedComponentsBigStar(b1)
+    assert(cc(l1) == Set((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L)))
+    // batch 2: a bridge merging the two chains, a brand-new pair, and
+    // an edge touching the old singleton — folded against LABELS only
+    val b2 = Seq((3L, 10L), (30L, 31L), (20L, 1L)).toDF("id_a", "id_b")
+    val merged = cc(Graphs.mergeComponents(l1, b2))
+    val scratch = cc(Graphs.connectedComponentsBigStar(b1.unionByName(b2)))
+    assert(merged == scratch, "incremental fold diverged from from-scratch clustering")
+    assert(merged == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L),
+      (20L, 1L), (30L, 30L), (31L, 30L)))
+    // an empty batch is the identity
+    assert(cc(Graphs.mergeComponents(l1, b1.limit(0))) == cc(l1))
+  }
+
   test("normKey canonicalizes case, punctuation, and spacing") {
     import graft.functions.TextFns
     val out = Seq("A,,b  C!", "a b c", "  A  B--C  ", "").toDF("t")
