@@ -372,11 +372,11 @@ object Bench {
     // q_label_prop are top-4 headline costs whose O(iters·|E|)
     // per-round equi-join + lineage-cut claims were argued but never
     // measured at scale; q_pagerank and the celebrity-guarded
-    // q_copurchase projection complete the family. The 10× copies
-    // multiply edge volume ahead of the DISTINCT (customer/part ids
-    // are unshifted), so these measure exactly the edge-dedup +
-    // iterate machinery growing denser — the adversarial direction
-    // for per-node aggregates.
+    // q_copurchase projection complete the family. Per-copy l_partkey
+    // shifts (below) make the DISTINCT edge set itself grow 10× —
+    // every customer gains 10× distinct part neighbors, the
+    // adversarial densification direction for per-node aggregates —
+    // while raw pre-DISTINCT volume grows 10× on top.
     "q_pagerank", "q_hits", "q_label_prop", "q_copurchase",
     // round-19: the alternating-CC rounds at 10× components (the
     // shifted documents copies replicate the planted high-diameter
