@@ -27,6 +27,43 @@ object Graphs {
     */
   def triangleCount(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst"): DataFrame = {
+    val (tris, deg, canon) = triangleTuples(edges, srcCol, dstCol)
+    val tri = tris.agg(count(lit(1)).as("n_triangles"))
+    val stats = canon.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** Per-node triangle participation + degree — the sufficient
+    * statistics of the LOCAL clustering coefficient
+    * (2·n_tri / (deg·(deg−1)); the division stays reader-side so the
+    * frame is integer-exact on any engine): a per-node cohesion
+    * signal where [[triangleCount]] is the one-row global. Same
+    * degree-ordered enumeration (each triangle materializes exactly
+    * once, at its lowest-(degree, id) apex), then each triangle's
+    * three corners take one count each — one explode + one
+    * map-side-combinable aggregation over the triangle tuples, which
+    * are already bounded by the orientation's O(|E|^1.5) wedge work.
+    * Triangle-free nodes report 0, never disappear.
+    */
+  def nodeTriangles(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val (tris, deg, _) = triangleTuples(edges, srcCol, dstCol)
+    val perNode = tris
+      .select(explode(array(col("u"), col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .na.fill(0L, Seq("n_tri"))
+      .select(col("v").as("node"), col("d").as("degree"), col("n_tri"))
+  }
+
+  /** The shared degree-ordered triangle enumeration behind
+    * [[triangleCount]] and [[nodeTriangles]] — see triangleCount's
+    * scaladoc for the skew argument. Returns (triangles (u, a, b) with
+    * u the apex, degrees (v, d), canonical edges (a, b)). */
+  private def triangleTuples(edges: DataFrame, srcCol: String,
+                             dstCol: String): (DataFrame, DataFrame, DataFrame) = {
     val canon = graft.util.CacheScope.pin(
       edges.select(least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))
@@ -46,14 +83,10 @@ object Graphs {
     // wedges: unordered pairs of out-neighbors of the same apex
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && col("x.w") < col("y.w"))
-      .select(least(col("x.w"), col("y.w")).as("a"),
+      .select(col("x.u").as("u"), least(col("x.w"), col("y.w")).as("a"),
         greatest(col("x.w"), col("y.w")).as("b"))
-    val tri = wedges.join(canon, Seq("a", "b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    val stats = canon.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-    stats.crossJoin(broadcast(tri))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    val tris = wedges.join(canon, Seq("a", "b"), "left_semi")
+    (tris, deg, canon)
   }
 
   /** Synchronous label propagation (Raghavan et al.'s LPA) made fully

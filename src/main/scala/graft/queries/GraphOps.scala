@@ -461,6 +461,46 @@ object GraphOps {
         |  FROM comp GROUP BY cluster_id) n USING (cluster_id)
         |ORDER BY doc_id""".stripMargin),
 
+    // Per-node triangle participation + degree over the hourly
+    // co-purchase graph (q_triangles' fixture) — the sufficient
+    // statistics of the LOCAL clustering coefficient
+    // (2·n_tri/(deg·(deg−1)); the irrational division stays
+    // reader-side, the q_kappa_gates convention), the per-node
+    // cohesion signal the one-row global count cannot express. See
+    // [[Graphs.nodeTriangles]] for the degree-ordered enumeration
+    // that keeps a celebrity's wedge work at O(√|E|) per node. The
+    // oracle enumerates each triangle once via the canonical
+    // edge-closure join and counts all three corners.
+    q("q_node_triangles")(
+      (s, d) => {
+        import s.implicits._
+        val p = t(s, d, "events")
+          .filter($"event_type" === "purchase" && $"user_id" % 7 === 0)
+          .select(expr("(unix_micros(ts) + 15778800000000000) div 3600000000").as("h"),
+            $"user_id")
+          .distinct()
+        val edges = p.as("x").join(p.as("y"),
+            $"x.h" === $"y.h" && $"x.user_id" < $"y.user_id")
+          .select($"x.user_id".as("src"), $"y.user_id".as("dst"))
+        Graphs.nodeTriangles(edges).orderBy($"node")
+      },
+      """WITH p AS (SELECT DISTINCT
+        |  (epoch_us(ts) + 15778800000000000) // 3600000000 AS h, user_id
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 7 = 0),
+        |e AS MATERIALIZED (SELECT DISTINCT a.user_id AS a, b.user_id AS b FROM p a
+        |  JOIN p b ON b.h = a.h AND a.user_id < b.user_id),
+        |tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+        |SELECT d.v AS node, d.degree, COALESCE(pn.n_tri, CAST(0 AS BIGINT)) AS n_tri
+        |FROM deg d LEFT JOIN pn ON pn.v = d.v
+        |ORDER BY node""".stripMargin),
+
     // INCREMENTAL component maintenance under the driver gate
     // ([[Graphs.mergeComponents]]): cluster the within-segment paths
     // FIRST (batch 1), then fold the bridge edges in as a second

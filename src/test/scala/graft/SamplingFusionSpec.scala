@@ -466,6 +466,23 @@ class SamplingFusionSpec extends SparkSpec {
     assert(viaBigStar == viaMinLabel, "big-star diverged from min-label CC")
   }
 
+  test("nodeTriangles: hand-computed per-node counts; triangle-free nodes report 0; global count unchanged") {
+    import graft.operators.Graphs
+    val spark2 = spark; import spark2.implicits._
+    // two triangles sharing edge (2,3), a dangling tail via 4, and a
+    // triangle-free pair {5,6}; duplicate + reversed edges must dedup
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 2L),
+      (5L, 6L), (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val out = Graphs.nodeTriangles(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L)), 2L -> ((3L, 2L)), 3L -> ((3L, 2L)),
+      4L -> ((2L, 1L)), 5L -> ((1L, 0L)), 6L -> ((1L, 0L))), out.toString)
+    // the one-row global stays consistent with the per-node sum / 3
+    val g = Graphs.triangleCount(edges).collect()(0)
+    assert(g.getLong(2) == 2L && out.values.map(_._2).sum == 3 * g.getLong(2))
+  }
+
   test("mergeComponents: incremental batches equal the from-scratch clustering; singletons survive") {
     import graft.operators.Graphs
     val spark2 = spark; import spark2.implicits._
