@@ -222,9 +222,20 @@ class VectorIndexStore(spark: SparkSession, dir: String,
     * candidates whose id equals the query id; a near-dup GATE probes
     * with `excludeSelf = false` so a re-sent id still matches its own
     * admitted twin.
+    *
+    * `excludeBatch` skips ONE leaf id: a streaming gate passes its own
+    * foreachBatch id so a REPLAY of an already-committed batch (sink
+    * committed, checkpoint not) never probes its own earlier leaf —
+    * with the self-leaf visible, every previously-admitted vector
+    * matches itself at cosine 1.0 and a TORN first write would make
+    * the replayed [[add]] overwrite the leaf with only the
+    * not-yet-written rows (silent loss). A to-be-replayed leaf is
+    * never inside a consolidated segment (the gate's compact folds
+    * only ids below the current batch).
     */
   def probe(queries: DataFrame, idCol: String, vecCol: String,
-            k: Int, nprobe: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+            k: Int, nprobe: Int = 1, excludeSelf: Boolean = true,
+            excludeBatch: Long = Long.MinValue): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     requireLeaves("probe()")
     val cents = centroidsFrame()
@@ -243,7 +254,8 @@ class VectorIndexStore(spark: SparkSession, dir: String,
     // row is visible only until a compact/vacuum folds it away —
     // global newest-wins would forfeit the O(nprobe) directory read.)
     val pruned = newestById(spark.read.parquet(codesDir)
-        .filter(col("cell").isin(probeCells: _*))) // directory-level pruning
+        .filter(col("cell").isin(probeCells: _*) && // directory-level pruning
+          col("batch_id") =!= lit(excludeBatch)))   // both partition columns
       .select(col("id"), col("cell"), col("codes").cast("array<float>").as("cvec"))
     val idx = tombstoneIds().fold(pruned)(tb =>
       pruned.join(tb, Seq("id"), "left_anti"))
@@ -369,8 +381,16 @@ class VectorIndexStore(spark: SparkSession, dir: String,
       .localCheckpoint() // one scan; reused by the sample fit AND the re-encode
     val nLive = live.count()
     val nCur = cur.count()
-    require(nCur == nLive,
-      s"retrain: vectors frame covers $nCur of $nLive live ids — the " +
+    // distinct ids, not raw rows: a duplicated id would mask a missing
+    // one under a raw-count compare (the exact silent-subset failure
+    // this check refuses loudly), so duplicates are rejected first and
+    // coverage is judged on the distinct set
+    val nCurIds = cur.select(col(idCol)).distinct().count()
+    require(nCur == nCurIds,
+      s"retrain: vectors frame holds ${nCur - nCurIds} duplicate " +
+        s"$idCol rows — dedupe the corpus before retraining")
+    require(nCurIds == nLive,
+      s"retrain: vectors frame covers $nCurIds of $nLive live ids — the " +
         s"corpus handed to retrain must contain every id live in $dir")
     val cents = newCentroids.map(
         _.select(col(idCol).as("cell"), col(vecCol).cast("array<float>").as("vec")))
@@ -384,15 +404,22 @@ class VectorIndexStore(spark: SparkSession, dir: String,
           .select(col("centroid_id").as("cell"), col("vec"))
       }
     cents.coalesce(1).write.mode("errorifexists").parquet(s"$tmp/centroids")
+    // batch_id=-1, NOT 0: the re-encoded corpus is a consolidated
+    // segment, and consolidated segments carry NEGATIVE ids by the
+    // store contract — [[newestById]]'s ordering relies on it, and an
+    // add/delete REPLAY of batch 0 (streaming checkpoint reset restarts
+    // foreachBatch ids at 0) overwrites its OWN leaf only; landing the
+    // whole corpus on batch_id=0 would let that replay silently erase
+    // the re-encoded index / resurrect the carried tombstones
     encodeAssign(cur, spark.read.parquet(s"$tmp/centroids"), idCol, vecCol)
       .coalesce(segmentFiles)
       .write.partitionBy("cell").mode("errorifexists")
-      .parquet(s"$tmp/codes/batch_id=0")
+      .parquet(s"$tmp/codes/batch_id=-1")
     // deletes carried forward: the re-encode wrote only LIVE rows, but
     // the tombstones must survive so a post-retrain re-add of a
     // deleted id stays invisible until vacuum
     tombstoneIds().foreach(_.coalesce(1)
-      .write.mode("errorifexists").parquet(s"$tmp/tombstones/batch_id=0"))
+      .write.mode("errorifexists").parquet(s"$tmp/tombstones/batch_id=-1"))
     Files.move(tmp, Paths.get(genRoot(next)), StandardCopyOption.ATOMIC_MOVE)
     val ptmp = Paths.get(dir, "._gen_tmp")
     Files.writeString(ptmp, next.toString)

@@ -181,17 +181,33 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       }
   }
 
-  private def readIndex(): Option[DataFrame] =
-    if (Files.isDirectory(Paths.get(indexDir)))
-      // drop the batch_id partition column — it would collide with
-      // bandMatches' batch-side alias
-      Some(spark.read.parquet(indexDir).select(col("corpus_id"), col("band_id"), col("band_hash")))
-    else None
+  // `exclude` skips ONE leaf id: [[processBatch]] passes its own batch
+  // id so a foreachBatch REPLAY of an already-committed batch (sink
+  // committed, checkpoint not) never probes its own earlier leaf —
+  // with the self-leaf visible, every previously-admitted doc would
+  // drop against its own index rows (novelty: own grams all "seen";
+  // LSH: own bands at sim 1.0), corrupting the rewritten ledger, and a
+  // TORN first leaf write would make the replay overwrite the leaf
+  // with only the not-yet-written docs — silent loss. Excluding it
+  // makes the replay's decisions, ledger, and leaf overwrites
+  // identical to the original run. A to-be-replayed leaf is never
+  // inside a consolidated segment: the in-stream compact folds only
+  // ids below the CURRENT batch, and a later batch existing implies
+  // this batch's checkpoint committed. (The batch_id partition column
+  // is not selected — it would collide with bandMatches' batch-side
+  // alias.)
+  private def readIndex(exclude: Long = Long.MinValue): Option[DataFrame] = {
+    val ls = leaves(indexDir).filter(_._1 != exclude)
+    if (ls.isEmpty) None
+    else Some(spark.read.parquet(ls.map(_._2.toString): _*)
+      .select(col("corpus_id"), col("band_id"), col("band_hash")))
+  }
 
-  private def readGramIndex(): Option[DataFrame] =
-    if (Files.isDirectory(Paths.get(gramDir)))
-      Some(spark.read.parquet(gramDir).select(col("hv")))
-    else None
+  private def readGramIndex(exclude: Long = Long.MinValue): Option[DataFrame] = {
+    val ls = leaves(gramDir).filter(_._1 != exclude)
+    if (ls.isEmpty) None
+    else Some(spark.read.parquet(ls.map(_._2.toString): _*).select(col("hv")))
+  }
 
   /** The admitted corpus so far (empty before the first batch). Deduped
     * by doc_id: in the window between a crash mid-compaction and the
@@ -368,7 +384,7 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       // any single admitted doc). Cost ∝ batch grams ⋈ index; the
       // 100 TB corpus is never re-read. Docs too short to gram pass.
       val novelD = noveltyGate.fold(decontD) { maxSeenPct =>
-        readGramIndex().fold(decontD) { idx =>
+        readGramIndex(exclude = batchId).fold(decontD) { idx =>
           val stale = Dedup.incrementalNovelty(idx, decontD, noveltyNgram)
             .filter(col("n_seen") * 100 > col("n_grams") * maxSeenPct)
             .select(col("doc_id"))
@@ -381,7 +397,7 @@ class StreamingDedupIngest(spark: SparkSession, workDir: String,
       val intraDrops = Dedup.lshCandidatePairs(sig, "doc_id")
         .filter(col("est_sim") >= simThreshold)
         .select(col("id_b").as("doc_id")).distinct()
-      val vsIndex = readIndex() match {
+      val vsIndex = readIndex(exclude = batchId) match {
         case Some(index) => Dedup.bandMatches(index, sig, "doc_id")
           .select(col("batch_id").as("doc_id"))
         case None => spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)

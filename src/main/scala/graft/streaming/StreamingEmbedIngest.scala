@@ -81,11 +81,15 @@ class StreamingEmbedIngest(spark: SparkSession, workDir: String,
       val intraKept = batch.select(col(idCol), col(vecCol))
         .join(intraDrops.select(col("id").as(idCol)), Seq(idCol), "left_anti")
       // batch-vs-store: self-exclusion OFF — a re-sent id must match
-      // its own admitted twin instead of slipping back in
+      // its own admitted twin instead of slipping back in. The batch's
+      // OWN prior leaf (a checkpoint-reset replay) is excluded, so the
+      // replay recomputes the original decisions and its add()
+      // overwrites the leaf identically — without it, a torn first
+      // write would shrink the leaf to the not-yet-written rows
       val vsStore =
-        if (store.leafCount() == 0) intraKept.limit(0).select(col(idCol))
+        if (store.leafIds().forall(_ == batchId)) intraKept.limit(0).select(col(idCol))
         else store.probe(intraKept, idCol, vecCol, k = 1, nprobe = nprobe,
-            excludeSelf = false)
+            excludeSelf = false, excludeBatch = batchId)
           .filter(col("sim") >= simThreshold)
           .select(col("q_id").as(idCol)).distinct()
       val survivors = intraKept.join(vsStore, Seq(idCol), "left_anti")

@@ -73,13 +73,30 @@ class StreamingImageIngest(spark: SparkSession, workDir: String,
             shiftright(col("phash"), b * bits).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("bd"))
       .select(col("media_id"), col("hv48"), col("bd.band_id"), col("bd.band_val"))
 
-  private def readIndex(): Option[DataFrame] =
-    if (leaves().isEmpty) None
-    else Some(spark.read.parquet(indexDir)
+  /** The admitted band index; `exclude` names ONE leaf id to skip —
+    * [[processBatch]] passes its own batch id so a foreachBatch REPLAY
+    * of an already-committed batch (sink committed, checkpoint not)
+    * does not probe against its own earlier leaf: with the self-leaf
+    * visible, every previously-admitted image would match its own row
+    * at Hamming 0 and the rewritten ledger would record it
+    * near_dup_index while it sits admitted in the index. Excluding the
+    * leaf makes the replay's decision set, ledger, and leaf overwrite
+    * byte-identical to the original run (and heals a torn first
+    * write). A to-be-replayed leaf is never inside a consolidated
+    * segment: the in-stream [[compact]] folds only ids below the
+    * CURRENT batch, and a later batch existing implies this batch's
+    * checkpoint committed.
+    */
+  private def readIndex(exclude: Long = Long.MinValue): Option[DataFrame] = {
+    val ls = leaves().filter(_._1 != exclude)
+    if (ls.isEmpty) None
+    else Some(spark.read.option("basePath", indexDir)
+      .parquet(ls.map(_._2.toString): _*)
       .select(col("corpus_id"), col("hv48").as("idx_hv48"),
         col("band_id"), col("band_val"))
       // crash-mid-compaction superset window: dedup per (image, band)
       .dropDuplicates("corpus_id", "band_id"))
+  }
 
   /** Admitted (media_id, phash) so far; None before any admission. */
   def admitted(): Option[DataFrame] =
@@ -113,8 +130,11 @@ class StreamingImageIngest(spark: SparkSession, workDir: String,
         .filter(bit_count(col("a.hv48").bitwiseXOR(col("b.hv48"))) <= maxHamming)
         .select(col("b.media_id").as("media_id")).distinct()
       // vs the persistent index: NO self-exclusion — a re-sent id
-      // collides with its own admitted twin at Hamming 0 and drops
-      val vsIndex = readIndex() match {
+      // collides with its own admitted twin at Hamming 0 and drops.
+      // (The one exclusion is this batch's OWN leaf from a prior
+      // replayed run — see readIndex; a re-sent id's twin sits in an
+      // EARLIER batch's leaf and still matches.)
+      val vsIndex = readIndex(exclude = batchId) match {
         case Some(idx) => bb.join(idx, Seq("band_id", "band_val"))
           .filter(bit_count(col("hv48").bitwiseXOR(col("idx_hv48"))) <= maxHamming)
           .select(col("media_id")).distinct()

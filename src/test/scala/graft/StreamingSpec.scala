@@ -649,9 +649,15 @@ class StreamingSpec extends SparkSpec {
     // wins at the intra stage), then 10 itself drops vs the index
     assert(stages(1L) == Map(20L -> "near_dup_intra", 21L -> "near_dup_index",
       10L -> "near_dup_index", 22L -> "admitted"))
-    // replaying batch 1 changes nothing: leaf overwrite, same drops
+    // replaying batch 1 changes nothing: leaf overwrite, same drops —
+    // including the LEDGER: the probe excludes the batch's own prior
+    // leaf, so the admitted 22 must NOT re-record as near_dup_index
+    // against its own index row (the replay-idempotent ledger contract)
     gate.processBatch(batch1, 1L)
     assert(admittedIds() == Set(10L, 12L, 22L))
+    assert(stages(1L) == Map(20L -> "near_dup_intra", 21L -> "near_dup_index",
+      10L -> "near_dup_index", 22L -> "admitted"),
+      "replay rewrote the ledger with self-leaf collisions")
     // batch 4 triggers compaction of committed leaves; decisions and
     // admitted state survive the fold — a resize of 22's pattern still
     // drops vs the FOLDED index

@@ -219,6 +219,19 @@ class VectorIndexSpec extends SparkSpec {
     store.add(3L, all.filter($"id" === 5), "id", "vec")
     assert(store.codes().filter($"id" === 5).count() == 0,
       "re-add resurrected a deleted id across the generation swap")
+    // the retrained corpus lives in a NEGATIVE consolidated segment: a
+    // checkpoint-reset replay of add batch 0 (foreachBatch restarts at
+    // id 0) overwrites only its own leaf — it must not erase the
+    // re-encoded index, and a replayed delete batch must not overwrite
+    // the carried-forward tombstones
+    val liveAfterSwap = store.codes().count()
+    store.add(0L, all.filter($"id" === 1), "id", "vec")
+    assert(store.codes().count() == liveAfterSwap,
+      "replayed add(0) clobbered the retrained consolidated segment")
+    store.delete(2L, Seq(6L).toDF("id"), "id")
+    assert(store.codes().filter($"id" === 5).count() == 0,
+      "replayed delete batch resurrected the carried tombstone for id 5")
+    assert(store.tombstoneCount() == 2L)
     // compaction and vacuum keep working inside the new generation
     store.compact(4L)
     store.vacuum()
@@ -231,6 +244,21 @@ class VectorIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       store.retrain(all.filter($"id" <= 4), "id", "vec", k = 2)
     }
+    // and coverage is judged on DISTINCT ids: a corpus with one id
+    // duplicated and one missing matches on raw row count but still
+    // drops the missing id — both defects refuse loudly instead
+    val eDup = intercept[IllegalArgumentException] {
+      store.retrain(all.union(all.filter($"id" === 1)), "id", "vec", k = 2)
+    }
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
+    // 8 rows == 8 live ids, but id 1 twice and id 2 absent — the exact
+    // raw-count-masking corpus the distinct-id compare exists to catch
+    val missingOneDupOne = all.filter(!$"id".isin(2L, 5L, 6L))
+      .union(all.filter($"id" === 1))
+    val eMask = intercept[IllegalArgumentException] {
+      store.retrain(missingOneDupOne, "id", "vec", k = 2)
+    }
+    assert(eMask.getMessage.contains("duplicate"), eMask.getMessage)
   }
 
   test("streaming embed gate: intra-batch, cross-batch, and re-sent dups all drop") {
