@@ -223,6 +223,55 @@ object Graphs {
       .filter(col("w") >= minShared)
   }
 
+  /** Association rules over (basket, item) incidence — market-basket
+    * mining's support / confidence / lift for every item pair
+    * co-occurring in at least `minSupport` baskets. Confidence and
+    * lift come out as integer PPM via the DECIMAL(38,0)-product `div`
+    * idiom (the [[pageRankMicroWeighted]] exactness contract), so the
+    * ratios replay bit-identically on any engine and shuffle order:
+    * conf(a→b) = 1e6·n_ab div n_a, lift = 1e6·n_ab·n_baskets div
+    * (n_a·n_b) — 1e6·1e6·1.5e9 ≈ 1.5e21 at 100 TB, far inside
+    * DECIMAL(38,0).
+    *
+    * Scale shape: baskets holding more than `maxBasketSize` DISTINCT
+    * items are dropped BEFORE pairing (the [[cooccurrenceProject]]
+    * celebrity guard — pair work stays Σ m² ≤ cap·|rows| instead of
+    * d² on one mega-basket; dropped = deterministic and mirrored in
+    * the oracle); the 1-row basket count broadcasts; everything else
+    * is partial-aggregated equi-joins on the basket / item keys.
+    *
+    * Output: (item_a, item_b, n_ab, n_a, n_b, n_baskets, conf_ppm,
+    * lift_ppm) with item_a < item_b, n_ab ≥ minSupport. conf_ppm is
+    * the a→b direction; the b→a confidence is n_ab/n_b, derivable
+    * from the shipped counts.
+    */
+  def assocRules(items: DataFrame, basketCol: String = "basket",
+                 itemCol: String = "item", maxBasketSize: Int = 100,
+                 minSupport: Long = 2L): DataFrame = {
+    require(maxBasketSize >= 2, s"assocRules needs maxBasketSize >= 2, got $maxBasketSize")
+    val li = items.select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    val keep = li.groupBy(col("bk")).agg(count(lit(1)).as("m"))
+      .filter(col("m") <= maxBasketSize).select(col("bk"))
+    val b = li.join(keep, Seq("bk"), "left_semi")
+    val nBaskets = b.agg(countDistinct(col("bk")).as("n_baskets"))
+    val item = b.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(item.select(col("it").as("item_a"), col("n_item").as("n_a")), "item_a")
+      .join(item.select(col("it").as("item_b"), col("n_item").as("n_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        expr("1000000 * n_ab div n_a").as("conf_ppm"),
+        expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_baskets
+               | div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+          .stripMargin).as("lift_ppm"))
+  }
+
   /** Multi-source BFS: the minimum hop distance from any seed within
     * `maxHops` rounds — the reachability audit (how much of the link
     * graph do the trusted seeds cover, and how fast). Unreachable-

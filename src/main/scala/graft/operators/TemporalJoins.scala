@@ -155,4 +155,41 @@ object TemporalJoins {
         left.columns.filterNot(keys.contains).map(c => col(s"l.$c").as(c)) ++
         right.columns.filterNot(c => keys.contains(c)).map(c => col(s"r.$c").as(s"r_$c")): _*)
   }
+
+  /** Gaps-and-islands INTERVAL MERGE: collapse overlapping or touching
+    * `[stCol, enCol]` intervals (integer bounds, caller's units) per
+    * `keys` group into islands — one row per maximal connected span
+    * with its start, end, covered width, and member count. The
+    * coverage/uptime/session-span operator, and the time-domain twin
+    * of the dedup family's byte-offset span merges.
+    *
+    * A new island starts exactly when an interval's start exceeds the
+    * RUNNING MAX end of every earlier interval in the (stCol, idCol)
+    * order — overlap-chaining, NOT a lag-based gap check: a long
+    * interval can fully swallow several short ones whose PAIRWISE gaps
+    * look like breaks, and only the running max sees over them.
+    * Touching intervals (start == previous end) merge; `idCol` (a
+    * unique id) breaks start-time ties so island numbering is
+    * deterministic on any engine.
+    *
+    * Scale: two windows + one aggregate, all inside the `keys`
+    * partition — one shuffle on the keys, no global window, fully
+    * parallel across groups at any corpus size.
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], stCol: String,
+                     enCol: String, idCol: String): DataFrame = {
+    require(keys.nonEmpty, "mergeIntervals: at least one key column " +
+      "(a keyless merge would move every interval to one partition)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(stCol), col(idCol))
+    df.withColumn("_pmax", max(col(enCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_brk",
+        when(col("_pmax").isNull || col(stCol) > col("_pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys.map(col) :+ col("island"): _*)
+      .agg(min(col(stCol)).as("start_us"), max(col(enCol)).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("covered_us", col("end_us") - col("start_us"))
+  }
 }

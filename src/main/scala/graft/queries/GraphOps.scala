@@ -541,7 +541,47 @@ object GraphOps {
         |SELECT c.id AS doc_id, c.cluster_id, n.n_members
         |FROM comp c JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
         |  FROM comp GROUP BY cluster_id) n USING (cluster_id)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin),
+
+    // Association rules over order baskets (market-basket mining):
+    // support / confidence / lift for every part pair co-purchased in
+    // ≥ 2 orders. Confidence and lift are integer ppm via the
+    // DECIMAL(38,0)-product `div` idiom (q_pagerank_weighted's), so
+    // the ratios replay bit-identically — 1e6·n_ab·n_orders ≈ 1.5e21
+    // at 100 TB, far inside DECIMAL(38,0). Scale shape: baskets above
+    // 100 DISTINCT items drop before pairing (the co-occurrence
+    // family's celebrity guard — pair work stays Σ m² ≤ cap·|rows|,
+    // a no-op on TPC-H's ≤13-item baskets but the bound that survives
+    // a pathological mega-basket), the 1-row order count broadcasts,
+    // and everything else is partial-aggregated equi-joins.
+    q("q_assoc_rules")(
+      (s, d) => {
+        import s.implicits._
+        Graphs.assocRules(
+            t(s, d, "lineitem").select($"l_orderkey", $"l_partkey"),
+            basketCol = "l_orderkey", itemCol = "l_partkey",
+            maxBasketSize = 100, minSupport = 2L)
+          .orderBy($"item_a", $"item_b")
+      },
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |keep AS (SELECT l_orderkey FROM li GROUP BY 1 HAVING COUNT(*) <= 100),
+        |b AS MATERIALIZED (SELECT li.* FROM li JOIN keep USING (l_orderkey)),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b),
+        |item AS MATERIALIZED (SELECT l_partkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+        |pairs AS MATERIALIZED (SELECT a.l_partkey AS item_a,
+        |  b2.l_partkey AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM b a JOIN b b2 ON b2.l_orderkey = a.l_orderkey
+        |    AND a.l_partkey < b2.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  n.n_baskets,
+        |  1000000 * p.n_ab // ia.n_item AS conf_ppm,
+        |  CAST(CAST(1000000 AS HUGEINT) * p.n_ab * n.n_baskets
+        |    // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_ppm
+        |FROM pairs p JOIN item ia ON ia.l_partkey = p.item_a
+        |JOIN item ib ON ib.l_partkey = p.item_b CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap

@@ -330,6 +330,50 @@ object Temporal {
               * sqrt($"nd" * $"syy".cast("double") - $"sy".cast("double") * $"sy".cast("double"))))
             .as("r_lag1"))
     }),
+    // Gaps-and-islands INTERVAL MERGE: each event opens a 10-minute
+    // activity interval; overlapping/touching intervals per user merge
+    // into islands (start, end, covered span, event count) — the
+    // canonical coverage/uptime/session-span operator (and the span
+    // form the dedup family's exact-substring spans use over byte
+    // offsets, here over time). A new island starts exactly when an
+    // interval's start exceeds the running max END of everything
+    // before it — plain overlap-chaining (lag-based gap checks get
+    // nested intervals wrong: a long interval can swallow several
+    // short ones whose pairwise gaps look like breaks). All integer
+    // micros; both windows stay inside the user_id partition — no
+    // global window, fully parallel at any scale.
+    "q_interval_merge" -> ((s, d) => {
+      import s.implicits._
+      val iv = t(s, d, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("st"),
+          (unix_micros($"ts") + 600000000L).as("en"))
+      TemporalJoins.mergeIntervals(iv, Seq("user_id"), "st", "en", "event_id")
+        .select($"user_id", $"island", $"start_us", $"end_us",
+          $"covered_us", $"n_events")
+        .orderBy($"user_id", $"island")
+    }),
+    // OHLC bars per (event_type, day) — the time-series downsampling
+    // operator (open/high/low/close + tick count): open/close are
+    // min/max over a (ts, event_id, value) struct so ties on the
+    // timestamp break on the unique event id — deterministic on every
+    // engine; high/low/values pass through UNTOUCHED (no double
+    // arithmetic, the q_asof_join click_value contract). One
+    // partial-aggregated groupBy — map-side combine does almost all
+    // the work; |types|·|days| result rows at any corpus size.
+    "q_ohlc" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          $"ts", $"event_id", $"value")
+        .groupBy($"event_type", $"day")
+        .agg(min(struct($"ts", $"event_id", $"value")).as("o"),
+          max(struct($"ts", $"event_id", $"value")).as("c"),
+          max($"value").as("high"), min($"value").as("low"),
+          count(lit(1)).as("n_ticks"))
+        .select($"event_type", $"day", $"o.value".as("open"), $"high",
+          $"low", $"c.value".as("close"), $"n_ticks")
+        .orderBy($"event_type", $"day")
+    }),
     // 7-day trailing event volume per type — the rolling window runs
     // on the COLLAPSED (type, day) frame (|types|·|days| rows after a
     // partial-agg shuffle), never on raw events; RANGE on the integer
@@ -386,6 +430,31 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+        |  epoch_us(ts) + 600000000 AS en FROM events),
+        |pm AS (SELECT *, MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+        |br AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS brk
+        |  FROM pm),
+        |isl AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS island FROM br)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  CAST(MIN(st) AS BIGINT) AS start_us, CAST(MAX(en) AS BIGINT) AS end_us,
+        |  CAST(MAX(en) - MIN(st) AS BIGINT) AS covered_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
+    "q_ohlc" ->
+      """WITH bars AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  MIN({'ts': ts, 'event_id': event_id, 'value': value}) AS o,
+        |  MAX({'ts': ts, 'event_id': event_id, 'value': value}) AS c,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  CAST(COUNT(*) AS BIGINT) AS n_ticks
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, o.value AS open, high, low, c.value AS close,
+        |  n_ticks
+        |FROM bars ORDER BY event_type, day""".stripMargin,
     "q_event_debounce" ->
       """WITH base AS (SELECT event_id, user_id, event_type, ts FROM events),
         |ev AS (SELECT * FROM base

@@ -225,6 +225,40 @@ class SamplingFusionSpec extends SparkSpec {
     assert(count(hub)._3 == 1L)
   }
 
+  test("assocRules: exact ppm confidence/lift, mega-basket guard, dup rows, partition invariance") {
+    import graft.operators.Graphs
+    // baskets: b1{1,2,3}, b2{1,2} (item 1 duplicated — distinct must
+    // dedup), b3{1,2}, b4{3}; b5 has 4 items and maxBasketSize=3 drops
+    // it whole. Kept baskets = 4. Pair (1,2): n_ab=3, n_1=3, n_2=3 →
+    // conf = 1e6·3 div 3 = 1000000; lift = 1e6·3·4 div 9 = 1333333.
+    // Pairs (1,3)/(2,3) have support 1 < 2 and drop.
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L),
+      (5L, 10L), (5L, 11L), (5L, 12L), (5L, 13L)).toDF("basket", "item")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graphs.assocRules(df, maxBasketSize = 3, minSupport = 2L)
+        .select($"item_a", $"item_b", $"n_ab", $"n_a", $"n_b",
+          $"n_baskets", $"conf_ppm", $"lift_ppm")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val got = run(rows)
+    assert(got == Set((1L, 2L, 3L, 3L, 3L, 4L, 1000000L, 1333333L)), got.toString)
+    assert(run(rows.repartition(5)) == got)
+    // an anticorrelated pair lifts BELOW 1e6: items 7,8 share 1 of 4
+    // baskets, each in 2 → lift = 1e6·1·4 div 4 = 1000000... make it
+    // 1 shared of 2×3 → baskets 6: {7,8},{7},{7},{8},{8} in a fresh
+    // id space; n=5, n_ab=1 <- below minSupport; use minSupport=1
+    val anti = Seq((10L, 7L), (10L, 8L), (11L, 7L), (12L, 7L),
+      (13L, 8L), (14L, 8L)).toDF("basket", "item")
+    val a = Graphs.assocRules(anti, maxBasketSize = 3, minSupport = 1L)
+      .select($"lift_ppm").as[Long].collect().toList
+    // lift = 1e6·1·5 div (3·3) = 555555 — co-occurrence rarer than
+    // independence, and the floor division is exact
+    assert(a == List(555555L), a.toString)
+  }
+
   test("pageRankMicro: hand-computed integer ranks, dangling mass dropped") {
     import graft.operators.Graphs
     // directed: 1→2, 2→1, 2→3; node 3 is dangling. N=3, D=0.85e12.

@@ -80,4 +80,32 @@ class TemporalJoinsSpec extends SparkSpec {
       .select($"l.lid", $"r.rid").as[(Long, Long)].collect().toSet
     assert(bucketed == naive && naive.nonEmpty)
   }
+
+  test("mergeIntervals: running-max chaining swallows nested intervals, touching merge, partition invariance") {
+    // the lag-pitfall fixture: id 2 and 3 sit INSIDE id 1's span, and
+    // their pairwise gap (20 → 30) looks like a break to any
+    // lag-based check — only the running max of all earlier ends
+    // (100) sees over it. id 4 TOUCHES the island end (start == 100)
+    // and must merge; id 5 opens a new island. user 2 is a bystander
+    // group that must not interact.
+    val iv = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 30L, 40L),
+      (1L, 4L, 100L, 150L), (1L, 5L, 200L, 210L),
+      (2L, 6L, 5L, 15L)).toDF("u", "id", "st", "en")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TemporalJoins.mergeIntervals(df, Seq("u"), "st", "en", "id")
+        .select($"u", $"island", $"start_us", $"end_us", $"covered_us", $"n_events")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val got = run(iv)
+    assert(got == Set(
+      (1L, 1L, 0L, 150L, 150L, 4L),
+      (1L, 2L, 200L, 210L, 10L, 1L),
+      (2L, 1L, 5L, 15L, 10L, 1L)), got.toString)
+    // island numbering and contents survive any input partitioning
+    assert(run(iv.repartition(7)) == got)
+    // keyless refusal is loud, not a silent single-partition window
+    intercept[IllegalArgumentException] {
+      TemporalJoins.mergeIntervals(iv, Seq.empty, "st", "en", "id")
+    }
+  }
 }
