@@ -403,7 +403,8 @@ case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
     "band_index" -> "band_index", "admitted" -> "admitted",
     "gram_index" -> "gram_index", "ledger" -> "ledger",
     "vector_index" -> "vector_index/codes",
-    "image_band_index" -> "image_band_index", "image_ledger" -> "image_ledger")
+    "image_band_index" -> "image_band_index", "image_ledger" -> "image_ledger",
+    "audio_band_index" -> "audio_band_index", "audio_ledger" -> "audio_ledger")
 
   private def leafIds(dir: java.nio.file.Path): Seq[Long] =
     if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
@@ -441,6 +442,10 @@ case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
       if (java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(workDir, "image_band_index")))
         new graft.streaming.StreamingImageIngest(session, workDir)
+          .compact(horizon)
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(workDir, "audio_band_index")))
+        new graft.streaming.StreamingAudioIngest(session, workDir)
           .compact(horizon)
     }
     val after = counts()
@@ -514,6 +519,36 @@ case class VectorStoreMaintenanceCommand(storeDir: String, vacuum: Boolean)
       store.compact(horizon)
     }
     Seq(Row(before, store.leafCount().toLong, store.tombstoneCount()))
+  }
+}
+
+/** `DESCRIBE VECTORS '<storeDir>'` — one-row operational snapshot of a
+  * [[graft.sim.VectorIndexStore]]: the serving generation, centroid
+  * cell count, leaf-directory count (the quantity COMPACT bounds),
+  * live row count (newest-batch deduped, tombstones excluded), and
+  * pending tombstone count — the numbers an operator reads before
+  * choosing between `COMPACT VECTORS` (too many leaves), `VACUUM
+  * VECTORS` (tombstoned bytes to reclaim), and `REFRESH VECTORS`
+  * (pair with `cellSkewProfile` / PROFILE SKEW for the drift alarm) —
+  * without constructing the store in Scala. Read-only; safe while a
+  * stream is writing (any crash-superset duplicates are deduped by
+  * the same newest-batch read every prober uses).
+  */
+case class DescribeVectorsCommand(storeDir: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("generation", LongType, nullable = false)(),
+    AttributeReference("cells", LongType, nullable = false)(),
+    AttributeReference("leaves", LongType, nullable = false)(),
+    AttributeReference("live_rows", LongType, nullable = false)(),
+    AttributeReference("tombstones", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val store = new graft.sim.VectorIndexStore(session, storeDir)
+    require(store.exists, s"DESCRIBE VECTORS: no vector index store at $storeDir")
+    // an init'ed-but-never-add'ed store is a legal state for DESCRIBE
+    // (unlike probes): it reports 0 leaves / 0 live rows
+    val live = if (store.leafCount() == 0) 0L else store.codes().count()
+    Seq(Row(store.currentGen, store.centroidsFrame().count(),
+      store.leafCount().toLong, live, store.tombstoneCount()))
   }
 }
 
@@ -744,6 +779,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*COMPACT\s+VECTORS\s+'([^']+)'\s*;?\s*$""".r
   private val VacuumVectorsRe =
     """(?is)^\s*VACUUM\s+VECTORS\s+'([^']+)'\s*;?\s*$""".r
+  private val DescribeVectorsRe =
+    """(?is)^\s*DESCRIBE\s+VECTORS\s+'([^']+)'\s*;?\s*$""".r
   private val ExportRe =
     ("""(?is)^\s*EXPORT\s+CORPUS\s+([\w.]+)\s+TO\s+'([^']+)'\s+SHARDS\s+(\d+)""" +
       """(?:\s+FORMAT\s+(\w+))?\s+ORDER\s+BY\s+(.+?)(\s+OVERWRITE)?\s*;?\s*$""").r
@@ -870,6 +907,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case CompactStreamsRe(dir) => CompactStreamsCommand(dir)
       case CompactVectorsRe(dir) => VectorStoreMaintenanceCommand(dir, vacuum = false)
       case VacuumVectorsRe(dir) => VectorStoreMaintenanceCommand(dir, vacuum = true)
+      case DescribeVectorsRe(dir) => DescribeVectorsCommand(dir)
       case CompactRe(dir) => CompactPathCommand(dir)
       case ExportRe(src, dir, n, fmt, order, ow) =>
         ExportCorpusCommand(src, dir, n.toInt, order, ow != null,

@@ -1,54 +1,20 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.functions.col
 
 import graft.multimodal.ImagePhash
 
 /** Continuous IMAGE ingestion with near-duplicate filtering against
-  * all previously admitted images — the image twin of
-  * [[StreamingDedupIngest]] (text bands) and [[StreamingEmbedIngest]]
-  * (vector cells): batch images are perceptually hashed
-  * ([[ImagePhash.phashes]] — decode + 48-bit aHash, partition-
-  * parallel), then gated by Hamming-banded blocking against a
-  * PERSISTENT parquet band index, exactly the batch
-  * [[ImagePhash.nearDupPairs]] contract made incremental.
-  *
-  * Per micro-batch:
-  *
-  *   1. decode + hash; rows the JDK cannot decode drop at the
-  *      `undecodable` ledger stage (never admitted as fake hashes);
-  *   2. within-batch near-dup: banded self-join (recall-1 blocking —
-  *      at `maxHamming` < `bands`, a near-dup pair agrees on ≥ 1
-  *      band), Hamming ≤ `maxHamming` → the higher id drops
-  *      (min-id-wins, the dedup family's convention);
-  *   3. batch-vs-index: surviving bands equi-join the admitted band
-  *      index; a Hamming-close match against ANY admitted image drops
-  *      the row — a re-sent id matches its own admitted twin's
-  *      identical hash (no self-exclusion), so replays cannot slip
-  *      back in;
-  *   4. survivors' bands append as leaf `batch_id=<n>` — a replayed
-  *      micro-batch overwrites its own leaf, idempotent under
-  *      restart;
-  *   5. every `compactEvery` batches, committed leaves fold into one
-  *      consolidated negative segment (crash-atomic temp-dir +
-  *      ATOMIC_MOVE + delete-after; readers dedup, so every crash
-  *      point serves a complete superset).
-  *
-  * A per-batch disposition LEDGER (one row per input image naming the
-  * stage that dropped it: undecodable / near_dup_intra /
-  * near_dup_index / admitted) writes before admission, batch-scoped
-  * and replay-idempotent — the image twin of the text gate's funnel
-  * ledger.
-  *
-  * State is parquet, never stream state: the band index holds
-  * `bands` rows of (corpus_id, hv48, band_id, band_val) per admitted
-  * image — tiny next to the payloads, probed by pure equi-join.
+  * all previously admitted images — the image instance of
+  * [[StreamingBandGate]] (which holds the banding / index / ledger /
+  * compaction machinery shared with [[StreamingAudioIngest]]): batch
+  * images are perceptually hashed ([[ImagePhash.phashes]] — decode +
+  * 48-bit aHash, partition-parallel), then gated by Hamming-banded
+  * blocking against a PERSISTENT parquet band index, exactly the
+  * batch [[ImagePhash.nearDupPairs]] contract made incremental.
+  * A resized re-encode hashes to the same 48 bits (the aHash grid is
+  * resolution-invariant), so the planted-twin drop is deterministic.
   *
   * Reference analog: none — beyond-parity multimodal streaming
   * family.
@@ -57,190 +23,15 @@ class StreamingImageIngest(spark: SparkSession, workDir: String,
                            maxHamming: Int = 3,
                            bands: Int = 4,
                            compactEvery: Int = 16,
-                           ledger: Boolean = true) {
-  require(bands > maxHamming, "recall-1 blocking needs bands > maxHamming")
-  require(48 % bands == 0, "bands must divide 48")
+                           ledger: Boolean = true)
+  extends StreamingBandGate(spark, workDir, maxHamming, bands, compactEvery, ledger) {
 
-  private val indexDir = s"$workDir/image_band_index"
-  private val ledgerDir = s"$workDir/image_ledger"
-  private val bits = 48 / bands
-  private val mask = (1L << bits) - 1
+  override protected def prefix: String = "image"
 
-  private def banded(hashed: DataFrame): DataFrame =
-    hashed.select(col("media_id"), col("phash").as("hv48"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band_id"),
-            shiftright(col("phash"), b * bits).bitwiseAND(lit(mask)).as("band_val"))): _*)).as("bd"))
-      .select(col("media_id"), col("hv48"), col("bd.band_id"), col("bd.band_val"))
-
-  /** The admitted band index; `exclude` names ONE leaf id to skip —
-    * [[processBatch]] passes its own batch id so a foreachBatch REPLAY
-    * of an already-committed batch (sink committed, checkpoint not)
-    * does not probe against its own earlier leaf: with the self-leaf
-    * visible, every previously-admitted image would match its own row
-    * at Hamming 0 and the rewritten ledger would record it
-    * near_dup_index while it sits admitted in the index. Excluding the
-    * leaf makes the replay's decision set, ledger, and leaf overwrite
-    * byte-identical to the original run (and heals a torn first
-    * write). A to-be-replayed leaf is never inside a consolidated
-    * segment: the in-stream [[compact]] folds only ids below the
-    * CURRENT batch, and a later batch existing implies this batch's
-    * checkpoint committed.
-    */
-  private def readIndex(exclude: Long = Long.MinValue): Option[DataFrame] = {
-    val ls = leaves().filter(_._1 != exclude)
-    if (ls.isEmpty) None
-    else Some(spark.read.option("basePath", indexDir)
-      .parquet(ls.map(_._2.toString): _*)
-      .select(col("corpus_id"), col("hv48").as("idx_hv48"),
-        col("band_id"), col("band_val"))
-      // crash-mid-compaction superset window: dedup per (image, band)
-      .dropDuplicates("corpus_id", "band_id"))
+  override protected def hashBatch(batch: DataFrame): DataFrame = {
+    import batch.sparkSession.implicits._
+    ImagePhash.phashes(
+        batch.select(col("media_id"), col("payload")).as[ImagePhash.ImageRow])
+      .toDF().select(col("media_id"), col("phash"))
   }
-
-  /** Admitted (media_id, phash) so far; None before any admission. */
-  def admitted(): Option[DataFrame] =
-    readIndex().map(_.filter(col("band_id") === 0)
-      .select(col("corpus_id").as("media_id"), col("idx_hv48").as("phash")))
-
-  /** Per-image dispositions across all batches; None before any batch. */
-  def ledgerFrame(): Option[DataFrame] =
-    if (!Files.isDirectory(Paths.get(ledgerDir)) || ledgerLeaves().isEmpty) None
-    else Some(spark.read.parquet(ledgerDir)
-      .select(col("media_id"), col("stage"), col("admitted"), col("ledger_batch_id"))
-      .dropDuplicates("media_id", "ledger_batch_id"))
-
-  /** Gate one micro-batch of (media_id BIGINT, payload BINARY) rows. */
-  private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) compact(batchId)
-    if (batch.isEmpty) return
-    graft.util.CacheScope.loan {
-      import batch.sparkSession.implicits._
-      val input = batch.select(col("media_id"), col("payload")).localCheckpoint()
-      val hashed = ImagePhash.phashes(
-          input.select(col("media_id"), col("payload")).as[ImagePhash.ImageRow])
-        .toDF().select(col("media_id"), col("phash"))
-        .localCheckpoint()
-      val bb = banded(hashed).localCheckpoint()
-      // within-batch: higher id of a close pair drops
-      val intraDrops = bb.as("a").join(bb.as("b"),
-          col("a.band_id") === col("b.band_id") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.media_id") < col("b.media_id"))
-        .filter(bit_count(col("a.hv48").bitwiseXOR(col("b.hv48"))) <= maxHamming)
-        .select(col("b.media_id").as("media_id")).distinct()
-      // vs the persistent index: NO self-exclusion — a re-sent id
-      // collides with its own admitted twin at Hamming 0 and drops.
-      // (The one exclusion is this batch's OWN leaf from a prior
-      // replayed run — see readIndex; a re-sent id's twin sits in an
-      // EARLIER batch's leaf and still matches.)
-      val vsIndex = readIndex(exclude = batchId) match {
-        case Some(idx) => bb.join(idx, Seq("band_id", "band_val"))
-          .filter(bit_count(col("hv48").bitwiseXOR(col("idx_hv48"))) <= maxHamming)
-          .select(col("media_id")).distinct()
-        case None => hashed.select(col("media_id")).limit(0)
-      }
-      val admittedNow = hashed
-        .join(intraDrops, Seq("media_id"), "left_anti")
-        .join(vsIndex, Seq("media_id"), "left_anti")
-        .localCheckpoint()
-
-      if (ledger) {
-        def ids(df: DataFrame) = df.select(col("media_id"))
-        def at(df: DataFrame, s: String) = ids(df).withColumn("stage", lit(s))
-        at(ids(input).except(ids(hashed)), "undecodable")
-          .unionByName(at(hashed.join(intraDrops, Seq("media_id"), "left_semi"),
-            "near_dup_intra"))
-          // a row in BOTH drop sets counts once, at the intra stage
-          .unionByName(at(hashed.join(intraDrops, Seq("media_id"), "left_anti")
-            .join(vsIndex, Seq("media_id"), "left_semi"), "near_dup_index"))
-          .unionByName(at(admittedNow, "admitted"))
-          .withColumn("admitted", col("stage") === "admitted")
-          .withColumn("ledger_batch_id", lit(batchId))
-          .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
-      }
-
-      if (admittedNow.isEmpty) return
-      banded(admittedNow)
-        .withColumnRenamed("media_id", "corpus_id")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
-    }
-  }
-
-  /** Watch `watchDir` for image FILES (any format the JDK decodes —
-    * the `binaryFile` streaming source, payload = whole file). The
-    * media id is the first digit run in the file name (`123.png` →
-    * 123); files without one get a deterministic 62-bit path hash, so
-    * nothing is silently skipped and a re-delivered file keeps its id
-    * (the replay contract). Checkpointed under the work dir — the
-    * [[StreamingEmbedIngest.start]] twin.
-    */
-  def start(watchDir: String, availableNow: Boolean = false): StreamingQuery = {
-    val stream = spark.readStream.format("binaryFile")
-      // the binaryFile source's fixed schema — streaming sources
-      // require it stated rather than inferred
-      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
-      .load(watchDir)
-      .select(
-        coalesce(
-          expr("try_cast(regexp_extract(element_at(split(path, '/'), -1), '(\\\\d+)', 1) as bigint)"),
-          pmod(xxhash64(col("path")), lit(Long.MaxValue))).as("media_id"),
-        col("content").as("payload"))
-    val writer = stream.writeStream
-      .queryName("graft-streaming-image-ingest")
-      .option("checkpointLocation", s"$workDir/_image_checkpoint")
-      .foreachBatch((b: DataFrame, id: Long) => processBatch(b, id))
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-  }
-
-  /** Fold every leaf with id < `horizon` (band index AND ledger) into
-    * one consolidated negative segment each — the streaming stores'
-    * crash-atomic fold contract. */
-  def compact(horizon: Long): Unit = if (horizon > 0) {
-    foldLeaves(indexDir, horizon, Seq("corpus_id", "band_id"))
-    foldLeaves(ledgerDir, horizon, Seq("media_id", "ledger_batch_id"))
-  }
-
-  /** Committed band-index leaf ids (add batches ≥ 0, segments < 0). */
-  def leafCount(): Int = leaves().size
-
-  private def leaves(): List[(Long, Path)] = leavesOf(indexDir)
-  private def ledgerLeaves(): List[(Long, Path)] = leavesOf(ledgerDir)
-
-  private def leavesOf(dir: String): List[(Long, Path)] =
-    if (!Files.isDirectory(Paths.get(dir))) Nil
-    else {
-      val s = Files.list(Paths.get(dir))
-      try s.iterator().asScala.toList.flatMap { p =>
-        val name = p.getFileName.toString
-        if (name.startsWith("batch_id="))
-          scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption.map(_ -> p)
-        else None
-      } finally s.close()
-    }
-
-  private def foldLeaves(dir: String, horizon: Long, keyCols: Seq[String]): Unit = {
-    val tmp = Paths.get(workDir, s".compact_tmp_${Paths.get(dir).getFileName}")
-    deleteTree(tmp)
-    val fold = leavesOf(dir).filter { case (id, _) => id < horizon }
-    if (fold.size < 2) return
-    spark.read.option("basePath", dir).parquet(fold.map(_._2.toString): _*)
-      .drop("batch_id")
-      .dropDuplicates(keyCols)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val taken = fold.map(_._1).toSet
-    val segId = Iterator.iterate(-horizon)(_ - 1L).dropWhile(taken.contains).next()
-    Files.move(tmp, Paths.get(dir, s"batch_id=$segId"), StandardCopyOption.ATOMIC_MOVE)
-    fold.foreach { case (_, p) => deleteTree(p) }
-  }
-
-  private def deleteTree(root: Path): Unit =
-    if (Files.exists(root)) {
-      val s = Files.walk(root)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
-    }
 }

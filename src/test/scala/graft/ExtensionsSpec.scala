@@ -1128,6 +1128,38 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] { s2.sql(s"VACUUM VECTORS '${dir}_nope'").collect() }
   }
 
+  test("DESCRIBE VECTORS reports generation/cells/leaves/live/tombstones read-only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_desc").toString
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val store = new graft.sim.VectorIndexStore(spark, dir)
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    def describe(): (Long, Long, Long, Long, Long) = {
+      val r = s2.sql(s"DESCRIBE VECTORS '$dir'").collect()
+      assert(r.length == 1)
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    }
+    // init'ed-but-empty is legal for DESCRIBE (0 leaves / 0 live),
+    // unlike probes which refuse
+    store.init(emb.filter($"vec_id" < 8), "vec_id", "embedding")
+    assert(describe() == ((0L, 8L, 0L, 0L, 0L)))
+    store.add(0L, emb.filter($"vec_id" < 20), "vec_id", "embedding")
+    store.add(1L, emb.filter($"vec_id" >= 20 && $"vec_id" < 30), "vec_id", "embedding")
+    store.delete(2L, emb.filter($"vec_id" === 25), "vec_id")
+    val live = store.codes().count()
+    assert(describe() == ((0L, 8L, 2L, live, 1L)))
+    // read-only: a second DESCRIBE sees the identical state
+    assert(describe() == ((0L, 8L, 2L, live, 1L)))
+    // the numbers track maintenance: vacuum purges the tombstone and
+    // folds to one leaf
+    store.vacuum()
+    assert(describe() == ((0L, 8L, 1L, live, 0L)))
+    // a dir without a store refuses loudly, naming the statement
+    val e = intercept[Exception] {
+      s2.sql(s"DESCRIBE VECTORS '${dir}_nope'").collect()
+    }
+    assert(e.getMessage.contains("DESCRIBE VECTORS"), e.getMessage)
+  }
+
   test("CHECK EXPECTATIONS runs the data-contract suite on a parquet table via SQL") {
     val dir = java.nio.file.Files.createTempDirectory("graft_expect_sql").toString
     // the OpsSpec Expect fixture, written to parquet: null key, two

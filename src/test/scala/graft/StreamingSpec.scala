@@ -669,6 +669,58 @@ class StreamingSpec extends SparkSpec {
     assert(gate.leafCount() <= 2, s"compaction did not bound leaves: ${gate.leafCount()}")
   }
 
+  test("streaming audio gate: volume twin drops intra-batch and vs-index; replay idempotent; ledger attributes") {
+    import graft.multimodal.AudioPhash
+    val work = Files.createTempDirectory("graft_aud_stream").toString
+    val gate = new graft.streaming.StreamingAudioIngest(spark, work,
+      maxHamming = 3, bands = 4, compactEvery = 4)
+    def admittedIds(): Set[Long] = gate.admitted()
+      .map(_.select("media_id").as[Long].collect().toSet).getOrElse(Set.empty)
+    def stages(batch: Long): Map[Long, String] = gate.ledgerFrame().get
+      .filter($"ledger_batch_id" === batch)
+      .select($"media_id", $"stage").as[(Long, String)].collect().toMap
+    // batch 0: 10 = pattern 1; 11 = its 2×-VOLUME twin (identical hash
+    // by the energy hash's scale invariance — the audio analog of the
+    // image gate's resize plant); 12 = distinct pattern; 13 = bytes the
+    // JDK sound stack cannot open
+    gate.processBatch(Seq(
+      (10L, AudioPhash.patternWav(1)),
+      (11L, AudioPhash.patternWav(1, volume = 2)),
+      (12L, AudioPhash.patternWav(4)),
+      (13L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"), 0L)
+    assert(admittedIds() == Set(10L, 12L))
+    assert(stages(0L) == Map(10L -> "admitted", 12L -> "admitted",
+      11L -> "near_dup_intra", 13L -> "undecodable"))
+    // batch 1: 20 = a re-mastered (3×) twin of pattern 1; 21 = EDITED
+    // twin of 12 (end segments swapped — Hamming ≤ 2, vs-index); 22 =
+    // novel; re-sent id 10 drops against its own admitted twin
+    val batch1 = Seq(
+      (20L, AudioPhash.patternWav(1, volume = 3)),
+      (21L, AudioPhash.patternWav(4, swapSegs = Some((0, 47)))),
+      (22L, AudioPhash.patternWav(5)),
+      (10L, AudioPhash.patternWav(1))).toDF("media_id", "payload")
+    gate.processBatch(batch1, 1L)
+    assert(admittedIds() == Set(10L, 12L, 22L))
+    // 20 pairs with the re-sent 10 inside the batch (min-id wins at the
+    // intra stage), then 10 itself drops vs the index
+    assert(stages(1L) == Map(20L -> "near_dup_intra", 21L -> "near_dup_index",
+      10L -> "near_dup_index", 22L -> "admitted"))
+    // replaying batch 1 changes nothing — decisions AND ledger (the
+    // self-leaf exclusion contract, same as the image gate)
+    gate.processBatch(batch1, 1L)
+    assert(admittedIds() == Set(10L, 12L, 22L))
+    assert(stages(1L) == Map(20L -> "near_dup_intra", 21L -> "near_dup_index",
+      10L -> "near_dup_index", 22L -> "admitted"))
+    // batch 4 compacts committed leaves; a louder re-issue of 22's
+    // pattern still drops vs the FOLDED index
+    gate.processBatch(Seq(
+      (40L, AudioPhash.patternWav(5, volume = 2)),
+      (41L, AudioPhash.patternWav(6))).toDF("media_id", "payload"), 4L)
+    assert(admittedIds() == Set(10L, 12L, 22L, 41L))
+    assert(stages(4L) == Map(40L -> "near_dup_index", 41L -> "admitted"))
+    assert(gate.leafCount() <= 2, s"compaction did not bound leaves: ${gate.leafCount()}")
+  }
+
   test("streaming image gate watches a directory of image files (binaryFile source)") {
     import graft.multimodal.ImagePhash
     val work = Files.createTempDirectory("graft_img_watch").toString
