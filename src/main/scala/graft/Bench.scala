@@ -57,7 +57,12 @@ object Bench {
     // diameter components that min-label propagation cannot touch)
     // and cluster-level semantic dedup (cells + within-cell code
     // cosines — the SemDeDup shape)
-    "q_cc_bigstar", "q_semantic_dedup")
+    "q_cc_bigstar", "q_semantic_dedup",
+    // round-20 families: gaps-and-islands interval merge (running-max
+    // windows inside the user partition), basket association rules
+    // (distinct + guarded self-join + two count joins), and OHLC bars
+    // (one partial-aggregated struct-min/max groupBy)
+    "q_interval_merge", "q_assoc_rules", "q_ohlc")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).
@@ -378,6 +383,11 @@ object Bench {
     // adversarial densification direction for per-node aggregates —
     // while raw pre-DISTINCT volume grows 10× on top.
     "q_pagerank", "q_hits", "q_label_prop", "q_copurchase",
+    // round-20: interval merge at 10× users (islands per user are
+    // size-invariant; only the per-user window grows) and association
+    // rules at 10× disjoint baskets (shifted orderkeys keep copies
+    // from merging, so pair work must grow linearly)
+    "q_interval_merge", "q_assoc_rules",
     // round-19: the alternating-CC rounds at 10× components (the
     // shifted documents copies replicate the planted high-diameter
     // chains per shard — 1e7 ≡ 0 mod both segment sizes, so every

@@ -52,6 +52,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-20 operators: keyed windows and guarded self-joins, nothing quadratic") {
+    // q_interval_merge: both running-max/sum windows must stay inside
+    // the user_id partition — a SinglePartition window would serialize
+    // the whole corpus through one task; q_assoc_rules: the basket
+    // self-join is an equi-join on the basket key with the 1-row
+    // basket count as the only broadcast constant — a cartesian means
+    // the orderkey blocking collapsed; q_ohlc is one partial-agged
+    // groupBy with no window at all.
+    val im = plan("q_interval_merge")
+    assert(im.contains("Window"), "interval merge lost its windows")
+    assert(!im.contains("SinglePartition"), s"interval merge collapsed to one task:\n$im")
+    val ar = plan("q_assoc_rules")
+    assert(!ar.contains("CartesianProduct"), s"q_assoc_rules has a cartesian:\n$ar")
+    val oh = plan("q_ohlc")
+    assert(!oh.contains("Window") && !oh.contains("CartesianProduct"), oh)
+  }
+
   test("q_topn is a TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topn")
     assert(p.contains("TakeOrderedAndProject"))
