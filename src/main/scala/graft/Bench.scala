@@ -62,7 +62,10 @@ object Bench {
     // windows inside the user partition), basket association rules
     // (distinct + guarded self-join + two count joins), and OHLC bars
     // (one partial-aggregated struct-min/max groupBy)
-    "q_interval_merge", "q_assoc_rules", "q_ohlc")
+    "q_interval_merge", "q_assoc_rules", "q_ohlc",
+    // RFM lifecycle scoring: three exact-ntile partition-offset passes
+    // over the customer-grain frame
+    "q_rfm")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

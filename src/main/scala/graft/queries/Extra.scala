@@ -524,7 +524,67 @@ object Extra {
         |  MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM ev)
         |SELECT cohort_week, week - cohort_week AS week_offset,
         |  COUNT(DISTINCT user_id) AS n_users
-        |FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
+        |FROM c GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
+
+    // RFM customer segmentation — the classic lifecycle scoring:
+    // recency (days since last order, anchored to the corpus's max
+    // order date so the query is reproducible), frequency (order
+    // count), monetary (decimal-exact spend), each cut into exact
+    // quintiles (1 = best). Three [[graft.operators.Ranking.globalNtile]]
+    // passes over the CUSTOMER-grain frame — the partition-offset
+    // machinery, never a single-task ORDER BY window; the frame being
+    // ranked is |customers|, already 5-6 orders below the fact table.
+    // Monetary is an exact DECIMAL(18,2) sum rendered as double, so
+    // its sort order (and every tie) replays identically cross-engine.
+    q("q_rfm")(
+      (s, d) => {
+        import s.implicits._
+        val cust = t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(max(to_date($"o_orderdate")).as("last_day"),
+            count(lit(1)).as("frequency"),
+            decSum($"o_totalprice").as("monetary"))
+        val anchor = cust.agg(max($"last_day").as("anchor"))
+        val base = cust.crossJoin(broadcast(anchor))
+          .select($"o_custkey",
+            datediff($"anchor", $"last_day").cast("long").as("recency_days"),
+            $"frequency", $"monetary")
+        val r = graft.operators.Ranking.globalNtile(base, 5,
+          Seq($"recency_days", $"o_custkey"), out = "r_score")
+        val rf = graft.operators.Ranking.globalNtile(r, 5,
+          Seq($"frequency".desc, $"o_custkey"), out = "f_score")
+        val rfm = graft.operators.Ranking.globalNtile(rf, 5,
+          Seq($"monetary".desc, $"o_custkey"), out = "m_score")
+        rfm.withColumn("segment",
+            when($"r_score" <= 2 && $"f_score" <= 2, "champion")
+              .when($"r_score" <= 2, "recent")
+              .when($"f_score" <= 2, "loyal_lapsing")
+              .otherwise("hibernating"))
+          .select($"o_custkey", $"recency_days", $"frequency", $"monetary",
+            $"r_score", $"f_score", $"m_score", $"segment")
+          .orderBy($"o_custkey")
+      },
+      s"""WITH cust AS (SELECT o_custkey,
+         |  MAX(CAST(o_orderdate AS DATE)) AS last_day,
+         |  CAST(COUNT(*) AS BIGINT) AS frequency,
+         |  ${decSumSql("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY 1),
+         |anchor AS (SELECT MAX(last_day) AS a FROM cust),
+         |base AS (SELECT o_custkey,
+         |  CAST(date_diff('day', last_day, anchor.a) AS BIGINT) AS recency_days,
+         |  frequency, monetary FROM cust CROSS JOIN anchor),
+         |scored AS (SELECT *,
+         |  ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         |  ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         |  ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+         |  FROM base)
+         |SELECT o_custkey, recency_days, frequency, monetary,
+         |  r_score, f_score, m_score,
+         |  CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+         |       WHEN r_score <= 2 THEN 'recent'
+         |       WHEN f_score <= 2 THEN 'loyal_lapsing'
+         |       ELSE 'hibernating' END AS segment
+         |FROM scored ORDER BY o_custkey""".stripMargin)
   )
 
   /** Sketch aggregates (HLL distinct + count-min-style heavy hitters).

@@ -40,7 +40,9 @@ class MetricsSpec extends SparkSpec {
     ("q_span_mask", "documents", "sf0.01", "sf0.1"),         // positional-gram span family
     ("q_pagerank", "lineitem", "sf0.001", "sf0.01"),         // iterative graph round
     ("q_merge_sql", "orders", "sf0.001", "sf0.01"),          // bucketed snapshot merge
-    ("q_token_quantiles", "documents", "sf0.01", "sf0.1"))   // range-partitioned running sum
+    ("q_token_quantiles", "documents", "sf0.01", "sf0.1"),   // range-partitioned running sum
+    ("q_interval_merge", "events", "sf0.001", "sf0.01"),     // keyed gaps-and-islands windows
+    ("q_assoc_rules", "lineitem", "sf0.001", "sf0.01"))      // guarded basket self-join
 
   private def rowsOf(dir: String, table: String): Long =
     spark.read.parquet(s"$dir/$table.parquet").count()
