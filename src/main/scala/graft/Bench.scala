@@ -64,8 +64,9 @@ object Bench {
     // (one partial-aggregated struct-min/max groupBy)
     "q_interval_merge", "q_assoc_rules", "q_ohlc",
     // RFM lifecycle scoring: three exact-ntile partition-offset passes
-    // over the customer-grain frame
-    "q_rfm")
+    // over the customer-grain frame; interval×interval overlap join
+    // (bucketed equi-join + later-start dedup)
+    "q_rfm", "q_interval_join")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

@@ -252,7 +252,10 @@ object Graphs {
     val li = items.select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
     val keep = li.groupBy(col("bk")).agg(count(lit(1)).as("m"))
       .filter(col("m") <= maxBasketSize).select(col("bk"))
-    val b = li.join(keep, Seq("bk"), "left_semi")
+    // pinned: the guarded basket frame feeds FOUR consumers (basket
+    // count, item counts, both self-join sides) — unpinned, each one
+    // re-runs the distinct + guard scans
+    val b = graft.util.CacheScope.pin(li.join(keep, Seq("bk"), "left_semi"))
     val nBaskets = b.agg(countDistinct(col("bk")).as("n_baskets"))
     val item = b.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
     val pairs = b.as("a").join(b.as("b"),

@@ -156,6 +156,62 @@ object TemporalJoins {
         right.columns.filterNot(c => keys.contains(c)).map(c => col(s"r.$c").as(s"r_$c")): _*)
   }
 
+  /** INTERVAL OVERLAP JOIN: pairs of left/right rows whose
+    * `[stCol, enCol]` intervals intersect (s1 ≤ e2 ∧ s2 ≤ e1 —
+    * touching counts) within the same `keys` group — the
+    * session×promotion / downtime×deploy / exposure-window operator
+    * Spark has no native join for (a raw inequality join plans as a
+    * broadcast-nested-loop at cluster scale).
+    *
+    * Scale: the [[bucketedRangeJoin]] recipe generalized to two
+    * interval sides — both sides explode to the `bucketWidth`-sized
+    * buckets their interval touches, the join is an equi-join on
+    * (keys, bucket), the exact overlap predicate is a post-filter,
+    * and pairs spanning several shared buckets dedup on the id pair.
+    * Two intersecting intervals ALWAYS share the bucket containing
+    * the later start, so recall is exactly 1. Work ∝ rows ×
+    * (len/bucketWidth + 1) + true matches — bounded when interval
+    * lengths are; pick `bucketWidth` near the typical interval length
+    * (≤ W/bucket rows explode to ≤ 2 buckets). Refuses intervals with
+    * `en < st` loudly rather than silently dropping them.
+    *
+    * Output: keys + left columns + right columns `r_`-prefixed, one
+    * row per overlapping (left, right) pair.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          stCol: String, enCol: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(keys.nonEmpty, "intervalOverlapJoin: at least one key column " +
+      "(a keyless overlap join would explode every interval against every other)")
+    // the malformed-interval check lives INSIDE the bucket expression
+    // (a separate never-read check column would be pruned by the
+    // optimizer and silently skip the raise); `div`, never `/` — long
+    // double-division can flip a bucket at quotient boundaries
+    def buckets(df: DataFrame): DataFrame =
+      df.withColumn("_sb", expr(
+          s"CASE WHEN $enCol < $stCol THEN CAST(raise_error(" +
+            s"'intervalOverlapJoin: interval end before start') AS BIGINT) " +
+            s"ELSE $stCol div ${bucketWidth}L END"))
+        .withColumn("_bucket",
+          explode(sequence(col("_sb"), expr(s"$enCol div ${bucketWidth}L"))))
+    val l = buckets(left)
+    val r = buckets(right)
+    val joined = l.as("l").join(r.as("r"),
+      keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+        col("l._bucket") === col("r._bucket") &&
+        col(s"l.$stCol") <= col(s"r.$enCol") &&
+        col(s"r.$stCol") <= col(s"l.$enCol") &&
+        // count each overlapping pair ONCE: only the shared bucket
+        // holding the later interval start emits it (both sides cover
+        // that bucket whenever the pair overlaps, so recall stays 1)
+        col("l._bucket") === greatest(col("l._sb"), col("r._sb")))
+    joined.select(
+      keys.map(k => col(s"l.$k").as(k)) ++
+        left.columns.filterNot(keys.contains).map(c => col(s"l.$c").as(c)) ++
+        right.columns.filterNot(keys.contains).map(c => col(s"r.$c").as(s"r_$c")): _*)
+  }
+
   /** Gaps-and-islands INTERVAL MERGE: collapse overlapping or touching
     * `[stCol, enCol]` intervals (integer bounds, caller's units) per
     * `keys` group into islands — one row per maximal connected span

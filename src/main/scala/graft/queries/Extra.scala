@@ -545,10 +545,12 @@ object Extra {
             count(lit(1)).as("frequency"),
             decSum($"o_totalprice").as("monetary"))
         val anchor = cust.agg(max($"last_day").as("anchor"))
-        val base = cust.crossJoin(broadcast(anchor))
+        // pinned: three ntile passes (each with its range-partition +
+        // offsets pass) would otherwise re-run the orders aggregation
+        val base = graft.util.CacheScope.pin(cust.crossJoin(broadcast(anchor))
           .select($"o_custkey",
             datediff($"anchor", $"last_day").cast("long").as("recency_days"),
-            $"frequency", $"monetary")
+            $"frequency", $"monetary"))
         val r = graft.operators.Ranking.globalNtile(base, 5,
           Seq($"recency_days", $"o_custkey"), out = "r_score")
         val rf = graft.operators.Ranking.globalNtile(r, 5,

@@ -352,6 +352,28 @@ object Temporal {
           $"covered_us", $"n_events")
         .orderBy($"user_id", $"island")
     }),
+    // INTERVAL OVERLAP JOIN: purchase attention windows (30 min) ×
+    // click exposure windows (10 min) per user — interval-vs-interval
+    // intersection, the join [[TemporalJoins.bucketedRangeJoin]]'s
+    // point-in-range shape can't express. Bucketed equi-join with the
+    // later-start-bucket dedup (each pair emitted exactly once);
+    // recall exactly 1; work ∝ rows × buckets-per-interval + true
+    // matches — never |L|×|R|.
+    "q_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("st"),
+          (unix_micros($"ts") + 1800000000L).as("en"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("st"),
+          (unix_micros($"ts") + 600000000L).as("en"))
+      TemporalJoins.intervalOverlapJoin(purch, clicks, Seq("user_id"),
+          "st", "en", bucketWidth = 1800000000L)
+        .select($"user_id", $"event_id", $"st", $"en",
+          $"r_event_id", $"r_st", $"r_en")
+        .orderBy($"event_id", $"r_event_id")
+    }),
     // OHLC bars per (event_type, day) — the time-series downsampling
     // operator (open/high/low/close + tick count): open/close are
     // min/max over a (ts, event_id, value) struct so ties on the
@@ -445,6 +467,18 @@ object Temporal {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM isl GROUP BY user_id, island
         |ORDER BY user_id, island""".stripMargin,
+    "q_interval_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS st,
+        |  epoch_us(ts) + 1800000000 AS en FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id, user_id, epoch_us(ts) AS st,
+        |  epoch_us(ts) + 600000000 AS en FROM events
+        |  WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, l.st, l.en,
+        |  r.event_id AS r_event_id, r.st AS r_st, r.en AS r_en
+        |FROM l JOIN r ON r.user_id = l.user_id
+        |  AND l.st <= r.en AND r.st <= l.en
+        |ORDER BY l.event_id, r_event_id""".stripMargin,
     "q_ohlc" ->
       """WITH bars AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |  MIN({'ts': ts, 'event_id': event_id, 'value': value}) AS o,

@@ -81,6 +81,53 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(bucketed == naive && naive.nonEmpty)
   }
 
+  test("intervalOverlapJoin equals the naive inequality join; multi-bucket pairs count once; malformed refuses") {
+    // interval fixture spanning several buckets (width 10): touching
+    // endpoints, nesting, and long intervals that share MANY buckets
+    // with their partner — the later-start dedup must emit each
+    // overlapping pair exactly once, and recall must be exactly 1
+    val left = Seq(
+      (1L, 101L, 0L, 35L),   // long: crosses buckets 0..3
+      (1L, 102L, 40L, 45L),
+      (2L, 103L, 5L, 10L)).toDF("k", "lid", "st", "en")
+    val right = Seq(
+      (1L, 201L, 30L, 50L),  // overlaps 101 (shares buckets 3) AND 102
+      (1L, 202L, 35L, 35L),  // touches 101's end exactly
+      (1L, 203L, 60L, 70L),  // no overlap
+      (2L, 204L, 10L, 12L),  // touches 103's end
+      (3L, 205L, 0L, 100L)).toDF("k", "rid", "st", "en") // bystander key
+    val got = TemporalJoins.intervalOverlapJoin(left, right, Seq("k"),
+        "st", "en", bucketWidth = 10L)
+      .select($"lid", $"r_rid").as[(Long, Long)].collect().toList
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"l.st" <= $"r.en" && $"r.st" <= $"l.en")
+      .select($"l.lid", $"r.rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == naive && naive ==
+      Set((101L, 201L), (101L, 202L), (102L, 201L), (103L, 204L)), got.toString)
+    // exactly once each — a pair sharing several buckets must not dup
+    assert(got.size == got.toSet.size, s"duplicated pairs: $got")
+    // randomized agreement with the naive join across widths
+    val bigL = (1 to 60).map(i => (i.toLong % 3, 300L + i, (i * 7L) % 90, (i * 7L) % 90 + i % 13))
+      .toDF("k", "lid", "st", "en")
+    val bigR = (1 to 80).map(i => (i.toLong % 3, 400L + i, (i * 11L) % 95, (i * 11L) % 95 + i % 9))
+      .toDF("k", "rid", "st", "en")
+    val naive2 = bigL.as("l").join(bigR.as("r"),
+        $"l.k" === $"r.k" && $"l.st" <= $"r.en" && $"r.st" <= $"l.en")
+      .select($"l.lid", $"r.rid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(3L, 10L, 64L)) {
+      val b = TemporalJoins.intervalOverlapJoin(bigL, bigR, Seq("k"),
+          "st", "en", bucketWidth = w)
+        .select($"lid", $"r_rid").as[(Long, Long)].collect().toList
+      assert(b.toSet == naive2 && b.size == naive2.size, s"width $w diverged")
+    }
+    // end-before-start refuses loudly instead of silently dropping
+    val bad = Seq((1L, 9L, 50L, 40L)).toDF("k", "lid", "st", "en")
+    val e = intercept[Exception] {
+      TemporalJoins.intervalOverlapJoin(bad, right, Seq("k"), "st", "en", 10L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("mergeIntervals: running-max chaining swallows nested intervals, touching merge, partition invariance") {
     // the lag-pitfall fixture: id 2 and 3 sit INSIDE id 1's span, and
     // their pairwise gap (20 → 30) looks like a break to any
