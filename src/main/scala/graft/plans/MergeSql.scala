@@ -382,8 +382,11 @@ case class CompactPathCommand(targetDir: String) extends LeafRunnableCommand {
 
 /** `COMPACT STREAMS '<workDir>'` — fold every streaming store under a
   * [[graft.streaming.StreamingDedupIngest]] /
-  * [[graft.streaming.StreamingEmbedIngest]] work dir (band index,
-  * admitted corpus, gram index, disposition ledger, vector index)
+  * [[graft.streaming.StreamingEmbedIngest]] /
+  * [[graft.streaming.StreamingImageIngest]] /
+  * [[graft.streaming.StreamingAudioIngest]] work dir (band index,
+  * admitted corpus, gram index, disposition ledgers, vector index,
+  * image/audio band indexes)
   * into consolidated segments, through the same SQL maintenance
   * surface as merge targets' `COMPACT '<path>'`: operators maintain
   * streaming state without constructing the ingest classes. The fold
