@@ -66,7 +66,10 @@ object Bench {
     // RFM lifecycle scoring: three exact-ntile partition-offset passes
     // over the customer-grain frame; interval×interval overlap join
     // (bucketed equi-join + later-start dedup)
-    "q_rfm", "q_interval_join")
+    "q_rfm", "q_interval_join",
+    // PMI collocations (three partial-agged counts off one bigram
+    // pass + TakeOrdered top-k) and hour-of-day seasonal anomalies
+    "q_pmi_terms", "q_seasonal_spikes")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

@@ -1060,6 +1060,50 @@ object Relational {
         |     > CAST(4 AS DECIMAL(1,0)) * (n * sq - s * s)) AS is_spike
         |FROM hourly CROSS JOIN st ORDER BY hour""".stripMargin),
 
+    // SEASONAL anomaly flags — q_event_spikes with an hour-of-day
+    // baseline: a 3 a.m. cell is judged against other 3 a.m. cells
+    // across days, not the global mean, so a quiet hour's burst that
+    // hides under the daily peak is caught and the nightly lull stops
+    // reading as 24 anomalies. Same integer/DECIMAL cross-multiplied
+    // 2σ z-test (no float mean, no sqrt); the per-hour-of-day stats
+    // frame is 24 rows, joined back broadcast. Baseline over OBSERVED
+    // (hod, day) cells — the q_event_spikes convention.
+    q("q_seasonal_spikes")(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        def d6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(6, 0))
+        def d10(c: org.apache.spark.sql.Column) = c.cast(DecimalType(10, 0))
+        def d15(c: org.apache.spark.sql.Column) = c.cast(DecimalType(15, 0))
+        def d26(c: org.apache.spark.sql.Column) = c.cast(DecimalType(26, 0))
+        val cells = t(s, d, "events")
+          .groupBy(hour($"ts").cast("long").as("hod"), to_date($"ts").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = cells.groupBy($"hod")
+          .agg(count(lit(1)).as("n"), sum($"cnt").as("s"),
+            sum(d10($"cnt") * d10($"cnt")).as("sq"))
+        cells.join(broadcast(stats), Seq("hod"))
+          .select($"hod", $"day", $"cnt",
+            (d6($"n") * d10($"cnt") > d15($"s") &&
+              (d6($"n") * d10($"cnt") - d15($"s")) *
+                (d6($"n") * d10($"cnt") - d15($"s")) >
+              lit(4).cast(DecimalType(1, 0)) *
+                (d6($"n") * d26($"sq") - d15($"s") * d15($"s"))).as("is_spike"))
+          .orderBy($"hod", $"day")
+      },
+      """WITH cells AS (SELECT CAST(date_part('hour', ts) AS BIGINT) AS hod,
+        |  CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT hod, CAST(COUNT(*) AS DECIMAL(6,0)) AS n,
+        |  CAST(SUM(cnt) AS DECIMAL(15,0)) AS s,
+        |  CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * CAST(cnt AS DECIMAL(10,0)))
+        |    AS DECIMAL(26,0)) AS sq FROM cells GROUP BY 1)
+        |SELECT cells.hod, day, cnt,
+        |  (n * CAST(cnt AS DECIMAL(10,0)) > s AND
+        |   (n * CAST(cnt AS DECIMAL(10,0)) - s) * (n * CAST(cnt AS DECIMAL(10,0)) - s)
+        |     > CAST(4 AS DECIMAL(1,0)) * (n * sq - s * s)) AS is_spike
+        |FROM cells JOIN st ON st.hod = cells.hod
+        |ORDER BY cells.hod, day""".stripMargin),
     // Sessionization (gap > 30 min) — lag + prefix-sum windows; the batch
     // twin of the streaming state op in graft.streaming.
     q("q_events_sessionize")(

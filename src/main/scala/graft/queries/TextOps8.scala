@@ -328,7 +328,64 @@ object TextOps8 {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
         |  CAST(SUM(n_correct) OVER (ORDER BY band
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_correct
-        |FROM pb ORDER BY band""".stripMargin))
+        |FROM pb ORDER BY band""".stripMargin),
+
+    // PMI collocations — the corpus's most-associated adjacent word
+    // pairs (multi-word-expression mining: "new york", "machine
+    // learning"): rank by pointwise mutual information. ln is monotone
+    // (the q_logodds_terms argument), so the ranking runs on the EXACT
+    // rational N·c_ab/(c1_a·c2_b) as integer ppm via the DECIMAL(38,0)
+    // product-div idiom — 1e6·1e9·1e12 ≈ 1e27 at 100 TB, inside
+    // DECIMAL(38,0); no libm in the contract. Position-specific
+    // unigram counts (w as LEFT vs RIGHT element) are the exact
+    // bigram-independence denominator. Scale shape: one corpus-token
+    // pass fans into three partial-aggregated counts (map-side
+    // combine); min-support 5 bounds the ranked frame; global top-50
+    // is a TakeOrdered, never a single-task window.
+    q("q_pmi_terms")(
+      (s, d) => {
+        import s.implicits._
+        val F = graft.functions.TextFns
+        val tk = F.tokens($"text")
+        val bg = graft.util.CacheScope.pin(t(s, d, "documents")
+          .filter(trim($"text") =!= "")
+          .select(tk.as("_tk"))
+          .filter(size($"_tk") >= 2)
+          .select(explode(arrays_zip(
+            slice($"_tk", lit(1), size($"_tk") - 1).as("w1"),
+            slice($"_tk", lit(2), size($"_tk") - 1).as("w2"))).as("bg"))
+          .select($"bg.w1".as("w1"), $"bg.w2".as("w2")))
+        val nTot = bg.agg(count(lit(1)).as("n_bigrams"))
+        val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("n_w1"))
+        val c2 = bg.groupBy($"w2").agg(count(lit(1)).as("n_w2"))
+        val cab = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+          .filter($"n_ab" >= 5)
+        cab.join(c1, "w1").join(c2, "w2")
+          .crossJoin(broadcast(nTot))
+          .select($"w1", $"w2", $"n_ab", $"n_w1", $"n_w2", $"n_bigrams",
+            expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_bigrams
+                   | div (CAST(n_w1 AS DECIMAL(38,0)) * n_w2) AS BIGINT)"""
+              .stripMargin).as("pmi_ppm"))
+          .orderBy($"pmi_ppm".desc, $"w1", $"w2")
+          .limit(50)
+      },
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE trim(text) <> ''),
+        |bi AS (SELECT
+        |  unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i])) AS w1,
+        |  unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i+1])) AS w2
+        |  FROM toks WHERE len(tk) >= 2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM bi),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_w1 FROM bi GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_w2 FROM bi GROUP BY 1),
+        |cab AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bi
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT cab.w1, cab.w2, n_ab, n_w1, n_w2, n.n_bigrams,
+        |  CAST(CAST(1000000 AS HUGEINT) * n_ab * n.n_bigrams
+        |    // (CAST(n_w1 AS HUGEINT) * n_w2) AS BIGINT) AS pmi_ppm
+        |FROM cab JOIN c1 ON c1.w1 = cab.w1 JOIN c2 ON c2.w2 = cab.w2
+        |CROSS JOIN n
+        |ORDER BY pmi_ppm DESC, cab.w1, cab.w2 LIMIT 50""".stripMargin))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (n, (fn, _)) => n -> fn }.toMap
