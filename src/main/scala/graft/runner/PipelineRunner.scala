@@ -74,6 +74,7 @@ class PipelineRunner(spark: SparkSession, catalog: RunCatalog, val workDir: Stri
         "Data Pull" -> (() => {
           val df =
             if (sourcePath.toLowerCase.endsWith(".json")) Ingest.readJson(spark, sourcePath, runId)
+            else if (sourcePath.toLowerCase.endsWith(".xml")) Ingest.readXml(spark, sourcePath, runId)
             else Ingest.readCsv(spark, sourcePath, runId)
           Ingest.writeLanding(df, landingDir, runId)
         }),

@@ -70,6 +70,19 @@ object Ingest {
       runId, "JSON")
   }
 
+  /** XML scan: one record per `rowTag` element (Spark 4's built-in
+    * XML source — the spark-xml reader merged upstream; attributes
+    * surface as `_attr` columns, simple child elements as fields).
+    * Same stamp/canonicalize/raw_payload contract as CSV/JSON, so an
+    * XML feed drops into the identical 4-step pipeline unchanged.
+    */
+  def readXml(spark: SparkSession, path: String, runId: String,
+              rowTag: String = "record"): DataFrame = {
+    val raw = spark.read.format("xml").option("rowTag", rowTag).load(path)
+    stamp(canonicalize(raw.withColumn("raw_payload", to_json(struct(raw.columns.toIndexedSeq.map(col): _*)))),
+      runId, "XML")
+  }
+
   /** One run's slice of a stage written as its own physical partition
     * directory (`<stage>/run_id=<id>/...`), the `run_id` column
     * restored by partition discovery on read. Writing the leaf

@@ -81,6 +81,28 @@ class PipelineSpec extends SparkSpec {
     assert(res.rowsPerStep("Data Pull") == 2)
   }
 
+  test("XML source ingests through the same 4-step pipeline (Spark 4 built-in XML reader)") {
+    val (_, _, runner) = freshDirs()
+    // attributes and child elements mix; header matching is the same
+    // case-insensitive aliasing as CSV/JSON; an extra element is
+    // dropped and a missing amount lands NULL → UNKNOWN category later
+    val xml = writeFixture("orders.xml",
+      """<?xml version="1.0"?>
+        |<orders>
+        |  <record><OrderId>ORD-X1</OrderId><customerid>C301</customerid>
+        |    <Amount>75.25</Amount><orderDate>2025-03-01</orderDate>
+        |    <ignored>zzz</ignored></record>
+        |  <record><OrderId>ORD-X2</OrderId><customerid>C302</customerid>
+        |    <Amount>19.99</Amount><orderDate>2025-03-02</orderDate></record>
+        |</orders>""".stripMargin)
+    val res = runner.run(xml)
+    assert(res.status == "Success")
+    assert(res.rowsPerStep("Data Pull") == 2)
+    val target = MergeWriter.readTarget(spark, runner.targetDir).get
+    val ids = target.select($"order_id").as[String].collect().toSet
+    assert(ids == Set("ORD-X1", "ORD-X2"), ids.toString)
+  }
+
   test("rerun same file is idempotent on the target (upsert, not append)") {
     val (_, _, runner) = freshDirs()
     val f = writeFixture("sample.csv", sampleCsv)
