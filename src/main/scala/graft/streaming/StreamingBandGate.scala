@@ -198,6 +198,29 @@ abstract class StreamingBandGate(spark: SparkSession, workDir: String,
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Roll the per-row disposition ledger up into the run catalog —
+    * the [[StreamingDedupIngest.recordToCatalog]] contract for the
+    * media gates: one catalog run whose steps are the gate stages in
+    * pipeline order with `rows_affected` = rows disposed at that
+    * stage, so `GET /runs/:id` serves a media-ingest funnel next to
+    * batch step rows and the text gate's with no new contract. Call
+    * at a reporting cadence (each call records one cumulative
+    * snapshot); the collect is ≤ 4 stage rows, never row-grain. None
+    * when no ledger exists yet.
+    */
+  def recordToCatalog(catalog: graft.catalog.RunCatalog,
+                      pipelineName: String): Option[String] =
+    ledgerFrame().map { led =>
+      val counts = led.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val runId = catalog.startRunWithSteps(pipelineName, StreamingBandGate.FunnelStages)
+      StreamingBandGate.FunnelStages.zipWithIndex.foreach { case (st, i) =>
+        catalog.updateStepNamed(runId, i + 1, st, "Success", counts.getOrElse(st, 0L))
+      }
+      catalog.finishRun(runId, "Success")
+      runId
+    }
+
   /** Fold every leaf with id < `horizon` (band index AND ledger) into
     * one consolidated negative segment each — the streaming stores'
     * crash-atomic fold contract. */
@@ -247,4 +270,11 @@ abstract class StreamingBandGate(spark: SparkSession, workDir: String,
         .forEach(p => Files.deleteIfExists(p))
       finally s.close()
     }
+}
+
+object StreamingBandGate {
+  /** The media gates' funnel stages in pipeline order — the
+    * [[StreamingBandGate.recordToCatalog]] step names. */
+  val FunnelStages: Seq[String] =
+    Seq("undecodable", "near_dup_intra", "near_dup_index", "admitted")
 }

@@ -719,6 +719,24 @@ class StreamingSpec extends SparkSpec {
     assert(admittedIds() == Set(10L, 12L, 22L, 41L))
     assert(stages(4L) == Map(40L -> "near_dup_index", 41L -> "admitted"))
     assert(gate.leafCount() <= 2, s"compaction did not bound leaves: ${gate.leafCount()}")
+    // the ledger rolls into the run catalog as one funnel run — the
+    // media-gate twin of the text gate's recordToCatalog contract
+    val catalog = new graft.catalog.RunCatalog(spark, s"$work/catalog")
+    val runId = gate.recordToCatalog(catalog, "audio-ingest").get
+    val steps = catalog.steps(runId)
+      .select($"step_number", $"step_name", $"rows_affected")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(steps.map(_._2).toSeq ==
+      graft.streaming.StreamingBandGate.FunnelStages)
+    val counts = steps.map(s => s._2 -> s._3).toMap
+    // batches 0,1,4: undecodable {13}; intra {11, 20}; index {21, 10,
+    // 40}; admitted {10, 12, 22, 41}
+    assert(counts == Map("undecodable" -> 1L, "near_dup_intra" -> 2L,
+      "near_dup_index" -> 3L, "admitted" -> 4L), counts.toString)
+    // a gate with no ledger yet has nothing to roll up
+    val bare = new graft.streaming.StreamingAudioIngest(spark,
+      Files.createTempDirectory("graft_aud_bare").toString)
+    assert(bare.recordToCatalog(catalog, "audio-ingest").isEmpty)
   }
 
   test("streaming image gate watches a directory of image files (binaryFile source)") {
