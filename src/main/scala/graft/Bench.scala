@@ -68,8 +68,9 @@ object Bench {
     // (bucketed equi-join + later-start dedup)
     "q_rfm", "q_interval_join",
     // PMI collocations (three partial-agged counts off one bigram
-    // pass + TakeOrdered top-k) and hour-of-day seasonal anomalies
-    "q_pmi_terms", "q_seasonal_spikes")
+    // pass + TakeOrdered top-k), hour-of-day seasonal anomalies, and
+    // ceiling-filtered hard-negative mining
+    "q_pmi_terms", "q_seasonal_spikes", "q_hard_negatives")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

@@ -45,6 +45,32 @@ object VectorOps {
          |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin),
 
+    // Hard-negative mining for contrastive training — each query's
+    // top-5 most-similar vectors strictly BELOW the 0.99 near-dup
+    // ceiling: candidates at/above it are presumed positives/near-dups
+    // and excluded (the false-negative hazard of contrastive
+    // objectives). Same broadcast-query brute scan as q_cosine_topk
+    // (the oracle-checked baseline; the IVF probe is the documented
+    // scale path); the ceiling compare runs on the SAME
+    // bit-identical cosine doubles both engines already agree on.
+    q("q_hard_negatives")(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        Similarity.hardNegatives(e.filter($"vec_id" < 5), e,
+            "vec_id", "embedding", k = 5, ceiling = 0.99)
+          .select($"q_id", $"rn", $"id".as("vec_id"), $"sim")
+          .orderBy($"q_id", $"rn")
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |sims AS (SELECT q.q_id, e.vec_id, ${cosineSql("q.qv", "e.embedding")} AS sim
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |ranked AS (SELECT q_id, vec_id, sim,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM sims WHERE sim < CAST(0.99 AS DOUBLE))
+         |SELECT q_id, rn, vec_id, sim FROM ranked WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin),
+
     // The same top-5 search over the scalar-quantized (int8) index —
     // 4× less index memory/IO; the oracle re-derives the exact codes
     // (every quantization step is a correctly-rounded IEEE op) and

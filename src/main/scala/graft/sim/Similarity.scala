@@ -32,6 +32,34 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: each query's
+    * top-k most-similar corpus items strictly BELOW a near-dup
+    * `ceiling` — the "similar but not a duplicate" band that makes
+    * informative negatives. At or above the ceiling a candidate is
+    * presumed a positive/near-duplicate of the query and excluded:
+    * feeding those as negatives poisons the contrastive objective
+    * (the false-negative hazard SimCLR/DPR training guards against).
+    *
+    * Brute-scan baseline with the [[bruteForceTopK]] shape (query
+    * side broadcast, corpus never shuffles, one per-query window over
+    * the candidate rows). At corpus scale swap the candidate
+    * generator for [[ivfSq8TopK]] with a larger k and apply the same
+    * ceiling filter — identical surface, sub-linear probe cost.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, ceiling: Double): DataFrame = {
+    require(ceiling > -1.0 && ceiling <= 1.0,
+      s"hardNegatives: ceiling must be a cosine in (-1, 1], got $ceiling")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sims = c.join(broadcast(q), col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        VectorFns.cosineR(col("q_vec"), col("vec")).as("sim"))
+      .filter(col("sim") < ceiling)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** IVF-style cell assignment: nearest centroid (by cosine) per
     * corpus vector. Centroids are broadcast; output carries the cell
     * id so a downstream search only probes one cell per query.

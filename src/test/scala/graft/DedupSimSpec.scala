@@ -686,4 +686,30 @@ class DedupSimSpec extends SparkSpec {
     assert(out(5L)._2 && out(6L)._2, "cross-cell near-twins must both survive")
     assert(out(5L)._1 == 0L && out(6L)._1 == 1L)
   }
+
+  test("hardNegatives excludes the near-dup band, keeps the most-similar below the ceiling") {
+    // id 2 is an exact twin of the query (cosine 1.0 ≥ ceiling —
+    // presumed positive, excluded); 3 is the informative negative at
+    // ~0.9; 4 orthogonal; 5 antipodal. k=2 keeps [3, 4] in that order.
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.4358899f, 0f)),
+      (4L, Array(0f, 1f, 0f)),
+      (5L, Array(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val hn = Similarity.hardNegatives(vecs.filter($"vec_id" === 1), vecs,
+        "vec_id", "embedding", k = 2, ceiling = 0.99)
+      .select($"rn", $"id").as[(Int, Long)].collect().toList.sortBy(_._1)
+    assert(hn == List((1, 3L), (2, 4L)), hn.toString)
+    // a LOWER ceiling tightens the band: at 0.5 the 0.9 neighbor is
+    // also presumed-positive and the orthogonal one leads
+    val tight = Similarity.hardNegatives(vecs.filter($"vec_id" === 1), vecs,
+        "vec_id", "embedding", k = 2, ceiling = 0.5)
+      .select($"rn", $"id").as[(Int, Long)].collect().toList.sortBy(_._1)
+    assert(tight == List((1, 4L), (2, 5L)), tight.toString)
+    // a non-cosine ceiling refuses loudly
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(vecs, vecs, "vec_id", "embedding", 1, 1.5)
+    }
+  }
 }
