@@ -392,10 +392,12 @@ object Bench {
     // while raw pre-DISTINCT volume grows 10× on top.
     "q_pagerank", "q_hits", "q_label_prop", "q_copurchase",
     // round-20: interval merge at 10× users (islands per user are
-    // size-invariant; only the per-user window grows) and association
+    // size-invariant; only the per-user window grows), association
     // rules at 10× disjoint baskets (shifted orderkeys keep copies
-    // from merging, so pair work must grow linearly)
-    "q_interval_merge", "q_assoc_rules",
+    // from merging, so pair work must grow linearly), and PMI
+    // collocations at 10× bigrams (per-copy token suffixes grow the
+    // vocabulary too — the adversarial direction for the count joins)
+    "q_interval_merge", "q_assoc_rules", "q_pmi_terms",
     // round-19: the alternating-CC rounds at 10× components (the
     // shifted documents copies replicate the planted high-diameter
     // chains per shard — 1e7 ≡ 0 mod both segment sizes, so every
