@@ -70,7 +70,10 @@ object Bench {
     // PMI collocations (three partial-agged counts off one bigram
     // pass + TakeOrdered top-k), hour-of-day seasonal anomalies, and
     // ceiling-filtered hard-negative mining
-    "q_pmi_terms", "q_seasonal_spikes", "q_hard_negatives")
+    "q_pmi_terms", "q_seasonal_spikes", "q_hard_negatives",
+    // parallel-prefix CUSUM drift detector (running sum + running min
+    // inside the type partition)
+    "q_cusum_shift")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

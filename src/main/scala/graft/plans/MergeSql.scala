@@ -490,6 +490,45 @@ case class ProfileSkewCommand(path: String, keyCol: String, topK: Int)
   }
 }
 
+/** `PREDICT JOIN '<pathA>' AND '<pathB>' ON <colA> [= <colB>]
+  * [TOP n]` — the SQL face of [[graft.ops.Profile.joinCardinality]],
+  * the OTHER pre-flight audit next to PROFILE SKEW: the EXACT output
+  * row count of the keyed equi-join (per-key count products — the
+  * join itself never runs) plus its heaviest keys, so an operator
+  * sees the 10^13-row blowup in a 2-aggregation pass instead of
+  * discovering it as a dead executor. Hi/lo BIGINT total (the sum
+  * overflows int64 by design on real blowups); the in-plan int64
+  * guard on a SINGLE key's output refuses infeasible joins loudly.
+  */
+case class PredictJoinCommand(pathA: String, pathB: String,
+                              colA: String, colB: String, topK: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rank", LongType, nullable = false)(),
+    AttributeReference("key", org.apache.spark.sql.types.StringType, nullable = true)(),
+    AttributeReference("cnt_a", LongType, nullable = false)(),
+    AttributeReference("cnt_b", LongType, nullable = false)(),
+    AttributeReference("out_rows", LongType, nullable = false)(),
+    AttributeReference("out_total_hi", LongType, nullable = false)(),
+    AttributeReference("out_total_lo", LongType, nullable = false)(),
+    AttributeReference("n_join_keys", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    require(topK >= 1, s"PREDICT JOIN: TOP must be >= 1, got $topK")
+    val a = session.read.parquet(pathA)
+    val b = session.read.parquet(pathB)
+    require(a.columns.contains(colA),
+      s"PREDICT JOIN: no column '$colA' in $pathA (has ${a.columns.mkString(", ")})")
+    require(b.columns.contains(colB),
+      s"PREDICT JOIN: no column '$colB' in $pathB (has ${b.columns.mkString(", ")})")
+    graft.ops.Profile.joinCardinality(a, b, colA, colB, topK)
+      .collect().toSeq.map { r =>
+      Row(r.getLong(0), Option(r.get(1)).map(_.toString).orNull,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))
+    }
+  }
+}
+
 /** `COMPACT VECTORS '<storeDir>'` / `VACUUM VECTORS '<storeDir>'` —
   * the maintenance face of a STANDALONE [[graft.sim.VectorIndexStore]]
   * (one embedded in a streaming work dir is folded by
@@ -790,6 +829,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val VacuumRe = """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+KEEP\s+(\d+))?\s*;?\s*$""".r
   private val ProfileSkewRe =
     """(?is)^\s*PROFILE\s+SKEW\s+'([^']+)'\s+ON\s+([A-Za-z_]\w*)(?:\s+TOP\s+(\d+))?\s*;?\s*$""".r
+  private val PredictJoinRe =
+    ("""(?is)^\s*PREDICT\s+JOIN\s+'([^']+)'\s+AND\s+'([^']+)'""" +
+      """\s+ON\s+([A-Za-z_]\w*)(?:\s*=\s*([A-Za-z_]\w*))?(?:\s+TOP\s+(\d+))?\s*;?\s*$""").r
   private val RefreshVectorsRe =
     ("""(?is)^\s*REFRESH\s+VECTORS\s+'([^']+)'\s+USING\s+([\w.]+)""" +
       """\s+ID\s+([A-Za-z_]\w*)\s+VEC\s+([A-Za-z_]\w*)""" +
@@ -919,6 +961,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         VacuumPathCommand(dir, Option(keep).map(_.toInt).getOrElse(2))
       case ProfileSkewRe(path, keyCol, topK) =>
         ProfileSkewCommand(path, keyCol, Option(topK).map(_.toInt).getOrElse(20))
+      case PredictJoinRe(pa, pb, ca, cb, topK) =>
+        PredictJoinCommand(pa, pb, ca, Option(cb).getOrElse(ca),
+          Option(topK).map(_.toInt).getOrElse(20))
       case RefreshVectorsRe(dir, source, idCol, vecCol, k, iters, sample) =>
         RefreshVectorsCommand(dir, source, idCol, vecCol,
           Option(k).map(_.toInt).getOrElse(16),

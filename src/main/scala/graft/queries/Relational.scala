@@ -1104,6 +1104,50 @@ object Relational {
         |     > CAST(4 AS DECIMAL(1,0)) * (n * sq - s * s)) AS is_spike
         |FROM cells JOIN st ON st.hod = cells.hod
         |ORDER BY cells.hod, day""".stripMargin),
+    // CUSUM change-point statistic over the hourly series per event
+    // type — the sequential drift detector (Page 1954) in its
+    // PARALLEL prefix form: S_t = P_t − min(0, min_{j≤t} P_j) with
+    // P_t = Σ_{i≤t}(x_i − K), so the apparently-sequential recurrence
+    // becomes one running sum + one running min, both inside the
+    // event_type partition. K (the allowance) is the per-type integer
+    // mean (sum div n — division conventions agree on nonnegative
+    // counts); all integer end-to-end, flag at S > 3K. Catches a
+    // SUSTAINED level shift the per-cell z-tests (q_event_spikes /
+    // q_seasonal_spikes) can't see: ten consecutive hours each 1σ
+    // high never trips a cell test but accumulates in S.
+    q("q_cusum_shift")(
+      (s, d) => {
+        import s.implicits._
+        val hourly = t(s, d, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val k = hourly.groupBy($"event_type")
+          .agg(expr("sum(cnt) div count(1)").as("kk"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type").orderBy($"hour")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        hourly.join(broadcast(k), Seq("event_type"))
+          .withColumn("p", sum($"cnt" - $"kk").over(w))
+          .withColumn("s_stat", $"p" - least($"p".cast("long"), lit(0L),
+            min($"p").over(w)))
+          .select($"event_type", $"hour", $"cnt", $"s_stat",
+            ($"s_stat" > lit(3L) * $"kk").as("is_shift"))
+          .orderBy($"event_type", $"hour")
+      },
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |k AS (SELECT event_type, SUM(cnt) // COUNT(*) AS kk
+        |  FROM hourly GROUP BY 1),
+        |pp AS (SELECT h.event_type, hour, cnt, kk,
+        |  SUM(cnt - kk) OVER (PARTITION BY h.event_type ORDER BY hour
+        |    ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM hourly h JOIN k ON k.event_type = h.event_type),
+        |ss AS (SELECT *, p - LEAST(p, 0, MIN(p) OVER (
+        |    PARTITION BY event_type ORDER BY hour ROWS UNBOUNDED PRECEDING))
+        |  AS s_stat FROM pp)
+        |SELECT event_type, hour, cnt, CAST(s_stat AS BIGINT) AS s_stat,
+        |  (s_stat > 3 * kk) AS is_shift
+        |FROM ss ORDER BY event_type, hour""".stripMargin),
     // Sessionization (gap > 30 min) — lag + prefix-sum windows; the batch
     // twin of the streaming state op in graft.streaming.
     q("q_events_sessionize")(

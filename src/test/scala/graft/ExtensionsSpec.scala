@@ -1233,6 +1233,32 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("PREDICT JOIN forecasts exact equi-join output rows via SQL, never running the join") {
+    val li = sf("sf0.001") + "/lineitem.parquet"
+    val ord = sf("sf0.001") + "/orders.parquet"
+    val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
+    // lineitem ⋈ lineitem on l_partkey — the q_join_cardinality
+    // explosion fixture: prediction must equal the realized count
+    val rows = s2.sql(s"PREDICT JOIN '$li' AND '$li' ON l_partkey TOP 3").collect()
+    assert(rows.length == 3 && rows(0).getLong(0) == 1L)
+    val total = rows(0).getLong(5) * 1000000000000000000L + rows(0).getLong(6)
+    val realized = spark.read.parquet(li).select($"l_partkey").as("a")
+      .join(spark.read.parquet(li).select($"l_partkey").as("b"), "l_partkey")
+      .count()
+    assert(total == realized, s"predicted $total != realized $realized")
+    // different key names on the two sides (ON a = b form)
+    val lo = s2.sql(s"PREDICT JOIN '$li' AND '$ord' ON l_orderkey = o_orderkey TOP 1")
+      .collect()
+    val realized2 = spark.read.parquet(li).select($"l_orderkey".as("k"))
+      .join(spark.read.parquet(ord).select($"o_orderkey".as("k")), "k").count()
+    assert(lo(0).getLong(5) * 1000000000000000000L + lo(0).getLong(6) == realized2)
+    // unknown column refuses loudly, naming the statement
+    val e = intercept[Exception] {
+      s2.sql(s"PREDICT JOIN '$li' AND '$li' ON nope").collect()
+    }
+    assert(e.getMessage.contains("PREDICT JOIN"), e.getMessage)
+  }
+
   test("PROFILE SKEW statement audits a parquet table's key distribution via SQL") {
     val dir = java.nio.file.Files.createTempDirectory("graft_skew_sql").toString
     // counts {a:1, b:1, c:2, d:4} — the keySkewProfile hand case:
