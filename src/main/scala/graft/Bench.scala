@@ -72,8 +72,9 @@ object Bench {
     // ceiling-filtered hard-negative mining
     "q_pmi_terms", "q_seasonal_spikes", "q_hard_negatives",
     // parallel-prefix CUSUM drift detector (running sum + running min
-    // inside the type partition)
-    "q_cusum_shift")
+    // inside the type partition); label-noise queue (broadcast-grid
+    // NB scoring + distributed margin rank)
+    "q_cusum_shift", "q_label_noise")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

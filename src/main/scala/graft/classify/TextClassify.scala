@@ -177,10 +177,13 @@ object TextClassify {
     * machinery — no single-task global window; the final cumulative
     * window runs on the `buckets`-row aggregate.
     */
-  def selectiveRiskCoverage(docs: DataFrame, labelCol: String = "lang",
-                            textCol: String = "text", idCol: String = "doc_id",
-                            buckets: Int = 10): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+  /** Per-doc NB decision frame shared by the two confidence audits
+    * ([[selectiveRiskCoverage]], [[labelNoise]] — one construction,
+    * they cannot drift): (idCol, labelCol, pred, ll1, ll2) — the
+    * argmax class and the top-2 DECIMAL-exact log-likelihoods.
+    */
+  private def nbPerDoc(docs: DataFrame, labelCol: String,
+                       textCol: String, idCol: String): DataFrame = {
     val model = naiveBayesFit(docs, labelCol, textCol)
     val scored = occurrences(docs, labelCol, textCol, idCol)
       .join(broadcast(model.grid), Seq("tok"))
@@ -191,12 +194,19 @@ object TextClassify {
         (col("prior") + col("tsum")).as("ll"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("ll").desc, col("c").asc)
-    val perDoc = scored.withColumn("_rn", row_number().over(w))
+    scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= 2)
       .groupBy(col(idCol), col(labelCol))
       .agg(max(when(col("_rn") === 1, col("c"))).as("pred"),
         max(when(col("_rn") === 1, col("ll"))).as("ll1"),
         max(when(col("_rn") === 2, col("ll"))).as("ll2"))
+  }
+
+  def selectiveRiskCoverage(docs: DataFrame, labelCol: String = "lang",
+                            textCol: String = "text", idCol: String = "doc_id",
+                            buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val perDoc = nbPerDoc(docs, labelCol, textCol, idCol)
       .select(col(idCol),
         (col("pred") === col(labelCol)).cast("long").as("correct"),
         (col("ll1") - col("ll2")).as("margin"))
@@ -214,6 +224,34 @@ object TextClassify {
     perBand
       .withColumn("cum_docs", sum(col("n_docs")).over(cw))
       .withColumn("cum_correct", sum(col("n_correct")).over(cw))
+  }
+
+  /** Label-noise candidates (confident-learning-lite): documents
+    * whose GIVEN label disagrees with the NB prediction, ranked by
+    * the exact top-2 log-likelihood margin — the most confidently
+    * mislabeled rows first, the relabel/review queue every labeled
+    * training set needs before the labels feed a model. Shares
+    * [[nbPerDoc]] with [[selectiveRiskCoverage]] (the two audits
+    * cannot drift). The margin ships as integer NANOS
+    * ((ll1−ll2)·1e9 — the DECIMAL(·,9) scale made exact BIGINT, no
+    * decimal output column, no float); ranking routes through the
+    * distributed [[graft.operators.Ranking]] machinery, never a
+    * single-task window; `topK` bounds the queue.
+    */
+  def labelNoise(docs: DataFrame, labelCol: String = "lang",
+                 textCol: String = "text", idCol: String = "doc_id",
+                 topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"labelNoise needs topK >= 1, got $topK")
+    val disagree = nbPerDoc(docs, labelCol, textCol, idCol)
+      .filter(col("pred") =!= col(labelCol))
+      .select(col(idCol), col(labelCol).as("given_label"), col("pred"),
+        ((col("ll1") - col("ll2")) * lit(1000000000L)).cast("long")
+          .as("margin_nanos"))
+    graft.operators.Ranking.globalRowNumber(disagree,
+        Seq(col("margin_nanos").desc, col(idCol)), out = "rank")
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col(idCol), col("given_label"), col("pred"),
+        col("margin_nanos"))
   }
 
   /** Frequency-ranked vocabulary with a token-mass coverage cutoff.

@@ -330,6 +330,49 @@ object TextOps8 {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_correct
         |FROM pb ORDER BY band""".stripMargin),
 
+    // Label-noise candidates — docs whose GIVEN label disagrees with
+    // the NB prediction, most-confident disagreements first (the
+    // relabel/review queue; confident-learning-lite). Shares the
+    // per-doc margin construction with q_selective_risk; the margin
+    // ships as exact integer nanos (DECIMAL(·,9) · 1e9), and the
+    // global rank routes through the partition-offset machinery.
+    q("q_label_noise")(
+      (s, d) => TextClassify.labelNoise(
+          t(s, d, "documents"), labelCol = "lang", topK = 100)
+        .orderBy(col("rank")),
+      """WITH occ AS (SELECT doc_id, lang,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |vsz AS (SELECT COUNT(DISTINCT tok) AS v FROM occ),
+        |ct AS (SELECT lang AS c, tok, COUNT(*) AS n_tc FROM occ GROUP BY 1, 2),
+        |tot AS (SELECT lang AS c, COUNT(*) AS t_c FROM occ GROUP BY 1),
+        |pri AS (SELECT lang AS c, COUNT(*) AS d_c FROM documents GROUP BY 1),
+        |dall AS (SELECT COUNT(*) AS d_all FROM documents),
+        |prior AS (SELECT c, CAST(round(ln(CAST(d_c AS DOUBLE) / d_all), 9)
+        |  AS DECIMAL(18,9)) AS prior FROM pri CROSS JOIN dall),
+        |vocab AS (SELECT DISTINCT tok FROM occ),
+        |grid AS (SELECT tot.c, vocab.tok,
+        |  CAST(round(ln(CAST(coalesce(ct.n_tc, 0) + 1 AS DOUBLE)
+        |    / (tot.t_c + vsz.v)), 9) AS DECIMAL(18,9)) AS term
+        |  FROM tot CROSS JOIN vocab CROSS JOIN vsz
+        |  LEFT JOIN ct ON ct.c = tot.c AND ct.tok = vocab.tok),
+        |sc AS (SELECT occ.doc_id, occ.lang, grid.c, SUM(grid.term) AS tsum
+        |  FROM occ JOIN grid ON grid.tok = occ.tok GROUP BY 1, 2, 3),
+        |ll AS (SELECT sc.doc_id, sc.lang, sc.c, prior.prior + sc.tsum AS ll
+        |  FROM sc JOIN prior ON prior.c = sc.c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY ll DESC, c ASC) AS rn FROM ll),
+        |pd AS (SELECT r1.doc_id, r1.lang AS given_label, r1.c AS pred,
+        |  CAST((r1.ll - r2.ll) * 1000000000 AS BIGINT) AS margin_nanos
+        |  FROM (SELECT * FROM rk WHERE rn = 1) r1
+        |  JOIN (SELECT * FROM rk WHERE rn = 2) r2 USING (doc_id)
+        |  WHERE r1.c <> r1.lang)
+        |SELECT CAST(row_number() OVER (ORDER BY margin_nanos DESC, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, given_label, pred, margin_nanos
+        |FROM pd
+        |ORDER BY rank LIMIT 100""".stripMargin),
+
     // PMI collocations — the corpus's most-associated adjacent word
     // pairs (multi-word-expression mining: "new york", "machine
     // learning"): rank by pointwise mutual information. ln is monotone
