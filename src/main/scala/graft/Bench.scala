@@ -74,7 +74,10 @@ object Bench {
     // parallel-prefix CUSUM drift detector (running sum + running min
     // inside the type partition); label-noise queue (broadcast-grid
     // NB scoring + distributed margin rank)
-    "q_cusum_shift", "q_label_noise")
+    "q_cusum_shift", "q_label_noise",
+    // endpoint-sweep peak concurrency over the distributed
+    // running-sum machinery (never a single-task ORDER BY window)
+    "q_peak_concurrency")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

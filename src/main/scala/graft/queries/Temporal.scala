@@ -374,6 +374,33 @@ object Temporal {
           $"r_event_id", $"r_st", $"r_en")
         .orderBy($"event_id", $"r_event_id")
     }),
+    // PEAK CONCURRENCY — the capacity-planning sweep: the maximum
+    // number of simultaneously-active 10-minute event intervals and
+    // the FIRST instant it is reached. Classic endpoint sweep (+1 at
+    // start, −1 at exclusive end, running sum), but the global
+    // running sum routes through [[graft.operators.Ranking
+    // .globalRunningSum]]'s range-partition + broadcast-offset
+    // machinery — a bare SUM() OVER (ORDER BY t) moves every endpoint
+    // into one task at corpus scale. Ordering (t, delta, event_id)
+    // processes an exclusive end before a coincident start. All
+    // integer micros.
+    "q_peak_concurrency" -> ((s, d) => {
+      import s.implicits._
+      val iv = t(s, d, "events")
+        .select($"event_id", unix_micros($"ts").as("st"),
+          (unix_micros($"ts") + 600000000L).as("en"))
+      val pts = iv.select($"st".as("t"), lit(1L).as("delta"), $"event_id")
+        .unionByName(iv.select($"en".as("t"), lit(-1L).as("delta"), $"event_id"))
+      val run = graft.util.CacheScope.pin(
+        graft.operators.Ranking.globalRunningSum(pts, $"delta",
+          Seq($"t", $"delta", $"event_id"), out = "active"))
+      val mx = run.agg(max($"active").as("peak"))
+      run.crossJoin(broadcast(mx))
+        .filter($"active" === $"peak")
+        .groupBy($"peak")
+        .agg(min($"t").as("peak_at_us"))
+        .select($"peak", $"peak_at_us")
+    }),
     // OHLC bars per (event_type, day) — the time-series downsampling
     // operator (open/high/low/close + tick count): open/close are
     // min/max over a (ts, event_id, value) struct so ties on the
@@ -467,6 +494,17 @@ object Temporal {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM isl GROUP BY user_id, island
         |ORDER BY user_id, island""".stripMargin,
+    "q_peak_concurrency" ->
+      """WITH iv AS (SELECT event_id, epoch_us(ts) AS st,
+        |  epoch_us(ts) + 600000000 AS en FROM events),
+        |pts AS (SELECT st AS t, CAST(1 AS BIGINT) AS delta, event_id FROM iv
+        |  UNION ALL SELECT en, CAST(-1 AS BIGINT), event_id FROM iv),
+        |run AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS active FROM pts),
+        |mx AS (SELECT MAX(active) AS peak FROM run)
+        |SELECT CAST(mx.peak AS BIGINT) AS peak,
+        |  CAST(MIN(t) AS BIGINT) AS peak_at_us
+        |FROM run, mx WHERE run.active = mx.peak GROUP BY mx.peak""".stripMargin,
     "q_interval_join" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS st,
         |  epoch_us(ts) + 1800000000 AS en FROM events
