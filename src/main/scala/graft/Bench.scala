@@ -76,8 +76,9 @@ object Bench {
     // NB scoring + distributed margin rank)
     "q_cusum_shift", "q_label_noise",
     // endpoint-sweep peak concurrency over the distributed
-    // running-sum machinery (never a single-task ORDER BY window)
-    "q_peak_concurrency")
+    // running-sum machinery (never a single-task ORDER BY window);
+    // integer-ppm Fano-factor burstiness
+    "q_peak_concurrency", "q_burstiness")
 
   /** Host-contention sentinel: `q1_agg` re-timed between every
     * `every`-th measurement (and once more at each window's close).

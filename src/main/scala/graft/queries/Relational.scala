@@ -1148,6 +1148,40 @@ object Relational {
         |SELECT event_type, hour, cnt, CAST(s_stat AS BIGINT) AS s_stat,
         |  (s_stat > 3 * kk) AS is_shift
         |FROM ss ORDER BY event_type, hour""".stripMargin),
+    // Burstiness (index of dispersion / Fano factor) of the hourly
+    // series per event type: variance-to-mean as exact integer ppm —
+    // 1e6·(n·Σx² − (Σx)²) div (n·Σx) with DECIMAL(38,0) products
+    // (n·Σx² ≈ 1e25 at 100 TB cell counts) — the
+    // overdispersion signal that separates Poisson-like organic
+    // traffic (ppm ≈ 1e6) from bursty/bot-like arrivals (≫ 1e6).
+    // Integer sufficient statistics ship alongside so readers can
+    // re-derive any dispersion convention.
+    q("q_burstiness")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_hours"), sum($"cnt").as("s"),
+            sum($"cnt" * $"cnt").as("sq"))
+          .select($"event_type", $"n_hours", $"s", $"sq",
+            expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) *
+                   | (CAST(n_hours AS DECIMAL(38,0)) * sq - CAST(s AS DECIMAL(38,0)) * s)
+                   | div (CAST(n_hours AS DECIMAL(38,0)) * s) AS BIGINT)"""
+              .stripMargin).as("fano_ppm"))
+          .orderBy($"event_type")
+      },
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(cnt) AS BIGINT) AS s, CAST(SUM(cnt * cnt) AS BIGINT) AS sq
+        |  FROM hourly GROUP BY 1)
+        |SELECT event_type, n_hours, s, sq,
+        |  CAST(CAST(1000000 AS HUGEINT) *
+        |    (CAST(n_hours AS HUGEINT) * sq - CAST(s AS HUGEINT) * s)
+        |    // (CAST(n_hours AS HUGEINT) * s) AS BIGINT) AS fano_ppm
+        |FROM st ORDER BY event_type""".stripMargin),
     // Sessionization (gap > 30 min) — lag + prefix-sum windows; the batch
     // twin of the streaming state op in graft.streaming.
     q("q_events_sessionize")(
