@@ -373,6 +373,61 @@ object TextOps8 {
         |FROM pd
         |ORDER BY rank LIMIT 100""".stripMargin),
 
+    // Type-token ratio per source — the lexical-diversity fingerprint
+    // (a template-spam source repeats a tiny vocabulary; natural prose
+    // doesn't), as exact integer ppm. One token explode + one
+    // partial-aggregated (source, distinct) pass.
+    q("q_ttr")(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").filter(trim($"text") =!= "")
+          .select($"source",
+            explode(graft.functions.TextFns.tokens($"text")).as("tok"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_tokens"), countDistinct($"tok").as("n_types"))
+          .select($"source", $"n_tokens", $"n_types",
+            expr("1000000 * n_types div n_tokens").as("ttr_ppm"))
+          .orderBy($"source")
+      },
+      """WITH occ AS (SELECT source,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types,
+        |  1000000 * COUNT(DISTINCT tok) // COUNT(*) AS ttr_ppm
+        |FROM occ GROUP BY source ORDER BY source""".stripMargin),
+
+    // Token-length histogram per source (log2 buckets) — the length-
+    // distribution fingerprint next to q_length_decile's global cut:
+    // a source whose mass sits in the 2-3-bucket tail is boilerplate/
+    // fragment-heavy. The bucket is ONE integer CASE chain shared
+    // verbatim by engine and oracle (the q_degree_hist convention —
+    // no floating log2 whose last bit could disagree at powers).
+    q("q_length_hist")(
+      (s, d) => {
+        import s.implicits._
+        val chain = (1 to 11).map(i =>
+          s"WHEN n_tokens < ${1L << i} THEN CAST(${i - 1} AS BIGINT)")
+          .mkString("CASE ", " ", " ELSE CAST(11 AS BIGINT) END")
+        t(s, d, "documents")
+          .select($"source",
+            graft.functions.TextFns.tokenCount($"text").cast("long").as("n_tokens"))
+          .groupBy($"source", expr(chain).as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min($"n_tokens").as("min_tokens"), max($"n_tokens").as("max_tokens"))
+          .orderBy($"source", $"bucket")
+      }, {
+        val chain = (1 to 11).map(i =>
+          s"WHEN n_tokens < ${1L << i} THEN CAST(${i - 1} AS BIGINT)")
+          .mkString("CASE ", " ", " ELSE CAST(11 AS BIGINT) END")
+        s"""WITH d AS (SELECT source,
+           |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+           |  FROM documents)
+           |SELECT source, $chain AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+           |FROM d GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+      }),
+
     // PMI collocations — the corpus's most-associated adjacent word
     // pairs (multi-word-expression mining: "new york", "machine
     // learning"): rank by pointwise mutual information. ln is monotone
