@@ -428,6 +428,55 @@ object TextOps8 {
            |FROM d GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
       }),
 
+    // Vocabulary-growth curve (the Heaps-law audit) over 3-GRAM types:
+    // new distinct trigram types contributed by each corpus DECILE in
+    // doc_id order, plus the cumulative type count — a corpus whose
+    // curve flattens early is template/duplicate-heavy; one that
+    // keeps climbing is still adding real content. (Unigram types are
+    // the degenerate version — the whole token vocabulary shows up in
+    // the first slice of any real corpus; combinatorial n-gram types
+    // are what actually grow.) Exact and order-free: the decile comes
+    // from `Ranking.globalNtile` over doc_id (deciles are monotone in
+    // the order, so a type's FIRST decile is the decile of its
+    // min-doc), new types = one min-aggregation per type, and the
+    // cumulative sum rides a 10-row window. No sequential scan, no
+    // approximate sketches.
+    q("q_vocab_growth")(
+      (s, d) => {
+        import s.implicits._
+        val F = graft.functions.TextFns
+        val docs = graft.operators.Ranking.globalNtile(
+          t(s, d, "documents").select($"doc_id", $"text"),
+          k = 10, sortCols = Seq($"doc_id"), out = "decile")
+        val firstSeen = docs
+          .select($"decile",
+            explode(F.shingles($"text", 3)).as("g"))
+          .groupBy($"g").agg(min($"decile").as("first_decile"))
+        val perDecile = firstSeen.groupBy($"first_decile".as("decile"))
+          .agg(count(lit(1)).as("new_types"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // 10-row frame: the unpartitioned window is bounded by design
+        perDecile.withColumn("cum_types", sum($"new_types").over(w))
+          .orderBy($"decile")
+      },
+      """WITH docs AS (SELECT doc_id, text,
+        |  ntile(10) OVER (ORDER BY doc_id) AS decile FROM documents),
+        |toks AS (SELECT decile, string_split_regex(trim(text), '\s+') AS tk
+        |  FROM docs),
+        |occ AS (SELECT decile, unnest(list_distinct(list_transform(
+        |  generate_series(1, len(tk) - 2),
+        |  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        |  FROM toks WHERE len(tk) >= 3),
+        |fs AS (SELECT g, MIN(decile) AS first_decile FROM occ GROUP BY 1),
+        |pd AS (SELECT CAST(first_decile AS BIGINT) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS new_types FROM fs GROUP BY 1)
+        |SELECT decile, new_types,
+        |  CAST(SUM(new_types) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_types
+        |FROM pd ORDER BY decile""".stripMargin),
+
     // PMI collocations — the corpus's most-associated adjacent word
     // pairs (multi-word-expression mining: "new york", "machine
     // learning"): rank by pointwise mutual information. ln is monotone
