@@ -69,6 +69,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!oh.contains("Window") && !oh.contains("CartesianProduct"), oh)
   }
 
+  test("round-20 late wave: distributed sweeps and keyed windows, nothing single-task") {
+    // q_peak_concurrency's GLOBAL running sum must ride the
+    // partition-offset machinery — a bare SUM() OVER (ORDER BY t)
+    // would move every endpoint into one task; q_cusum_shift's
+    // running sum/min stay inside the event_type partition;
+    // q_label_noise's global margin rank is the same native machinery
+    // (its per-doc top-2 window is keyed by doc_id); q_pmi_terms'
+    // top-50 is a TakeOrdered, never a global sort+limit-less window.
+    // the running-sum frame is pinned, so the EXECUTED plan reads an
+    // InMemoryRelation whose child is elided from the string — the
+    // native expression is asserted on the analyzed plan (pre-cache
+    // substitution), the task-collapse on the executed one
+    val pcAnalyzed = SparkEntry.queries("q_peak_concurrency")(spark, sf("sf0.001"))
+      .queryExecution.analyzed.toString
+    assert(pcAnalyzed.contains("partition_offset_running_sum"),
+      "peak concurrency fell back from the distributed running sum")
+    // no Window anywhere: the sweep is the native running-sum
+    // projection plus scalar/keyed aggregates (the 1-ROW global-max
+    // agg legitimately lands on a single partition — that's a scalar,
+    // not the endpoint stream)
+    val pc = plan("q_peak_concurrency")
+    assert(!pc.contains("Window"), s"peak concurrency reintroduced a window:\n$pc")
+    val cu = plan("q_cusum_shift")
+    assert(cu.contains("Window") && !cu.contains("SinglePartition"),
+      s"CUSUM windows left the type partition:\n$cu")
+    val ln = plan("q_label_noise")
+    assert(ln.contains("partition_offset_rank"),
+      "label-noise rank fell back from the native machinery")
+    val pm = plan("q_pmi_terms")
+    assert(pm.contains("TakeOrderedAndProject"),
+      s"PMI top-k is not a TakeOrdered:\n$pm")
+  }
+
   test("q_topn is a TakeOrderedAndProject, not a global sort") {
     val p = plan("q_topn")
     assert(p.contains("TakeOrderedAndProject"))
