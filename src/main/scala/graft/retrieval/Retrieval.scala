@@ -154,11 +154,18 @@ object Retrieval {
       .agg(count(lit(1)).cast("double").as("n_docs"),
         sum(col("len_d")).as("sum_len"))
     // df computed on the postings side BEFORE the query join — the
-    // joined frame repeats a term's postings once per carrying query
-    val dfs = postings.groupBy(col("term"))
+    // joined frame repeats a term's postings once per carrying query.
+    // Restricted to the query terms FIRST (broadcast semi-join): df
+    // values for matched terms are identical, and the full-vocabulary
+    // aggregation + vocab-grain join it replaces was a whole extra
+    // exchange of the postings frame; the restricted frame is
+    // query-term-grain and broadcasts.
+    val dfs = postings.join(
+        broadcast(qterms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     postings.join(broadcast(qterms), "term")
-      .join(dfs, "term")
+      .join(broadcast(dfs), "term")
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         col("qtf") *
@@ -355,16 +362,21 @@ object Retrieval {
   def knownItemMetrics(ranked: DataFrame, nQueries: DataFrame): DataFrame = {
     val rankD = col("rank").cast("double")
     val ln2 = lit(0.693147181) // round(ln 2, 9) — the repo log contract grain
-    val hits = ranked.filter(col("doc_id") === col("query_id"))
-      .groupBy(col("system"))
-      .agg(count(lit(1)).as("n_hits"),
-        sum(floor(lit(1000000.0) / rankD + lit(0.5)).cast("long")).as("sum_rr_micro"),
-        sum(floor(ln2 / round(log(rankD + lit(1.0)), 9) * lit(1000000.0) + lit(0.5))
-          .cast("long")).as("sum_ndcg_micro"))
-    // systems with zero hits must still report a row of zeros
-    ranked.select(col("system")).distinct()
-      .join(hits, Seq("system"), "left")
-      .na.fill(0L, Seq("n_hits", "sum_rr_micro", "sum_ndcg_micro"))
+    // ONE pass over the ranked union: the hit terms ride inside
+    // conditional sums, so systems with zero hits still report a row
+    // of zeros WITHOUT a second scan + distinct + completion join —
+    // `ranked` is typically a union of per-system subtrees (some
+    // expensive and unpinned), and a second consumption would
+    // re-execute every one of them.
+    val hit = col("doc_id") === col("query_id")
+    ranked.groupBy(col("system"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(hit, floor(lit(1000000.0) / rankD + lit(0.5)).cast("long"))
+          .otherwise(0L)).as("sum_rr_micro"),
+        sum(when(hit,
+            floor(ln2 / round(log(rankD + lit(1.0)), 9) * lit(1000000.0) + lit(0.5))
+              .cast("long"))
+          .otherwise(0L)).as("sum_ndcg_micro"))
       .crossJoin(broadcast(nQueries))
       .select(col("system"), col("n_queries"), col("n_hits"),
         col("sum_rr_micro"), col("sum_ndcg_micro"))
