@@ -68,9 +68,21 @@ object TextClassify {
     * out-of-vocab tokens discard).
     */
   def naiveBayesFit(docs: DataFrame, labelCol: String = "lang",
-                    textCol: String = "text"): NBModel = {
-    val occ = docs.filter(trim(col(textCol)) =!= "")
-      .select(col(labelCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+                    textCol: String = "text"): NBModel =
+    fitOnOcc(docs,
+      docs.filter(trim(col(textCol)) =!= "")
+        .select(col(labelCol), explode(TextFns.tokens(col(textCol))).as("tok")),
+      labelCol)
+
+  /** [[naiveBayesFit]] from an ALREADY-tokenized occurrence frame
+    * (must carry `labelCol` and `tok`; extra columns are ignored) —
+    * the resubstitution paths tokenize the corpus once, pin it, and
+    * feed the same frame to fit AND scoring instead of exploding the
+    * text twice. `docs` is read only for the document-count priors.
+    */
+  private def fitOnOcc(docs: DataFrame, occIn: DataFrame,
+                       labelCol: String): NBModel = {
+    val occ = occIn.select(col(labelCol), col("tok"))
     val vocab = occ.select(col("tok")).distinct()
     val vsz = vocab.agg(count(lit(1)).as("vsz"))
     val classTok = occ.groupBy(col(labelCol).as("c"), col("tok"))
@@ -120,9 +132,14 @@ object TextClassify {
     */
   def naiveBayesScore(docs: DataFrame, labelCol: String = "lang",
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame =
-    scoreOcc(occurrences(docs, labelCol, textCol, idCol),
-      Seq(idCol, labelCol), naiveBayesFit(docs, labelCol, textCol), idCol)
+                      idCol: String = "doc_id"): DataFrame = {
+    // train == score: tokenize the corpus ONCE — the pinned occurrence
+    // frame feeds the model statistics and the scoring join (the
+    // explode + trim-filter pass over the text ran twice before)
+    val occ = graft.util.CacheScope.pin(
+      occurrences(docs, labelCol, textCol, idCol))
+    scoreOcc(occ, Seq(idCol, labelCol), fitOnOcc(docs, occ, labelCol), idCol)
+  }
 
   /** Shared scoring tail: occurrences × broadcast grid fan each token
     * occurrence out to its k class terms; ONE shuffle on
@@ -184,8 +201,12 @@ object TextClassify {
     */
   private def nbPerDoc(docs: DataFrame, labelCol: String,
                        textCol: String, idCol: String): DataFrame = {
-    val model = naiveBayesFit(docs, labelCol, textCol)
-    val scored = occurrences(docs, labelCol, textCol, idCol)
+    // train == score: ONE tokenization pass, pinned, shared by the
+    // model statistics and the scoring join (see naiveBayesScore)
+    val occ = graft.util.CacheScope.pin(
+      occurrences(docs, labelCol, textCol, idCol))
+    val model = fitOnOcc(docs, occ, labelCol)
+    val scored = occ
       .join(broadcast(model.grid), Seq("tok"))
       .groupBy(col(idCol), col(labelCol), col("c"))
       .agg(sum(col("term")).as("tsum"))

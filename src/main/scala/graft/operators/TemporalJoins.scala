@@ -237,6 +237,18 @@ object TemporalJoins {
     require(keys.nonEmpty, "mergeIntervals: at least one key column " +
       "(a keyless merge would move every interval to one partition)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(stCol), col(idCol))
+    // malformed intervals (end < start) refuse LOUDLY, matching the
+    // intervalOverlapJoin contract — a negative-length interval in the
+    // running-max chain would silently corrupt island boundaries. The
+    // check rides INSIDE the island aggregation's max(en) (every input
+    // row flows through it, including single-interval islands; a
+    // separate never-read check column would be pruned and skip the
+    // raise), cast back to the column's own type.
+    val enType = df.schema(enCol).dataType.sql
+    val checkedEn = expr(
+      s"CASE WHEN $enCol < $stCol THEN CAST(raise_error(" +
+        s"'mergeIntervals: interval end before start') AS $enType) " +
+        s"ELSE $enCol END")
     df.withColumn("_pmax", max(col(enCol)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("_brk",
@@ -244,7 +256,7 @@ object TemporalJoins {
       .withColumn("island", sum(col("_brk")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(keys.map(col) :+ col("island"): _*)
-      .agg(min(col(stCol)).as("start_us"), max(col(enCol)).as("end_us"),
+      .agg(min(col(stCol)).as("start_us"), max(checkedEn).as("end_us"),
         count(lit(1)).as("n_events"))
       .withColumn("covered_us", col("end_us") - col("start_us"))
   }

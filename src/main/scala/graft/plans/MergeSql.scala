@@ -434,8 +434,18 @@ case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
     val before = counts()
     require(before.nonEmpty,
       s"COMPACT STREAMS: no streaming stores under $workDir")
+    // fold strictly BELOW the newest batch leaf (horizon = max leaf id,
+    // exclusive): the replay contracts (StreamingBandGate.readIndex /
+    // StreamingDedupIngest.readIndex / VectorIndexStore.probe
+    // excludeBatch) can only exclude a leaf literally named
+    // batch_id=<n> — if an operator ran this command after a crash
+    // where the sink committed batch N but the checkpoint did not, a
+    // consolidated segment containing leaf N would make the replay of
+    // batch N self-match every previously-admitted row (Hamming 0 /
+    // cosine 1.0) and mis-ledger them as near-dups. Leaf count stays
+    // bounded: everything below the newest still folds.
     val horizon = before.valuesIterator.flatten.filter(_ >= 0)
-      .foldLeft(-1L)(math.max) + 1
+      .foldLeft(-1L)(math.max)
     if (horizon > 0) {
       new graft.streaming.StreamingDedupIngest(session, workDir).compact(horizon)
       if (java.nio.file.Files.isDirectory(

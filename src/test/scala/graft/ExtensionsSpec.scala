@@ -1087,11 +1087,15 @@ class ExtensionsSpec extends SparkSpec {
     val s2 = graft.plans.SiblingSession.withExtensions(spark, new graft.plans.GraftExtensions)
     val res = s2.sql(s"COMPACT STREAMS '$work'").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    // novelty gate was off → no gram store; everything else folds 4→1
+    // novelty gate was off → no gram store; everything else folds
+    // 4 → 2: leaves 0-2 consolidate, the NEWEST batch leaf (id 3) is
+    // never folded — a crash-replay of the latest batch must still be
+    // able to exclude its own leaf by name (batch_id=3), which a
+    // consolidated segment cannot honor
     assert(res.keySet == Set("band_index", "admitted", "ledger", "vector_index"),
       res.toString)
     res.foreach { case (store, (before, after)) =>
-      assert(before == 4 && after == 1, s"$store: $before -> $after")
+      assert(before == 4 && after == 2, s"$store: $before -> $after")
     }
     // state survives the fold byte-for-byte at the contract level
     assert(ingest.admitted().get.count() == admittedBefore)

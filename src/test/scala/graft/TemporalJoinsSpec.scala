@@ -154,5 +154,12 @@ class TemporalJoinsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TemporalJoins.mergeIntervals(iv, Seq.empty, "st", "en", "id")
     }
+    // a malformed interval (end < start) refuses loudly instead of
+    // silently corrupting the running-max chain — including when it is
+    // alone in its island (the raise rides the island aggregation)
+    val bad = iv.unionByName(Seq((3L, 7L, 50L, 40L)).toDF("u", "id", "st", "en"))
+    val ex = intercept[Exception] { run(bad) }
+    assert(ex.getMessage != null &&
+      ex.getMessage.contains("interval end before start"), ex.getMessage)
   }
 }
