@@ -220,7 +220,11 @@ object Graphs {
     val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
     val keep = e.groupBy(col("r")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDeg).select(col("r"))
-    val bounded = e.join(keep, Seq("r"), "left_semi")
+    // pinned: the guarded incidence frame feeds BOTH sides of the
+    // pairing self-join — without the pin the scan + distinct + degree
+    // guard subtree plans twice (the assocRules precedent; exchange
+    // reuse is not guaranteed across the two aliased sides)
+    val bounded = graft.util.CacheScope.pin(e.join(keep, Seq("r"), "left_semi"))
     bounded.as("x").join(bounded.as("y"),
         col("x.r") === col("y.r") && col("x.l") < col("y.l"))
       .groupBy(col("x.l").as("a"), col("y.l").as("b"))
@@ -581,19 +585,23 @@ object Graphs {
     // teleport-target count once, as a driver scalar (it is
     // iteration-invariant): the per-round plans carry the base as a
     // literal instead of re-aggregating + broadcasting a 1-row frame
-    // every round. Loud on an empty teleport set (integer div by 0
-    // would silently NULL every rank); the count also materializes the
-    // pinned node cache every iteration reuses. The message names both
-    // causes — the unseeded path hits this exact guard when the graph
-    // itself is empty, and a seeded-only message would misdirect.
+    // every round; the count also materializes the pinned node cache
+    // every iteration reuses. An EMPTY GRAPH flows through as before
+    // (empty frames all the way — the historical in-plan assert never
+    // saw a row there and returned empty silently; ContractSpec runs
+    // every query at sf0.001 where this graph IS empty); the loud
+    // guard fires only for the one case the old assert could actually
+    // raise — a NON-empty graph whose seed set misses every node,
+    // where integer div by 0 would otherwise NULL every rank.
+    val nNodes = nodes.count()
     val n = seeds match {
       case Some(_) => nodes.filter(col("is_seed")).count()
-      case None => nodes.count()
+      case None => nNodes
     }
-    require(n > 0,
-      "pageRankMicro: empty teleport set — the edge frame has no " +
-        "nodes (empty graph), or no seed intersects the graph's nodes " +
-        "(seeded variant)")
+    require(n > 0 || nNodes == 0,
+      "pageRankMicro: empty teleport set — no seed intersects the " +
+        "graph's nodes")
+    val nSafe = math.max(n, 1L) // divisor only; n=0 ⇒ zero rows flow
     // Scala / == `div` on non-negative longs (floor), so the driver-side
     // constants replay the in-plan integral divisions exactly
     def gated(v: Long): Column = seeds match {
@@ -603,7 +611,7 @@ object Graphs {
     val carry: Seq[Column] = Seq(col("node"), col(degName)) ++
       (if (seeds.isDefined) Seq(col("is_seed")) else Nil)
     var ranks = nodes
-      .select(carry :+ gated(RankScale / n).as("rank_micro"): _*)
+      .select(carry :+ gated(RankScale / nSafe).as("rank_micro"): _*)
     // per-edge contribution: rank div out_deg, or (weighted)
     // rank·w div Σw_out — rank ≤ Scale times an int64 weight needs
     // DECIMAL(38,0); `div` floors back to BIGINT, exact either way
@@ -612,7 +620,7 @@ object Graphs {
         sum(expr("cast(rank_micro as decimal(38,0)) * w div w_out").cast("long")).as("s")
       case None => sum(expr("rank_micro div out_deg")).as("s")
     }
-    val baseRank = (RankScale - dampingMicro) / n
+    val baseRank = (RankScale - dampingMicro) / nSafe
     // lineage cut every few rounds, not every round: a 3-round chain
     // (one edge join + one agg + one node join each) is a shallow plan,
     // and each skipped checkpoint saves a full materialization barrier
