@@ -296,13 +296,14 @@ object Bench {
     }
 
     val scale = scaleSmoke(spark, sfDir, onlyQ)
+    val scale100 = scale100Smoke(spark, sfDir, onlyQ)
     val streaming = streamingSmoke(spark, sfDir)
 
     val shuffleJson = shuffles.map { case (k, v) => "\"" + k + "\":" + v.json }
       .mkString("{", ",", "}")
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sentinel":${sen.json},"suspect":$suspect,"shuffle":$shuffleJson,"pipeline":$pipeline,"scale":$scale,"streaming":$streaming,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sentinel":${sen.json},"suspect":$suspect,"shuffle":$shuffleJson,"pipeline":$pipeline,"scale":$scale,"scale100":$scale100,"streaming":$streaming,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file the driver can read whole: the per-pass
     // records overflowed the driver's captured stdout tail in round 12,
@@ -410,7 +411,45 @@ object Bench {
     // shifted documents copies replicate the planted high-diameter
     // chains per shard — 1e7 ≡ 0 mod both segment sizes, so every
     // copy carries the same path/bridge structure)
-    "q_cc_bigstar")
+    "q_cc_bigstar",
+    // round-22 (VERDICT r21 item 7): the remaining top-10 headline
+    // costs join the 10× tier — the multi-system retrieval eval
+    // (postings + 4 rankings + metrics, needs scaled embeddings), the
+    // NB classifier family (the r21 tokenize-once pin was a measured
+    // LOCAL cost traded for fewer corpus passes at scale — this tier
+    // is where that trade is adjudicated), the k-core peel, BPE
+    // fit+encode, the RFM triple-ntile pass, and the delete-heavy
+    // merge
+    "q_retrieval_metrics", "q_nb_classify", "q_selective_risk",
+    "q_label_noise", "q_kcore", "q_bpe_encode", "q_rfm", "q_merge_delete")
+
+  /** 100× spot check (VERDICT r21 item 7) for the three queries whose
+    * 100-TB argument leans most on scale evidence: the iterative
+    * integer PageRank, the multi-system retrieval eval, and the
+    * basket self-join. Same generator, warm pass and sentinel
+    * machinery as the 10× tier — only the copy count and the query
+    * list differ. `SPARK_GRAFT_SCALE100=0` skips;
+    * `SPARK_GRAFT_SCALE100_COPIES` overrides the factor.
+    */
+  private val scale100Names =
+    Seq("q_pagerank", "q_retrieval_metrics", "q_assoc_rules")
+
+  private def scale100Smoke(spark: SparkSession, sfDir: String,
+                            onlyQ: Option[Set[String]]): String = {
+    if (sys.env.get("SPARK_GRAFT_SCALE100").contains("0")) return "null"
+    val copies = sys.env.get("SPARK_GRAFT_SCALE100_COPIES")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(100)
+    if (copies < 1) return "null"
+    val names = scale100Names.filter(n => onlyQ.forall(_.contains(n)))
+    if (names.isEmpty) return "null"
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_scale100")
+    try scaleSmokeIn(spark, sfDir, dir.toString, copies, names)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scale100 tier skipped: ${e.getMessage}")
+        "null"
+    } finally graft.util.Fs.deleteRecursively(dir)
+  }
 
   private def scaleSmoke(spark: SparkSession, sfDir: String,
                          onlyQ: Option[Set[String]]): String = {
@@ -477,6 +516,15 @@ object Bench {
         .withColumn("text",
           if (i == 0) col("text") else regexp_replace(col("text"), "(\\S+)", "$1_" + i)))
         .reduce(_ union _).write.mode("overwrite").parquet(dest("documents"))
+      // embeddings follow the documents' per-copy id shift so the
+      // retrieval eval's vec_id == doc_id alignment holds per copy;
+      // vectors repeat per copy (the index grows 10×, every IVF cell
+      // 10× fatter — the adversarial direction for the probe). Max
+      // shifted id stays below the query's +1e9 probe offset at any
+      // copies ≤ 100.
+      (0 until copies).map(i => src("embeddings")
+        .withColumn("vec_id", col("vec_id") + lit(i * docShift)))
+        .reduce(_ union _).write.mode("overwrite").parquet(dest("embeddings"))
 
       // min of two passes, like the headline set: a single pass on this
       // noisy host has produced 7x outliers on individual queries, and

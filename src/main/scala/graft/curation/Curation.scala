@@ -65,13 +65,25 @@ object Curation {
   }
 
   /** MinHash-LSH near-dup drop (min-id-wins over candidate pairs). */
-  def nearDupDrop(df: DataFrame, cfg: Config = Config()): DataFrame = {
-    val sig = Dedup.minhashSignatures(df, "doc_id", "text", cfg.minhashK)
+  def nearDupDrop(df: DataFrame, cfg: Config = Config()): DataFrame =
+    nearDupDropOn(df, TextFns.tokens(col("text")), cfg)
+
+  /** [[nearDupDrop]] over a precomputed tokens column — the funnel's
+    * single-tokenization path (identical values by construction). */
+  def nearDupDropOn(df: DataFrame, dfTokens: org.apache.spark.sql.Column,
+                    cfg: Config): DataFrame = {
+    val sig = Dedup.minhashSignaturesOfTokens(df, "doc_id", dfTokens, cfg.minhashK)
     val drops = graft.util.CacheScope.pin(
       Dedup.lshCandidatePairs(sig, "doc_id", cfg.minhashK, cfg.rowsPerBand)
         .filter(col("est_sim") >= cfg.simThreshold)
         .select(col("id_b").as("doc_id")).distinct())
-    df.join(drops, Seq("doc_id"), "left_anti")
+    // broadcast the drop-id set: it is near-dup ids only (the same
+    // smallness assumption decontaminate already makes for its
+    // contaminated-id set), where the default plan SORT-MERGE-joined —
+    // i.e. shuffled the whole corpus payload on doc_id just to drop a
+    // few ids. With the broadcast the entire post-dedup funnel is
+    // map-side reads of the pinned corpus cache.
+    df.join(broadcast(drops), Seq("doc_id"), "left_anti")
   }
 
   /** Drop docs sharing any n-gram with the eval set (and the eval docs
@@ -80,7 +92,14 @@ object Curation {
     * scan stays map-side.
     */
   def decontaminate(df: DataFrame, evalDocs: DataFrame,
-                    cfg: Config = Config()): DataFrame = {
+                    cfg: Config = Config()): DataFrame =
+    decontaminateOn(df, TextFns.tokens(col("text")), evalDocs, cfg)
+
+  /** [[decontaminate]] with the CORPUS side's tokens precomputed —
+    * the funnel's single-tokenization path (the eval side is tiny and
+    * tokenizes inline either way). Identical values by construction. */
+  def decontaminateOn(df: DataFrame, dfTokens: org.apache.spark.sql.Column,
+                      evalDocs: DataFrame, cfg: Config): DataFrame = {
     val n = cfg.decontaminateNgram
     val evalH = evalDocs
       .select(explode(array_distinct(
@@ -88,7 +107,7 @@ object Curation {
       .distinct()
     val contaminated = df
       .select(col("doc_id"), explode(array_distinct(
-        TextFns.shingleHashes48(TextFns.tokens(col("text")), n))).as("hv"))
+        TextFns.shingleHashes48(dfTokens, n))).as("hv"))
       .join(broadcast(evalH), "hv")
       .select(col("doc_id")).distinct()
     df.join(broadcast(evalDocs.select(col("doc_id"))), Seq("doc_id"), "left_anti")
@@ -112,16 +131,26 @@ object Curation {
   def decontaminateBloom(df: DataFrame, evalDocs: DataFrame,
                          cfg: Config = Config(),
                          numBits: Long = 1L << 23,
-                         broadcastConfirm: Boolean = true): DataFrame = {
+                         broadcastConfirm: Boolean = true): DataFrame =
+    decontaminateBloomOn(df, TextFns.tokens(col("text")), evalDocs, cfg,
+      numBits, broadcastConfirm)
+
+  /** [[decontaminateBloom]] with the corpus side's tokens precomputed
+    * (the funnel's single-tokenization path). */
+  def decontaminateBloomOn(df: DataFrame, dfTokens: org.apache.spark.sql.Column,
+                           evalDocs: DataFrame, cfg: Config,
+                           numBits: Long = 1L << 23,
+                           broadcastConfirm: Boolean = true): DataFrame = {
     val n = cfg.decontaminateNgram
-    def grams(d: DataFrame) = d.select(col("doc_id"),
-      explode(array_distinct(
-        TextFns.shingleHashes48(TextFns.tokens(col("text")), n))).as("hv"))
-    val evalH = grams(evalDocs).select(col("hv")).distinct()
+    def grams(d: DataFrame, tk: org.apache.spark.sql.Column) =
+      d.select(col("doc_id"),
+        explode(array_distinct(TextFns.shingleHashes48(tk, n))).as("hv"))
+    val evalH = grams(evalDocs, TextFns.tokens(col("text")))
+      .select(col("hv")).distinct()
     val items = math.max(1L, evalH.count())
     val bf = graft.sketch.Bloom.sketch(evalH, col("hv"), items, numBits)
     val confirmSide = if (broadcastConfirm) broadcast(evalH) else evalH
-    val contaminated = grams(df)
+    val contaminated = grams(df, dfTokens)
       .filter(graft.sketch.Bloom.mightContain(bf, col("hv")))
       .join(confirmSide, "hv") // exact confirm: FPs die here
       .select(col("doc_id")).distinct()
@@ -308,11 +337,20 @@ object Curation {
              classifier: Option[(graft.classify.TextClassify.NBModel, Set[String])] = None): DataFrame = {
     val gated = qualityGate(corpus, cfg)
     val classed = classifier.fold(gated) { case (m, allowed) => classGate(gated, m, allowed) }
-    val afterExact = graft.util.CacheScope.pin(exactDedup(classed))
-    val afterNd = nearDupDrop(afterExact, cfg)
+    // tokenize ONCE: the token array rides the pinned post-dedup cache
+    // (computed map-side AFTER the dedup exchange, so the md5 shuffle
+    // never carries it), and both downstream tokenizers — the minhash
+    // signatures and the decontamination grams — consume the array
+    // instead of re-splitting the corpus. One corpus tokenization
+    // instead of three.
+    val afterExact = graft.util.CacheScope.pin(
+      exactDedup(classed).withColumn("_tk", TextFns.tokens(col("text"))))
+    val tk = col("_tk")
+    val afterNd = nearDupDropOn(afterExact, tk, cfg)
     evalDocs.fold(afterNd)(ev =>
-      if (cfg.bloomDecontaminate) decontaminateBloom(afterNd, ev, cfg, cfg.bloomNumBits)
-      else decontaminate(afterNd, ev, cfg))
+      if (cfg.bloomDecontaminate) decontaminateBloomOn(afterNd, tk, ev, cfg, cfg.bloomNumBits)
+      else decontaminateOn(afterNd, tk, ev, cfg))
+      .drop("_tk")
   }
 
   /** Loan-pattern [[curate]]: build the funnel, hand the curated frame

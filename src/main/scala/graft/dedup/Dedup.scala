@@ -74,7 +74,17 @@ object Dedup {
     * aggregated form.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, shingleN: Int = 3): DataFrame = {
+                        k: Int = 16, shingleN: Int = 3): DataFrame =
+    minhashSignaturesOfTokens(df, idCol, TextFns.tokens(col(textCol)), k, shingleN)
+
+  /** [[minhashSignatures]] over a precomputed tokens column — the
+    * single-tokenization path for pipelines that already carry the
+    * token array (the curation funnel). Values identical to the
+    * text-column form by construction.
+    */
+  def minhashSignaturesOfTokens(df: DataFrame, idCol: String,
+                                tokensCol: org.apache.spark.sql.Column,
+                                k: Int = 16, shingleN: Int = 3): DataFrame = {
     // two-step select: the array is materialized in its own projection;
     // CollapseProject keeps non-cheap expressions referenced k times
     // out-of-line, so the signature is computed once per row. The
@@ -82,8 +92,8 @@ object Dedup {
     // (≡ sig IS NOT NULL) — filtering on sig itself would push a full
     // signature recompute into the scan.
     val sig = df
-      .filter(size(TextFns.tokens(col(textCol))) >= shingleN)
-      .select(col(idCol), TextFns.minhashSig(TextFns.tokens(col(textCol)), shingleN, k).as("sig"))
+      .filter(size(tokensCol) >= shingleN)
+      .select(col(idCol), TextFns.minhashSig(tokensCol, shingleN, k).as("sig"))
     sig.select(col(idCol) +: (0 until k).map(i => col("sig").getItem(i).as(f"mh$i%02d")): _*)
   }
 

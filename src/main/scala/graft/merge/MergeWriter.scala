@@ -769,15 +769,33 @@ object MergeWriter {
         if (legacy) joined else joined.filter(col("_bucket").isin(touched.toSeq: _*))
       }
 
-    // partition-local sort by (bucket, key) before the write: the file
+    // REBALANCE by bucket before the writer-feeding sort: without it
+    // every task holds rows of many buckets and the partitioned writer
+    // emits (tasks × touched buckets) small files — the small-file
+    // pathology that compounds at scale (each file is a listing entry,
+    // an open, a parquet footer). The AQE rebalance clusters each
+    // bucket into one task (one FILE per bucket directory), while
+    // staying size-adaptive at both ends: tiny write sets coalesce to
+    // a handful of tasks instead of one near-empty task per bucket,
+    // and a bucket bigger than the advisory partition size splits into
+    // several advisory-sized files rather than one giant one — the
+    // guide's 128 MB–1 GB output-file target, with the bucket count as
+    // the coarse knob. Costs one exchange of the touched rows
+    // (measured +0.5–1.4 s per merge at sf0.1 — pure barrier overhead
+    // on tiny data — and −13% on the same queries at 10×, where the
+    // write and its read-back dominate; the crossover is committed in
+    // bench_r22_merge10_*.json).
+    //
+    // Then the partition-local sort by (bucket, key): the file
     // writer's required partition-column clustering is then already
     // satisfied (no second sort), and every bucket file comes out
     // KEY-SORTED — parquet row-group min/max stats on the key become
     // tight, so the pushed key filter of a point lookup skips row
-    // groups WITHIN the one bucket it reads. Costs a local sort of the
-    // touched buckets only; at 100 TB that is the difference between
-    // reading a whole multi-GB bucket and a few row groups of it.
-    merged.sortWithinPartitions((col("_bucket") +: keyCols.map(col)): _*)
+    // groups WITHIN the one bucket it reads. At 100 TB that is the
+    // difference between reading a whole multi-GB bucket and a few row
+    // groups of it.
+    merged.hint("rebalance", col("_bucket"))
+      .sortWithinPartitions((col("_bucket") +: keyCols.map(col)): _*)
       .write.mode("overwrite").partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
     // resolve AFTER the write job that carried the action observation.
     // Fallback (observation machinery unavailable, e.g. inside
@@ -845,8 +863,9 @@ object MergeWriter {
     val keyed = readTarget(spark, targetDir).get
       .withColumn("_bucket", pmod(hash(keyCols.map(col): _*), lit(nB)))
     val next = cur + 1
-    // same key-sorted bucket files as the merge write path
-    keyed.sortWithinPartitions((col("_bucket") +: keyCols.map(col)): _*)
+    // same one-file-per-bucket, key-sorted layout as the merge write path
+    keyed.hint("rebalance", col("_bucket"))
+      .sortWithinPartitions((col("_bucket") +: keyCols.map(col)): _*)
       .write.mode("overwrite")
       .partitionBy("_bucket").parquet(s"$targetDir/v$next/data")
     val written = listBucketDirs(Paths.get(targetDir, s"v$next", "data"))

@@ -171,19 +171,27 @@ object Graphs {
     require(k >= 1, s"kCore needs k >= 1, got $k")
     require(maxRounds >= 1, s"kCore needs maxRounds >= 1, got $maxRounds")
     val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val obs0 = new org.apache.spark.sql.Observation()
     var g = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var nEdges = g.count()
+      .filter(col("u") =!= col("v")).distinct()
+      .observe(obs0, count(lit(1)).as("n_edges")).localCheckpoint()
+    var nEdges = graft.util.Metrics.long(obs0, "n_edges", g.count())
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val deg = g.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("node"))
+      // the fixpoint count rides the checkpoint's own materialization
+      // job via an Observation (the merge writer's idiom) — one job
+      // per round instead of checkpoint + count. Fallback to an
+      // explicit count only if the observation never fires.
+      val obs = new org.apache.spark.sql.Observation()
       g = g.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
+        .observe(obs, count(lit(1)).as("n_edges"))
         .localCheckpoint()
-      val n = g.count()
+      val n = graft.util.Metrics.long(obs, "n_edges", g.count())
       converged = n == nEdges
       nEdges = n
       rounds += 1
@@ -217,7 +225,16 @@ object Graphs {
                           rightCol: String = "dst", maxDeg: Int = 1000,
                           minShared: Long = 1L): DataFrame = {
     require(maxDeg >= 2, s"cooccurrenceProject needs maxDeg >= 2, got $maxDeg")
-    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r")).distinct()
+    // ONE exchange on the right key feeds the whole projection:
+    // HashPartitioning(r) satisfies the distinct's (l, r) clustering,
+    // the degree aggregation's (r) grouping, the semi-join's and the
+    // pairing self-join's (r) keys — so after this repartition none of
+    // them exchanges again (previously: distinct at (l,r) grain, then
+    // the self-join re-exchanged the cached frame by r on both sides).
+    // Only the (a, b) pair aggregation still shuffles — that one is
+    // fundamental.
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .repartition(col("r")).distinct()
     val keep = e.groupBy(col("r")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDeg).select(col("r"))
     // pinned: the guarded incidence frame feeds BOTH sides of the
@@ -258,7 +275,17 @@ object Graphs {
                  itemCol: String = "item", maxBasketSize: Int = 100,
                  minSupport: Long = 2L): DataFrame = {
     require(maxBasketSize >= 2, s"assocRules needs maxBasketSize >= 2, got $maxBasketSize")
-    val li = items.select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+    // ONE exchange on the basket key feeds the whole mining pass:
+    // HashPartitioning(bk) satisfies the distinct's (bk, it)
+    // clustering, the size guard's (bk) grouping, the semi-join's and
+    // the pairing self-join's (bk) keys, and the basket count — so
+    // after this repartition none of them exchanges again
+    // (previously: distinct at (bk, it) grain, then the self-join
+    // re-exchanged the cached frame by bk on both sides). The item
+    // counts and the (item_a, item_b) pair aggregation still shuffle —
+    // item-keyed by nature.
+    val li = items.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .repartition(col("bk")).distinct()
     val keep = li.groupBy(col("bk")).agg(count(lit(1)).as("m"))
       .filter(col("m") <= maxBasketSize).select(col("bk"))
     // pinned: the guarded basket frame feeds four consumers (basket
@@ -647,8 +674,13 @@ object Graphs {
             expr(s"cast(s as decimal(38,0)) * ${dampingMicro}L div ${RankScale}L")
               .cast("long")).as("rank_micro"): _*)
       // (the final round is consumed exactly once by the caller's
-      // action, so it never needs a cut of its own)
-      if (it % ckptEvery == 0 && it != iters) ranks = ranks.localCheckpoint()
+      // action, so it never needs a cut of its own — EXCEPT in
+      // convergence-report mode, where the final round's delta row
+      // reads the frame too: cut it there so the delta row and the
+      // caller's action both read the checkpoint instead of
+      // re-executing the last join)
+      if (it % ckptEvery == 0 && (it != iters || deltaSink.isDefined))
+        ranks = ranks.localCheckpoint()
       // convergence row: one node-keyed join + 1-row agg over the two
       // CHECKPOINTED frames — cheap, and lazy consumers re-read the
       // checkpoints, never re-run the walk

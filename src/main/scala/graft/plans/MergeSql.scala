@@ -390,11 +390,17 @@ case class CompactPathCommand(targetDir: String) extends LeafRunnableCommand {
   * into consolidated segments, through the same SQL maintenance
   * surface as merge targets' `COMPACT '<path>'`: operators maintain
   * streaming state without constructing the ingest classes. The fold
-  * horizon is max(batch leaf id) + 1 — everything committed folds —
-  * so run it while the stream is STOPPED (a live stream compacts
-  * itself on its own cadence and a replayed boundary batch must keep
-  * its own leaf). Returns one row per existing store with the leaf
-  * directory count before/after (the quantity compaction bounds).
+  * horizon is max(batch leaf id), EXCLUSIVE — everything strictly
+  * below the newest batch leaf folds, the newest leaf keeps its own
+  * directory. That makes the command crash-replay-safe: if the sink
+  * committed batch N but the checkpoint did not, the replay of batch
+  * N can still exclude its own leaf by name (the replay contracts
+  * match leaves literally named batch_id=N), which a consolidated
+  * segment containing N would defeat (see the inline comment in
+  * [[run]]). Run it while the stream is STOPPED (a live stream
+  * compacts itself on its own cadence). Returns one row per existing
+  * store with the leaf directory count before/after (the quantity
+  * compaction bounds).
   */
 case class CompactStreamsCommand(workDir: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

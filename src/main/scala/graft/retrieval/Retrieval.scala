@@ -112,6 +112,19 @@ object Retrieval {
     val tk = split(lower(trim(col(textCol))), "\\s+")
     docs.select(col(idCol), tk.as("tk"))
       .withColumn("len_d", size(col("tk")).cast("double"))
+      // ONE doc-grain exchange (one row per doc, the token array still
+      // packed) establishes HashPartitioning(idCol) for the whole
+      // postings frame. {idCol} is a subset of every downstream
+      // grouping key — the tf aggregation here, the (query, doc) score
+      // aggregation and the (doc) stats aggregation in
+      // [[bm25OnQueryTerms]], the (query, doc) overlap count of the
+      // multi-system eval — so ClusteredDistribution is satisfied and
+      // NONE of them exchanges again: the scored pair frame never
+      // shuffles. (Previously the tf aggregation exchanged at
+      // (doc, term, len) grain, every consumer re-exchanged at its own
+      // grain, and the pair-grain exchange dominated the eval queries'
+      // shuffle volume.)
+      .repartition(col(idCol))
       .select(col(idCol), col("len_d"), explode(col("tk")).as("term"))
       .groupBy(col(idCol), col("term"), col("len_d"))
       .agg(count(lit(1)).cast("double").as("tf"))

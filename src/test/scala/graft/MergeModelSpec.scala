@@ -117,6 +117,35 @@ class MergeModelSpec extends SparkSpec {
     }
   }
 
+  test("bucketed snapshot write emits exactly one file per bucket") {
+    val spark2 = spark; import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_files").toString
+    // many input partitions: without the pre-write bucket repartition
+    // every task writes its own file into every bucket directory it
+    // holds rows of (tasks × buckets small files)
+    val df = (1L to 2000L).map(k => (k, s"v$k", k, k))
+      .toDF("k", "v", "w", "ord").repartition(8)
+    MergeWriter.mergeByKeys(spark, dir, df, Seq("k"), "ord", buckets = 4)
+    val bucketDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator()
+    var seen = 0
+    val it = new Iterator[java.nio.file.Path] {
+      def hasNext = bucketDirs.hasNext; def next() = bucketDirs.next()
+    }
+    it.filter(p => p.getFileName.toString.startsWith("_bucket="))
+      .foreach { b =>
+        seen += 1
+        val files = java.nio.file.Files.list(b).iterator()
+        var n = 0
+        while (files.hasNext) {
+          if (files.next().getFileName.toString.endsWith(".parquet")) n += 1
+        }
+        assert(n == 1, s"bucket dir $b holds $n parquet files, expected 1")
+      }
+    assert(seen == 4, s"expected 4 bucket dirs, saw $seen")
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("snapshotDiff classifies inserts/deletes/updates, drops unchanged, null-safe") {
     import graft.merge.SnapshotDiff
     val spark2 = spark; import spark2.implicits._

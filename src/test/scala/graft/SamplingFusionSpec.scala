@@ -405,6 +405,20 @@ class SamplingFusionSpec extends SparkSpec {
     assert(comms.size == 2)
   }
 
+  test("observed count resolves off a localCheckpoint materialization (kCore's fused round count)") {
+    // kCore rides its per-round fixpoint count on the checkpoint's own
+    // materialization job via observe() — one job per round instead of
+    // checkpoint + count. This pins the mechanism: the checkpoint
+    // action must fire the observation listener; a -1 here would mean
+    // the fallback count (a second job) silently came back.
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = new org.apache.spark.sql.Observation()
+    val ck = spark.range(100).toDF("n")
+      .observe(obs, count(lit(1)).as("n_rows")).localCheckpoint()
+    assert(graft.util.Metrics.long(obs, "n_rows", -1L) == 100L)
+    assert(ck.count() == 100L)
+  }
+
   test("kCore peels to the exact core, cascades, and handles empty cores") {
     import graft.operators.Graphs
     // K4 {1,2,3,4} + a chain 4—5—6: 5 (deg 2) and 6 (deg 1) peel in
