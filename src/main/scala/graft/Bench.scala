@@ -94,7 +94,8 @@ object Bench {
     * `q1_agg` regardless of SPARK_GRAFT_QUERIES, and its own timings
     * appear only under the "sentinel" key.
     */
-  private final class Sentinel(spark: SparkSession, sfDir: String, every: Int = 4) {
+  private final class Sentinel(spark: SparkSession, sfDir: String, every: Int = 4,
+                               steadyDefault: Double = 1.0) {
     private val marks = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     private var pos = 0
     timeSentinel(): Unit // untimed warm: the first reading would otherwise
@@ -137,7 +138,7 @@ object Bench {
       * median sits far below the threshold, so the tier rule only
       * ever fires on genuinely contended windows. */
     private val steady = sys.env.get("SPARK_GRAFT_SENTINEL_STEADY")
-      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(1.0)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(steadyDefault)
     def tierContaminated: Boolean = median > 2 * steady
     /** True when the whole window is contaminated ([[tierContaminated]])
       * or a sentinel adjacent to window position `p` deviates >1.5×
@@ -428,15 +429,22 @@ object Bench {
     * integer PageRank, the multi-system retrieval eval, and the
     * basket self-join. Same generator, warm pass and sentinel
     * machinery as the 10× tier — only the copy count and the query
-    * list differ. `SPARK_GRAFT_SCALE100=0` skips;
-    * `SPARK_GRAFT_SCALE100_COPIES` overrides the factor.
+    * list differ.
+    *
+    * OPT-IN (`SPARK_GRAFT_SCALE100=1`): measured at 25-35 minutes per
+    * bench run at copies=100 on this host — more than the entire rest
+    * of the bench — so running it by default would put the driver's
+    * whole BENCH json at timeout risk for a tier it only needs once.
+    * The round's committed spot-check export (bench_r22_scale100.json)
+    * carries the numbers; `SPARK_GRAFT_SCALE100_COPIES` overrides the
+    * factor for cheaper local spot checks.
     */
   private val scale100Names =
     Seq("q_pagerank", "q_retrieval_metrics", "q_assoc_rules")
 
   private def scale100Smoke(spark: SparkSession, sfDir: String,
                             onlyQ: Option[Set[String]]): String = {
-    if (sys.env.get("SPARK_GRAFT_SCALE100").contains("0")) return "null"
+    if (!sys.env.get("SPARK_GRAFT_SCALE100").contains("1")) return "null"
     val copies = sys.env.get("SPARK_GRAFT_SCALE100_COPIES")
       .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(100)
     if (copies < 1) return "null"
@@ -558,8 +566,14 @@ object Bench {
       // the scale tier gets its own sentinel on the SCALED dataset —
       // these are the numbers the 100-TB argument is judged on, and
       // exactly where past rounds' cross-round alarms turned out to be
-      // window noise (r14 measured 10× data faster than sf0.1)
-      val sen = new Sentinel(spark, dir)
+      // window noise (r14 measured 10× data faster than sf0.1). The
+      // steady-state default scales with the copy factor past 10×:
+      // q1_agg over 100× lineitem takes ~5s on a CALM host, and a
+      // steady calibrated for sf0.1 would flag the whole tier as
+      // contaminated on data size alone (observed in the first
+      // r22 100× spot run). copies ≤ 10 keeps the historical 1.0.
+      val sen = new Sentinel(spark, dir,
+        steadyDefault = math.max(1.0, copies / 20.0))
       def timedPass(): Map[String, (Int, Option[Double])] =
         names.map { n => val p = sen.mark(); n -> ((p, timeOnce(n))) }.toMap
       val pass1 = timedPass()
